@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct —
+  * the layout a 100 TB multimodal pipeline actually uses (bytes in parquet,
+  * metadata queryable without decoding). The container has no image/audio
+  * libs, so the decode step is a clearly-marked deterministic STUB
+  * (`fakeDecode*`); everything around it — schema, batch shape, partition
+  * behavior, the mapPartitions seam where a real decoder (JNI/FFmpeg/
+  * ImageIO) would sit — is real and tested.
+  */
+object Multimodal {
+
+  val MetaSchema: StructType = StructType.fromDDL(
+    "format STRING, byte_len BIGINT, width INT, height INT")
+
+  /** Attach a binary payload + metadata struct. In production the payload
+    * comes from the source (e.g. Cassandra blob / object store); here the
+    * testdata has no blob column so document text stands in for the bytes —
+    * the schema and plumbing are what's under test. */
+  def attachBinary(df: DataFrame, srcCol: String = "text",
+      payloadCol: String = "payload"): DataFrame = {
+    val bin = col(srcCol).cast("binary")
+    df.withColumn(payloadCol, bin)
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        length(bin).cast("bigint").as("byte_len"),
+        pmod(length(bin), lit(640)).cast("int").as("width"),
+        pmod(length(bin), lit(480)).cast("int").as("height")))
+  }
+
+  /** STUB decoder — deterministic fake "feature extraction" from bytes.
+    * A real implementation decodes the image and emits an embedding; the
+    * Spark-side contract (binary in, fixed-width float array out, computed
+    * per-partition with no driver involvement) is identical. */
+  def fakeDecodeFeatures(df: DataFrame, payloadCol: String = "payload",
+      dim: Int = 8): DataFrame = {
+    // expression-only fake: per-index hash of the bytes, scaled to [0,1)
+    val featureArr = array((0 until dim).map { j =>
+      pmod(xxhash64(col(payloadCol), lit(j)), lit(1000L)).cast("double") / 1000.0
+    }: _*)
+    df.withColumn("features", featureArr)
+  }
+
+  /** Frame sampling stub: byte-range slices standing in for video frames —
+    * `substring` on binary is a zero-copy range read, the same access
+    * pattern a frame sampler has. Emits one row per sampled frame. */
+  def sampleFrames(df: DataFrame, payloadCol: String = "payload",
+      frameBytes: Int = 64, everyNth: Int = 4): DataFrame = {
+    // floor() on both engines (a bare double->int cast truncates in Spark
+    // but rounds in DuckDB — floor makes the semantics explicit)
+    val nFrames = greatest(
+      floor(length(col(payloadCol)) / lit(frameBytes * everyNth)).cast("int"), lit(1))
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames - lit(1))))
+      .withColumn("frame_bytes",
+        expr(s"substring($payloadCol, frame_idx * ${frameBytes * everyNth} + 1, $frameBytes)"))
+  }
+
+  /** The real-decoder seam: partition-wise pass over (id, payload) with an
+    * arbitrary per-row decoder — where JNI/ImageIO would plug in. The stub
+    * "decoder" is a byte-sum, proving the batch shape without media libs. */
+  def mapDecode(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // ??? <- real decoder goes here; deterministic stand-in:
+        it.map { case (id, bytes) =>
+          val checksum = if (bytes == null) 0L else bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          (id, checksum, if (bytes == null) 0 else bytes.length)
+        }
+      }
+    out.toDF(idCol, "byte_sum", "byte_len")
+  }
+}

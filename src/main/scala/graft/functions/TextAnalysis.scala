@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.plans.RollingHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: language id, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is a column expression (codegen'd, narrow, shuffle-free): at
+  * 100 TB these run as a single map stage fused with the parquet scan, and
+  * Catalyst prunes the scan to exactly `text` (+ selected id columns).
+  */
+object TextAnalysis {
+
+  /** Marker-word lists per language for the n-gram/stopword language-id
+    * heuristic. Deterministic scoring: score(lang) = |distinct tokens ∩
+    * markers|; prediction = argmax with first-wins tie-break in [[Langs]]
+    * order. */
+  val Langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(markers.map(lit): _*)))
+
+  /** Predicted language: first-match CASE chain in [[Langs]] order — lang i
+    * wins when its score >= every later lang's score (earlier langs already
+    * failed). Deterministic and exactly mirrorable as a SQL CASE. */
+  def langId(text: Column): Column = {
+    val scores = Langs.map { case (l, m) => l -> langScore(text, m) }
+    scores.indices.dropRight(1).foldRight(lit(scores.last._1): Column) {
+      case (i, elseCol) =>
+        val cond = scores.drop(i + 1)
+          .map { case (_, later) => scores(i)._2 >= later }
+          .reduce(_ && _)
+        when(cond, lit(scores(i)._1)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality metrics: token counts, type-token ratio, stopword ratio, mean
+    * token length — the length/punct/stopword-ratio heuristics of standard
+    * corpus filtering, all exact-arithmetic so they are oracle-comparable. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val nUniq = size(array_distinct(t))
+    val nStop = langScore(col(textCol), Langs.head._2)
+    val nChars = length(col(textCol))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_uniq_tokens", nUniq)
+      .withColumn("type_token_ratio", nUniq.cast("double") / nTok)
+      .withColumn("stopword_ratio", nStop.cast("double") / nUniq)
+      .withColumn("mean_token_len",
+        (nChars - (nTok - lit(1))).cast("double") / nTok)
+  }
+
+  /** Composite quality score in [0,1]-ish; fixed weights, deterministic
+    * double arithmetic (same evaluation order in any IEEE-754 engine). */
+  def qualityScore(): Column =
+    col("type_token_ratio") * lit(0.5) +
+      col("stopword_ratio") * lit(0.2) +
+      least(col("mean_token_len") / lit(10.0), lit(1.0)) * lit(0.3)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: alpha runs split into <=4-char chunks, digits and
+    * other symbols one token each — a cheap, regex-only stand-in for a BPE
+    * tokenizer's token count (the container has no tokenizer libs; the regex
+    * IS the implementation, not a stub). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Rolling-hash document fingerprint (custom codegen expression). */
+  def fingerprint(text: Column): Column = RollingHash(text)
+}

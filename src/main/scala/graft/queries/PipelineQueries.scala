@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * dedup, similarity search, text analysis, multimodal plumbing. Oracles are
+  * exact-arithmetic mirrors (sequential double folds, integer ratios) so the
+  * hash compare is meaningful; the approximate operators whose internals are
+  * not SQL-expressible (simhash, hyperplane LSH) ship rows-only and are
+  * pinned by ScalaTest instead.
+  */
+object PipelineQueries {
+
+  /** DuckDB fragment: marker-score per language, as columns s_en, s_es, … */
+  private def langScoreSql: String =
+    TextAnalysis.Langs.map { case (l, m) =>
+      s"len(list_intersect(string_split(text,' '), [${m.map("'" + _ + "'").mkString(",")}])) AS s_$l"
+    }.mkString(",\n       ")
+
+  private def langCaseSql: String = {
+    val names = TextAnalysis.Langs.map(_._1)
+    val cases = names.indices.dropRight(1).map { i =>
+      val cond = names.drop(i + 1).map(later => s"s_${names(i)} >= s_$later").mkString(" AND ")
+      s"WHEN $cond THEN '${names(i)}'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${names.last}' END"
+  }
+
+  /** DuckDB fragment: sequential double dot-product fold of two lists. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+
+  /** DuckDB fragment: word-3-shingle list of `text` (distinct). */
+  private val ShinglesSql =
+    """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |  THEN list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
+      |  ELSE [text] END)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ----
+    QueryDef("text_lang_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (SELECT doc_id, lang, $langScoreSql FROM documents)
+              |SELECT doc_id, lang AS actual_lang, $langCaseSql AS pred_lang
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_quality",
+      (s, dir) => TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+        .withColumn("quality_score", TextAnalysis.qualityScore())
+        .select("doc_id", "n_tokens", "n_uniq_tokens", "type_token_ratio",
+          "stopword_ratio", "mean_token_len", "quality_score")
+        .orderBy("doc_id"),
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars
+           |  FROM documents)
+           |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           |  CAST(n_uniq_tokens AS INT) AS n_uniq_tokens,
+           |  CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS type_token_ratio,
+           |  CAST(n_stop AS DOUBLE) / n_uniq_tokens AS stopword_ratio,
+           |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+           |  (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.5
+           |    + (CAST(n_stop AS DOUBLE) / n_uniq_tokens) * 0.2
+           |    + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text,' ')) AS INT) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("doc_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) = 0 THEN 0
+             |       ELSE list_reduce(list_transform(regexp_extract_all(text, '.'),
+             |              c -> CAST(unicode(c) AS BIGINT)),
+             |            (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup ----
+    QueryDef("dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("digest"),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin)),
+
+    QueryDef("dedup_exact_rows",
+      (s, dir) => Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("dedup_minhash",
+      (s, dir) => Dedup.minhashDedupPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, numHashes = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON sa.doc_id = id_a
+              |JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("dedup_ngram_jaccard",
+      // exact all-pairs Jaccard, blocked by source to bound the quadratic
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", blockCol = "source", k = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH d AS (SELECT doc_id, source, $ShinglesSql AS sh FROM documents)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              |         / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("dedup_simhash",
+      // xxhash64-based: not SQL-expressible -> rows-only + ScalaTest pins
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("dedup_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- similarity search ----
+    QueryDef("cosine_topk",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        Similarity.bruteForceTopK(Tables.embeddings(s, dir), "embedding",
+          "vec_id", q, k = 20)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id,
+              |  ${dotSql("embedding", "qv")} /
+              |  (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+              |FROM embeddings CROSS JOIN q
+              |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
+
+    QueryDef("embedding_near_dup",
+      // exact brute force on a bounded id range (oracle-checkable shape)
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+          .filter(col("cos") >= 0.4)
+          .select("id_a", "id_b", "cos")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  ${dotSql("a.embedding", "b.embedding")} /
+              |  (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cos
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${dotSql("a.embedding", "b.embedding")} /
+              |  (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("ann_lsh_topk",
+      // hyperplane-LSH bucketed ANN: scale path; recall pinned in ScalaTest
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        Similarity.annTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
+          q, k = 10, nPlanes = 8)
+      },
+      None),
+
+    QueryDef("embedding_near_dup_lsh",
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "embedding", "vec_id", threshold = 0.4, nPlanes = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- multimodal ----
+    QueryDef("multimodal_meta",
+      (s, dir) => Multimodal.attachBinary(Tables.documents(s, dir))
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, 'fake/raw' AS format,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+             |  CAST(octet_length(encode(text)) % 480 AS INT) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.attachBinary(Tables.documents(s, dir)),
+          frameBytes = 64, everyNth = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("frame_len"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents),
+             |f AS (SELECT doc_id, bl,
+             |        unnest(generate_series(0, greatest(CAST(floor(bl / 256) AS INT), 1) - 1)) AS frame_idx
+             |      FROM d)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |       CAST(least(64, greatest(bl - frame_idx * 256, 0)) AS INT) AS frame_len
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    QueryDef("multimodal_decode",
+      (s, dir) => Multimodal.mapDecode(
+          Multimodal.attachBinary(Tables.documents(s, dir)), "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN length(text) = 0 THEN 0
+             |       ELSE list_reduce(list_transform(regexp_extract_all(text, '.'),
+             |              c -> CAST(unicode(c) AS BIGINT)), (a, b) -> a + b) END AS byte_sum,
+             |  CAST(octet_length(encode(text)) AS INT) AS byte_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("multimodal_features",
+      (s, dir) => Multimodal.fakeDecodeFeatures(
+          Multimodal.attachBinary(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("features"))
+        .orderBy("doc_id"),
+      None))
+}

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators beyond the reference's surface (SURVEY.md §2.4-§2.8
+  * list them all as absent there): joins, grouped aggregation, windows, set
+  * ops, rollup, top-k. These are the queries that matter at 100 TB, so each
+  * is written the way it should be planned at scale: dimension tables are
+  * `broadcast()` (no shuffle of the fact table for the join), aggregates go
+  * through exact DECIMAL so partial/merge aggregation order can't change the
+  * answer (double sums are order-sensitive; decimal sums are associative —
+  * that's also what makes them engine-comparable), and top-k is
+  * `orderBy().limit()` which Spark plans as TakeOrderedAndProject (no global
+  * sort).
+  */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary: the canonical partial-agg + merge shape.
+    QueryDef("q1_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Star join: broadcast dim (customer) x fact (orders) x fact (lineitem).
+    QueryDef("q3_join",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(dec("l_extendedprice") *
+              (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // 5-way join through two broadcast dims + supplier co-nation condition.
+    QueryDef("q5_join_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(cust),
+            col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(dec("l_extendedprice") *
+              (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Semi/anti join surface.
+    QueryDef("join_semi",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("join_anti",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("join_outer",
+      (s, dir) => Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"), "left_outer")
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, r_name
+             |FROM nation LEFT OUTER JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // Window functions: rank-per-group (top-3 orders per customer).
+    QueryDef("window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Running (cumulative) sum per user over event order — exact via decimal.
+    QueryDef("window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("running_value",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+          .select("user_id", "event_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    QueryDef("window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            lag("event_type", 1).over(w).as("prev_type"),
+            lead("event_type", 1).over(w).as("next_type"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+             |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
+    // Set operations.
+    QueryDef("set_union",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 9000).select("c_custkey"))
+          .distinct().orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("set_intersect",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("set_except",
+      (s, dir) => Tables.customer(s, dir).select("c_custkey")
+        .except(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT
+             |SELECT o_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Distinct aggregation.
+    QueryDef("distinct_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Rollup with grouping flags (null group keys coalesced for stable order).
+    QueryDef("rollup_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          grouping("l_returnflag").cast("int").as("g_rf"),
+          grouping("l_linestatus").cast("int").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+             |       count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    QueryDef("cube_agg",
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "pri"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS st, coalesce(o_orderpriority, 'ALL') AS pri,
+             |       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin)),
+
+    // Top-k: planned as TakeOrderedAndProject (no global sort at scale).
+    QueryDef("topk",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(15),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
+    // Grouped min/max/avg with exact arithmetic.
+    QueryDef("agg_stats",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, min(l_extendedprice) AS min_price,
+             |       max(l_extendedprice) AS max_price,
+             |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)))
+}

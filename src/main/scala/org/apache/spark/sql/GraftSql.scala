@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 made the classic `Column(expr)` constructor and `col.expr`
+  * accessor `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`)
+  * to keep the public Column API Connect-compatible. A library that ships
+  * native `Expression`s (e.g. [[graft.plans.RollingHash]]) still needs the
+  * classic bridge, so we expose it from inside the package — the same seam
+  * Spark's own `functions` object uses.
+  */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
