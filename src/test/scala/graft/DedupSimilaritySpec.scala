@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** Small corpus with a planted exact dup (1,2), a near dup (3,4), and
+    * unrelated docs. */
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river"),
+    (5L, "completely different text about spark catalyst query optimization"),
+    (6L, "another unrelated document mentioning parquet columnar storage"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per distinct text") {
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.filter($"n_dups" === 2).select("keep_id").as[Long].head() == 1L)
+  }
+
+  test("shingles: distinct k-word windows; short docs fall back to full text") {
+    val sh = docs.select(Dedup.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    assert(sh.count() == 6)
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3).as("sh")).head.getSeq[String](0)
+    assert(short == Seq("two words"))
+  }
+
+  test("minhash LSH finds exact and near dups, with true jaccard attached") {
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0)            // exact dup
+    assert(byPair.contains((3L, 4L)) || byPair.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash candidates match exact jaccard pairs on real documents (recall)") {
+    val d = Tables.documents(spark, GraftTestSpark.Sf0001).limit(200)
+      .withColumn("blk", lit(1))
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", "blk", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDedupPairs(d, "doc_id", "text", 3, 16, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact) // verify step kills false positives; b=16,r=1 recall
+  }
+
+  test("simhash: identical docs get identical hashes; near dups are close") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(5L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  // ---- similarity ----
+
+  def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val c = vecs.crossJoin(vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .withColumn("cos", Similarity.cosine($"embedding", $"e2"))
+    def cos(a: Long, b: Long) = c.filter($"vec_id" === a && $"id2" === b)
+      .select("cos").as[Double].head()
+    assert(math.abs(cos(0L, 0L) - 1.0) < 1e-12)
+    assert(math.abs(cos(0L, 2L)) < 1e-12)
+    assert(math.abs(cos(0L, 3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine") {
+    val top = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), 3).select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L, 4L))
+  }
+
+  test("ANN via LSH bucket returns a subset of brute-force ranking, topped by the query itself") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
+    val ann = Similarity.annTopK(e, "embedding", "vec_id", q, 10, nPlanes = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ann.nonEmpty && ann.head == 0L) // query's own vector leads
+    val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 500)
+      .select("vec_id").as[Long].collect().toSeq
+    val bruteRank = brute.zipWithIndex.toMap
+    assert(ann.forall(bruteRank.contains))
+    // ann order is consistent with exact cosine order
+    assert(ann.map(bruteRank) == ann.map(bruteRank).sorted)
+  }
+
+  test("LSH near-dup pairs are a subset of exact near-dup pairs (verify step)") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001).filter($"vec_id" < 200)
+    val lsh = Similarity.cosineNearDupPairs(e, "embedding", "vec_id", 0.3, nPlanes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"v_a", $"v_b"))
+      .filter($"cos" >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
