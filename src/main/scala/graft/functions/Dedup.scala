@@ -38,16 +38,11 @@ object Dedup {
   // ---- shingles / jaccard ----
 
   /** k-word shingles (distinct), whitespace-tokenized; documents shorter
-    * than k words contribute their full text as the single shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val w = split(text, " ")
-    val n = size(w)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - lit(k)),
-          i => concat_ws(" ", slice(w, i + lit(1), lit(k)))))
-      .otherwise(array(text)))
-  }
+    * than k words contribute their full text as the single shingle.
+    * Implemented as a native one-pass expression ([[graft.plans.WordShingles]])
+    * — the equivalent HOF composition re-tokenizes per element. */
+  def shingles(text: Column, k: Int): Column =
+    graft.plans.WordShingles(text, k)
 
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -80,39 +75,56 @@ object Dedup {
   /** Mersenne prime 2^31-1: keeps a*h+b within a long. */
   val MinhashPrime: Long = 2147483647L
 
-  /** MinHash signature (array of numHashes longs) over a shingle array:
-    * sig_i = min over shingles of (a_i * (xxhash64(sh) mod p) + b_i) mod p. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+  /** MinHash signatures, computed the scale-correct way: explode shingles,
+    * hash each (doc, shingle) ONCE with xxhash64, then take the numHashes
+    * affine-permutation minima in a single hash aggregate (one shuffle keyed
+    * by doc id, map-side partial mins). The naive form — numHashes
+    * `transform` passes inlined over the shingle expression — rehashes every
+    * shingle numHashes times and recomputes shingling per pass; at 100 TB
+    * that's the difference between one scan and sixteen. Returns (id, m0..). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
     val coeffs = minhashCoeffs(numHashes)
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shingleArr,
-        sh => pmod(lit(a) * pmod(xxhash64(sh), lit(MinhashPrime)) + lit(b),
-          lit(MinhashPrime))))
-    }: _*)
+    val hashed = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), k)).as("_sh"))
+      .select(col("id"), pmod(xxhash64(col("_sh")), lit(MinhashPrime)).as("_h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("_h") + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH candidate pairs: one band per signature position (r=1, b=numHashes
-    * — chosen so that P[candidate | jaccard s] = 1-(1-s)^b, i.e. recall
-    * ~1-2^-16 at s=0.5 with 16 hashes; the verify step then removes false
-    * positives). Returns distinct (id_a, id_b). */
+  /** LSH candidate pairs with banding (bandRows = r signature rows per
+    * band): two docs are candidates iff some band's r minima all match.
+    * P[candidate | jaccard s] = 1-(1-s^r)^b. Defaults (16 hashes, r=2,
+    * b=8) give recall 1-2e-6 at s=0.9 and keep random low-similarity pairs
+    * (s<=0.1) out of the join — with r=1, corpora with shared boilerplate
+    * vocabulary degrade toward all-pairs candidates, which is exactly the
+    * O(n^2) LSH exists to avoid. Band keys are hashed to one long so the
+    * join shuffles (band, key) only. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int, numHashes: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), k), numHashes).as("sig"))
-    val bands = sigs.select(col("id"),
-        posexplode(col("sig")).as(Seq("band", "hash")))
-    val a = bands.select(col("band"), col("hash"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("hash"), col("id").as("id_b"))
-    a.join(b, Seq("band", "hash")).filter(col("id_a") < col("id_b"))
+      k: Int, numHashes: Int, bandRows: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val nBands = numHashes / bandRows
+    val bandKeys = array((0 until nBands).map { j =>
+      xxhash64((lit(j) +: (0 until bandRows).map(r => col(s"m${j * bandRows + r}"))): _*)
+    }: _*)
+    val bands = sigs.select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
     * candidates: output pairs whose true word-k-shingle Jaccard >= threshold.
-    * (The verify join re-attaches shingle sets only for candidate ids.) */
+    * (The verify join re-attaches shingle sets only for candidate ids, so
+    * false positives cost one array intersect each and false negatives are
+    * bounded by the band math above.) */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, numHashes)
+      k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5,
+      bandRows: Int = 2): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, numHashes, bandRows)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

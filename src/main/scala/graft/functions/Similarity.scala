@@ -79,12 +79,17 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
+    // norms are computed once per vector BEFORE the bucket join — inside the
+    // join each pair costs one dot product, not three
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", norm(col("v")))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct()

@@ -115,7 +115,7 @@ object PipelineQueries {
 
     QueryDef("dedup_minhash",
       (s, dir) => Dedup.minhashDedupPairs(Tables.documents(s, dir),
-          "doc_id", "text", k = 3, numHashes = 16, threshold = 0.5)
+          "doc_id", "text", k = 3, numHashes = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH sh AS (
               |  SELECT doc_id, unnest($ShinglesSql) AS sh
@@ -130,7 +130,7 @@ object PipelineQueries {
               |FROM pairs
               |JOIN sizes sa ON sa.doc_id = id_a
               |JOIN sizes sb ON sb.doc_id = id_b
-              |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+              |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
               |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("dedup_ngram_jaccard",

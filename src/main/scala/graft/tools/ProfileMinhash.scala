@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.functions.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler for the minhash pipeline (dev tool). */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    t("warmup count")(docs.count())
+    t("shingles explode")(docs.select(explode(Dedup.shingles(col("text"), 3))).count())
+    t("signatures")(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16).count())
+    val nc = t("candidates")(Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16).count())
+    println(s"PROF candidate pairs = $nc")
+    t("full pipeline")(Dedup.minhashDedupPairs(docs, "doc_id", "text").count())
+    spark.stop()
+  }
+}
