@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join helpers for the scale paths the built-in planner doesn't pick
+  * automatically.
+  *
+  * The reference has no joins (SURVEY.md §2.4); these exist for the
+  * 100 TB engine surface:
+  *  - `saltedJoin`: explicit skew mitigation. AQE's skew-join split handles
+  *    sort-merge skew at runtime, but a broadcast-infeasible join against a
+  *    modest dimension with a few pathological keys (the classic "null/
+  *    default key" hot spot) is cheaper pre-salted: the big side gets a
+  *    uniform salt in [0, n), the small side is replicated n times, the join
+  *    key becomes (key, salt) — hot keys spread over n tasks. The salt only
+  *    changes row *placement*, never the join result.
+  *  - `coLocatedJoin`: bucketed-write + bucket-join wiring — two tables
+  *    pre-bucketed on the join key join with zero shuffle; at 100 TB this is
+  *    the difference between moving both tables and moving neither.
+  */
+object Joins {
+
+  /** Inner equi-join with the big side salted across `saltFactor` sub-keys.
+    * Result is identical to `big.join(small, keys, "inner")`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1)
+    // uniform, cheap, deterministic-per-task salt; correctness does not
+    // depend on which salt a row gets, only that small carries all of them
+    val salted = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+
+  /** Write both sides bucketed on the join key, then join the bucketed
+    * tables — planned with zero Exchange when bucket counts match. Requires
+    * a warehouse-backed table (saveAsTable), which is how co-located joins
+    * are declared in Spark. Returns the joined frame read from the tables. */
+  def coLocatedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int, leftName: String, rightName: String): DataFrame = {
+    val spark = left.sparkSession
+    // a crashed previous write can leave the managed location behind with no
+    // catalog entry -> LOCATION_ALREADY_EXISTS; clear both
+    def reset(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, name)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+    reset(leftName); reset(rightName)
+    left.write.bucketBy(buckets, key).sortBy(key).saveAsTable(leftName)
+    right.write.bucketBy(buckets, key).sortBy(key).saveAsTable(rightName)
+    spark.table(leftName).join(spark.table(rightName), Seq(key))
+  }
+}

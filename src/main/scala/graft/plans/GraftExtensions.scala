@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions so `spark.sql("SELECT rolling_hash(text), ...")` works
+  * anywhere — the extension seam a deployed library ships
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      rollingHashBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      wordShinglesBuilder))
+  }
+}
+
+object GraftExtensions {
+
+  val rollingHashBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => RollingHash(c)
+    case Seq(c, b, m) => RollingHash(c,
+      b.eval().asInstanceOf[Number].longValue(),
+      m.eval().asInstanceOf[Number].longValue())
+    case _ => throw new IllegalArgumentException("rolling_hash(str[, base, mod])")
+  }
+
+  val wordShinglesBuilder: Seq[Expression] => Expression = {
+    case Seq(c, k) => WordShingles(c, k.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException("word_shingles(str, k)")
+  }
+
+  /** Runtime registration on an existing session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "rolling_hash", rollingHashBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "word_shingles", wordShinglesBuilder)
+  }
+}

@@ -263,6 +263,30 @@ object ReferenceQueries {
       Some("""SELECT CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS line
              |FROM events ORDER BY line""".stripMargin)),
 
+    // ---- §3.1 full pipeline composition ----
+    QueryDef("pipeline_e2e",
+      (s, dir) => graft.Pipeline.extract(s, dir, graft.Pipeline.Config(
+          table = "events",
+          columns = Seq("event_id", "event_type", "user_id", "value", "props"),
+          solrFilter = Some("event_type:click OR event_type:view"),
+          sortBy = Seq(("event_id", true)),
+          pages = Some(2), fetchSize = 1000,
+          spec = TableSpec.parse(
+            """{"columns": [
+              |  {"name": "value", "renameTo": "amount"},
+              |  {"name": "props", "convertTo": "object", "schema": "k BIGINT"},
+              |  {"name": "derived",
+              |   "convertTo": "template:str(row['event_type']) + '#' + str(row['user_id'])"}
+              |]}""".stripMargin)))
+        .select(col("event_id"), col("event_type"), col("amount"),
+          col("props.k").as("k"), col("derived")),
+      Some("""SELECT event_id, event_type, value AS amount,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             |       event_type || '#' || CAST(user_id AS VARCHAR) AS derived
+             |FROM events
+             |WHERE event_type = 'click' OR event_type = 'view'
+             |ORDER BY event_id LIMIT 2000""".stripMargin)),
+
     // ---- §2.12 partitioners ----
     QueryDef("partition_rr_smooth",
       (s, dir) => Tables.events(s, dir).select("event_id")

@@ -259,6 +259,20 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
 
+    // Skew-mitigated join: salted result must equal the plain join.
+    QueryDef("salted_join",
+      (s, dir) => graft.operators.Joins.saltedJoin(
+          Tables.orders(s, dir),
+          Tables.customer(s, dir)
+            .withColumnRenamed("c_custkey", "o_custkey")
+            .select("o_custkey", "c_name", "c_mktsegment"),
+          key = "o_custkey", saltFactor = 8)
+        .select("o_orderkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Grouped min/max/avg with exact arithmetic.
     QueryDef("agg_stats",
       (s, dir) => Tables.lineitem(s, dir)

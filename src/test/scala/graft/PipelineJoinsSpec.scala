@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Joins
+import graft.plans.GraftExtensions
+import graft.sources.Tables
+import graft.spec.TableSpec
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineJoinsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("Pipeline.extract composes scan/filter/spec/sort/limit into one frame") {
+    val df = Pipeline.extract(spark, GraftTestSpark.Sf0001, Pipeline.Config(
+      table = "events",
+      columns = Seq("event_id", "event_type", "value"),
+      solrFilter = Some("event_type:click"),
+      sortBy = Seq(("event_id", true)),
+      pages = Some(1), fetchSize = 10,
+      spec = TableSpec.parse(
+        """{"columns": [{"name": "value", "renameTo": "amount"}]}""")))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(df.columns.toSeq == Seq("event_id", "event_type", "amount"))
+    assert(rows.forall(_.getString(1) == "click"))
+  }
+
+  test("Pipeline metrics: processed and watermark-ignored counters via observe") {
+    val obs = Observation("m")
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val observed = Pipeline.withMetrics(ev, obs, Some("ts_ms"), Some(1704300000000L))
+    val total = observed.count()
+    val m = obs.get
+    assert(m("records_processed") == total)
+    val expectedIgnored = ev.filter(col("ts_ms") >= 1704300000000L).count()
+    assert(m("records_ignored_watermark") == expectedIgnored && expectedIgnored > 0)
+  }
+
+  test("Pipeline.renderSinks fans one frame out to all four sink shapes") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val sinks = Pipeline.renderSinks(df,
+      kafka = Some(("%(v)s", "%(id)s", Seq("t"))),
+      s3 = Some(("%(id)s.json", None)),
+      rds = Some("INSERT INTO t VALUES ('%(id)s')"),
+      jsonLines = true)
+    assert(sinks.keySet == Set("kafka", "s3", "rds", "json"))
+    assert(sinks("kafka").columns.contains("topic"))
+    assert(sinks("s3").columns.toSeq == Seq("s3key", "body"))
+    assert(sinks("rds").as[String].head().startsWith("INSERT INTO t"))
+    assert(sinks("json").count() == 2)
+  }
+
+  test("salted join equals plain join (skew mitigation changes placement, not results)") {
+    val orders = Tables.orders(spark, GraftTestSpark.Sf0001)
+    val cust = Tables.customer(spark, GraftTestSpark.Sf0001)
+      .withColumnRenamed("c_custkey", "o_custkey").select("o_custkey", "c_name")
+    val salted = Joins.saltedJoin(orders, cust, "o_custkey", saltFactor = 8)
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
+    val plain = orders.join(cust, "o_custkey")
+      .select("o_orderkey", "c_name").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("co-located bucketed join plans without a shuffle Exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "va")
+      val b = Seq((1L, 10), (2L, 20)).toDF("k", "vb")
+      val joined = Joins.coLocatedJoin(a, b, "k", buckets = 4,
+        "graft_bucket_a", "graft_bucket_b")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("SQL function registration: rolling_hash and word_shingles usable from SQL") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
+    assert(spark.sql("SELECT size(word_shingles('a b c d', 3))").head.getInt(0) == 2)
+    assert(spark.sql("SELECT rolling_hash('abc', 31, 97)").head.getLong(0) == 96354L % 97)
+  }
+}
