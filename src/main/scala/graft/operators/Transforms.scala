@@ -72,13 +72,25 @@ object Transforms {
   }
 
   /** Python strptime directive -> Spark datetime-pattern translation for the
-    * directives the reference surface uses. */
+    * directives the reference surface uses. Literal ASCII letters outside
+    * directives are single-quoted (`T` in ISO-8601 would otherwise be read
+    * as a pattern letter and rejected). */
   def pythonToSparkFormat(py: String): String = {
-    val map = Seq(
-      "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
-      "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
-      "%f" -> "SSSSSS", "%z" -> "xx", "%%" -> "%")
-    map.foldLeft(py) { case (s, (k, v)) => s.replace(k, v) }
+    val map = Map(
+      'Y' -> "yyyy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss",
+      'f' -> "SSSSSS", 'z' -> "xx", '%' -> "%")
+    val out = new StringBuilder
+    var i = 0
+    while (i < py.length) {
+      val c = py(i)
+      if (c == '%' && i + 1 < py.length && map.contains(py(i + 1))) {
+        out ++= map(py(i + 1)); i += 2
+      } else if (c.isLetter) {
+        out += '\''; out += c; out += '\''; i += 1
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** Computed column from a reference-shaped template expression. */

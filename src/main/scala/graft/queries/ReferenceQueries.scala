@@ -264,22 +264,32 @@ object ReferenceQueries {
              |FROM events ORDER BY line""".stripMargin)),
 
     // ---- §3.1 full pipeline composition ----
+    // Settings resolved through the reference's config grammar (properties
+    // text + per-table spec JSON -> GraftConfig -> Pipeline), so the whole
+    // config->plan->execute path sits behind the correctness gate.
     QueryDef("pipeline_e2e",
-      (s, dir) => graft.Pipeline.extract(s, dir, graft.Pipeline.Config(
-          table = "events",
-          columns = Seq("event_id", "event_type", "user_id", "value", "props"),
-          solrFilter = Some("event_type:click OR event_type:view"),
-          sortBy = Seq(("event_id", true)),
-          pages = Some(2), fetchSize = 1000,
-          spec = TableSpec.parse(
+      (s, dir) => {
+        val global = graft.config.GraftConfig.loadGlobal(
+          """cassandra_fetch_size = 1000
+            |cassandra_filter = event_type:click OR event_type:view
+            |""".stripMargin)
+        val cfg = graft.config.GraftConfig.loadTable("events", global,
+          propertiesText =
+            """cassandra_columns = event_id,event_type,user_id,value,props
+              |cassandra_pages = 2
+              |cassandra_sort_by = event_id
+              |""".stripMargin,
+          specJson = Some(
             """{"columns": [
               |  {"name": "value", "renameTo": "amount"},
               |  {"name": "props", "convertTo": "object", "schema": "k BIGINT"},
               |  {"name": "derived",
               |   "convertTo": "template:str(row['event_type']) + '#' + str(row['user_id'])"}
-              |]}""".stripMargin)))
-        .select(col("event_id"), col("event_type"), col("amount"),
-          col("props.k").as("k"), col("derived")),
+              |]}""".stripMargin))
+        graft.Pipeline.extract(s, dir, cfg.toPipelineConfig)
+          .select(col("event_id"), col("event_type"), col("amount"),
+            col("props.k").as("k"), col("derived"))
+      },
       Some("""SELECT event_id, event_type, value AS amount,
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              |       event_type || '#' || CAST(user_id AS VARCHAR) AS derived

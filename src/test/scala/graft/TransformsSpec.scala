@@ -125,4 +125,11 @@ class TransformsSpec extends AnyFunSuite {
     assert(Transforms.pythonToSparkFormat("%Y-%m-%d %H:%M:%S.%f%z") ==
       "yyyy-MM-dd HH:mm:ss.SSSSSSxx")
   }
+
+  test("convert_timestamp: ISO-8601 format with literal T parses end-to-end") {
+    val df = Seq("2019-12-19T10:29:31Z").toDF("t")
+    val ms = df.select(Transforms.timestampMillis(col("t"),
+      "%Y-%m-%dT%H:%M:%S%z").as("ms")).head.getLong(0)
+    assert(ms == 1576751371000L)
+  }
 }
