@@ -137,9 +137,18 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff the
-    * sum over tokens of (+1 if bit j of xxhash64(token) else -1) is > 0.
-    * Computed via explode + single groupBy (one shuffle keyed by doc id). */
+    * sum over distinct tokens of (+1 if bit j of xxhash64(token) else -1)
+    * is > 0. One narrow native expression — no shuffle; fuses into the scan
+    * ([[graft.plans.SimHash64]]). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
+      out: String = "simhash"): DataFrame =
+    df.select(col(idCol), graft.plans.SimHash64(col(textCol)).as(out))
+
+  /** The relational formulation of [[simhash]] (explode -> groupBy with 64
+    * aggregates — one shuffle of every (doc, token) pair). Kept for the case
+    * where tokens are already exploded by an upstream stage; must produce
+    * bit-identical hashes to the expression form (pinned by test). */
+  def simhashRelational(df: DataFrame, idCol: String, textCol: String,
       out: String = "simhash"): DataFrame = {
     val tok = df.select(col(idCol),
         explode(array_distinct(split(col(textCol), " "))).as("_tok"))

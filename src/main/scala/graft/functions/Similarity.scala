@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two numeric-array columns, in double.
+    * Native expression ([[graft.plans.VecDot]]) — bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaces, minus the
+    * per-element lambda interpretation and intermediate array. */
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

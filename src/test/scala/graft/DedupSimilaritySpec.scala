@@ -57,6 +57,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact) // verify step kills false positives; b=16,r=1 recall
   }
 
+  test("simhash expression == relational formulation, bit for bit") {
+    val expr = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.simhashRelational(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == rel)
+  }
+
+  test("vec_dot expression == zip_with/aggregate composition, bit for bit") {
+    val hof = vecs.crossJoin(vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .select(aggregate(zip_with($"embedding", $"e2",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .as[Double].collect().toSeq
+    val native = vecs.crossJoin(vecs.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .select(Similarity.dot($"embedding", $"e2").as("d"))
+      .as[Double].collect().toSeq
+    assert(hof == native)
+  }
+
   test("simhash: identical docs get identical hashes; near dups are close") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
