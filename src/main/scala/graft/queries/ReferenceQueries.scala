@@ -36,6 +36,13 @@ object ReferenceQueries {
       (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("cnt")),
       Some("SELECT count(*) AS cnt FROM lineitem")),
 
+    QueryDef("scan_count_filtered",
+      // the reference's count_data supports a pushed solr_query filter
+      // (datacrawler.py:186-200); here the predicate reaches the scan
+      (s, dir) => Filters.solr(Tables.events(s, dir), "event_type:purchase")
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase'")),
+
     QueryDef("scan_resume",
       // fetch_size=1000; pages 0,1 done; page 2 delivered through record 500
       (s, dir) => Scan.resume(

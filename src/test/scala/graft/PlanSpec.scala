@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.Catalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties README claims
+  * (pushdown, pruning, broadcast, top-k without global sort, no accidental
+  * cartesians) asserted against the actual optimized plans, so a refactor
+  * that silently loses them fails CI rather than a 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+
+  private def planOf(name: String): String = {
+    val df = Catalog.queries(name)(spark, GraftTestSpark.Sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formattedPlanOf(name: String): String = {
+    val df = Catalog.queries(name)(spark, GraftTestSpark.Sf0001)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter_solr: predicate is pushed to the parquet scan") {
+    val p = formattedPlanOf("filter_solr")
+    assert(p.contains("PushedFilters") &&
+      p.contains("EqualTo(event_type,click)"), p)
+  }
+
+  test("project_columns: scan reads only the projected columns") {
+    val p = formattedPlanOf("project_columns")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_id") && readSchema.contains("event_type") &&
+      readSchema.contains("value") && !readSchema.contains("props") &&
+      !readSchema.contains("user_id"), readSchema)
+  }
+
+  test("q3_join: dims broadcast, top-10 planned as TakeOrderedAndProject") {
+    val p = planOf("q3_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("topk: no global sort, TakeOrderedAndProject only") {
+    val p = planOf("topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("+- Sort ["), p) // no full Sort node feeding the limit
+  }
+
+  test("q1_agg: partial aggregation before the exchange (map-side combine)") {
+    val p = planOf("q1_agg")
+    // plans print top-down: the partial_sum HashAggregate must sit BELOW
+    // (after, in text) the hash-partitioning Exchange it feeds
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("partial_sum")
+    assert(exchange >= 0 && partial > exchange, p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("dedup_minhash and salted_join: no nested-loop or cartesian joins") {
+    Seq("dedup_minhash", "salted_join", "embedding_near_dup_lsh").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("scan_count: planned as metadata-friendly aggregate without wide scan") {
+    val p = formattedPlanOf("scan_count")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    // count(*) needs no data columns
+    assert(readSchema.exists(s => s.contains("struct<>")), p)
+  }
+}
