@@ -99,6 +99,20 @@ object PipelineQueries {
              |            (a, b) -> (a * 31 + b) % 1000000007) END AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("ngram_topk",
+      // most frequent word bigrams across the corpus: explode -> count -> topk
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(graft.functions.Dedup.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20),
+      Some("""SELECT gram, count(*) AS n FROM (
+             |  SELECT unnest(list_distinct(CASE WHEN len(string_split(text,' ')) >= 2
+             |    THEN list_transform(generate_series(1, len(string_split(text,' '))-1),
+             |         i -> array_to_string((string_split(text,' '))[i:i+1], ' '))
+             |    ELSE [text] END)) AS gram
+             |  FROM documents)
+             |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)),
+
     // ---- dedup ----
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")

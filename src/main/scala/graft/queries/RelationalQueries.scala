@@ -259,6 +259,89 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
 
+    // TPC-H Q6-style: pure filter + single aggregate (pushdown showcase).
+    QueryDef("q6_filter_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
+        .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+        .select("revenue", "n"),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q18-style: HAVING over a grouped join (large-order customers).
+    QueryDef("q18_having",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(dec("o_totalprice")).cast("double").as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("total_spend") > 1000000.0)
+        .orderBy(col("total_spend").desc, col("o_custkey")),
+      Some("""SELECT o_custkey,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+             |       count(*) AS n_orders
+             |FROM orders GROUP BY o_custkey
+             |HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 1000000.0
+             |ORDER BY total_spend DESC, o_custkey""".stripMargin)),
+
+    // Tumbling-window aggregation (the batch seat of the streaming
+    // windowedCounts pipeline) — epoch-aligned hourly buckets.
+    QueryDef("window_tumbling",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_ms", "event_type"),
+      Some("""SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS window_start_ms,
+             |       event_type, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Session windows (30-minute inactivity gap) per user — the stateful
+    // streaming primitive, verifiable in batch via gaps-and-islands.
+    QueryDef("window_session",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_ms"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |         CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+             |                OVER (PARTITION BY user_id ORDER BY ts)
+             |              >= INTERVAL 30 MINUTE THEN 1
+             |              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+             |              ELSE 0 END AS new_session
+             |  FROM events),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+             |       count(*) AS n_events
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
+
+    // Approximate distinct (HLL) — rows-only (sketch internals are
+    // engine-specific); accuracy pinned against exact counts in ScalaTest.
+    QueryDef("approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Skew-mitigated join: salted result must equal the plain join.
     QueryDef("salted_join",
       (s, dir) => graft.operators.Joins.saltedJoin(

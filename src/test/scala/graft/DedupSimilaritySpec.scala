@@ -88,6 +88,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("approx_count_distinct within 10% of exact (HLL accuracy pin)") {
+    val li = Tables.lineitem(spark, GraftTestSpark.Sf0001)
+    val both = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    both.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(a - e) / e < 0.10, s"approx $a vs exact $e")
+    }
+  }
+
   // ---- similarity ----
 
   def vecs = Seq(
