@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.plans.VecDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor index: k-means coarse
+  * quantizer -> cell assignment -> probe-limited search.
+  *
+  * The scale story vs hyperplane LSH: centroids adapt to the data
+  * distribution, so cells stay balanced where random hyperplanes don't.
+  * Training cost is bounded (few Lloyd iterations, centroid matrix is
+  * k x dim doubles on the driver — kilobytes); index assignment is a narrow
+  * map (k native dot products per row via [[VecDot]]); search touches only
+  * `nProbe` cells — at 100 TB, if the table is written
+  * `partitionBy("ivf_cell")`, a probe is partition pruning, not a scan.
+  *
+  * Everything is deterministic: seeding picks the k vectors with the
+  * smallest xxhash64(id) (stable under retry), Lloyd updates are exact
+  * averages, ties in assignment break toward the lower cell id.
+  */
+object IVF {
+
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.size
+    def dim: Int = centroids.head.size
+  }
+
+  /** Squared-L2 cell distances as (distance, cellId) structs; `array_min`
+    * over it is argmin with lower-id tie-break (struct ordering). */
+  private def cellStructs(vec: Column, model: Model): Column = {
+    val selfDot = VecDot(vec, vec)
+    array(model.centroids.zipWithIndex.map { case (c, j) =>
+      val cArr = array(c.map(lit): _*)
+      val cNorm2 = c.map(x => x * x).sum
+      struct(
+        (selfDot - lit(2.0) * VecDot(vec, cArr) + lit(cNorm2)).as("dist"),
+        lit(j).as("cell"))
+    }: _*)
+  }
+
+  /** Nearest-centroid cell id for each vector. */
+  def assign(vec: Column, model: Model): Column =
+    array_min(cellStructs(vec, model)).getField("cell")
+
+  /** Train the coarse quantizer: deterministic seeding + `iters` Lloyd
+    * iterations (assignment is a narrow map; the update is one shuffle of
+    * (cell, dim) pairs — k*dim aggregates, tiny). */
+  def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 2): Model = {
+    val seeds = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    var model = Model(seeds)
+    for (_ <- 0 until iters) {
+      val assigned = df.select(col(vecCol).as("v"),
+        assign(col(vecCol), model).as("cell"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty cells keep their previous centroid
+      model = Model(model.centroids.zipWithIndex.map { case (c, j) =>
+        updated.getOrElse(j, c)
+      })
+    }
+    model
+  }
+
+  /** Probe-limited ANN: rank the query's `nProbe` nearest cells, search only
+    * vectors assigned there, exact cosine ranking within. With nProbe = k
+    * this degrades gracefully to exact brute force (pinned by test). */
+  def search(df: DataFrame, vecCol: String, idCol: String, model: Model,
+      query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+    val q = query.map(_.toDouble)
+    def dist2(c: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.size) { val d = q(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probes = model.centroids.zipWithIndex
+      .map { case (c, j) => (dist2(c), j) }.sorted.take(nProbe).map(_._2)
+    val qArr = array(query.map(v => lit(v)): _*)
+    df.withColumn("ivf_cell", assign(col(vecCol), model))
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -219,6 +219,17 @@ object PipelineQueries {
       },
       None),
 
+    QueryDef("ann_ivf_topk",
+      // IVF coarse-quantizer ANN: train k-means cells, probe the 2 nearest
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val model = graft.functions.IVF.train(e, "embedding", "vec_id", k = 8)
+        graft.functions.IVF.search(e, "embedding", "vec_id", model, q,
+          topK = 10, nProbe = 2)
+      },
+      None),
+
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "embedding", "vec_id", threshold = 0.4, nPlanes = 4)

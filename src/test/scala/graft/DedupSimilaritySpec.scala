@@ -139,6 +139,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.map(bruteRank) == ann.map(bruteRank).sorted)
   }
 
+  test("IVF with nProbe = k degrades to exact brute force; fewer probes stay consistent") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    assert(model.k == 8 && model.dim == 64)
+    val exhaustive = IVF.search(e, "embedding", "vec_id", model, q, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(exhaustive == brute)
+    val probed = IVF.search(e, "embedding", "vec_id", model, q, 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probed.nonEmpty && probed.head == 0L) // query's own cell probed first
+    val bruteRank = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 500)
+      .select("vec_id").as[Long].collect().zipWithIndex.toMap
+    assert(probed.map(bruteRank) == probed.map(bruteRank).sorted) // order consistent
+  }
+
   test("LSH near-dup pairs are a subset of exact near-dup pairs (verify step)") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001).filter($"vec_id" < 200)
     val lsh = Similarity.cosineNearDupPairs(e, "embedding", "vec_id", 0.3, nPlanes = 4)
