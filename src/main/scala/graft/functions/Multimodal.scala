@@ -47,6 +47,32 @@ object Multimodal {
     df.withColumn("features", featureArr)
   }
 
+  /** Resize stub: a real implementation decodes, scales to fit the target
+    * box preserving aspect ratio, and re-encodes; the deterministic fake
+    * computes the scaled dimensions (the metadata contract downstream
+    * pipelines consume) and truncates the payload proportionally — the
+    * Spark-side shape (narrow map, metadata struct update, binary in/out)
+    * is the real contract. */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val w = col("media_meta.width")
+    val h = col("media_meta.height")
+    // scale = min(targetW/w, targetH/h, 1.0) in floored 1/1000ths — explicit
+    // floor() on every division so Spark (truncating casts) and any oracle
+    // engine (rounding casts) compute identical dimensions
+    val scaleMil = least(
+      when(w > 0, floor(lit(targetW * 1000L) / w)).otherwise(lit(1000L)),
+      when(h > 0, floor(lit(targetH * 1000L) / h)).otherwise(lit(1000L)),
+      lit(1000L)).cast("long")
+    df.withColumn("resized_meta", struct(
+        lit("fake/resized").as("format"),
+        floor(col("media_meta.byte_len") * scaleMil / 1000L).cast("bigint").as("byte_len"),
+        floor(w * scaleMil / 1000L).cast("int").as("width"),
+        floor(h * scaleMil / 1000L).cast("int").as("height")))
+      .withColumn("resized_payload",
+        expr(s"substring($payloadCol, 1, CAST(resized_meta.byte_len AS INT))"))
+  }
+
   /** Frame sampling stub: byte-range slices standing in for video frames —
     * `substring` on binary is a zero-copy range read, the same access
     * pattern a frame sampler has. Emits one row per sampled frame. */

@@ -265,6 +265,33 @@ object PipelineQueries {
              |       CAST(least(64, greatest(bl - frame_idx * 256, 0)) AS INT) AS frame_len
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    QueryDef("multimodal_resize",
+      (s, dir) => Multimodal.resizeStub(
+          Multimodal.attachBinary(Tables.documents(s, dir)), 320, 240)
+        .select(col("doc_id"),
+          col("resized_meta.byte_len").as("r_len"),
+          col("resized_meta.width").as("r_w"),
+          col("resized_meta.height").as("r_h"),
+          length(col("resized_payload")).as("payload_len"))
+        .orderBy("doc_id"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS bl,
+             |         octet_length(encode(text)) % 640 AS w,
+             |         octet_length(encode(text)) % 480 AS h
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, bl, w, h,
+             |         least(CASE WHEN w > 0 THEN floor(320000 / w) ELSE 1000 END,
+             |               CASE WHEN h > 0 THEN floor(240000 / h) ELSE 1000 END,
+             |               1000) AS scale_mil
+             |  FROM m)
+             |SELECT doc_id,
+             |       CAST(floor(bl * scale_mil / 1000) AS BIGINT) AS r_len,
+             |       CAST(floor(w * scale_mil / 1000) AS INT) AS r_w,
+             |       CAST(floor(h * scale_mil / 1000) AS INT) AS r_h,
+             |       CAST(least(CAST(floor(bl * scale_mil / 1000) AS BIGINT), bl) AS INT) AS payload_len
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
     QueryDef("multimodal_decode",
       (s, dir) => Multimodal.mapDecode(
           Multimodal.attachBinary(Tables.documents(s, dir)), "doc_id", "payload")
