@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.Money
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,12 +9,12 @@ import org.apache.spark.sql.functions._
   * list them all as absent there): joins, grouped aggregation, windows, set
   * ops, rollup, top-k. These are the queries that matter at 100 TB, so each
   * is written the way it should be planned at scale: dimension tables are
-  * `broadcast()` (no shuffle of the fact table for the join), aggregates go
-  * through exact DECIMAL so partial/merge aggregation order can't change the
-  * answer (double sums are order-sensitive; decimal sums are associative —
-  * that's also what makes them engine-comparable), and top-k is
-  * `orderBy().limit()` which Spark plans as TakeOrderedAndProject (no global
-  * sort).
+  * `broadcast()` (no shuffle of the fact table for the join), money
+  * aggregates are exact and associative so partial/merge order can't change
+  * the answer — scaled longs ([[graft.functions.Money]], ~2x faster) on the
+  * headline queries, DECIMAL(18,2) on the rest to keep both exact paths
+  * exercised — and top-k is `orderBy().limit()` which Spark plans as
+  * TakeOrderedAndProject (no global sort).
   */
 object RelationalQueries {
 
@@ -21,22 +22,24 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // TPC-H Q1-style pricing summary: the canonical partial-agg + merge shape.
+    // TPC-H Q1-style pricing summary: the canonical partial-agg + merge
+    // shape. Money math on scaled longs (exact, associative, ~2x faster
+    // than decimal — see graft.functions.Money).
     QueryDef("q1_agg",
       (s, dir) => Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec("l_quantity")).cast("double").as("sum_qty"),
-          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("double").as("sum_disc_price"),
+          Money.sumDollars(Money.cents(col("l_quantity"))).as("sum_qty"),
+          Money.sumDollars(Money.cents(col("l_extendedprice"))).as("sum_base_price"),
+          Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
              |  count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -52,14 +55,13 @@ object RelationalQueries {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy("o_orderkey")
-          .agg(sum(dec("l_extendedprice") *
-              (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("double").as("revenue"))
+          .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |WHERE c_mktsegment = 'BUILDING'
@@ -81,14 +83,13 @@ object RelationalQueries {
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .groupBy("n_name")
-          .agg(sum(dec("l_extendedprice") *
-              (lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("double").as("revenue"),
+          .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("n_name")
       },
       Some("""SELECT n_name,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
              |  count(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
@@ -251,6 +252,59 @@ object RelationalQueries {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin)),
 
+    // Pivot: status x priority counts as columns (explicit value list so the
+    // output schema is static and oracle-comparable).
+    QueryDef("pivot_agg",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map(
+          "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+          "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+             |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+             |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+             |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+             |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+             |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // §2.9 scalar-function surface: the string ops the reference uses
+    // (upper/lower/trim/replace/split/concat — rdsdatabase.py:93-102 etc).
+    QueryDef("string_funcs",
+      (s, dir) => Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          trim(concat(lit("  "), col("c_name"), lit(" "))).as("trimmed"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+             |  trim('  ' || c_name || ' ') AS trimmed,
+             |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+             |  substring(c_name, 1, 8) AS prefix,
+             |  CAST(length(c_name) AS INT) AS len,
+             |  c_mktsegment || '|' || c_name AS joined
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // Generator surface: posexplode with ordinality (UNNEST WITH ORDINALITY).
+    QueryDef("explode_ordinal",
+      (s, dir) => Tables.documents(s, dir).orderBy("doc_id").limit(50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i - 1 AS INT) AS pos, (string_split(text, ' '))[i] AS word
+             |FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50),
+             |     unnest(generate_series(1, len(string_split(text, ' ')))) AS u(i)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
     // Top-k: planned as TakeOrderedAndProject (no global sort at scale).
     QueryDef("topk",
       (s, dir) => Tables.orders(s, dir)
@@ -265,10 +319,10 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.09) && col("l_quantity") < 24)
-        .agg(sum(dec("l_extendedprice") * dec("l_discount"))
-          .cast("double").as("revenue"), count(lit(1)).as("n"))
+        .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+          Money.pct(col("l_discount"))).as("revenue"), count(lit(1)).as("n"))
         .select("revenue", "n"),
-      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
              |       count(*) AS n
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

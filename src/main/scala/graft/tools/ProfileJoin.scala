@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profiler for the join queries (dev tool). */
+object ProfileJoin {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    t("warm li")(Tables.lineitem(spark, sfDir).count())
+    t("warm ord")(Tables.orders(spark, sfDir).count())
+    t("warm cust")(Tables.customer(spark, sfDir).count())
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    t("li scan+dec agg")(li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).collect())
+    t("li join ord count")(li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    t("q3 run1")(SparkEntry.queries("q3_join")(spark, sfDir).count())
+    t("q3 run2")(SparkEntry.queries("q3_join")(spark, sfDir).count())
+    t("q5 run2")(SparkEntry.queries("q5_join_agg")(spark, sfDir).count())
+    println("PROF join sizes: " + ord.count() + " orders, " + li.count() + " lineitem")
+    SparkEntry.queries("q3_join")(spark, sfDir).explain()
+    spark.stop()
+  }
+}
