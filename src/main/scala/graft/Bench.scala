@@ -13,7 +13,7 @@ object Bench {
     * dominate timing without informing scale. */
   val Headline: Seq[String] = Seq(
     "scan_full", "filter_solr", "q1_agg", "q3_join", "q5_join_agg",
-    "window_rank", "distinct_agg", "topk", "dedup_exact", "dedup_minhash",
+    "window_rank", "topk_per_key", "distinct_agg", "topk", "dedup_exact", "dedup_minhash",
     "dedup_simhash_pairs", "cosine_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
     "text_lang_id", "text_quality", "token_count", "doc_fingerprint",
     "sink_kafka_shape", "multimodal_decode")

@@ -141,6 +141,22 @@ object RelationalQueries {
              |  FROM orders) WHERE rn <= 3
              |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Same result as window_rank, via the custom TopKPerKey operator
+    // (LogicalPlan + Strategy + heap-based SparkPlan — no per-group sort).
+    QueryDef("topk_per_key",
+      (s, dir) => graft.plans.TopKPerKey.perKey(
+          Tables.orders(s, dir),
+          keyNames = Seq("o_custkey"),
+          orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
     // Running (cumulative) sum per user over event order — exact via decimal.
     QueryDef("window_running_sum",
       (s, dir) => {

@@ -79,6 +79,26 @@ class PipelineJoinsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("TopKPerKey operator == window row_number formulation; plans heap exec, no sort") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, GraftTestSpark.Sf0001)
+    val custom = graft.plans.TopKPerKey.perKey(orders, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("o_custkey", "o_orderkey", "rn")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(custom == windowed && custom.nonEmpty)
+    val plan = graft.plans.TopKPerKey.perKey(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false)), 3).queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window") && !plan.contains("+- Sort"), plan)
+  }
+
   test("SQL function registration: rolling_hash and word_shingles usable from SQL") {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
