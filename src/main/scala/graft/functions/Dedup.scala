@@ -75,14 +75,23 @@ object Dedup {
   /** Mersenne prime 2^31-1: keeps a*h+b within a long. */
   val MinhashPrime: Long = 2147483647L
 
-  /** MinHash signatures, computed the scale-correct way: explode shingles,
-    * hash each (doc, shingle) ONCE with xxhash64, then take the numHashes
-    * affine-permutation minima in a single hash aggregate (one shuffle keyed
-    * by doc id, map-side partial mins). The naive form — numHashes
+  /** MinHash signatures as (id, sig array<long>), computed the scale-correct
+    * way: explode shingles, then ONE custom sketch aggregate
+    * ([[graft.plans.MinHashAgg]]) that hashes each (doc, shingle) once and
+    * updates all numHashes minima in a single buffer — one shuffle keyed by
+    * doc id with map-side partial merge. The naive form — numHashes
     * `transform` passes inlined over the shingle expression — rehashes every
-    * shingle numHashes times and recomputes shingling per pass; at 100 TB
-    * that's the difference between one scan and sixteen. Returns (id, m0..). */
+    * shingle numHashes times; at 100 TB that's one scan versus sixteen. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("_sh"))
+      .groupBy(col("id"))
+      .agg(graft.plans.MinHashAgg(col("_sh"), numHashes).as("sig"))
+
+  /** Relational formulation of [[minhashSignatures]] (numHashes separate
+    * min() aggregates packed to an array) — kept as the cross-check for the
+    * custom aggregate; must be bit-identical (pinned by test). */
+  def minhashSignaturesRelational(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame = {
     val coeffs = minhashCoeffs(numHashes)
     val hashed = df.select(col(idCol).as("id"),
@@ -92,6 +101,7 @@ object Dedup {
       min(pmod(lit(a) * col("_h") + lit(b), lit(MinhashPrime))).as(s"m$i")
     }
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs with banding (bandRows = r signature rows per
@@ -107,7 +117,8 @@ object Dedup {
     val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
     val nBands = numHashes / bandRows
     val bandKeys = array((0 until nBands).map { j =>
-      xxhash64((lit(j) +: (0 until bandRows).map(r => col(s"m${j * bandRows + r}"))): _*)
+      xxhash64((lit(j) +: (0 until bandRows).map(r =>
+        element_at(col("sig"), j * bandRows + r + 1))): _*)
     }: _*)
     val bands = sigs.select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
     val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
