@@ -268,6 +268,30 @@ object RelationalQueries {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin)),
 
+    // TPC-H Q17-style correlated scalar subquery, through the SQL front end
+    // (spark.sql over temp views) — Catalyst decorrelates the per-partkey
+    // average into a join; the oracle runs the identical SQL.
+    QueryDef("q17_correlated",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n_small,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+          FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#1'
+            AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem_v l2
+                              WHERE l2.l_partkey = l_partkey)""")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_small,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand = 'Brand#1'
+             |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+             |                    FROM lineitem l2
+             |                    WHERE l2.l_partkey = l_partkey)""".stripMargin)),
+
     // Pivot: status x priority counts as columns (explicit value list so the
     // output schema is static and oracle-comparable).
     QueryDef("pivot_agg",

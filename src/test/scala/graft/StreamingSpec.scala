@@ -36,6 +36,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(r3.count() == 0)
   }
 
+  test("flatMapGroupsWithState: custom per-user state over a stream equals batch counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val srcDir = tmp("fmgs-src")
+    import graft.sources.Tables
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    ev.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val counted = stream.selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }.toDF("user_id", "n", "sum_value")
+    val q = counted.writeStream.format("memory").queryName("fmgs_out")
+      .outputMode("update")
+      .option("checkpointLocation", tmp("fmgs-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last update per user == batch aggregate
+    val streamed = spark.sql(
+      """SELECT user_id, max_by(n, n) AS n FROM fmgs_out GROUP BY user_id""")
+      .as[(Long, Long)].collect().toMap
+    val batch = ev.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("stream-stream inner join with watermarks equals the batch join") {
+    val srcDir = tmp("ssj-src")
+    import graft.sources.Tables
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    ev.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+
+    // purchases joined to clicks by the same user within the prior hour
+    val clicks = stream().filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = stream().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      ($"p_user" === $"c_user") &&
+        ($"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")) && ($"c_ts" <= $"p_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", tmp("ssj-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val batchCount = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .join(ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts")),
+        ($"p_user" === $"c_user") &&
+          ($"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR")) && ($"c_ts" <= $"p_ts"))
+      .count()
+    val streamCount = spark.table("ssj_out").count()
+    assert(streamCount == batchCount && batchCount > 0)
+  }
+
   test("streaming watermarked window agg over file source + idempotent foreachBatch") {
     val srcDir = tmp("stream-src")
     val outDir = tmp("stream-out")
