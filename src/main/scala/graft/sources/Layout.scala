@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout policies for the 100 TB deployment — how extracted data
+  * should be WRITTEN so later queries prune instead of scan.
+  *
+  * The reference streams records out and never owns a layout; an engine
+  * that lands 100 TB of extracted data must. Two policies:
+  *
+  *  - time-partitioned: `partitionBy(date)` directories. Any query with a
+    *  date predicate turns into directory pruning (`PartitionFilters` in the
+    *  scan, zero IO for excluded days) — the natural layout for the events/
+    *  watermark workload, and what makes incremental re-extraction cheap
+    *  (each delta window lands in its own partitions).
+  *  - bucketed: `bucketBy(n, key)` tables for the repeated-join workload
+  *    (see `operators.Joins.coLocatedJoin`) — both sides pre-hashed, joins
+  *    plan with zero Exchange.
+  */
+object Layout {
+
+  /** Land an events-shaped frame partitioned by day (derived from `tsCol`).
+    * Partition count = days, not cardinality — safe directory fan-out. */
+  def writePartitionedByDay(df: DataFrame, path: String,
+      tsCol: String = "ts"): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Read back with a day predicate — Catalyst resolves it against the
+    * partition column, so the scan's `PartitionFilters` excludes whole
+    * directories before any file IO. */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("event_date") === lit(day))
+}

@@ -79,6 +79,22 @@ class PipelineJoinsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("day-partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    import graft.sources.{Layout, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    Layout.writePartitionedByDay(ev, dir)
+    val day = ev.select(to_date(col("ts")).cast("string")).head.getString(0)
+    val pruned = Layout.readDay(spark, dir, day)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"), plan)
+    // pruned read equals the predicate applied to the full data
+    assert(pruned.count() ==
+      ev.filter(to_date(col("ts")) === lit(day)).count())
+    // and the full-scan row count survives the layout round-trip
+    assert(spark.read.parquet(dir).count() == ev.count())
+  }
+
   test("TopKPerKey operator == window row_number formulation; plans heap exec, no sort") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, GraftTestSpark.Sf0001)
