@@ -268,6 +268,27 @@ object RelationalQueries {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin)),
 
+    // TPC-H Q2-style: row matching a correlated MIN (cheapest order per
+    // customer) — exact value equality, no arithmetic, engine-stable.
+    QueryDef("q2_min_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_custkey, o_orderkey, o_totalprice
+          FROM customer_v JOIN orders_v ON o_custkey = c_custkey
+          WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+                                FROM orders_v o2
+                                WHERE o2.o_custkey = c_custkey)
+          ORDER BY c_custkey, o_orderkey""")
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+             |                      FROM orders o2
+             |                      WHERE o2.o_custkey = c_custkey)
+             |ORDER BY c_custkey, o_orderkey""".stripMargin)),
+
     // TPC-H Q17-style correlated scalar subquery, through the SQL front end
     // (spark.sql over temp views) — Catalyst decorrelates the per-partkey
     // average into a join; the oracle runs the identical SQL.

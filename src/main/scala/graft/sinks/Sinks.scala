@@ -136,12 +136,26 @@ object Sinks {
     * 100 TB path and documented as such. */
   def writeSingleJsonFile(df: DataFrame, path: String,
       header: String = "", footer: String = "", separator: String = ",\n",
-      bodyTemplate: Option[String] = None): Unit = {
+      bodyTemplate: Option[String] = None, append: Boolean = false): Unit = {
+    // mode 'a' parity (jsonworker.py:30-32): re-open the existing document —
+    // body carried over, header written only on a fresh file
+    val existingBody: Option[String] =
+      if (!append) None
+      else {
+        val dir = new java.io.File(path)
+        Option(dir.listFiles()).toSeq.flatten
+          .find(_.getName.startsWith("part-"))
+          .map { f =>
+            val full = java.nio.file.Files.readString(f.toPath)
+            full.stripPrefix(header).stripSuffix("\n").stripSuffix(footer)
+          }
+      }
     val lines = prepareJsonLines(df, bodyTemplate).coalesce(1)
     import lines.sparkSession.implicits._
     val assembled = lines.mapPartitions { it =>
       val sb = new StringBuilder(header)
-      var first = true
+      existingBody.foreach(sb.append)
+      var first = existingBody.isEmpty
       it.foreach { row =>
         if (!first) sb.append(separator)
         sb.append(row.getString(0))

@@ -95,6 +95,45 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == ev.count())
   }
 
+  test("dynamic partition pruning: partitioned fact x filtered dim join prunes at runtime") {
+    import graft.sources.{Layout, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    Layout.writePartitionedByDay(Tables.events(spark, GraftTestSpark.Sf0001), dir)
+    val fact = spark.read.parquet(dir)
+    val allDays = fact.select($"event_date").distinct()
+      .as[java.sql.Date].collect().sorted
+    // DPP needs a real source with a selective predicate on the build side
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp-dim").toString
+    allDays.toSeq.toDF("d")
+      .withColumn("flag", when($"d".isin(allDays.take(2).toSeq: _*), "keep")
+        .otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"flag" === "keep")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val joined = fact.join(dim, $"event_date" === $"d")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(joined.count() ==
+      fact.filter($"event_date".isin(allDays.take(2).toSeq: _*)).count())
+  }
+
+  test("writeSingleJsonFile append mode carries the existing document forward") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonappend").toString
+    val first = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val second = Seq((3L, "c")).toDF("id", "v")
+    graft.sinks.Sinks.writeSingleJsonFile(first, dir, header = "[\n",
+      footer = "\n]", separator = ",\n")
+    graft.sinks.Sinks.writeSingleJsonFile(second, dir, header = "[\n",
+      footer = "\n]", separator = ",\n", append = true)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val content = java.nio.file.Files.readString(part.toPath)
+    assert(content.startsWith("[\n") && content.trim.endsWith("]"))
+    assert(Seq(""""id":1""", """"id":2""", """"id":3""")
+      .forall(content.contains), content)
+    assert(content.sliding(4).count(_ == "{\"id") == 3)
+  }
+
   test("TopKPerKey operator == window row_number formulation; plans heap exec, no sort") {
     import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, GraftTestSpark.Sf0001)
