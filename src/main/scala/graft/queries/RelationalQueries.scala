@@ -313,6 +313,29 @@ object RelationalQueries {
              |                    FROM lineitem l2
              |                    WHERE l2.l_partkey = l_partkey)""".stripMargin)),
 
+    // TPC-H Q21-flavoured: EXISTS and NOT EXISTS against the same table —
+    // customers with open orders but no finished ones.
+    QueryDef("q21_semi_anti",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v21")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v21")
+        s.sql("""
+          SELECT c_custkey, c_name
+          FROM customer_v21
+          WHERE EXISTS (SELECT 1 FROM orders_v21 o1
+                        WHERE o1.o_custkey = c_custkey AND o1.o_orderstatus = 'O')
+            AND NOT EXISTS (SELECT 1 FROM orders_v21 o2
+                            WHERE o2.o_custkey = c_custkey AND o2.o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders o1
+             |              WHERE o1.o_custkey = c_custkey AND o1.o_orderstatus = 'O')
+             |  AND NOT EXISTS (SELECT 1 FROM orders o2
+             |                  WHERE o2.o_custkey = c_custkey AND o2.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Pivot: status x priority counts as columns (explicit value list so the
     // output schema is static and oracle-comparable).
     QueryDef("pivot_agg",

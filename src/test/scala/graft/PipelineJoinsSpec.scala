@@ -95,6 +95,33 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == ev.count())
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> conf.get("spark.sql.adaptive.enabled", "true"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // 90% of the big side lands on one key -> one fat shuffle partition
+      val big = spark.range(200000)
+        .select(when($"id" % 10 === 0, $"id" % 50).otherwise(lit(7L)).as("k"),
+          concat(lit("payload-payload-payload-"), $"id").as("v"))
+      val small = spark.range(50).select($"id".as("k"), lit("dim").as("d"))
+      val joined = big.join(small, "k")
+      // execute THIS frame (count() would plan a different query and leave
+      // joined's AdaptiveSparkPlan unfinalized)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("dynamic partition pruning: partitioned fact x filtered dim join prunes at runtime") {
     import graft.sources.{Layout, Tables}
     val dir = java.nio.file.Files.createTempDirectory("dpp").toString
