@@ -222,6 +222,69 @@ object RelationalQueries {
              |SELECT o_custkey FROM orders
              |ORDER BY c_custkey""".stripMargin)),
 
+    // GROUPING SETS (the general form rollup/cube specialize).
+    QueryDef("grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 count(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          ORDER BY rf, ls""")
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // Bag semantics: EXCEPT ALL / INTERSECT ALL (multiplicity-preserving).
+    QueryDef("set_except_all",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.select("l_suppkey")
+          .exceptAll(li.filter(col("l_returnflag") === "R").select("l_suppkey"))
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS n FROM (
+             |  SELECT l_suppkey FROM lineitem
+             |  EXCEPT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)),
+
+    QueryDef("set_intersect_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "O").select("o_custkey")
+          .intersectAll(o.filter(col("o_totalprice") > 100000).select("o_custkey"))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // min_by / max_by (argmin/argmax) — tie-free because the ordering value
+    // is the unique o_orderkey.
+    QueryDef("min_max_by",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("latest_status"),
+          min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+          max(col("o_orderkey")).as("last_key"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+             |       arg_max(o_orderstatus, o_orderkey) AS latest_status,
+             |       arg_min(o_orderstatus, o_orderkey) AS first_status,
+             |       max(o_orderkey) AS last_key
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     // Distinct aggregation.
     QueryDef("distinct_agg",
       (s, dir) => Tables.lineitem(s, dir)
