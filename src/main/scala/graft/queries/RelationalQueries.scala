@@ -441,6 +441,28 @@ object RelationalQueries {
              |  c_mktsegment || '|' || c_name AS joined
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // §2.9 date/time surface: extract parts, truncation, day arithmetic —
+    // engine conventions differ (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday)
+    // so the mapping is explicit.
+    QueryDef("datetime_funcs",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          (dayofweek(col("ts")) - 1).as("dow"),
+          unix_millis(date_trunc("MONTH", col("ts"))).as("month_start_ms"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS y,
+             |  CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS m,
+             |  CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+             |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+             |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+             |  CAST(epoch_ms(date_trunc('month', CAST(ts AS TIMESTAMP))) AS BIGINT) AS month_start_ms,
+             |  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Generator surface: posexplode with ordinality (UNNEST WITH ORDINALITY).
     QueryDef("explode_ordinal",
       (s, dir) => Tables.documents(s, dir).orderBy("doc_id").limit(50)
