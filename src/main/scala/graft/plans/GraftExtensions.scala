@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       wordShinglesBuilder))
+    // the custom-operator strategy rides the same extension entry point, so
+    // a session built with spark.sql.extensions=graft.plans.GraftExtensions
+    // plans TopKPerKey nodes without any runtime registration
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

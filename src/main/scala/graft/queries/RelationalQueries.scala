@@ -441,6 +441,34 @@ object RelationalQueries {
              |  c_mktsegment || '|' || c_name AS joined
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // §2.9 conditional/null surface: CASE, nullif, coalesce, greatest/least.
+    QueryDef("conditional_funcs",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("value") > 100, "high").when(col("value") > 50, "mid")
+            .otherwise("low").as("band"),
+          nullif(col("event_type"), lit("error")).as("type_or_null"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("(err)")).as("type_fixed"),
+          greatest(col("value"), col("user_id").cast("double")).as("gv"),
+          least(col("value"), lit(50.0)).as("lv"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN value > 100 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS band,
+             |  nullif(event_type, 'error') AS type_or_null,
+             |  coalesce(nullif(event_type, 'error'), '(err)') AS type_fixed,
+             |  greatest(value, CAST(user_id AS DOUBLE)) AS gv,
+             |  least(value, 50.0) AS lv
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // solr field-grouping syntax through the scan filter path
+    QueryDef("filter_solr_group",
+      (s, dir) => graft.operators.Filters.solr(Tables.events(s, dir),
+          "event_type:(click view purchase) AND value:[50 TO *]")
+        .select("event_id", "event_type", "value").orderBy("event_id"),
+      Some("""SELECT event_id, event_type, value FROM events
+             |WHERE event_type IN ('click', 'view', 'purchase') AND value >= 50
+             |ORDER BY event_id""".stripMargin)),
+
     // §2.9 date/time surface: extract parts, truncation, day arithmetic —
     // engine conventions differ (Spark dayofweek is 1=Sunday, DuckDB 0=Sunday)
     // so the mapping is explicit.

@@ -37,6 +37,13 @@ class ParsersSpec extends AnyFunSuite {
     assert(Filters.solr(df, "NOT (event_type:click OR event_type:view)").count() == 2)
   }
 
+  test("solr field grouping: field:(a OR b) and implicit-OR terms") {
+    assert(Filters.solr(df, "event_type:(click view)").count() == 2)
+    assert(Filters.solr(df, "event_type:(click OR view OR purchase)").count() == 3)
+    assert(Filters.solr(df, "event_type:(click*) AND value:[60 TO *]").count() == 1)
+    intercept[IllegalArgumentException] { Filters.solrPredicate("event_type:()") }
+  }
+
   test("solr quoted terms and garbage input") {
     assert(Filters.solr(df, "event_type:\"click\"").count() == 1)
     intercept[IllegalArgumentException] {
