@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join helpers for the scale paths the built-in planner doesn't pick
@@ -33,6 +34,46 @@ object Joins {
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTs <= leftTs` within the same key — the time-series join Spark
+    * has no operator for.
+    *
+    * Implementation is the scale-correct composition (preference order (a)
+    * in the build plan: compose built-ins before custom plans): tag and
+    * union both sides, sort once per key by (ts, side), and carry the most
+    * recent right payload forward with `last(_, ignoreNulls)` over an
+    * unbounded-preceding window. One shuffle + one per-key sort over
+    * |L|+|R| rows — never the |L|x|R| range-condition blowup a naive
+    * inequality join plans. Right rows at exactly leftTs match (ASOF
+    * inclusive semantics: right sorts before left on ties).
+    *
+    * Right columns come back prefixed `asof_`; unmatched left rows keep
+    * them NULL (left-outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val rightPayloadCols = right.columns.filter(c => c != key && c != rightTs)
+    val payload = struct((rightTs +: rightPayloadCols.toSeq).map(col): _*)
+    val taggedRight = right
+      .select(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
+        payload.as("_rp"))
+    val taggedLeft = left
+      .withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+      .withColumn("_rp", lit(null).cast(taggedRight.schema("_rp").dataType))
+    val unioned = taggedLeft
+      .select((key +: "_ts" +: "_side" +: "_rp" +: left.columns.filter(_ != key).toSeq)
+        .distinct.map(col): _*)
+      .unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("_last_rp", last(col("_rp"), ignoreNulls = true).over(w))
+    val outLeftCols = left.columns.toSeq.map(col)
+    val outRightCols = (rightTs +: rightPayloadCols.toSeq).map(c =>
+      col("_last_rp").getField(c).as(s"asof_$c"))
+    carried.filter(col("_side") === 1)
+      .select(outLeftCols ++ outRightCols: _*)
   }
 
   /** Write both sides bucketed on the join key, then join the bucketed

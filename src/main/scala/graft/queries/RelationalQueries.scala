@@ -593,6 +593,30 @@ object RelationalQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // As-of join (time-series): latest prior click per purchase, per user —
+    // one sort-based pass (Joins.asofJoin) vs DuckDB's native ASOF JOIN.
+    QueryDef("asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.operators.Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts")
+          .select(col("event_id"), unix_millis(col("ts")).as("p_ts_ms"),
+            col("asof_click_id").as("click_id"),
+            unix_millis(col("asof_ts")).as("click_ts_ms"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
+             |           FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms,
+             |       c.click_id, CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Skew-mitigated join: salted result must equal the plain join.
     QueryDef("salted_join",
       (s, dir) => graft.operators.Joins.saltedJoin(

@@ -95,6 +95,20 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == ev.count())
   }
 
+  test("asofJoin: latest prior right row per left row, inclusive ties, left-outer") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 1.0), ("A", 100L, 2.0), ("A", 200L, 3.0),
+      ("B", 60L, 9.0)).toDF("sym", "t", "px")
+    val out = Joins.asofJoin(trades, quotes, "sym", "t", "t")
+      .select($"trade_id", $"asof_px", $"asof_t")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(2.0), Some(100L)))  // equal-ts quote matches
+    assert(out(2L) == (Some(3.0), Some(200L)))  // latest prior
+    assert(out(3L) == (None, None))             // no prior quote -> NULLs
+  }
+
   test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
     val conf = spark.conf
     val saved = Seq(

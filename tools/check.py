@@ -16,9 +16,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"  # NaN in nullable numeric columns == NULL
         return v
     if isinstance(v, bytes):
         return v.hex()
@@ -65,16 +67,19 @@ def main():
         if len(got) != len(want):
             results[name] = f"ROWS-MISMATCH got={len(got)} want={len(want)}"
             continue
-        g = sorted(tuple(norm(v) for v in row)
-                   for row in got[gcols].itertuples(index=False, name=None))
-        w = sorted(tuple(norm(v) for v in row)
-                   for row in want[wcols].itertuples(index=False, name=None))
+        from collections import Counter
+        # NULLs make rows unsortable (None/NaN vs values) -> multiset compare
+        g = Counter(tuple(norm(v) for v in row)
+                    for row in got[gcols].itertuples(index=False, name=None))
+        w = Counter(tuple(norm(v) for v in row)
+                    for row in want[wcols].itertuples(index=False, name=None))
         if g == w:
             results[name] = f"OK ({len(got)} rows)"
         else:
-            bad = next(i for i, (a, b) in enumerate(zip(g, w)) if a != b)
-            results[name] = (f"VALUE-MISMATCH first at sorted-row {bad}: "
-                             f"got={g[bad]} want={w[bad]} cols={gcols}")
+            only_g = next(iter((g - w).keys()), None)
+            only_w = next(iter((w - g).keys()), None)
+            results[name] = (f"VALUE-MISMATCH got-only={only_g} "
+                             f"want-only={only_w} cols={gcols}")
     width = max(len(k) for k in results)
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
     for k in sorted(results):
