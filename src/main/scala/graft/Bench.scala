@@ -25,6 +25,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // size input splits so scan tasks ~ cores: the local dataset is
+      // ~2-11 MB per table, where the 128 MB default yields 1-3 scan tasks
+      // on a 32-thread runner. Same principle at 100 TB: the default
+      // already gives >> cores tasks there, so this knob is a no-op at scale.
+      .config("spark.sql.files.maxPartitionBytes", "2097152")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
