@@ -106,6 +106,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCount == batchCount && batchCount > 0)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark closes") {
+    val srcDir = tmp("ssoj-src")
+    import graft.sources.Tables
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    ev.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+
+    val clicks = stream().filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream().filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      ($"p_user" === $"c_user") &&
+        ($"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES")) && ($"c_ts" <= $"p_ts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssoj_out")
+      .option("checkpointLocation", tmp("ssoj-ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val out = spark.table("ssoj_out")
+    val batch = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .join(ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts")),
+        ($"p_user" === $"c_user") &&
+          ($"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES")) && ($"c_ts" <= $"p_ts"),
+        "left_outer")
+    // matched rows must agree exactly; unmatched (NULL c_user) may be held
+    // back for purchases inside the final un-closed watermark window, so
+    // stream-unmatched is a subset of batch-unmatched
+    assert(out.filter($"c_user".isNotNull).count() ==
+      batch.filter($"c_user".isNotNull).count())
+    val streamUnmatched = out.filter($"c_user".isNull).count()
+    val batchUnmatched = batch.filter($"c_user".isNull).count()
+    assert(streamUnmatched > 0 && streamUnmatched <= batchUnmatched)
+  }
+
   test("streaming watermarked window agg over file source + idempotent foreachBatch") {
     val srcDir = tmp("stream-src")
     val outDir = tmp("stream-out")
