@@ -22,4 +22,10 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Catalog.oracleSql
+
+  /** Oracles whose SQL embeds data-dependent literals (e.g. trained IVF
+    * centroids): evaluated by Verify against the actual sf dir, then dumped
+    * into oracle_sql.json alongside the static entries. */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    Catalog.dynamicOracleSql
 }

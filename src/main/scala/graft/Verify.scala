@@ -38,7 +38,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dynamic oracles (data-dependent literals, e.g. IVF centroids) are
+    // rendered against the actual sf dir; a failure there must not zero the
+    // whole round, so each is best-effort
+    val dynamic = SparkEntry.dynamicOracleSql.flatMap { case (k, f) =>
+      try Some(k -> f(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+        None
+      }
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

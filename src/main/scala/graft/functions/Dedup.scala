@@ -148,8 +148,10 @@ object Dedup {
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff the
-    * sum over distinct tokens of (+1 if bit j of xxhash64(token) else -1)
-    * is > 0. One narrow native expression — no shuffle; fuses into the scan
+    * sum over distinct tokens of (+1 if bit j of h(token) else -1) is > 0,
+    * where h = first 8 bytes of md5 (SQL-recomputable — the gate's DuckDB
+    * oracle rebuilds every signature independently). One narrow native
+    * expression — no shuffle; fuses into the scan
     * ([[graft.plans.SimHash64]]). */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       out: String = "simhash"): DataFrame =
@@ -158,12 +160,20 @@ object Dedup {
   /** The relational formulation of [[simhash]] (explode -> groupBy with 64
     * aggregates — one shuffle of every (doc, token) pair). Kept for the case
     * where tokens are already exploded by an upstream stage; must produce
-    * bit-identical hashes to the expression form (pinned by test). */
+    * bit-identical hashes to the expression form (pinned by test). The token
+    * hash parses the first 16 md5 hex chars as an unsigned 64-bit value
+    * (decimal-typed until the final signed wrap — a direct decimal->long
+    * cast of values >= 2^63 would overflow to NULL, not wrap). */
   def simhashRelational(df: DataFrame, idCol: String, textCol: String,
       out: String = "simhash"): DataFrame = {
+    val two63 = BigDecimal(2).pow(63)
+    val two64 = BigDecimal(2).pow(64)
+    val u = conv(substring(md5(col("_tok")), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(21, 0))
     val tok = df.select(col(idCol),
         explode(array_distinct(split(col(textCol), " "))).as("_tok"))
-      .withColumn("_h", xxhash64(col("_tok")))
+      .withColumn("_h",
+        when(u >= lit(two63), u - lit(two64)).otherwise(u).cast("long"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_b$j")

@@ -37,12 +37,17 @@ object Multimodal {
   /** STUB decoder — deterministic fake "feature extraction" from bytes.
     * A real implementation decodes the image and emits an embedding; the
     * Spark-side contract (binary in, fixed-width float array out, computed
-    * per-partition with no driver involvement) is identical. */
+    * per-partition with no driver involvement) is identical. The fake is a
+    * per-index scaling of the payload's rolling-hash fingerprint
+    * ([[graft.plans.RollingHash]] — exact 64-bit integer arithmetic), so an
+    * external engine can recompute every feature value and the gate can
+    * hash-compare them instead of trusting us. */
   def fakeDecodeFeatures(df: DataFrame, payloadCol: String = "payload",
       dim: Int = 8): DataFrame = {
-    // expression-only fake: per-index hash of the bytes, scaled to [0,1)
+    // fp < 1e9+7, so fp * dim stays far below 2^63: exact in any engine
+    val fp = graft.plans.RollingHash(col(payloadCol).cast("string"))
     val featureArr = array((0 until dim).map { j =>
-      pmod(xxhash64(col(payloadCol), lit(j)), lit(1000L)).cast("double") / 1000.0
+      ((fp * lit(j + 1L)) % lit(1000L)).cast("double") / 1000.0
     }: _*)
     df.withColumn("features", featureArr)
   }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Templates {
 
   private val Placeholder = """%\(([^)]+)\)[sd]""".r
-  private val PctSentinel = "PCT"
+  private val PctSentinel = "\uE000"  // private-use char: cannot occur in template text
 
   /** Unescape the config-file form: `[DQ]` -> `"`. */
   def unescape(template: String): String = template.replace("[DQ]", "\"")

@@ -79,4 +79,21 @@ object Partitioners {
   /** Basic round-robin (`roundrobin.py:72-77`): rn % n. */
   def basicAssign(rowNumber1Based: Column, numPartitions: Int): Column =
     pmod(rowNumber1Based - lit(1), lit(numPartitions)).cast("int")
+
+  /** SCALE-PATH weighted assignment: a stateless hash of the record key into
+    * a weight-expanded partition array (weights "0:3,1:1" -> [0,0,0,1]) — the
+    * broker-side-hash-partitioner seat. Per-row narrow map: no row counter,
+    * no global window, retry-safe, and identical on any cluster layout. Each
+    * partition receives its weight share in expectation (uniform 32-bit md5
+    * slice mod the expanded size) rather than the WRR's exact schedule — the
+    * trade a 100 TB pipeline makes to avoid a global order. md5 on purpose:
+    * the correctness gate recomputes the assignment in SQL. */
+  def hashWeightedAssign(key: Column, cfg: String): Column = {
+    val expanded = parseWeights(cfg).flatMap { case (p, w) => Seq.fill(w)(p) }
+    require(expanded.nonEmpty, "empty partition weights")
+    // hex chars 25..32 of the md5 digest = an independent uniform 32-bit slice
+    val h = conv(substring(md5(key.cast("string")), 25, 8), 16, 10).cast("long")
+    element_at(array(expanded.map(lit): _*),
+      (pmod(h, lit(expanded.size)) + lit(1)).cast("int"))
+  }
 }

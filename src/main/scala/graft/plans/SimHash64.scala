@@ -1,19 +1,25 @@
 package graft.plans
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, GraftSql}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit SimHash of a whitespace-tokenized string as ONE narrow expression.
   *
   * Definition (matches the relational form in `graft.functions.Dedup`):
   * bit j of the result is 1 iff sum over *distinct* tokens of
-  * (+1 if bit j of xxhash64(token) else -1) is > 0. Token hashes use
-  * Spark's own XxHash64Function with the `xxhash64()` default seed (42), so
-  * this expression and the explode/groupBy formulation produce identical
-  * hashes.
+  * (+1 if bit j of h(token) else -1) is > 0, where h(token) is the first 8
+  * bytes of md5(token) read big-endian (= the first 16 hex chars of the
+  * standard md5 hex digest). md5 rather than xxhash64 on purpose: both are
+  * uniform enough for simhash (Charikar's construction only needs
+  * per-bit-independent token hashes), but md5 is computable by any SQL
+  * engine — which lets the DuckDB correctness gate recompute every signature
+  * from scratch instead of trusting this implementation.
   *
   * Why an expression: the relational formulation is explode -> groupBy(doc)
   * with 64 aggregates — a shuffle whose input is every (doc, token) pair,
@@ -28,6 +34,7 @@ case class SimHash64(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
+    val md = SimHash64.localMd5.get()
     val counts = new Array[Int](64)
     val seen = new java.util.HashSet[String]()
     var start = 0
@@ -37,8 +44,7 @@ case class SimHash64(child: Expression)
       if (i == n || s.charAt(i) == ' ') {
         val tok = s.substring(start, i)
         if (seen.add(tok)) {
-          val h = XxHash64Function.hash(
-            UTF8String.fromString(tok), StringType, 42L)
+          val h = SimHash64.md5u64(md, tok)
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -65,4 +71,20 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   def apply(c: Column): Column =
     GraftSql.column(SimHash64(GraftSql.expression(c)))
+
+  /** MessageDigest is stateful and not thread-safe — one per task thread. */
+  private[plans] val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(utf8(tok)), big-endian — identical to parsing the
+    * first 16 hex chars of the md5 hex digest as an unsigned 64-bit value
+    * (what the SQL oracle and the relational cross-check compute). */
+  private[plans] def md5u64(md: MessageDigest, tok: String): Long = {
+    md.reset()
+    val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
 }

@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
   * where that matters (k dot products per row for LSH, one per pair for
   * near-dup joins).
   *
-  * Arrays of different lengths dot over the common prefix (same as
-  * `zip_with` would with nulls — callers use fixed-dim embeddings).
+  * NULL semantics match the HOF form exactly: a length mismatch or a NULL
+  * element yields NULL (`zip_with` pads the shorter array with nulls and a
+  * null product poisons the `aggregate` fold), so swapping either
+  * implementation in cannot change any query result.
   */
 case class VecDot(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -33,7 +37,8 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    val n = arrA.numElements()
+    if (arrB.numElements() != n) return null
     val ta = elemType(left)
     val tb = elemType(right)
     var acc = 0.0
@@ -41,20 +46,27 @@ case class VecDot(left: Expression, right: Expression)
     (ta, tb) match {
       case (FloatType, FloatType) =>
         while (i < n) {
+          if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
           acc += arrA.getFloat(i).toDouble * arrB.getFloat(i).toDouble; i += 1
         }
       case (DoubleType, DoubleType) =>
-        while (i < n) { acc += arrA.getDouble(i) * arrB.getDouble(i); i += 1 }
+        while (i < n) {
+          if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+          acc += arrA.getDouble(i) * arrB.getDouble(i); i += 1
+        }
       case (FloatType, DoubleType) =>
         while (i < n) {
+          if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
           acc += arrA.getFloat(i).toDouble * arrB.getDouble(i); i += 1
         }
       case (DoubleType, FloatType) =>
         while (i < n) {
+          if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
           acc += arrA.getDouble(i) * arrB.getFloat(i).toDouble; i += 1
         }
       case _ =>
         while (i < n) {
+          if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
           acc += numeric(arrA, ta, i) * numeric(arrB, tb, i); i += 1
         }
     }

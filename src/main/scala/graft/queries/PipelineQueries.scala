@@ -32,6 +32,102 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
 
+  /** Shortest-round-trip double literal: Java's Double.toString emits the
+    * shortest decimal that parses back to the exact same double, and DuckDB's
+    * parser is correctly rounded — so Spark-side doubles survive the trip
+    * into SQL bit-for-bit. */
+  private def fmtD(d: Double): String = d.toString
+
+  /** DuckDB CTEs recomputing every 64-bit SimHash signature from scratch
+    * (token split, md5-u64 token hash, per-bit vote, signed pack) — the
+    * independent oracle for [[graft.plans.SimHash64]]. Yields a `sigs`
+    * relation (doc_id, simhash). Bit j of a token's hash lives in hex char
+    * 16 - j/4 (big-endian), at bit position j%4 within the nibble. */
+  private val simhashSigsSql: String = {
+    val sums = (0 until 64).map { j =>
+      val pos = 16 - j / 4
+      val shift = j % 4
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n       ")
+    // bit 63 is the sign bit of the signed 64-bit result
+    val packed = (0 until 63).map { j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val sign = "(CASE WHEN s63 > 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+       |hashed AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+       |sums AS (SELECT doc_id,
+       |       $sums
+       |     FROM hashed GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($sign + $packed AS BIGINT) AS simhash FROM sums)""".stripMargin
+  }
+
+  /** DuckDB CTEs recomputing hyperplane-LSH buckets over `embeddings` with
+    * the SAME plane literals the Spark plan uses (exact binary fractions —
+    * multiples of 1/1024 — so the decimal literals round-trip exactly).
+    * Yields a `bkt` relation (vec_id, embedding, bucket). */
+  private def lshBucketSql(nPlanes: Int, dim: Int): String = {
+    val planes = graft.functions.Similarity.hyperplanes(nPlanes, dim)
+    val rows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, CAST(${p.map(fmtD).mkString("[", ", ", "]")} AS DOUBLE[]))"
+    }.mkString(",\n    ")
+    s"""planes(j, p) AS (VALUES
+       |    $rows),
+       |proj AS (
+       |  SELECT e.vec_id, e.embedding, p.j, ${dotSql("e.embedding", "p.p")} AS d
+       |  FROM embeddings e CROSS JOIN planes p),
+       |bkt AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, embedding)""".stripMargin
+  }
+
+  /** IVF models are trained once per dir and shared between the catalog
+    * query and its dynamic oracle: k-means centroid averages come from a
+    * floating-point aggregation whose merge order Spark does not pin, so
+    * two train() calls could differ in ulps — one shared model keeps the
+    * query and the oracle literally identical (and amortizes training). */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.IVF.Model]()
+  private[graft] def ivfModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.functions.IVF.Model =
+    ivfModels.computeIfAbsent(dir, _ =>
+      graft.functions.IVF.train(Tables.embeddings(s, dir), "embedding", "vec_id", k = 8))
+
+  /** DuckDB oracle for IVF probe search, given the trained centroids as
+    * exact double literals: recomputes cell assignment (argmin with
+    * lower-cell tie-break), the probed cell ranking, and cosine top-k —
+    * everything downstream of training, independently. */
+  private def ivfOracleSql(model: graft.functions.IVF.Model,
+      topK: Int, nProbe: Int): String = {
+    val cents = model.centroids.zipWithIndex.map { case (c, j) =>
+      val arr = c.map(fmtD).mkString("[", ", ", "]")
+      val cn2 = fmtD(c.map(x => x * x).sum)
+      s"($j, CAST($arr AS DOUBLE[]), CAST($cn2 AS DOUBLE))"
+    }.mkString(",\n    ")
+    val qcDist = "list_reduce(list_transform(generate_series(1, len(qv)), " +
+      "i -> (CAST(qv[i] AS DOUBLE) - c.c[i]) * (CAST(qv[i] AS DOUBLE) - c.c[i])), (x,y) -> x + y)"
+    s"""WITH cents(cell, c, cn2) AS (VALUES
+       |    $cents),
+       |dists AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         ((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c")}) + c.cn2) AS dist
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qp AS (SELECT c.cell FROM cents c CROSS JOIN q ORDER BY $qcDist, c.cell LIMIT $nProbe)
+       |SELECT a.vec_id,
+       |  ${dotSql("a.embedding", "qv")} /
+       |  (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+       |FROM assigned a CROSS JOIN q
+       |WHERE a.cell IN (SELECT cell FROM qp)
+       |ORDER BY cos DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
   /** DuckDB fragment: word-3-shingle list of `text` (distinct). */
   private val ShinglesSql =
     """list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
@@ -162,16 +258,27 @@ object PipelineQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("dedup_simhash",
-      // xxhash64-based: not SQL-expressible -> rows-only + ScalaTest pins
+      // md5-u64 token hash on purpose: DuckDB recomputes every signature
+      // from scratch (split -> md5 -> bit votes -> signed pack), so the gate
+      // hash-compares real independently-derived values
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH $simhashSigsSql
+              |SELECT doc_id, simhash FROM sigs ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash_pairs",
+      // chunk-LSH with maxDist+1 chunks is EXACT by pigeonhole, so the
+      // oracle's all-pairs hamming join over recomputed signatures must
+      // match row-for-row
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
           maxDist = 3)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH $simhashSigsSql
+              |SELECT id_a, id_b, hamming FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- similarity search ----
     QueryDef("cosine_topk",
@@ -210,31 +317,53 @@ object PipelineQueries {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     QueryDef("ann_lsh_topk",
-      // hyperplane-LSH bucketed ANN: scale path; recall pinned in ScalaTest
+      // hyperplane-LSH bucketed ANN: the planes are exact binary fractions,
+      // so the oracle recomputes buckets AND cosines from the same literals
       (s, dir) => {
         val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
           .head().getSeq[Float](1)
         Similarity.annTopK(Tables.embeddings(s, dir), "embedding", "vec_id",
           q, k = 10, nPlanes = 8)
       },
-      None),
+      Some(s"""WITH ${lshBucketSql(nPlanes = 8, dim = 64)},
+              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0)
+              |SELECT b.vec_id,
+              |  ${dotSql("b.embedding", "qv")} /
+              |  (sqrt(${dotSql("b.embedding", "b.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+              |FROM bkt b CROSS JOIN q CROSS JOIN qb
+              |WHERE b.bucket = qb.qbucket
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     QueryDef("ann_ivf_topk",
-      // IVF coarse-quantizer ANN: train k-means cells, probe the 2 nearest
+      // IVF coarse-quantizer ANN: k-means cells (trained once per dir,
+      // shared with the dynamic oracle), probe the 2 nearest
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
-        val model = graft.functions.IVF.train(e, "embedding", "vec_id", k = 8)
-        graft.functions.IVF.search(e, "embedding", "vec_id", model, q,
-          topK = 10, nProbe = 2)
+        graft.functions.IVF.search(e, "embedding", "vec_id", ivfModel(s, dir),
+          q, topK = 10, nProbe = 2)
       },
-      None),
+      None,
+      // oracle needs the trained centroids as literals -> rendered by
+      // Verify against the actual sf dir (everything downstream of
+      // training — assignment, probe ranking, cosine top-k — is then
+      // recomputed independently by DuckDB)
+      dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
+        topK = 10, nProbe = 2))),
 
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "embedding", "vec_id", threshold = 0.4, nPlanes = 4)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH ${lshBucketSql(nPlanes = 4, dim = 64)},
+              |n AS (SELECT vec_id, embedding, bucket,
+              |        sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM bkt)
+              |SELECT id_a, id_b, cos FROM (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+              |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- multimodal ----
     QueryDef("multimodal_meta",
@@ -304,9 +433,25 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QueryDef("multimodal_features",
+      // gate shape: the array is projected to scalar columns (driver's
+      // pandas compare can't hash ndarray cells); the array form is pinned
+      // by ScalaTest. Feature arithmetic is the rolling-hash fingerprint
+      // scaled per index — exactly recomputable in the oracle.
       (s, dir) => Multimodal.fakeDecodeFeatures(
           Multimodal.attachBinary(Tables.documents(s, dir)))
-        .select(col("doc_id"), col("features"))
+        .select(col("doc_id") +:
+          (0 until 8).map(j => col("features")(j).as(s"f$j")): _*)
         .orderBy("doc_id"),
-      None))
+      Some {
+        val fp = """CASE WHEN length(text) = 0 THEN 0
+                   |       ELSE list_reduce(list_transform(regexp_extract_all(text, '.'),
+                   |              c -> CAST(unicode(c) AS BIGINT)),
+                   |            (a, b) -> (a * 31 + b) % 1000000007) END""".stripMargin
+        val feats = (0 until 8).map(j =>
+          s"CAST((fp * ${j + 1}) % 1000 AS DOUBLE) / 1000.0 AS f$j").mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id, $fp AS fp FROM documents)
+           |SELECT doc_id,
+           |  $feats
+           |FROM d ORDER BY doc_id""".stripMargin
+      }))
 }

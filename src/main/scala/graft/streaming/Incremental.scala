@@ -51,14 +51,37 @@ object Incremental {
     df.filter(tsMillis.isNull || tsMillis < lit(wm))
   }
 
+  /** One incremental delta window: the filtered frame plus an explicit
+    * `commit()` that advances the stored watermark. The watermark moves only
+    * on commit — if the caller's action fails (or the frame is never acted
+    * on), the next run re-reads the same window instead of silently skipping
+    * it. */
+  final case class IncrementalBatch(frame: DataFrame, lower: Long, upper: Long,
+      private val store: WatermarkStore, private val table: String) {
+    def commit(): Unit = store.save(table, upper)
+  }
+
   /** Incremental window run (the re-run protocol the reference enables):
-    * process rows in [previous watermark, now), then advance the stored
-    * watermark — each run sees exactly the delta. */
+    * rows in [previous watermark, now); the caller advances the watermark
+    * via `commit()` AFTER its action on the frame succeeds — at-least-once,
+    * never silent loss (the reference's page-DONE state is likewise only
+    * written after the sink ack, `worker.py:164-188`). */
   def incrementalRun(df: DataFrame, tsMillis: Column, store: WatermarkStore,
-      table: String, nowMillis: Long): DataFrame = {
+      table: String, nowMillis: Long): IncrementalBatch = {
     val lower = store.load(table).getOrElse(Long.MinValue)
-    store.save(table, nowMillis)
-    df.filter(tsMillis >= lit(lower) && tsMillis < lit(nowMillis))
+    val frame = df.filter(tsMillis >= lit(lower) && tsMillis < lit(nowMillis))
+    IncrementalBatch(frame, lower, nowMillis, store, table)
+  }
+
+  /** Run-and-commit convenience: applies `action` to the delta frame and
+    * advances the watermark only if it returns without throwing. */
+  def incrementalRunCommitted[T](df: DataFrame, tsMillis: Column,
+      store: WatermarkStore, table: String, nowMillis: Long)
+      (action: DataFrame => T): T = {
+    val batch = incrementalRun(df, tsMillis, store, table, nowMillis)
+    val out = action(batch.frame)
+    batch.commit()
+    out
   }
 
   /** Streaming scan of an events-shaped parquet directory — the unbounded

@@ -39,11 +39,12 @@ object IncrementalDemo {
     // incremental protocol: consecutive runs see disjoint deltas
     val store2 = new Incremental.WatermarkStore(
       Files.createTempDirectory("wm-inc").toString)
-    val d1 = Incremental.incrementalRun(ev, col("ts_ms"), store2, "events", wm).count()
-    val d2 = Incremental.incrementalRun(ev, col("ts_ms"), store2, "events",
-      9999999999999L).count()
-    val d3 = Incremental.incrementalRun(ev, col("ts_ms"), store2, "events",
-      9999999999999L).count()
+    val d1 = Incremental.incrementalRunCommitted(
+      ev, col("ts_ms"), store2, "events", wm)(_.count())
+    val d2 = Incremental.incrementalRunCommitted(
+      ev, col("ts_ms"), store2, "events", 9999999999999L)(_.count())
+    val d3 = Incremental.incrementalRunCommitted(
+      ev, col("ts_ms"), store2, "events", 9999999999999L)(_.count())
     println(s"DEMO incremental: deltas $d1 + $d2 = ${d1 + d2} of $total; rerun=$d3")
 
     // streaming: file source -> watermarked windows -> idempotent batches;

@@ -29,11 +29,30 @@ class StreamingSpec extends AnyFunSuite {
   test("incrementalRun: each run sees exactly the delta window") {
     val store = new Incremental.WatermarkStore(tmp("wm2").toString)
     val r1 = Incremental.incrementalRun(events, $"ts_ms", store, "t", 250L)
-    assert(r1.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(r1.frame.select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    r1.commit()
     val r2 = Incremental.incrementalRun(events, $"ts_ms", store, "t", 500L)
-    assert(r2.select("event_id").as[Long].collect().toSet == Set(3L, 4L))
+    assert(r2.frame.select("event_id").as[Long].collect().toSet == Set(3L, 4L))
+    r2.commit()
     val r3 = Incremental.incrementalRun(events, $"ts_ms", store, "t", 500L)
-    assert(r3.count() == 0)
+    assert(r3.frame.count() == 0)
+  }
+
+  test("incrementalRun: failed action leaves the watermark, window is re-read") {
+    val store = new Incremental.WatermarkStore(tmp("wm3").toString)
+    // a run whose action throws never commits -> no rows are lost
+    intercept[RuntimeException] {
+      Incremental.incrementalRunCommitted(events, $"ts_ms", store, "t", 250L) {
+        _ => throw new RuntimeException("sink down")
+      }
+    }
+    assert(store.load("t").isEmpty)
+    val retried = Incremental.incrementalRunCommitted(
+      events, $"ts_ms", store, "t", 250L) {
+      f => f.select("event_id").as[Long].collect().toSet
+    }
+    assert(retried == Set(1L, 2L))
+    assert(store.load("t").contains(250L))
   }
 
   test("flatMapGroupsWithState: custom per-user state over a stream equals batch counts") {
