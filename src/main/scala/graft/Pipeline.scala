@@ -59,9 +59,10 @@ object Pipeline {
     * watermark-ignored rows (observed metrics, read back from the action's
     * QueryExecution — no extra scan). */
   def withMetrics(df: DataFrame, watermarkCol: Option[String],
-      watermarkMillis: Option[Long]): DataFrame = {
+      watermarkMillis: Option[Long],
+      bundleName: String = "graft_metrics"): DataFrame = {
     val cols = metricCols(watermarkCol, watermarkMillis)
-    df.observe("graft_metrics", cols.head, cols.tail: _*)
+    df.observe(bundleName, cols.head, cols.tail: _*)
   }
 
   /** Observation-object variant for callers that read the metrics back

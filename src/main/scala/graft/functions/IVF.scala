@@ -71,19 +71,52 @@ object IVF {
     model
   }
 
-  /** Probe-limited ANN: rank the query's `nProbe` nearest cells, search only
-    * vectors assigned there, exact cosine ranking within. With nProbe = k
-    * this degrades gracefully to exact brute force (pinned by test). */
-  def search(df: DataFrame, vecCol: String, idCol: String, model: Model,
-      query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+  /** Land the corpus WITH its cell assignment, `partitionBy("ivf_cell")` —
+    * the 100 TB layout this file's scale story promises: each cell is a
+    * directory, so a probe-limited search is partition PRUNING (zero IO for
+    * unprobed cells), not a filter over a full scan. */
+  def writeIndexed(df: DataFrame, vecCol: String, idCol: String, model: Model,
+      path: String): Unit =
+    df.withColumn("ivf_cell", assign(col(vecCol), model))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+
+  /** Probe search over a [[writeIndexed]] layout: the cell predicate
+    * resolves against the partition column, so the scan's PartitionFilters
+    * excludes whole cell directories before any file IO (asserted by
+    * PlanSpec-style test). Ranking matches [[search]] exactly. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, model: Model, query: Seq[Float],
+      topK: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(model, query, nProbe)
+    val qArr = array(query.map(v => lit(v)): _*)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probes: _*))
+      .select(col(idCol), Similarity.cosine(col(vecCol), qArr).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** The query's `nProbe` nearest cells (squared-L2 to centroids, ties to
+    * the lower cell id). */
+  def probeCells(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {
     val q = query.map(_.toDouble)
     def dist2(c: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.size) { val d = q(i) - c(i); s += d * d; i += 1 }
       s
     }
-    val probes = model.centroids.zipWithIndex
+    model.centroids.zipWithIndex
       .map { case (c, j) => (dist2(c), j) }.sorted.take(nProbe).map(_._2)
+  }
+
+  /** Probe-limited ANN: rank the query's `nProbe` nearest cells, search only
+    * vectors assigned there, exact cosine ranking within. With nProbe = k
+    * this degrades gracefully to exact brute force (pinned by test). */
+  def search(df: DataFrame, vecCol: String, idCol: String, model: Model,
+      query: Seq[Float], topK: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(model, query, nProbe)
     val qArr = array(query.map(v => lit(v)): _*)
     df.withColumn("ivf_cell", assign(col(vecCol), model))
       .filter(col("ivf_cell").isin(probes: _*))

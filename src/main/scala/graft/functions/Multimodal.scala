@@ -93,9 +93,43 @@ object Multimodal {
         expr(s"substring($payloadCol, frame_idx * ${frameBytes * everyNth} + 1, $frameBytes)"))
   }
 
-  /** The real-decoder seam: partition-wise pass over (id, payload) with an
-    * arbitrary per-row decoder — where JNI/ImageIO would plug in. The stub
-    * "decoder" is a byte-sum, proving the batch shape without media libs. */
+  /** The real-decoder seam, Arrow-columnar form (the preferred seat): the
+    * decoder sees `VectorSchemaRoot` batches — ids in a BigIntVector,
+    * payloads in a VarBinaryVector read zero-copy — exactly the interface a
+    * vectorized JNI codec (libjpeg/FFmpeg) consumes. The stub "decode" is a
+    * byte-sum over each payload, proving the columnar plumbing (batch
+    * shape, per-batch iteration, null handling) without media libs.
+    * Output schema matches [[mapDecode]] so the two seams are
+    * interchangeable (pinned by the gate + ScalaTest). */
+  def mapDecodeArrow(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    val out = org.apache.spark.sql.GraftArrow.mapArrowBatches(in, batchSize) {
+      root =>
+        val ids = root.getVector(0).asInstanceOf[org.apache.arrow.vector.BigIntVector]
+        val payloads = root.getVector(1).asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+        (0 until root.getRowCount).iterator.map { i =>
+          val id = if (ids.isNull(i)) 0L else ids.get(i)
+          if (payloads.isNull(i)) (id, 0L, 0)
+          else {
+            // ??? <- real vectorized decoder goes here; deterministic stand-in:
+            val bytes = payloads.get(i)
+            var sum = 0L
+            var j = 0
+            while (j < bytes.length) { sum += bytes(j) & 0xff; j += 1 }
+            (id, sum, bytes.length)
+          }
+        }
+    }
+    out.toDF(idCol, "byte_sum", "byte_len")
+  }
+
+  /** The row-wise decoder seam ([[mapDecodeArrow]] is the columnar,
+    * preferred form): partition-wise pass over (id, payload) with an
+    * arbitrary per-row decoder — where a scalar JNI/ImageIO call would plug
+    * in. */
   def mapDecode(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -76,10 +76,19 @@ object Filters {
       skipWs()
       val field = readUntil(':')
       expect(':')
+      // a dangling operator or missing clause would otherwise swallow the
+      // following text into a bogus field name — malformed input must
+      // throw, never mis-parse
+      require(field.nonEmpty && !field.exists(_.isWhitespace),
+        s"invalid field name '$field' in solr query: $s")
       if (field == "*" ) { readTerm(); lit(true) } // *:* match-all
       else if (peek == '[') parseRange(field)
       else if (peek == '(') parseFieldGroup(field)
-      else termPredicate(field, readTerm())
+      else {
+        val term = readTerm()
+        require(term.nonEmpty, s"empty term for field '$field' in: $s")
+        termPredicate(field, term)
+      }
     }
 
     /** Lucene field grouping: `field:(a b c)` / `field:(a OR b)` — the terms

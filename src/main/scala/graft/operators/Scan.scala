@@ -57,6 +57,43 @@ object Scan {
       floor((row_number().over(w) - lit(1)) / lit(fetchSize)).cast("long"))
   }
 
+  /** SCALE-PATH page numbering: the same (orderCol-rank, fetchSize) page
+    * semantics as [[withPageNumber]] with no global window anywhere near the
+    * data. Plan shape:
+    *   1. bucket rows by `buckets` approx-quantile range bounds of orderCol
+    *      (one cheap stats pass; bounds are a driver-side array of doubles);
+    *   2. count rows per bucket (a `buckets`-row aggregate) and turn the
+    *      cumulative counts into a literal offset lookup;
+    *   3. rank within each bucket (Window PARTITIONED by bucket — fully
+    *      parallel) and add the bucket's offset.
+    * At 100 TB: step 1 is a sampled scan, step 2 shuffles `buckets` longs,
+    * step 3 is one range-shuffle — nothing ever serializes through a single
+    * task, unlike the global `row_number()` parity form. Requires a numeric
+    * orderCol (approxQuantile); ties across a bucket boundary cannot split
+    * because bucketing compares values, not positions. */
+  def withPageNumberScalable(df: DataFrame, orderCol: String, fetchSize: Int,
+      out: String = "page", buckets: Int = 32): DataFrame = {
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex
+      .map { case (b, _) => when(col(orderCol) > lit(b), 1).otherwise(0) }
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("_bkt", bucketExpr)
+    // per-bucket counts are metadata-sized (`buckets` rows): fold them into
+    // literal cumulative offsets rather than a join
+    val counts = withB.groupBy("_bkt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) { (acc, b) =>
+      acc + counts.getOrElse(b, 0L)
+    }.dropRight(1)
+    val offExpr = element_at(array(offsets.map(lit): _*), col("_bkt") + lit(1))
+    val w = Window.partitionBy(col("_bkt")).orderBy(col(orderCol))
+    withB.withColumn(out,
+        floor((row_number().over(w) + offExpr - lit(1)) / lit(fetchSize))
+          .cast("long"))
+      .drop("_bkt")
+  }
+
   /** scan_resume: drop rows belonging to pages already completed, and within
     * the first incomplete page drop records at or below the last committed
     * record offset (`worker.py:164-201`).

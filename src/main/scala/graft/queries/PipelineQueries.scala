@@ -422,7 +422,9 @@ object PipelineQueries {
              |FROM s ORDER BY doc_id""".stripMargin)),
 
     QueryDef("multimodal_decode",
-      (s, dir) => Multimodal.mapDecode(
+      // Arrow-columnar decode seam (the production seat); ScalaTest pins it
+      // row-identical to the row-wise mapDecode form
+      (s, dir) => Multimodal.mapDecodeArrow(
           Multimodal.attachBinary(Tables.documents(s, dir)), "doc_id", "payload")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,

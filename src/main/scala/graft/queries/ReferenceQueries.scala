@@ -55,6 +55,19 @@ object ReferenceQueries {
              |  AND NOT (CAST(floor((rn-1)/1000) AS BIGINT) = 2 AND rn - 2000 <= 500)
              |ORDER BY event_id""".stripMargin)),
 
+    QueryDef("scan_page_scalable",
+      // SCALE-PATH page numbering: same page semantics as the global-window
+      // parity form, computed via range buckets + per-bucket ranking — no
+      // single-partition window anywhere (the oracle IS the global form, so
+      // a green row proves the two agree row-for-row)
+      (s, dir) => Scan.withPageNumberScalable(
+          Tables.events(s, dir).select("event_id", "user_id"),
+          "event_id", fetchSize = 1000)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |       CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000) AS BIGINT) AS page
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- §2.2 projection / filters ----
     QueryDef("project_columns",
       (s, dir) => Scan.projectColumns(Tables.events(s, dir),
@@ -229,6 +242,30 @@ object ReferenceQueries {
              |  SELECT CAST(user_id AS VARCHAR) AS key,
              |         '{"id": ' || CAST(event_id AS VARCHAR) || ', "type": "' || event_type || '"}' AS value,
              |         CAST(([0,0,1,0])[CAST((row_number() OVER (ORDER BY event_id) - 1) % 4 + 1 AS INT)] AS INT) AS partition
+             |  FROM events)
+             |SELECT key, value, t.topic, partition
+             |FROM r CROSS JOIN (VALUES ('pfx-t1'), ('pfx-t2')) AS t(topic)
+             |ORDER BY topic, key, value""".stripMargin)),
+
+    QueryDef("sink_kafka_shape_hash",
+      // SCALE-PATH kafka shape: partition = stateless weighted key hash
+      // (no WRR row counter, no global window); oracle recomputes the md5
+      // slice, the weight-expanded lookup, and the full rendered layout
+      (s, dir) => Sinks.prepareKafkaScalable(
+          Tables.events(s, dir),
+          valueTemplate = "{[DQ]id[DQ]: %(event_id)s, [DQ]type[DQ]: [DQ]%(event_type)s[DQ]}",
+          keyTemplate = "%(user_id)s",
+          topics = Seq("t1", "t2"), topicPrefix = "pfx-",
+          partitionWeights = Some("0:3,1:1"))
+        .drop("headers")
+        .orderBy("topic", "key", "value"),
+      Some("""WITH r AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS key,
+             |         '{"id": ' || CAST(event_id AS VARCHAR) || ', "type": "' || event_type || '"}' AS value,
+             |         CAST(([0,0,0,1])[CAST(
+             |           list_reduce(list_transform(regexp_extract_all(substr(md5(CAST(user_id AS VARCHAR)), 25, 8), '.'),
+             |             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) % 4 + 1
+             |         AS INT)] AS INT) AS partition
              |  FROM events)
              |SELECT key, value, t.topic, partition
              |FROM r CROSS JOIN (VALUES ('pfx-t1'), ('pfx-t2')) AS t(topic)

@@ -47,13 +47,25 @@ object RelationalQueries {
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // Star join: broadcast dim (customer) x fact (orders) x fact (lineitem).
+    // Join order matters at every scale: orders is semi-reduced through the
+    // broadcast customer filter FIRST (~1/5 survives BUILDING), so the
+    // fact-fact join moves the reduced orders, not all of it. That join is
+    // hinted shuffle-hash with the build on the reduced side: the shape
+    // stays a partitioned fact-fact join at any scale (never a forced
+    // broadcast of fact data), and per-partition hash build on the smaller
+    // side beats sort-merge here. Measured at sf0.1: ~0.6s vs ~0.8s for the
+    // stats-picked plan (which broadcast-hashed all 600k lineitem rows) and
+    // ~1.4s for the unordered original. The groupBy key equals the join
+    // key, so the aggregation reuses the join's partitioning (no third
+    // shuffle).
     QueryDef("q3_join",
       (s, dir) => {
         val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
         val ord = Tables.orders(s, dir)
         val li = Tables.lineitem(s, dir)
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        val ordReduced = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        li.join(ordReduced.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderkey")
           .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
             (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))

@@ -43,23 +43,55 @@ object Sinks {
       headerTemplates: Seq[(String, String)] = Nil,
       partitionWeights: Option[String] = None,
       orderCol: Option[String] = None): DataFrame = {
-    val rendered = df
-      .withColumn("value", Templates.render(valueTemplate, col))
-      .withColumn("key", Templates.render(keyTemplate, col))
-      .withColumn("headers",
-        if (headerTemplates.isEmpty) lit(null).cast("map<string,string>")
-        else map(headerTemplates.flatMap { case (k, t) =>
-          Seq(lit(k), Templates.render(t, col)) }: _*))
+    val rendered = renderKafka(df, valueTemplate, keyTemplate, headerTemplates)
     val withPartition = (partitionWeights, orderCol) match {
       case (Some(cfg), Some(oc)) =>
         val rn = row_number().over(Window.orderBy(col(oc)))
         rendered.withColumn("partition", Partitioners.smoothAssign(rn, cfg))
       case _ => rendered.withColumn("partition", lit(null).cast("int"))
     }
-    withPartition
-      .withColumn("topic", explode(array(topics.map(t => lit(topicPrefix + t)): _*)))
-      .select("key", "value", "topic", "partition", "headers")
+    finishKafka(withPartition, topics, topicPrefix)
   }
+
+  /** SCALE-PATH kafka shape: identical `(key, value, topic, partition,
+    * headers)` layout, but `partition` is a stateless weighted hash of the
+    * record key ([[Partitioners.hashWeightedAssign]]) — the broker-side
+    * hash-partitioner seat, with the reference's weights respected in
+    * expectation. No row counter, no global window: the whole prepare is a
+    * narrow map, so it scales to any corpus and survives task retry
+    * unchanged. Use this form on any bench/production path; `prepareKafka`'s
+    * WRR form exists for exact reference parity. */
+  def prepareKafkaScalable(
+      df: DataFrame,
+      valueTemplate: String,
+      keyTemplate: String,
+      topics: Seq[String],
+      topicPrefix: String = "",
+      headerTemplates: Seq[(String, String)] = Nil,
+      partitionWeights: Option[String] = None): DataFrame = {
+    val rendered = renderKafka(df, valueTemplate, keyTemplate, headerTemplates)
+    val withPartition = partitionWeights match {
+      case Some(cfg) => rendered.withColumn("partition",
+        Partitioners.hashWeightedAssign(col("key"), cfg))
+      case None => rendered.withColumn("partition", lit(null).cast("int"))
+    }
+    finishKafka(withPartition, topics, topicPrefix)
+  }
+
+  private def renderKafka(df: DataFrame, valueTemplate: String,
+      keyTemplate: String, headerTemplates: Seq[(String, String)]): DataFrame =
+    df.withColumn("value", Templates.render(valueTemplate, col))
+      .withColumn("key", Templates.render(keyTemplate, col))
+      .withColumn("headers",
+        if (headerTemplates.isEmpty) lit(null).cast("map<string,string>")
+        else map(headerTemplates.flatMap { case (k, t) =>
+          Seq(lit(k), Templates.render(t, col)) }: _*))
+
+  private def finishKafka(df: DataFrame, topics: Seq[String],
+      topicPrefix: String): DataFrame =
+    df.withColumn("topic",
+        explode(array(topics.map(t => lit(topicPrefix + t)): _*)))
+      .select("key", "value", "topic", "partition", "headers")
 
   /** Write a Kafka-shaped frame to a real broker (zero-egress here; wiring
     * kept for production parity with `kafkaworker.py:24-56` producer config). */

@@ -104,6 +104,18 @@ object Incremental {
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked SESSION-window aggregation (gap-close semantics): event
+    * counts per (session, user), late rows beyond `delay` dropped — the
+    * streaming seat of the batch `window_session` catalog query. Sessions
+    * are Spark-managed state: fragments merge as events arrive and a
+    * session closes `gap` after its last event passes the watermark. */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts",
+      gap: String = "30 minutes", delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
   /** Idempotent per-batch sink: one output dir per batchId, skipped if it
     * already committed — the `foreachBatch` replay-suppression analogue of
     * the reference's page-DONE state (`worker.py:164-188`). */

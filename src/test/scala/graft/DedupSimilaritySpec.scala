@@ -167,6 +167,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probed.map(bruteRank) == probed.map(bruteRank).sorted) // order consistent
   }
 
+  test("IVF indexed layout: probe search prunes cell partitions, same results") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    IVF.writeIndexed(e, "embedding", "vec_id", model, dir)
+    val probed = IVF.searchIndexed(spark, dir, "embedding", "vec_id",
+      model, q, topK = 10, nProbe = 2)
+    // the cell predicate must resolve to partition pruning: whole unprobed
+    // cell directories excluded before any file IO
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"), plan)
+    // and ranking is identical to the in-memory probe search
+    val mem = IVF.search(e, "embedding", "vec_id", model, q, 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val idx = probed.select("vec_id").as[Long].collect().toSeq
+    assert(idx == mem)
+  }
+
   test("LSH near-dup pairs are a subset of exact near-dup pairs (verify step)") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001).filter($"vec_id" < 200)
     val lsh = Similarity.cosineNearDupPairs(e, "embedding", "vec_id", 0.3, nPlanes = 4)

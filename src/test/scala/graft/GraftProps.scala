@@ -78,4 +78,87 @@ object GraftProps extends Properties("graft") {
       val parsed = GraftConfig.parseSortBy(s)
       parsed == cols.map { case (c, d) => (c, !d.equalsIgnoreCase("desc")) }
     }
+
+  // ---- Solr parser properties ----
+
+  /** Random well-formed query ASTs; rendered with explicit parens +
+    * variable whitespace, and mirrored as the Column the parser must build. */
+  private sealed trait SolrQ
+  private case class STerm(f: String, t: String) extends SolrQ
+  private case class SPrefix(f: String, p: String) extends SolrQ
+  private case class SRange(f: String, lo: String, hi: String) extends SolrQ
+  private case class SGroup(f: String, ts: List[String]) extends SolrQ
+  private case class SAnd(a: SolrQ, b: SolrQ) extends SolrQ
+  private case class SOr(a: SolrQ, b: SolrQ) extends SolrQ
+  private case class SNot(a: SolrQ) extends SolrQ
+
+  private val solrIdent: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val solrLeaf: Gen[SolrQ] = Gen.oneOf(
+    Gen.zip(solrIdent, solrIdent).map { case (f, t) => STerm(f, t) },
+    Gen.zip(solrIdent, solrIdent).map { case (f, p) => SPrefix(f, p) },
+    Gen.zip(solrIdent, Gen.choose(0, 50), Gen.choose(51, 99)).map {
+      case (f, lo, hi) => SRange(f, lo.toString, hi.toString) },
+    Gen.zip(solrIdent, Gen.nonEmptyListOf(solrIdent).map(_.take(3))).map {
+      case (f, ts) => SGroup(f, ts) })
+
+  private def solrTree(depth: Int): Gen[SolrQ] =
+    if (depth <= 0) solrLeaf
+    else Gen.frequency(
+      3 -> solrLeaf,
+      1 -> Gen.zip(solrTree(depth - 1), solrTree(depth - 1)).map((SAnd.apply _).tupled),
+      1 -> Gen.zip(solrTree(depth - 1), solrTree(depth - 1)).map((SOr.apply _).tupled),
+      1 -> solrTree(depth - 1).map(SNot.apply))
+
+  private def renderSolr(q: SolrQ): String = q match {
+    case STerm(f, t) => s"$f:$t"
+    case SPrefix(f, p) => s"$f:$p*"
+    case SRange(f, lo, hi) => s"$f:[$lo TO $hi]"
+    case SGroup(f, ts) => s"$f:(${ts.mkString(" OR ")})"
+    case SAnd(a, b) => s"( ${renderSolr(a)} AND ${renderSolr(b)} )"
+    case SOr(a, b) => s"(${renderSolr(a)} OR ${renderSolr(b)})"
+    case SNot(a) => s"NOT (${renderSolr(a)})"
+  }
+
+  private def expectedSolr(q: SolrQ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    q match {
+      case STerm(f, t) => col(f) === lit(t)
+      case SPrefix(f, p) => col(f).startsWith(p)
+      case SRange(f, lo, hi) => (col(f) >= lit(lo)) && (col(f) <= lit(hi))
+      case SGroup(f, ts) =>
+        ts.map(t => col(f) === lit(t): org.apache.spark.sql.Column).reduce(_ || _)
+      case SAnd(a, b) => expectedSolr(a) && expectedSolr(b)
+      case SOr(a, b) => expectedSolr(a) || expectedSolr(b)
+      case SNot(a) => !expectedSolr(a)
+    }
+  }
+
+  property("solr parser: any well-formed query parses to the exact predicate") =
+    forAll(solrTree(3)) { q =>
+      val parsed = graft.operators.Filters.solrPredicate(renderSolr(q))
+      parsed.toString == expectedSolr(q).toString
+    }
+
+  property("solr parser: malformed input throws, never mis-parses") = {
+    val malformed = for {
+      f <- solrIdent; t <- solrIdent
+      bad <- Gen.oneOf(
+        s"($f:$t",            // unbalanced paren
+        s"$f:[1 TO",          // unterminated range
+        s"$f:$t AND",         // dangling operator
+        s"$f:$t OR OR $f:$t", // doubled operator
+        s":$t",               // empty field
+        s"$f:",               // empty term
+        s"$f:()",             // empty field group
+        s"""$f:"$t""",        // unterminated quote
+        s"$f:$t $f:$t")       // two clauses, no operator
+    } yield bad
+    forAll(malformed) { s =>
+      Prop(scala.util.Try(graft.operators.Filters.solrPredicate(s)).isFailure)
+    }
+  }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.GraftArrow
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Arrow columnar decode seam: batch shape, parity with the row-wise
+  * seam, and null payload handling. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def docs = Multimodal.attachBinary(
+    Tables.documents(spark, GraftTestSpark.Sf0001))
+
+  test("mapDecodeArrow == mapDecode row for row (columnar seam parity)") {
+    val arrow = Multimodal.mapDecodeArrow(docs, "doc_id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    val rowwise = Multimodal.mapDecode(docs, "doc_id", "payload")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(arrow.nonEmpty)
+    assert(arrow == rowwise)
+  }
+
+  test("mapArrowBatches: batches respect batchSize and cover every row") {
+    val in = docs.select($"doc_id".cast("long"), $"payload")
+    val total = in.count()
+    val batchRows = GraftArrow.mapArrowBatches(in, batchSize = 64) { root =>
+      Iterator.single(root.getRowCount)
+    }.collect()
+    assert(batchRows.forall(n => n > 0 && n <= 64), batchRows.toSeq)
+    assert(batchRows.map(_.toLong).sum == total)
+  }
+
+  test("mapDecodeArrow: null payloads decode to (id, 0, 0)") {
+    val in = Seq((1L, "ab"), (2L, null), (3L, "")).toDF("doc_id", "txt")
+      .withColumn("payload", $"txt".cast("binary")).drop("txt")
+    val out = Multimodal.mapDecodeArrow(in, "doc_id", "payload")
+      .as[(Long, Long, Int)].collect().toMap2
+    assert(out(1L) == (('a'.toInt + 'b'.toInt).toLong, 2))
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((0L, 0)))
+  }
+
+  private implicit class TupleOps(rows: Array[(Long, Long, Int)]) {
+    def toMap2: Map[Long, (Long, Int)] =
+      rows.map { case (a, b, c) => a -> (b, c) }.toMap
+  }
+}

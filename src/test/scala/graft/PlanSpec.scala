@@ -35,9 +35,12 @@ class PlanSpec extends AnyFunSuite {
       !readSchema.contains("user_id"), readSchema)
   }
 
-  test("q3_join: dims broadcast, top-10 planned as TakeOrderedAndProject") {
+  test("q3_join: dim broadcast, fact-fact stays a partitioned join, top-10 TakeOrdered") {
     val p = planOf("q3_join")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // customer dim
+    // the lineitem x reduced-orders join must NOT broadcast fact data:
+    // partitioned shuffled-hash with the build on the semi-reduced side
+    assert(p.contains("ShuffledHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
@@ -71,5 +74,29 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
     // count(*) needs no data columns
     assert(readSchema.exists(s => s.contains("struct<>")), p)
+  }
+
+  /** The documented reference-parity operators that model an inherently
+    * sequential counter (the reference's global page/WRR state). Each has a
+    * scale-path sibling in the catalog; nothing else may plan a
+    * single-partition window. */
+  private val GlobalWindowParityQueries = Set(
+    "scan_resume", "sink_kafka_shape",
+    "partition_rr_basic", "partition_rr_smooth", "partition_rr_weighted")
+
+  test("no single-partition WindowExec outside the documented parity set") {
+    // collected from the optimized logical plan: AQE wraps the physical one
+    // in AdaptiveSparkPlanExec, which hides its subtree from collect
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Catalog.all.flatMap { d =>
+      val plan = d.fn(spark, GraftTestSpark.Sf0001).queryExecution.optimizedPlan
+      val global = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(d.name) else None
+    }.toSet
+    assert(offenders == GlobalWindowParityQueries,
+      s"unexpected global-window queries: ${offenders -- GlobalWindowParityQueries}; " +
+        s"missing expected: ${GlobalWindowParityQueries -- offenders}")
   }
 }

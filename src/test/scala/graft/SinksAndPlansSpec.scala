@@ -34,6 +34,36 @@ class SinksAndPlansSpec extends AnyFunSuite {
     assert(partitions == Seq(0, 0, 1)) // alice,bob,carol = rows 1,2,3
   }
 
+  test("hashWeightedAssign: weight shares honored in expectation, no window") {
+    import graft.operators.Partitioners
+    val keys = spark.range(10000).select($"id".cast("string").as("k"))
+    val counts = keys
+      .withColumn("p", Partitioners.hashWeightedAssign($"k", "0:3,1:1"))
+      .groupBy("p").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet == Set(0, 1))
+    val share0 = counts(0).toDouble / 10000
+    // weight 3 of 4 = 0.75 expected; binomial sd ~0.004 -> +-0.03 is >6 sigma
+    assert(math.abs(share0 - 0.75) < 0.03, s"partition-0 share $share0")
+    // narrow map: planning it must introduce no WindowExec at all
+    val plan = keys.withColumn("p",
+      Partitioners.hashWeightedAssign($"k", "0:3,1:1"))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("withPageNumberScalable == sequential withPageNumber, row for row") {
+    import graft.operators.Scan
+    val events = graft.sources.Tables.events(spark, GraftTestSpark.Sf0001)
+      .select("event_id")
+    val seq = Scan.withPageNumber(events, "event_id", 17)
+      .select("event_id", "page").as[(Long, Long)].collect().toMap
+    val par = Scan.withPageNumberScalable(events, "event_id", 17)
+      .select("event_id", "page").as[(Long, Long)].collect().toMap
+    assert(par.size == seq.size)
+    assert(par == seq)
+  }
+
   test("writeSingleJsonFile: header, separator, footer in one file (jsonworker.py parity)") {
     val dir = Files.createTempDirectory("jsonsink")
     Sinks.writeSingleJsonFile(df.orderBy("id"), dir.toString,

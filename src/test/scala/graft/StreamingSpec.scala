@@ -167,6 +167,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamUnmatched > 0 && streamUnmatched <= batchUnmatched)
   }
 
+  test("streaming session_window equals batch sessions (single AvailableNow pass)") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val srcDir = tmp("sess-src")
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    ev.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val ckpt = tmp("sess-ckpt")
+    // session windows support append mode only: a session emits once the
+    // watermark passes its close. Run once over the real data, then push a
+    // far-future sentinel event through the SAME checkpoint so the advanced
+    // watermark closes every real session (also proves session state
+    // survives restart).
+    val outDir = tmp("sess-out")
+    def runPass(): Unit = {
+      val stream = Incremental.readEventsStream(spark, srcDir.toString, schema,
+        maxFilesPerTrigger = 100000)
+      val q = Incremental.sessionCounts(stream, gap = "30 minutes",
+          delay = "0 seconds")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir.toString)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runPass()
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(
+          ev.schema.fields.map {
+            case f if f.name == "ts" =>
+              new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)
+            case f if f.name == "user_id" => -1L
+            case f => null
+          }.toSeq))), ev.schema)
+      .write.mode("append").parquet(srcDir.toString)
+    runPass()
+    val streamed = spark.read.parquet(outDir.toString)
+      .filter(col("user_id") =!= -1L)
+      .select(col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("user_id"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("long").as("s"),
+        col("session_window.end").cast("long").as("e"), col("user_id"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming watermarked window agg over file source + idempotent foreachBatch") {
     val srcDir = tmp("stream-src")
     val outDir = tmp("stream-out")
