@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * implementation in cannot change any query result.
   */
 case class VecDot(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -72,6 +72,30 @@ case class VecDot(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      val n = ctx.freshName("vdN")
+      val i = ctx.freshName("vdI")
+      val acc = ctx.freshName("vdAcc")
+      val va = CodeGenerator.getValue(a, elemType(left), i)
+      val vb = CodeGenerator.getValue(b, elemType(right), i)
+      // same sequential double fold as the interpreted path — bit-identical
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $va) * ((double) $vb);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   private def numeric(arr: ArrayData, t: DataType, i: Int): Double = t match {
     case FloatType => arr.getFloat(i).toDouble

@@ -81,6 +81,10 @@ object RelationalQueries {
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
     // 5-way join through two broadcast dims + supplier co-nation condition.
+    // The one fact-fact join (lineitem x orders) is hinted shuffle-hash —
+    // without it, sf0.1 stats broadcast the orders FACT, a plan that dies at
+    // 100 TB; the partitioned-hash shape holds at any scale and the dims
+    // stay explicit broadcasts.
     QueryDef("q5_join_agg",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
@@ -88,7 +92,7 @@ object RelationalQueries {
         val cust = Tables.customer(s, dir)
         val supp = Tables.supplier(s, dir)
         val nat = Tables.nation(s, dir)
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(cust),
             col("o_custkey") === col("c_custkey") &&

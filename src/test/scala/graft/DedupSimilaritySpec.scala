@@ -86,6 +86,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hof == native)
   }
 
+  test("vec_dot NULL semantics == HOF form: length mismatch and null elements") {
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)), // 11.0
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),      // null
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0))) // null
+    val df = rows.toDF("a", "b")
+    val hof = df.select(aggregate(zip_with($"a", $"b",
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .as[Option[Double]].collect().toSeq
+    val native = df.select(Similarity.dot($"a", $"b").as("d"))
+      .as[Option[Double]].collect().toSeq
+    assert(native == hof)
+    assert(native == Seq(Some(11.0), None, None))
+  }
+
   test("simhash: identical docs get identical hashes; near dups are close") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
