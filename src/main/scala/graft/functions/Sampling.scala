@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * A 100 TB corpus is mixed, not dumped: each source/language stratum
+  * contributes at a configured rate ("mixing weights"). The selection here
+  * is a pure hash of the record key — a narrow map with no RNG state, no
+  * shuffle, no driver coordination:
+  *
+  *  - retry-safe and incremental: a task retry or a later re-run over the
+  *    same rows keeps exactly the same sample (Bernoulli RNG sampling does
+  *    not survive either);
+  *  - auditable: membership is recomputable from the key by any engine
+  *    (the md5-slice is plain SQL, so the correctness gate verifies the
+  *    exact sample, not just its size);
+  *  - composable: raising a stratum's rate keeps the previous sample as a
+  *    subset (hash thresholds nest), which is how mixing weights are tuned
+  *    without resampling the world.
+  */
+object Sampling {
+
+  /** Uniform 32-bit slice of md5(key) — hex chars 25..32, the same slice
+    * [[graft.operators.Partitioners.hashWeightedAssign]] uses. */
+  def hashSlice32(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 25, 8), 16, 10).cast("long")
+
+  /** Keep-predicate: hash(key) < rate * 2^32, per-stratum rates with a
+    * default. Rates are fractions in [0, 1]. */
+  def stratifiedKeep(key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    def threshold(r: Double): Long = math.round(r * 4294967296.0)
+    val thresholdCol = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === lit(s), lit(threshold(r))).otherwise(acc)
+    }
+    hashSlice32(key) < thresholdCol
+  }
+
+  /** Stratified deterministic sample of `df`. */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame =
+    df.filter(stratifiedKeep(col(keyCol), col(strataCol), rates, defaultRate))
+}

@@ -79,4 +79,22 @@ object TextAnalysis {
 
   /** Rolling-hash document fingerprint (custom codegen expression). */
   def fingerprint(text: Column): Column = RollingHash(text)
+
+  /** Repetition ratio (corpus-filtering signal à la the published duplicate
+    * n-gram filters): fraction of word k-grams that are repeats of an
+    * earlier k-gram in the same document, 0 for documents shorter than k
+    * words. Narrow per-document map — [[graft.plans.WordShingles]] emits the
+    * distinct k-grams in one pass; total k-grams = n_tokens - k + 1. */
+  def repetitionRatio(text: Column, k: Int): Column = {
+    val totalGrams = greatest(tokenCountWs(text) - lit(k - 1), lit(0))
+    val distinctGrams = size(graft.functions.Dedup.shingles(text, k))
+    when(totalGrams <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctGrams.cast("double") / totalGrams)
+  }
+
+  /** Canonical text normalization for dedup/filter preprocessing: trim,
+    * lowercase, collapse internal whitespace runs. Narrow map, fused into
+    * the scan. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), " +", " ")
 }

@@ -135,6 +135,12 @@ object PipelineQueries {
       |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
       |  ELSE [text] END)""".stripMargin
 
+  /** Mixing weights for the `sample_stratified` gate query (ListMap: the
+    * CASE chain must fold in a stable order in both engines). */
+  private val StratRates = scala.collection.immutable.ListMap(
+    "en" -> 0.5, "zh" -> 0.25)
+  private val StratDefault = 0.1
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
@@ -208,6 +214,51 @@ object PipelineQueries {
              |    ELSE [text] END)) AS gram
              |  FROM documents)
              |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)),
+
+    QueryDef("text_repetition",
+      // duplicate-3-gram fraction, the corpus-filtering repetition signal
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
+              |       ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
+              |              / (len(string_split(text,' ')) - 2) END AS rep3
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_normalize",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"),
+          (length(col("text")) - length(TextAnalysis.normalize(col("text"))))
+            .as("n_saved"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm,
+             |  CAST(length(text) - length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS INT) AS n_saved
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("sample_stratified",
+      // deterministic mixing-weight sampling: membership is a pure hash of
+      // the key, so the oracle verifies the EXACT sample, not just its size
+      (s, dir) => graft.functions.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          rates = StratRates, defaultRate = StratDefault)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some {
+        def th(r: Double): Long = math.round(r * 4294967296.0)
+        val cases = StratRates.map { case (l, r) =>
+          s"WHEN lang = '$l' THEN ${th(r)}"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE list_reduce(list_transform(
+           |    regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+           |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)
+           |  < CASE $cases ELSE ${th(StratDefault)} END
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // ---- dedup ----
     QueryDef("dedup_exact",

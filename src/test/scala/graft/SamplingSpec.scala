@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.Sampling
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic hash sampling: nesting, rate accuracy, stability. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def keys = spark.range(20000).select($"id".cast("string").as("k"))
+    .withColumn("stratum", lit("s"))
+
+  test("hash thresholds nest: raising a rate keeps the old sample as subset") {
+    def sample(rate: Double) = Sampling.stratifiedSample(
+      keys.toDF(), "k", "stratum", Map.empty, rate)
+      .select("k").as[String].collect().toSet
+    val s25 = sample(0.25)
+    val s50 = sample(0.50)
+    assert(s25.subsetOf(s50))
+    assert(s25.nonEmpty && s50.size > s25.size)
+  }
+
+  test("sample fraction tracks the configured rate (uniform hash)") {
+    val n = keys.count().toDouble
+    val got = Sampling.stratifiedSample(keys.toDF(), "k", "stratum",
+      Map.empty, 0.3).count() / n
+    // binomial sd at n=20k, p=0.3 is ~0.0032 -> ±0.02 is >6 sigma
+    assert(math.abs(got - 0.3) < 0.02, s"sampled fraction $got")
+  }
+
+  test("per-stratum rates apply to the right strata, deterministically") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val rates = Map("en" -> 1.0, "zh" -> 0.0)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of the keys
+    val byLang = Sampling.stratifiedSample(docs, "doc_id", "lang", rates, 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allEn = docs.filter($"lang" === "en").count()
+    assert(byLang.getOrElse("en", 0L) == allEn) // rate 1.0 keeps everything
+    assert(!byLang.contains("zh"))              // rate 0.0 keeps nothing
+  }
+}
