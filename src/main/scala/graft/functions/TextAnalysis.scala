@@ -97,4 +97,28 @@ object TextAnalysis {
     * the scan. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), " +", " ")
+
+  /** Fixed-window word chunking with overlap — the training-sample prep
+    * step: one output row per chunk of `width` words, windows advancing by
+    * `stride` (stride < width = overlapping context). Chunk count for n
+    * tokens is ceil((n - width) / stride) + 1 (1 when n <= width), written
+    * as explicit floor arithmetic so any engine computes the same windows.
+    * Explode-then-project: the blow-up is bounded by width/stride, and each
+    * chunk row is independent — exactly what a distributed tokenize-and-pack
+    * stage consumes at 100 TB. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = when(n <= width, lit(1))
+      .otherwise(floor((n - lit(width) + lit(stride - 1)) / lit(stride))
+        .cast("int") + lit(1))
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0), col("_nc") - lit(1))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"), col("chunk_idx") * lit(stride) + lit(1),
+          lit(width)), " ").as("chunk_text"))
+  }
 }

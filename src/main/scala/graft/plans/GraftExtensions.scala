@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       wordShinglesBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      simHashBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      vecDotBuilder))
     // the custom-operator strategy rides the same extension entry point, so
     // a session built with spark.sql.extensions=graft.plans.GraftExtensions
     // plans TopKPerKey nodes without any runtime registration
@@ -49,9 +57,21 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("word_shingles(str, k)")
   }
 
+  val simHashBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => SimHash64(c)
+    case _ => throw new IllegalArgumentException("simhash64(str)")
+  }
+
+  val vecDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDot(a, b)
+    case _ => throw new IllegalArgumentException("vec_dot(arr, arr)")
+  }
+
   /** Runtime registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftSql.registerFunction(spark, "rolling_hash", rollingHashBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "word_shingles", wordShinglesBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "simhash64", simHashBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "vec_dot", vecDotBuilder)
   }
 }

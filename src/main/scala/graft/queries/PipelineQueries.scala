@@ -260,6 +260,23 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("text_chunk",
+      // fixed-window word chunking with overlap (width 32, stride 24) —
+      // the tokenize-and-pack prep stage; oracle recomputes every window
+      (s, dir) => TextAnalysis.chunk(Tables.documents(s, dir),
+          "doc_id", "text", width = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+             |               len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, t,
+             |        CASE WHEN n <= 32 THEN 1
+             |             ELSE CAST(floor((n - 32 + 23) / 24) AS INT) + 1 END AS nc
+             |      FROM d),
+             |e AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS ci FROM c)
+             |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             |       array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+             |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ---- dedup ----
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")

@@ -195,10 +195,38 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("+- Sort"), plan)
   }
 
-  test("SQL function registration: rolling_hash and word_shingles usable from SQL") {
+  test("SQL function registration: all four native expressions usable from SQL") {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
     assert(spark.sql("SELECT size(word_shingles('a b c d', 3))").head.getInt(0) == 2)
     assert(spark.sql("SELECT rolling_hash('abc', 31, 97)").head.getLong(0) == 96354L % 97)
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head.getDouble(0) == 11.0)
+    // must equal the expression form used by the dedup operators
+    val viaSql = spark.sql("SELECT simhash64('a b c')").head.getLong(0)
+    val viaExpr = Seq("a b c").toDF("t")
+      .select(graft.plans.SimHash64($"t")).head.getLong(0)
+    assert(viaSql == viaExpr)
+  }
+
+  test("TextAnalysis.chunk: windows cover every token at the right offsets") {
+    import graft.functions.TextAnalysis
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, "doc_id", "text", width = 32, stride = 24)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text").as[(Int, String)].collect()
+    val toks = text.split(" ")
+    // ceil((100-32)/24)+1 = 4 windows
+    assert(chunks.length == 4)
+    chunks.foreach { case (i, c) =>
+      assert(c == toks.slice(i * 24, i * 24 + 32).mkString(" "))
+    }
+    // stride < width: every token appears in at least one window
+    assert(chunks.flatMap(_._2.split(" ")).toSet == toks.toSet)
+    // short doc: single chunk, whole text
+    val short = TextAnalysis.chunk(Seq((2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", 32, 24).select("chunk_text").as[String].collect()
+    assert(short.toSeq == Seq("a b"))
   }
 }
