@@ -14,9 +14,10 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "scan_full", "filter_solr", "q1_agg", "q3_join", "q5_join_agg",
     "window_rank", "topk_per_key", "distinct_agg", "topk", "dedup_exact", "dedup_minhash",
-    "dedup_simhash_pairs", "cosine_topk", "ann_ivf_topk", "embedding_near_dup_lsh",
-    "text_lang_id", "text_quality", "token_count", "doc_fingerprint",
-    "sink_kafka_shape", "multimodal_decode")
+    "dedup_simhash_pairs", "cosine_topk", "cosine_topk_quantized", "ann_ivf_topk",
+    "embedding_near_dup_lsh", "text_lang_id", "text_quality", "token_count",
+    "doc_fingerprint", "sink_kafka_shape", "multimodal_decode",
+    "scan_page_scalable", "sample_stratified", "text_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

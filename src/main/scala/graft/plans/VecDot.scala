@@ -103,6 +103,7 @@ case class VecDot(left: Expression, right: Expression)
     case IntegerType => arr.getInt(i).toDouble
     case LongType => arr.getLong(i).toDouble
     case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
     case other => throw new IllegalArgumentException(
       s"vec_dot: unsupported element type $other")
   }

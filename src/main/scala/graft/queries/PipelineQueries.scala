@@ -363,6 +363,38 @@ object PipelineQueries {
               |FROM embeddings CROSS JOIN q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
+    QueryDef("cosine_topk_quantized",
+      // int8-quantized similarity (4x smaller vectors): top-k by rescaled
+      // integer dot product; oracle recomputes quantization + MAC in SQL
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val qRow = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val qq = Similarity.quantizeInt8Const(qRow)
+        e.select(col("vec_id"),
+            Similarity.quantizeInt8(col("embedding")).as("qv"))
+          .select(col("vec_id"),
+            Similarity.dotQuantized(col("qv"), qq).as("qdot"))
+          .orderBy(col("qdot").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, embedding,
+              |         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma
+              |  FROM embeddings),
+              |qv AS (
+              |  SELECT vec_id,
+              |         CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale,
+              |         list_transform(embedding,
+              |           v -> floor(CAST(v AS DOUBLE) * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END) + 0.5)) AS q
+              |  FROM sc),
+              |qq AS (SELECT scale AS qs, q AS qvec FROM qv WHERE vec_id = 0)
+              |SELECT v.vec_id,
+              |  CASE WHEN v.scale > 0 AND qq.qs > 0
+              |       THEN ${dotSql("v.q", "qq.qvec")} / (v.scale * qq.qs)
+              |       ELSE 0.0 END AS qdot
+              |FROM qv v CROSS JOIN qq
+              |ORDER BY qdot DESC, vec_id LIMIT 20""".stripMargin)),
+
     QueryDef("embedding_near_dup",
       // exact brute force on a bounded id range (oracle-checkable shape)
       (s, dir) => {

@@ -203,6 +203,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(idx == mem)
   }
 
+  test("int8 quantized dot tracks the exact dot: bounded error, high recall") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
+    val qArr = array(q.map(v => lit(v)): _*)
+    val both = e.select($"vec_id",
+        Similarity.dot($"embedding", qArr).as("exact"),
+        Similarity.dotQuantized(
+          Similarity.quantizeInt8($"embedding"),
+          Similarity.quantizeInt8(qArr)).as("quant"))
+      .as[(Long, Double, Double)].collect()
+    // int8 symmetric quantization: relative error within a few percent of
+    // the vector magnitude product
+    val norms = both.map { case (_, ex, qd) => math.abs(ex - qd) }
+    val maxAbs = both.map(t => math.abs(t._2)).max
+    assert(norms.max <= 0.05 * math.max(maxAbs, 1.0), s"max err ${norms.max}")
+    // ranking mostly preserved: exact top-20 vs quantized top-20 overlap
+    val exactTop = both.sortBy(t => (-t._2, t._1)).take(20).map(_._1).toSet
+    val quantTop = both.sortBy(t => (-t._3, t._1)).take(20).map(_._1).toSet
+    assert((exactTop & quantTop).size >= 15, s"overlap ${(exactTop & quantTop).size}")
+  }
+
   test("LSH near-dup pairs are a subset of exact near-dup pairs (verify step)") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001).filter($"vec_id" < 200)
     val lsh = Similarity.cosineNearDupPairs(e, "embedding", "vec_id", 0.3, nPlanes = 4)
