@@ -75,14 +75,24 @@ object Dedup {
   /** Mersenne prime 2^31-1: keeps a*h+b within a long. */
   val MinhashPrime: Long = 2147483647L
 
-  /** MinHash signatures as (id, sig array<long>), computed the scale-correct
-    * way: explode shingles, then ONE custom sketch aggregate
-    * ([[graft.plans.MinHashAgg]]) that hashes each (doc, shingle) once and
-    * updates all numHashes minima in a single buffer — one shuffle keyed by
-    * doc id with map-side partial merge. The naive form — numHashes
-    * `transform` passes inlined over the shingle expression — rehashes every
-    * shingle numHashes times; at 100 TB that's one scan versus sixteen. */
+  /** MinHash signatures as (id, sig array<long>): ONE narrow native
+    * expression per document ([[graft.plans.MinHashSig]] — tokenize,
+    * shingle, hash, all minima in a single pass), fused into the scan with
+    * NO shuffle. A signature is a pure per-document function, so at 100 TB
+    * nothing should move for this stage; the banding join downstream is the
+    * only exchange in the dedup pipeline. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.plans.MinHashSig(col(textCol), k, numHashes).as("sig"))
+
+  /** Aggregation form of [[minhashSignatures]] for inputs that arrive
+    * already exploded to (id, shingle) rows: ONE custom sketch aggregate
+    * ([[graft.plans.MinHashAgg]]) that hashes each shingle once and updates
+    * all numHashes minima in a single buffer — one shuffle keyed by doc id
+    * with map-side partial merge (vs numHashes separate `min()`s each
+    * rehashing). Bit-identical to the expression form; pinned by test. */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("_sh"))
       .groupBy(col("id"))

@@ -47,13 +47,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
-  test("MinHashAgg custom aggregate == relational min() formulation, bit for bit") {
-    val agg = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+  test("minhash signature: expression == aggregate == relational, bit for bit") {
+    val expr = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", 3, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val rel = Dedup.minhashSignaturesRelational(docs, "doc_id", "text", 3, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(agg == rel && agg.size == 6)
-    assert(agg(1L) == agg(2L)) // identical docs, identical signatures
+    assert(expr == rel && expr.size == 6)
+    assert(expr == agg)
+    assert(expr(1L) == expr(2L)) // identical docs, identical signatures
   }
 
   test("minhash candidates match exact jaccard pairs on real documents (recall)") {
