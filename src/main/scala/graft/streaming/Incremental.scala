@@ -116,6 +116,16 @@ object Incremental {
       .groupBy(session_window(col(tsCol), gap), col("user_id"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the streaming seat of `dedup_exact`: drop
+    * re-deliveries of the same key within the watermark horizon. State is
+    * keyed by `idCols` and expired by the watermark, so it cannot grow
+    * unboundedly (the property that makes streaming dedup viable at all at
+    * 100 TB — an unwatermarked dropDuplicates keeps every key forever). */
+  def streamingDedup(df: DataFrame, idCols: Seq[String], tsCol: String = "ts",
+      delay: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Idempotent per-batch sink: one output dir per batchId, skipped if it
     * already committed — the `foreachBatch` replay-suppression analogue of
     * the reference's page-DONE state (`worker.py:164-188`). */

@@ -222,6 +222,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup: re-delivered rows dropped within the watermark") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    val srcDir = tmp("dedup-src")
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001).select("event_id", "ts")
+    // the same rows land twice (two files) — a redelivery/replay
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    ev.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    assert(spark.read.parquet(srcDir.toString).count() == ev.count() * 2)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val outDir = tmp("dedup-out")
+    val q = Incremental.streamingDedup(
+        Incremental.readEventsStream(spark, srcDir.toString, schema,
+          maxFilesPerTrigger = 100000),
+        idCols = Seq("event_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("dedup-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir.toString)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() == ev.count())
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
   test("streaming watermarked window agg over file source + idempotent foreachBatch") {
     val srcDir = tmp("stream-src")
     val outDir = tmp("stream-out")
