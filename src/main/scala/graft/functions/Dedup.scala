@@ -155,6 +155,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The surviving corpus after near-dup removal: greedy keep-lowest-id —
+    * a document is dropped iff it appears as the HIGHER id of some
+    * near-dup pair. One anti-join against the pair set (which LSH keeps
+    * tiny), no connected components: transitive chains keep their lowest
+    * member and may keep later members whose only link was through a
+    * removed doc — the standard one-pass trade, stated in the contract. */
+  def minhashSurvivors(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5,
+      bandRows: Int = 2): DataFrame = {
+    val dropped = minhashDedupPairs(df, idCol, textCol, k, numHashes,
+      threshold, bandRows).select(col("id_b").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff the

@@ -311,6 +311,31 @@ object PipelineQueries {
               |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("dedup_minhash_rows",
+      // the surviving corpus (greedy keep-lowest-id over near-dup pairs);
+      // oracle recomputes the pair set exactly (exact Jaccard — LSH recall
+      // is 1 at this threshold/banding, pinned in ScalaTest) and anti-joins
+      (s, dir) => Dedup.minhashSurvivors(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, numHashes = 16, threshold = 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |dropped AS (
+              |  SELECT DISTINCT id_b FROM pairs
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+              |SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+              |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("dedup_ngram_jaccard",
       // exact all-pairs Jaccard, blocked by source to bound the quadratic
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir),

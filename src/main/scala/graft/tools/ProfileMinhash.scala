@@ -25,6 +25,11 @@ object ProfileMinhash {
     val nc = t("candidates")(Dedup.minhashCandidates(docs, "doc_id", "text", 3, 16).count())
     println(s"PROF candidate pairs = $nc")
     t("full pipeline")(Dedup.minhashDedupPairs(docs, "doc_id", "text").count())
+    // simhash stages
+    t("simhash sigs a")(Dedup.simhash(docs, "doc_id", "text").count())
+    t("simhash sigs b")(Dedup.simhash(docs, "doc_id", "text").count())
+    t("simhash pairs a")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+    t("simhash pairs b")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
     spark.stop()
   }
 }
