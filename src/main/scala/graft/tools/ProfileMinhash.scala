@@ -30,6 +30,9 @@ object ProfileMinhash {
     t("simhash sigs b")(Dedup.simhash(docs, "doc_id", "text").count())
     t("simhash pairs a")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
     t("simhash pairs b")(Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
+    // exact-then-near composition (the duplicate-heavy-corpus defense)
+    t("exact then near")(
+      Dedup.nearDupPairsAfterExact(docs, "doc_id", "text").count())
     spark.stop()
   }
 }

@@ -59,6 +59,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expr(1L) == expr(2L)) // identical docs, identical signatures
   }
 
+  test("exact-then-near pipeline: duplicated corpus yields the original's pairs") {
+    import org.apache.spark.sql.DataFrame
+    // replicate every doc with offset ids: exact dedup must collapse each
+    // clique to its lowest (original) id, so near-dup pairs equal the
+    // pairs of the original corpus
+    def dup(df: DataFrame, n: Int): DataFrame =
+      (0 until n).map(i => df.withColumn("doc_id", $"doc_id" + lit(i * 1000L)))
+        .reduce(_ unionAll _)
+    val base = Tables.documents(spark, GraftTestSpark.Sf0001).limit(100)
+    val pairsOrig = Dedup.minhashDedupPairs(base, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsDup = Dedup.nearDupPairsAfterExact(dup(base, 5), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsDup == pairsOrig)
+  }
+
   test("minhash candidates match exact jaccard pairs on real documents (recall)") {
     val d = Tables.documents(spark, GraftTestSpark.Sf0001).limit(200)
       .withColumn("blk", lit(1))
