@@ -76,6 +76,34 @@ object Joins {
       .select(outLeftCols ++ outRightCols: _*)
   }
 
+  /** Binned range join: every (left, right) pair with the same `key` and
+    * `rightTs` in [leftTs, leftTs + window) — WITHOUT the
+    * BroadcastNestedLoop/cartesian Spark plans for a raw inequality join.
+    *
+    * Both timestamps bin at `window` granularity; a right row inside a left
+    * row's window lies in the left row's bin or the next one, so the left
+    * side explodes into exactly 2 (key, bin) tuples, the join is a plain
+    * equi-join on (key, bin), and the exact inequality filters the
+    * false-positive half-bin. At 100 TB: shuffle moves each row at most
+    * twice, partitioned by (key, bin) — candidate count is bounded by
+    * window density, never |L| x |R|. (The manual form of the bin-overlap
+    * range-join optimizations published for Spark-family engines.)
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTsMillis: String, rightTsMillis: String,
+      windowMillis: Long): DataFrame = {
+    require(windowMillis > 0, "window must be positive")
+    val lBin = floor(col(leftTsMillis) / windowMillis).cast("long")
+    val binned = left.withColumn("_bin",
+      explode(array(lBin, lBin + lit(1L))))
+    val rBinned = right.withColumn("_bin",
+      floor(col(rightTsMillis) / windowMillis).cast("long"))
+    binned.join(rBinned, Seq(key, "_bin"))
+      .filter(col(rightTsMillis) >= col(leftTsMillis) &&
+        col(rightTsMillis) < col(leftTsMillis) + lit(windowMillis))
+      .drop("_bin")
+  }
+
   /** Write both sides bucketed on the join key, then join the bucketed
     * tables — planned with zero Exchange when bucket counts match. Requires
     * a warehouse-backed table (saveAsTable), which is how co-located joins

@@ -647,6 +647,35 @@ object RelationalQueries {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Range join (all purchases within 1h after each click, per user) via
+    // bin-overlap: equi-join on (key, bin) + exact filter — never the
+    // BroadcastNestedLoop Spark plans for a raw inequality join (PlanSpec
+    // pins the plan shape).
+    QueryDef("range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_millis(col("ts")).as("c_ts_ms"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            unix_millis(col("ts")).as("p_ts_ms"))
+        graft.operators.Joins.rangeJoin(clicks, purchases, "user_id",
+            "c_ts_ms", "p_ts_ms", windowMillis = 3600000L)
+          .select("click_id", "purchase_id", "c_ts_ms", "p_ts_ms")
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id,
+             |             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS c_ts_ms
+             |           FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, event_id AS purchase_id,
+             |             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS p_ts_ms
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT click_id, purchase_id, c_ts_ms, p_ts_ms
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND p.p_ts_ms >= c.c_ts_ms AND p.p_ts_ms < c.c_ts_ms + 3600000
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
     // Skew-mitigated join: salted result must equal the plain join.
     QueryDef("salted_join",
       (s, dir) => graft.operators.Joins.saltedJoin(

@@ -62,7 +62,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_minhash and salted_join: no nested-loop or cartesian joins") {
-    Seq("dedup_minhash", "salted_join", "embedding_near_dup_lsh").foreach { q =>
+    Seq("dedup_minhash", "salted_join", "embedding_near_dup_lsh",
+        "range_join").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
