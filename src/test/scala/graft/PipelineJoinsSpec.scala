@@ -195,6 +195,29 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("+- Sort"), plan)
   }
 
+  test("rangeJoin == brute-force inequality join on randomized data") {
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(7)
+    // timestamps clustered AND spread so windows hit bin boundaries,
+    // bin-interior matches, and empty bins
+    val lefts = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(10000).toLong))
+    val rights = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, (1000 + i).toLong, rnd.nextInt(10000).toLong))
+    val l = lefts.toDF("k", "lid", "lts")
+    val r = rights.toDF("k", "rid", "rts")
+    val window = 750L // deliberately not a divisor of the ts range
+    val binned = Joins.rangeJoin(l, r, "k", "lts", "rts", window)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (lk, lid, lts) <- lefts
+      (rk, rid, rts) <- rights
+      if lk == rk && rts >= lts && rts < lts + window
+    } yield (lid, rid)).toSet
+    assert(binned == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("SQL function registration: all four native expressions usable from SQL") {
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT rolling_hash('abc')").head.getLong(0) == 96354L)
