@@ -178,6 +178,46 @@ object Dedup {
     minhashDedupPairs(reps, idCol, textCol, k, numHashes, threshold, bandRows)
   }
 
+  /** Connected components over a near-dup pair set: every document gets
+    * `cluster_id` = the smallest doc id reachable through pairs (singletons
+    * keep their own id). Iterative min-label propagation on DataFrames:
+    * each round every node takes the min label in its closed neighborhood,
+    * stopping when a round changes nothing — the standard large-graph CC
+    * loop (label propagation converges in <= graph diameter rounds; dedup
+    * clusters are shallow, so a handful). Each round is one join + one
+    * aggregate, both partitioned by node id; the frame persists per round
+    * so lineage doesn't stack across iterations. The driver sees only the
+    * per-round change COUNT (a long), never data. */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(lvl)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .persist(lvl)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .persist(lvl)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** The surviving corpus after near-dup removal: greedy keep-lowest-id —
     * a document is dropped iff it appears as the HIGHER id of some
     * near-dup pair. One anti-join against the pair set (which LSH keeps

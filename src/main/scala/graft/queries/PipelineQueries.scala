@@ -336,6 +336,40 @@ object PipelineQueries {
               |WHERE doc_id NOT IN (SELECT id_b FROM dropped)
               |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("dedup_clusters",
+      // connected components over near-dup pairs (cluster_id = min reachable
+      // doc id; iterative min-label propagation) — verified against a DuckDB
+      // RECURSIVE CTE computing reachability from the exact-Jaccard pairs
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jp AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (
+              |  SELECT id_a, id_b FROM jp
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+              |          UNION ALL SELECT id_b, id_a FROM good),
+              |reach(id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+              |SELECT id AS doc_id, min(lbl) AS cluster_id
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("dedup_ngram_jaccard",
       // exact all-pairs Jaccard, blocked by source to bound the quadratic
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir),

@@ -59,6 +59,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(expr(1L) == expr(2L)) // identical docs, identical signatures
   }
 
+  test("connectedComponents: chains, triangles, singletons, convergence") {
+    val nodes = (1L to 9L).toDF("id")
+    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // triangle 5-6-7, singleton 8, pair 9-? none -> singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("exact-then-near pipeline: duplicated corpus yields the original's pairs") {
     import org.apache.spark.sql.DataFrame
     // replicate every doc with offset ids: exact dedup must collapse each
