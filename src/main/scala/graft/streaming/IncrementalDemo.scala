@@ -67,8 +67,8 @@ object IncrementalDemo {
     val n1 = batchDirs.length
     runOnce()
     val n2 = batchDirs.length
-    val counted = spark.read.parquet(batchDirs.map(_.toString): _*)
-      .agg(sum("n")).head.getLong(0)
+    val counted = spark.read.parquet(batchDirs.map(_.toString).toIndexedSeq: _*)
+      .agg(sum("n")).head().getLong(0)
     println(s"DEMO streaming: batches=$n1 after-restart=$n2 windowedEvents=$counted of $total")
     spark.stop()
   }
