@@ -114,6 +114,63 @@ object RelationalQueries {
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Returned-items report (TPC-H Q10 shape): filtered fact x fact join,
+    // two broadcast dims, multi-column grouping, top-20 by revenue.
+    QueryDef("q10_returns",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val nat = Tables.nation(s, dir)
+        li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Promo-share report (TPC-H Q14 shape): conditional aggregation ratio.
+    // Both sums are exact scaled longs; the single final division is the
+    // only floating-point op, so the ratio is bit-identical across engines.
+    QueryDef("q14_promo_ratio",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val part = Tables.part(s, dir)
+        val cents = Money.cents(col("l_extendedprice")) *
+          (lit(100L) - Money.pct(col("l_discount")))
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "ECONOMY", cents).otherwise(lit(0L)))
+              .as("_promo"),
+            sum(cents).as("_total"))
+          .select(
+            (col("_promo").cast("double") / 10000.0).as("promo_revenue"),
+            (col("_total").cast("double") / 10000.0).as("total_revenue"),
+            (col("_promo").cast("double") / col("_total")).as("promo_share"))
+      },
+      Some("""WITH t AS (
+             |  SELECT
+             |    sum(CASE WHEN p_type = 'ECONOMY'
+             |        THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             |        ELSE 0 END) AS promo,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS total
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT CAST(promo AS DOUBLE) / 10000.0 AS promo_revenue,
+             |       CAST(total AS DOUBLE) / 10000.0 AS total_revenue,
+             |       CAST(promo AS DOUBLE) / total AS promo_share
+             |FROM t""".stripMargin)),
+
     // Semi/anti join surface.
     QueryDef("join_semi",
       (s, dir) => Tables.customer(s, dir)

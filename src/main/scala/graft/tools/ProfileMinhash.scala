@@ -33,6 +33,16 @@ object ProfileMinhash {
     // exact-then-near composition (the duplicate-heavy-corpus defense)
     t("exact then near")(
       Dedup.nearDupPairsAfterExact(docs, "doc_id", "text").count())
+    // connected components over exact-dup + near-dup edges
+    val edges = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("n_dups") > 1)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("digest")), "digest")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
+    val nCc = t("connected components")(
+      Dedup.connectedComponents(docs, "doc_id", edges)
+        .filter(col("id") =!= col("cluster_id")).count())
+    println(s"PROF cc non-root members = $nCc")
     spark.stop()
   }
 }
