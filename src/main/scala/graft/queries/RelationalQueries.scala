@@ -171,6 +171,49 @@ object RelationalQueries {
              |       CAST(promo AS DOUBLE) / total AS promo_share
              |FROM t""".stripMargin)),
 
+    // Exact rank-based percentiles per group: the value at sorted position
+    // floor((n-1)*p)+1 — deterministic and engine-identical, unlike
+    // interpolating percentile functions whose formulas differ per engine.
+    // The window partitions by group (parallel); a 100 TB heavy group would
+    // swap in approx sketches — this is the exact form with its oracle.
+    QueryDef("percentiles",
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val wc = Window.partitionBy("l_returnflag")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wc))
+          .groupBy("l_returnflag")
+          .agg(
+            max(when(col("rn") === floor((col("n") - 1) * 0.5) + 1,
+              col("l_extendedprice"))).as("p50"),
+            max(when(col("rn") === floor((col("n") - 1) * 0.95) + 1,
+              col("l_extendedprice"))).as("p95"),
+            max(col("n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             |         count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |SELECT l_returnflag,
+             |       max(CASE WHEN rn = CAST(floor((n-1) * 0.5) AS BIGINT) + 1 THEN l_extendedprice END) AS p50,
+             |       max(CASE WHEN rn = CAST(floor((n-1) * 0.95) AS BIGINT) + 1 THEN l_extendedprice END) AS p95,
+             |       max(n) AS n
+             |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Fixed-width value histogram: explicit floor bucketing, one shuffle of
+    // (bucket, count) partials.
+    QueryDef("value_histogram",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n
+             |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // Semi/anti join surface.
     QueryDef("join_semi",
       (s, dir) => Tables.customer(s, dir)
