@@ -16,7 +16,9 @@ object Bench {
     "window_rank", "topk_per_key", "distinct_agg", "topk", "dedup_exact", "dedup_minhash",
     "dedup_simhash_pairs", "cosine_topk", "cosine_topk_quantized", "ann_ivf_topk",
     "embedding_near_dup_lsh", "text_lang_id", "text_quality", "token_count",
-    "doc_fingerprint", "sink_kafka_shape", "multimodal_decode",
+    // sink shape measured via the scale-path form: the WRR parity form
+    // plans a global window by design and must stay off the bench path
+    "doc_fingerprint", "sink_kafka_shape_hash", "multimodal_decode",
     "scan_page_scalable", "sample_stratified", "text_chunk")
 
   def main(args: Array[String]): Unit = {
