@@ -10,6 +10,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class MetricsSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
 
+  test("Control.abort cancels an in-flight job group (management abort seat)") {
+    import graft.observability.Control
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val group = s"graft-abort-${System.nanoTime()}"
+    val big = spark.range(1L << 34).selectExpr("sum(id * id)") // minutes if not aborted
+    val job = Future {
+      intercept[Exception] {
+        Control.runCancellable(spark, group, "abort test") { big.head() }
+      }
+    }
+    Thread.sleep(1500) // let the job get in flight
+    val t0 = System.nanoTime()
+    Control.abort(spark, group)
+    val ex = Await.result(job, 30.seconds) // cancelled, not run to completion
+    assert((System.nanoTime() - t0) / 1e9 < 25.0)
+    assert(ex.getMessage != null)
+  }
+
   test("listener exports reference counter names from the observe bundle") {
     // unique bundle name: suites share the session and run in parallel, so
     // the record counters must only see this test's query
