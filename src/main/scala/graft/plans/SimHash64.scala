@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftSql}
@@ -33,18 +32,26 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    // tokenize on the raw UTF-8 bytes: 0x20 can only be the space character
+    // (multibyte sequences are all >= 0x80), so byte-splitting == the
+    // string split, with zero per-token String/substring allocation; token
+    // dedup keys on ByteBuffer views (content-based equals/hashCode)
+    val bytes = input.asInstanceOf[UTF8String].getBytes
     val md = SimHash64.localMd5.get()
     val counts = new Array[Int](64)
-    val seen = new java.util.HashSet[String]()
+    val seen = new java.util.HashSet[java.nio.ByteBuffer]()
     var start = 0
-    val n = s.length
+    val n = bytes.length
     var i = 0
     while (i <= n) {
-      if (i == n || s.charAt(i) == ' ') {
-        val tok = s.substring(start, i)
-        if (seen.add(tok)) {
-          val h = SimHash64.md5u64(md, tok)
+      if (i == n || bytes(i) == ' ') {
+        if (seen.add(java.nio.ByteBuffer.wrap(bytes, start, i - start))) {
+          md.reset()
+          md.update(bytes, start, i - start)
+          val d = md.digest()
+          var h = 0L
+          var k = 0
+          while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
           var j = 0
           while (j < 64) {
             if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -75,16 +82,4 @@ object SimHash64 {
   /** MessageDigest is stateful and not thread-safe — one per task thread. */
   private[plans] val localMd5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
-  /** First 8 bytes of md5(utf8(tok)), big-endian — identical to parsing the
-    * first 16 hex chars of the md5 hex digest as an unsigned 64-bit value
-    * (what the SQL oracle and the relational cross-check compute). */
-  private[plans] def md5u64(md: MessageDigest, tok: String): Long = {
-    md.reset()
-    val d = md.digest(tok.getBytes(StandardCharsets.UTF_8))
-    var h = 0L
-    var i = 0
-    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    h
-  }
 }
