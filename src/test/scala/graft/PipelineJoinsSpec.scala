@@ -251,5 +251,9 @@ class PipelineJoinsSpec extends AnyFunSuite {
     val short = TextAnalysis.chunk(Seq((2L, "a b")).toDF("doc_id", "text"),
       "doc_id", "text", 32, 24).select("chunk_text").as[String].collect()
     assert(short.toSeq == Seq("a b"))
+    // stride == width: chunks tile exactly, concatenation rebuilds the doc
+    val tiled = TextAnalysis.chunk(df, "doc_id", "text", 25, 25)
+      .orderBy("chunk_idx").select("chunk_text").as[String].collect()
+    assert(tiled.mkString(" ") == text)
   }
 }
