@@ -511,6 +511,38 @@ object PipelineQueries {
       dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
         topK = 10, nProbe = 2))),
 
+    QueryDef("ann_recall",
+      // recall@10 of hyperplane-LSH ANN vs exact brute force, as a measured
+      // catalog metric — both sides recomputed independently by the oracle
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val ann = Similarity.annTopK(e, "embedding", "vec_id", q,
+          k = 10, nPlanes = 8).select(col("vec_id"))
+        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q,
+          k = 10).select(col("vec_id"))
+        ann.join(brute, "vec_id")
+          .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+      },
+      Some(s"""WITH ${lshBucketSql(nPlanes = 8, dim = 64)},
+              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |qb AS (SELECT bucket AS qbucket FROM bkt WHERE vec_id = 0),
+              |ann AS (
+              |  SELECT b.vec_id,
+              |    ${dotSql("b.embedding", "qv")} /
+              |    (sqrt(${dotSql("b.embedding", "b.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+              |  FROM bkt b CROSS JOIN q CROSS JOIN qb
+              |  WHERE b.bucket = qb.qbucket
+              |  ORDER BY cos DESC, vec_id LIMIT 10),
+              |brute AS (
+              |  SELECT e.vec_id,
+              |    ${dotSql("e.embedding", "qv")} /
+              |    (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+              |  FROM embeddings e CROSS JOIN q
+              |  ORDER BY cos DESC, vec_id LIMIT 10)
+              |SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+              |FROM ann JOIN brute USING (vec_id)""".stripMargin)),
+
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "embedding", "vec_id", threshold = 0.4, nPlanes = 4)
