@@ -214,6 +214,44 @@ object RelationalQueries {
       Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n
              |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Ordered 3-stage funnel (click -> view -> purchase): stage k's
+    // timestamp is the earliest matching event strictly after stage k-1 —
+    // three per-user aggregations, each one shuffle keyed by user.
+    QueryDef("event_funnel",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        val s1 = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "click", col("ts_ms"))).as("t1"))
+        val s2 = ev.join(s1, "user_id").groupBy("user_id")
+          .agg(first(col("t1")).as("t1"),
+            min(when(col("event_type") === "view" && col("ts_ms") > col("t1"),
+              col("ts_ms"))).as("t2"))
+        val s3 = ev.join(s2, "user_id").groupBy("user_id")
+          .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+            min(when(col("event_type") === "purchase" && col("ts_ms") > col("t2"),
+              col("ts_ms"))).as("t3"))
+        s3.agg(
+          count(when(col("t1").isNotNull, 1)).as("n_click"),
+          count(when(col("t2").isNotNull, 1)).as("n_click_view"),
+          count(when(col("t3").isNotNull, 1)).as("n_full_funnel"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |            CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_ms FROM events),
+             |s1 AS (SELECT user_id,
+             |         min(CASE WHEN event_type = 'click' THEN ts_ms END) AS t1
+             |       FROM e GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, any_value(t1) AS t1,
+             |         min(CASE WHEN event_type = 'view' AND ts_ms > t1 THEN ts_ms END) AS t2
+             |       FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+             |         min(CASE WHEN event_type = 'purchase' AND ts_ms > t2 THEN ts_ms END) AS t3
+             |       FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+             |SELECT count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_click,
+             |       count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n_click_view,
+             |       count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS n_full_funnel
+             |FROM s3""".stripMargin)),
+
     // Semi/anti join surface.
     QueryDef("join_semi",
       (s, dir) => Tables.customer(s, dir)
