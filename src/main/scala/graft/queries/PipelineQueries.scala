@@ -277,6 +277,47 @@ object PipelineQueries {
              |       array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    QueryDef("corpus_pipeline",
+      // the whole spec-driven corpus prep in one declared pipeline:
+      // lang filter -> min-token filter -> normalize -> exact dedup ->
+      // stratified sample -> chunk; oracle recomputes every stage
+      (s, dir) => graft.spec.CorpusSpec.run(
+        Tables.documents(s, dir),
+        graft.spec.CorpusSpec.parse("""{
+          "filter": {"minTokens": 5, "langs": ["en", "es"]},
+          "normalize": true,
+          "dedup": {"method": "exact"},
+          "sample": {"strataCol": "lang", "rates": {"en": 0.5}, "default": 0.25},
+          "chunk": {"width": 32, "stride": 24}}"""))
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some {
+        def th(r: Double): Long = math.round(r * 4294967296.0)
+        s"""WITH f AS (
+           |  SELECT doc_id, lang,
+           |         regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS ntext
+           |  FROM documents
+           |  WHERE lang IN ('en', 'es') AND len(string_split(text, ' ')) >= 5),
+           |d AS (SELECT *, row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn FROM f),
+           |k AS (SELECT doc_id, lang, ntext FROM d WHERE rn = 1),
+           |smp AS (
+           |  SELECT doc_id, ntext FROM k
+           |  WHERE list_reduce(list_transform(
+           |      regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+           |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)
+           |    < CASE WHEN lang = 'en' THEN ${th(0.5)} ELSE ${th(0.25)} END),
+           |t AS (SELECT doc_id, string_split(ntext, ' ') AS t,
+           |             len(string_split(ntext, ' ')) AS n FROM smp),
+           |c AS (SELECT doc_id, t,
+           |        CASE WHEN n <= 32 THEN 1
+           |             ELSE CAST(floor((n - 32 + 23) / 24) AS INT) + 1 END AS nc
+           |      FROM t),
+           |e AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS ci FROM c)
+           |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           |       array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
+           |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+      }),
+
     // ---- dedup ----
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")

@@ -62,4 +62,37 @@ class ConfigSpec extends AnyFunSuite {
       p.solrFilter.contains("event_type:click") &&
       p.watermarkMillis.contains(123L))
   }
+  test("CorpusSpec: parse round-trip and spec-run == hand-composed pipeline") {
+    import graft.spec.CorpusSpec
+    import graft.functions.{Dedup, Sampling, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val spec = CorpusSpec.parse("""{
+      "filter": {"minTokens": 5, "langs": ["en", "es"]},
+      "normalize": true,
+      "dedup": {"method": "exact"},
+      "sample": {"strataCol": "lang", "rates": {"en": 0.5}, "default": 0.25},
+      "chunk": {"width": 32, "stride": 24}}""")
+    assert(spec.minTokens.contains(5) && spec.langs == Seq("en", "es"))
+    assert(spec.normalize && spec.dedupMethod.contains("exact"))
+    assert(spec.sampleRates == Map("en" -> 0.5) && spec.sampleDefault == 0.25)
+    assert(spec.chunkWidth.contains(32) && spec.chunkStride.contains(24))
+
+    val spark = GraftTestSpark.spark
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    val viaSpec = CorpusSpec.run(docs, spec)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(_.toSeq).toSet
+    val filtered = docs.filter(col("lang").isin("en", "es"))
+      .filter(TextAnalysis.tokenCountWs(col("text")) >= 5)
+      .withColumn("text", TextAnalysis.normalize(col("text")))
+    val hand = TextAnalysis.chunk(
+      Sampling.stratifiedSample(
+        Dedup.exactDedup(filtered, "text", "doc_id"),
+        "doc_id", "lang", Map("en" -> 0.5), 0.25),
+      "doc_id", "text", 32, 24)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(_.toSeq).toSet
+    assert(viaSpec.nonEmpty)
+    assert(viaSpec == hand)
+  }
 }
