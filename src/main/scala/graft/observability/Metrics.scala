@@ -96,12 +96,48 @@ final class MetricsListener(metrics: GraftMetrics,
   }
 }
 
+/** Streaming counterpart of [[MetricsListener]]: every micro-batch progress
+  * event feeds the same reference counters (`processed_records` from
+  * numInputRows, `processed_tasks` per batch, batch duration into
+  * `task_processing_latency`) — so a streaming pipeline exports the same
+  * Prometheus surface as a batch one. */
+final class StreamingMetricsListener(metrics: GraftMetrics,
+    onlyQueryName: Option[String] = None)
+  extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    // scope to one named pipeline when the session hosts several
+    if (onlyQueryName.forall(_ == p.name)) {
+      metrics.inc("processed_records", p.numInputRows.toDouble)
+      metrics.inc("processed_tasks", 1.0)
+      metrics.observeLatency("task_processing_latency",
+        p.batchDuration / 1000.0)
+      metrics.markEnd()
+    }
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    metrics.markEnd()
+}
+
 object GraftMetrics {
   /** Create a registry + listener pair and attach it to the session. */
   def install(spark: SparkSession, instanceId: String,
       bundleName: String = "graft_metrics"): GraftMetrics = {
     val m = new GraftMetrics(instanceId)
     spark.listenerManager.register(new MetricsListener(m, bundleName))
+    m
+  }
+
+  /** Attach the streaming progress listener too (counters shared). */
+  def installStreaming(spark: SparkSession, instanceId: String,
+      onlyQueryName: Option[String] = None): GraftMetrics = {
+    val m = new GraftMetrics(instanceId)
+    spark.streams.addListener(new StreamingMetricsListener(m, onlyQueryName))
     m
   }
 }

@@ -143,6 +143,20 @@ object GraftProps extends Properties("graft") {
       parsed.toString == expectedSolr(q).toString
     }
 
+  property("chunk-count formula == minimal covering window count, any (n, w, s)") =
+    forAll(Gen.choose(1, 500), Gen.choose(1, 64), Gen.choose(1, 64)) {
+      (n: Int, width: Int, stride: Int) =>
+        // the engine's closed form (TextAnalysis.chunk / its SQL oracle)
+        val formula =
+          if (n <= width) 1
+          else math.floor((n - width + stride - 1).toDouble / stride).toInt + 1
+        // brute force: smallest m such that window m-1 (start (m-1)*stride,
+        // length width) reaches the last token
+        var m = 1
+        while ((m - 1) * stride + width < n) m += 1
+        Prop(formula == m) :| s"n=$n w=$width s=$stride formula=$formula brute=$m"
+    }
+
   property("solr parser: malformed input throws, never mis-parses") = {
     val malformed = for {
       f <- solrIdent; t <- solrIdent

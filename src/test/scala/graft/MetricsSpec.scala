@@ -30,6 +30,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("streaming listener: micro-batch progress feeds the same counters") {
+    import graft.observability.GraftMetrics
+    val qname = s"smetrics-${System.nanoTime()}"
+    val m = GraftMetrics.installStreaming(spark, "stream-0", Some(qname))
+    val srcDir = java.nio.file.Files.createTempDirectory("smetrics-src")
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001).select("event_id", "ts")
+    ev.write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+      .writeStream.format("noop").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val deadline = System.currentTimeMillis() + 20000
+    while (m.value("processed_records") < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(m.value("processed_records") == ev.count().toDouble)
+    assert(m.value("processed_tasks") >= 1.0)
+    assert(m.prometheusText.contains("task_processing_latency_sum"))
+  }
+
   test("listener exports reference counter names from the observe bundle") {
     // unique bundle name: suites share the session and run in parallel, so
     // the record counters must only see this test's query
