@@ -95,4 +95,16 @@ class ConfigSpec extends AnyFunSuite {
     assert(viaSpec.nonEmpty)
     assert(viaSpec == hand)
   }
+  test("CorpusSpec minhash dedup path == Dedup.minhashSurvivors") {
+    import graft.spec.CorpusSpec
+    import graft.functions.Dedup
+    val spark = GraftTestSpark.spark
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    val viaSpec = CorpusSpec.run(docs,
+      CorpusSpec.parse("""{"dedup": {"method": "minhash", "threshold": 0.8}}"""))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Dedup.minhashSurvivors(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSpec == direct && viaSpec.nonEmpty)
+  }
 }
