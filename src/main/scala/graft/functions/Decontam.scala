@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-corpus hygiene op: find (and
+  * drop) corpus documents that share any k-word n-gram with a benchmark /
+  * evaluation set, so eval data never leaks into training data.
+  *
+  * Scale design: the benchmark side is always tiny relative to the corpus
+  * (suites are at most millions of n-grams — megabytes), so its distinct
+  * n-gram set is `broadcast()`: the corpus side stays a narrow
+  * explode + broadcast hash join, ZERO corpus shuffle. The corpus text never
+  * moves; only matched (id, gram) hits reach the (small) aggregation.
+  * This is the join-ordering insight that makes decontamination linear at
+  * 100 TB — the naive formulation (corpus ⋈ corpus-sized gram table) would
+  * shuffle every n-gram of every document.
+  *
+  * N-grams reuse [[Dedup.shingles]] ([[graft.plans.WordShingles]] — one
+  * narrow pass per document). The join key is the shingle STRING, not a
+  * hash: with a broadcast build side there is no shuffle-width to save, and
+  * string equality cannot false-positive (a 64-bit hash can, and a false
+  * positive here silently drops a clean training document).
+  */
+object Decontam {
+
+  /** Per-document contamination report: documents of `corpus` sharing at
+    * least one k-gram with `bench`, with the number of distinct shared
+    * k-grams. Documents also present in `bench` (same id) are excluded —
+    * the benchmark trivially "contaminates" itself. */
+  def overlaps(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), k)).as("gram"))
+      .distinct()
+    val benchIds = bench.select(col(benchIdCol).as(idCol)).distinct()
+    corpus
+      .join(benchIds, Seq(idCol), "left_anti")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The decontaminated corpus: every document of `corpus` that shares NO
+    * k-gram with `bench` (benchmark members themselves are kept — dropping
+    * them is a separate policy choice, composable via an id anti-join).
+    * One broadcast anti-join against the contaminated-id set; corpus rows
+    * never shuffle. */
+  def survivors(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int): DataFrame = {
+    val hit = overlaps(corpus, idCol, textCol, bench, benchIdCol,
+      benchTextCol, k).select(col(idCol))
+    corpus.join(broadcast(hit), Seq(idCol), "left_anti")
+  }
+}

@@ -62,6 +62,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Directional containment C(A in B) = |A∩B| / |A| over k-word shingle
+    * sets — the sub-document duplication measure: jaccard stays low when a
+    * short doc is wholly embedded in a long one, containment does not.
+    * Same block-equi-join shape as [[jaccardPairs]] (shuffle on the block
+    * key only, never a cartesian); emits BOTH directions of each unordered
+    * pair since containment is asymmetric. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol), col(blockCol), shingles(col(textCol), k).as("sh"))
+    val a = withSh.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ---- MinHash + LSH ----
 
   /** Deterministic (a, b) coefficients for the minhash family, from a fixed

@@ -42,4 +42,21 @@ object Sampling {
   def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(stratifiedKeep(col(keyCol), col(strataCol), rates, defaultRate))
+
+  /** Exact-k deterministic "reservoir" per stratum: the k records with the
+    * smallest hash priority in each stratum (key as tie-break). Same
+    * membership as a sequential reservoir under priority sampling, but
+    * order-independent and retry-safe — the classic distributed replacement
+    * (bottom-k by uniform hash). One window partitioned BY STRATUM (never
+    * global); with many strata the work spreads evenly, and a jumbo stratum
+    * degrades to a top-k per partition — still bounded by k, not stratum
+    * size, if composed behind [[stratifiedSample]] pre-thinning. */
+  def reservoirPerKey(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashSlice32(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

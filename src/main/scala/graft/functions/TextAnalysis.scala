@@ -92,6 +92,32 @@ object TextAnalysis {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / totalGrams)
   }
 
+  /** Top-`topK` salient terms per document, scored tf/df (term frequency in
+    * the document over corpus document frequency — the tf-idf ranking with
+    * 1/df in place of log(N/df); the two orderings agree for any fixed tf
+    * since both are strictly decreasing in df, and the rational form is
+    * bit-exact across engines where log() is libm-dependent).
+    *
+    * Plan shape at scale: one explode + groupBy (doc, term) for tf (shuffle
+    * keyed by doc+term — uniform), one groupBy term for df (vocabulary-sized
+    * output — small), df side broadcast back onto tf, then a per-document
+    * window for top-k (partitioned by doc id, never global). */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Canonical text normalization for dedup/filter preprocessing: trim,
     * lowercase, collapse internal whitespace runs. Narrow map, fused into
     * the scan. */

@@ -135,6 +135,13 @@ object PipelineQueries {
       |       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))
       |  ELSE [text] END)""".stripMargin
 
+  /** k=5 variant of [[ShinglesSql]] (decontamination grams). */
+  private val Shingles5Sql =
+    """list_distinct(CASE WHEN len(string_split(text,' ')) >= 5
+      |  THEN list_transform(generate_series(1, len(string_split(text,' '))-4),
+      |       i -> array_to_string((string_split(text,' '))[i:i+4], ' '))
+      |  ELSE [text] END)""".stripMargin
+
   /** Mixing weights for the `sample_stratified` gate query (ListMap: the
     * CASE chain must fold in a stable order in both engines). */
   private val StratRates = scala.collection.immutable.ListMap(
@@ -259,6 +266,52 @@ object PipelineQueries {
            |  < CASE $cases ELSE ${th(StratDefault)} END
            |ORDER BY doc_id""".stripMargin
       }),
+
+    QueryDef("sample_reservoir",
+      // exact-k bottom-k-by-hash "reservoir" per stratum: deterministic
+      // membership AND rank, so the oracle verifies the full sample order
+      (s, dir) => graft.functions.Sampling.reservoirPerKey(
+          Tables.documents(s, dir), "doc_id", "lang", k = 5)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank"),
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id,
+             |         row_number() OVER (PARTITION BY lang ORDER BY
+             |           list_reduce(list_transform(
+             |             regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+             |             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) ASC,
+             |           doc_id ASC) AS sample_rank
+             |  FROM documents)
+             |SELECT lang, sample_rank, doc_id FROM r
+             |WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin)),
+
+    QueryDef("corpus_shuffle",
+      // deterministic corpus shuffle for training-order randomization:
+      // sort by a seeded hash of the id — a range-partitioned sort on a
+      // uniform key (no skew, no global window); re-runs and retries give
+      // byte-identical order
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42#"), col("doc_id").cast("string"))).as("shuffle_key"))
+        .orderBy("shuffle_key"),
+      Some("""SELECT doc_id, md5('shuf42#' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |FROM documents ORDER BY shuffle_key""".stripMargin)),
+
+    QueryDef("salient_terms",
+      // top-3 tf/df salient terms per document (tf-idf ranking with the
+      // log-free 1/df weight — same ordering, engine-exact arithmetic)
+      (s, dir) => TextAnalysis.salientTerms(Tables.documents(s, dir),
+          "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "term_rank"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |r AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+             |        row_number() OVER (PARTITION BY doc_id
+             |          ORDER BY CAST(tf AS DOUBLE) / df DESC, term ASC) AS term_rank
+             |      FROM tf JOIN dfreq USING (term))
+             |SELECT doc_id, term_rank, term, tf, df, score FROM r
+             |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin)),
 
     QueryDef("text_chunk",
       // fixed-window word chunking with overlap (width 32, stride 24) —
@@ -424,6 +477,58 @@ object PipelineQueries {
               |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               |         / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("dedup_containment",
+      // directional shingle containment |A∩B|/|A| — catches a short doc
+      // embedded in a long one where symmetric jaccard stays low
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", blockCol = "source", k = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH d AS (SELECT doc_id, source, $ShinglesSql AS sh FROM documents)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+              |FROM d a JOIN d b ON a.source = b.source AND a.doc_id != b.doc_id
+              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("decontaminate",
+      // benchmark decontamination report: corpus docs sharing any 5-gram
+      // with the benchmark slice (doc_id % 20 = 0), with the count of
+      // distinct shared grams; the corpus side never shuffles (broadcast)
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        graft.functions.Decontam.overlaps(docs, "doc_id", "text",
+            bench, "doc_id", "text", k = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $Shingles5Sql AS shl FROM documents),
+              |e AS (SELECT doc_id, unnest(shl) AS gram FROM sh),
+              |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0)
+              |SELECT e.doc_id, count(*) AS n_shared_grams
+              |FROM e JOIN bench USING (gram)
+              |WHERE e.doc_id % 20 != 0
+              |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("decontaminate_corpus",
+      // the decontaminated corpus itself: drop every doc flagged above
+      // (benchmark members stay — dropping them is a separate policy)
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        graft.functions.Decontam.survivors(docs, "doc_id", "text",
+            bench, "doc_id", "text", k = 5)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $Shingles5Sql AS shl FROM documents),
+              |e AS (SELECT doc_id, unnest(shl) AS gram FROM sh),
+              |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+              |hit AS (SELECT DISTINCT e.doc_id FROM e JOIN bench USING (gram)
+              |        WHERE e.doc_id % 20 != 0)
+              |SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+              |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash",
       // md5-u64 token hash on purpose: DuckDB recomputes every signature
