@@ -80,6 +80,22 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Corpus-wide duplicated-span census: every k-word shingle appearing in
+    * at least `minDocs` distinct documents, with its document frequency —
+    * the exact-substring-duplication primitive (the hash-gram counterpart
+    * of the suffix-array pass in Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", 2022).
+    *
+    * Scale: explode is narrow; the single shuffle is keyed by the shingle
+    * itself — uniform (gram frequencies are Zipfian but the partial
+    * map-side countDistinct aggregate bounds per-key traffic to the number
+    * of distinct (gram, doc) pairs per mapper). Never joins text×text. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): DataFrame =
+    df.select(col(idCol).as("_id"), explode(shingles(col(textCol), k)).as("sh"))
+      .groupBy("sh").agg(countDistinct(col("_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   // ---- MinHash + LSH ----
 
   /** Deterministic (a, b) coefficients for the minhash family, from a fixed

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -370,6 +370,87 @@ object PipelineQueries {
            |       array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text
            |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
       }),
+
+    QueryDef("pii_redact",
+      // PII scrub gate. The synthetic corpus carries no real PII, so the
+      // query first augments each row with a deterministic email + phone
+      // built from doc_id (both engines construct the identical input),
+      // then scrubs; the oracle recomputes the exact redacted text.
+      (s, dir) => {
+        def aug = concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now"))
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextClean.countEmails(aug).cast("int").as("n_emails"),
+          TextClean.countPhones(TextClean.redactEmails(aug)).cast("int")
+            .as("n_phones"),
+          md5(TextClean.redactPii(aug)).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH a AS (SELECT doc_id,
+              |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+              |    || '@example.com or call 555-'
+              |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS aug
+              |  FROM documents),
+              |r AS (SELECT doc_id, aug,
+              |  regexp_replace(aug, '${TextClean.EmailPattern}', '[EMAIL]', 'g') AS no_email
+              |  FROM a)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(aug, '${TextClean.EmailPattern}')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(no_email, '${TextClean.PhonePattern}')) AS INT) AS n_phones,
+              |  md5(regexp_replace(no_email, '${TextClean.PhonePattern}', '[PHONE]', 'g')) AS redacted_md5
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_strip_markup",
+      // HTML-to-text gate: wrap each doc in deterministic markup, strip it,
+      // and prove the round trip recovers the original text exactly
+      (s, dir) => {
+        def html = concat(lit("<p id=\""), col("doc_id").cast("string"),
+          lit("\"><b>"), col("text"), lit("</b></p>"))
+        Tables.documents(s, dir).select(col("doc_id"),
+          (TextClean.stripMarkup(html) === col("text")).cast("int")
+            .as("roundtrip_ok"),
+          md5(TextClean.stripTags(html)).as("stripped_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, text,
+             |  '<p id="' || CAST(doc_id AS VARCHAR) || '"><b>' || text || '</b></p>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(trim(regexp_replace(regexp_replace(html, '<[^>]*>', '', 'g'), ' +', ' ', 'g')) = text AS INT) AS roundtrip_ok,
+             |  md5(regexp_replace(html, '<[^>]*>', '', 'g')) AS stripped_md5
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("seq_pack",
+      // concatenate-and-chunk sequence packing (budget 256 tokens), packed
+      // per source shard — the pack cumsum is shard-partitioned, never a
+      // single global ordered stream
+      (s, dir) => Packing.packedStats(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCountWs(col("text")).as("tok")),
+          "doc_id", "tok", "source", budget = 256)
+        .orderBy("source", "seq_id"),
+      Some("""WITH t AS (SELECT source, doc_id, len(string_split(text,' ')) AS tok FROM documents),
+             |c AS (SELECT source, doc_id, tok,
+             |        COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |      FROM t)
+             |SELECT source, CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+             |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)),
+
+    QueryDef("compact_roundtrip",
+      // storage-maintenance gate: compact the table into ~4 MB range-
+      // clustered files and prove the rewrite is content-identical (the
+      // layout changed, the data did not)
+      (s, dir) => {
+        val out = "/tmp/graft_compact/" + new java.io.File(dir).getName
+        graft.sources.Layout.compact(Tables.documents(s, dir), out,
+          sortCols = Seq("source", "doc_id"), targetFileBytes = 4L * 1024 * 1024)
+        s.read.parquet(out).select("doc_id", "source", "n_chars").orderBy("doc_id")
+      },
+      Some("SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id")),
 
     // ---- dedup ----
     QueryDef("dedup_exact",

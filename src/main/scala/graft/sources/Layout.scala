@@ -34,4 +34,29 @@ object Layout {
     * directories before any file IO. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
+
+  /** Compact a frame into ~`targetFileBytes` parquet files, range-clustered
+    * and sorted on `sortCols` so every output file carries tight min/max
+    * column stats (row-group + file skipping on later scans).
+    *
+    * This is the small-files maintenance op every long-running extraction
+    * lands on: streaming/incremental runs produce one file per micro-batch
+    * per partition, and a 100 TB table accumulates millions of KB-sized
+    * files whose open/footer cost dominates scans. File count is derived
+    * from the REAL input bytes (not row counts), so the op sizes output to
+    * the storage budget; `repartitionByRange` keeps the clustering a single
+    * shuffle. Returns the file count written. */
+  def compact(df: DataFrame, path: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen
+    }.sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    nFiles
+  }
 }
