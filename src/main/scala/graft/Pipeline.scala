@@ -101,4 +101,41 @@ object Pipeline {
     if (jsonLines) out += "json" -> Sinks.prepareJsonLines(df)
     out.result()
   }
+
+  /** Multi-table concurrent orchestration — the reference's one-Extractor-
+    * thread-per-table lifecycle (`app.py:74-88`, `extractor.py:11-21`),
+    * Spark-native: each table's extract + action is submitted from its own
+    * thread under its own scheduler pool and job group, so N tables' jobs
+    * interleave on the cluster (FAIR mode) instead of queueing FIFO, and
+    * any one table is independently cancellable by job group
+    * ([[graft.observability.Control]]). Failure isolation matches the
+    * reference's per-thread extractors: each table's outcome is its own
+    * `Try`; one table failing never aborts the rest. The driver-side
+    * thread pool schedules JOBS, not data — all row work stays on
+    * executors, so this scales with cluster size, not thread count. */
+  def runAll[T](spark: SparkSession, dir: String, configs: Seq[Config],
+      maxConcurrent: Int = 8)
+      (action: (Config, DataFrame) => T): Map[String, scala.util.Try[T]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(configs.size, maxConcurrent)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = configs.map { cfg =>
+        Future {
+          val sc = spark.sparkContext
+          sc.setLocalProperty("spark.scheduler.pool", s"graft-${cfg.table}")
+          sc.setJobGroup(s"graft-extract-${cfg.table}",
+            s"extract ${cfg.table}", interruptOnCancel = true)
+          try cfg.table -> scala.util.Try(action(cfg, extract(spark, dir, cfg)))
+          finally {
+            sc.clearJobGroup()
+            sc.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
+      }
+      Await.result(Future.sequence(futs), Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
 }

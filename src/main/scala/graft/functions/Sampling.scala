@@ -47,16 +47,24 @@ object Sampling {
     * smallest hash priority in each stratum (key as tie-break). Same
     * membership as a sequential reservoir under priority sampling, but
     * order-independent and retry-safe — the classic distributed replacement
-    * (bottom-k by uniform hash). One window partitioned BY STRATUM (never
-    * global); with many strata the work spreads evenly, and a jumbo stratum
-    * degrades to a top-k per partition — still bounded by k, not stratum
-    * size, if composed behind [[stratifiedSample]] pre-thinning. */
+    * (bottom-k by uniform hash).
+    *
+    * Two-stage plan, safe for a JUMBO stratum (e.g. one language = half a
+    * 100 TB corpus): a PARTIAL bounded-heap pass keeps k rows per stratum
+    * per input partition with no exchange (map-side, memory O(k×strata)),
+    * then the FINAL clustered pass ranks only the k×numPartitions
+    * survivors per stratum. No window partitioned by stratum ever runs, so
+    * no stratum's full row set flows through a single task — the shuffle
+    * carries samples, not the corpus. Output (membership AND rank) is
+    * bit-identical to the one-pass window formulation. */
   def reservoirPerKey(df: DataFrame, keyCol: String, strataCol: String,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(hashSlice32(col(keyCol)).asc, col(keyCol).asc)
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+    val withPrio = df.withColumn("_sample_prio", hashSlice32(col(keyCol)))
+    val order = Seq("_sample_prio" -> true, keyCol -> true)
+    val pruned = graft.plans.TopKPerKey.perKeyPartial(
+      withPrio, Seq(strataCol), order, k)
+    graft.plans.TopKPerKey.perKey(pruned, Seq(strataCol), order, k,
+        rankName = "sample_rank")
+      .drop("_sample_prio")
   }
 }

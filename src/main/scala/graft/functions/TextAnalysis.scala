@@ -99,9 +99,13 @@ object TextAnalysis {
     * bit-exact across engines where log() is libm-dependent).
     *
     * Plan shape at scale: one explode + groupBy (doc, term) for tf (shuffle
-    * keyed by doc+term — uniform), one groupBy term for df (vocabulary-sized
-    * output — small), df side broadcast back onto tf, then a per-document
-    * window for top-k (partitioned by doc id, never global). */
+    * keyed by doc+term — uniform), one groupBy term for df, then a SHUFFLE
+    * hash join of tf against df keyed by term, and a per-document window
+    * for top-k (partitioned by doc id, never global). The df side is the
+    * ENTIRE vocabulary — on a web corpus that grows with the corpus
+    * (typos, ids), i.e. billions of terms, so it must never be broadcast;
+    * the shuffle_hash hint pins the partitioned join even where toy-scale
+    * stats would otherwise let Catalyst auto-broadcast it. */
   def salientTerms(df: DataFrame, idCol: String, textCol: String,
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -111,7 +115,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq.hint("shuffle_hash"), Seq("term"))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= topK)

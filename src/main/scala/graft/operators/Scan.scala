@@ -112,4 +112,51 @@ object Scan {
     }
     withRn.filter(notDone && offsetOk).drop("_rn", "_page")
   }
+
+  /** Persisted resume state. Page numbers are only meaningful at the
+    * fetch_size that minted them, so the state records it: the reference
+    * likewise keys its saved crawl state by fetch_size and discards the
+    * done-page set when the configured fetch_size no longer matches
+    * (`datacrawler.py:205-208, 439-461`). */
+  final case class PageState(fetchSize: Int, donePages: Set[Long],
+      lastRecordOffset: Map[Long, Long] = Map.empty)
+
+  /** File-backed page-state store (the Redis done-page hash analogue; at
+    * scale a DFS path — one tiny key per table, never data). */
+  final class PageStateStore(dir: String) {
+    import java.nio.file.{Files, Path, Paths}
+    Files.createDirectories(Paths.get(dir))
+    private def file(table: String): Path = Paths.get(dir, s"$table.pages")
+    def save(table: String, state: PageState): Unit = {
+      val pages = state.donePages.toSeq.sorted.mkString(",")
+      val offs = state.lastRecordOffset.toSeq.sorted
+        .map { case (p, o) => s"$p:$o" }.mkString(",")
+      Files.writeString(file(table), s"${state.fetchSize}\n$pages\n$offs\n")
+    }
+    def load(table: String): Option[PageState] =
+      if (!Files.exists(file(table))) None
+      else {
+        val lines = Files.readString(file(table)).split("\n", -1)
+        def longs(s: String) = s.split(",").filter(_.nonEmpty).map(_.trim)
+        Some(PageState(
+          lines(0).trim.toInt,
+          longs(lines(1)).map(_.toLong).toSet,
+          longs(lines(2)).map { kv =>
+            val Array(p, o) = kv.split(":"); p.toLong -> o.toLong
+          }.toMap))
+      }
+    def clear(table: String): Unit = Files.deleteIfExists(file(table))
+  }
+
+  /** [[resume]] honoring the recorded fetch_size: state minted at a
+    * DIFFERENT fetch_size is ignored entirely — the run reprocesses from
+    * scratch instead of skipping page numbers that now denote different
+    * rows (silent mis-skip). Mirrors the reference's invalidation
+    * (`datacrawler.py:205-208`). */
+  def resumeWithState(df: DataFrame, orderCol: String, fetchSize: Int,
+      state: Option[PageState]): DataFrame = state match {
+    case Some(s) if s.fetchSize == fetchSize =>
+      resume(df, orderCol, fetchSize, s.donePages, s.lastRecordOffset)
+    case _ => df
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, GraftSql, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -32,7 +32,8 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: AttributeReference,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partial: Boolean = false) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -47,14 +48,19 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
-  /** Co-locate each key's rows; Spark inserts the hash exchange. */
+  /** Final mode co-locates each key's rows (Spark inserts the hash
+    * exchange); partial mode runs on whatever partitioning the child has —
+    * a map-side pre-aggregation that keeps only k rows per key per
+    * partition, so the exchange a downstream FINAL pass induces moves
+    * k×numPartitions rows per key instead of the key's full group. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(keys)) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -98,8 +104,8 @@ case class TopKPerKeyExec(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, keys, order, rankAttr, child) =>
-      TopKPerKeyExec(k, keys, order, rankAttr, planLater(child)) :: Nil
+    case TopKPerKey(k, keys, order, rankAttr, child, partial) =>
+      TopKPerKeyExec(k, keys, order, rankAttr, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -111,7 +117,26 @@ object TopKPerKey {
     * determinism (same requirement as the window formulation). */
   def perKey(df: DataFrame, keyNames: Seq[String],
       orderSpec: Seq[(String, Boolean)], k: Int,
-      rankName: String = "rn"): DataFrame = {
+      rankName: String = "rn"): DataFrame =
+    build(df, keyNames, orderSpec, k, rankName, partial = false)
+
+  /** Partial (map-side) top-k: same ordering contract, but computed
+    * independently per input partition with NO exchange — emits at most k
+    * rows per key per partition, always a superset of the global top-k.
+    * Compose `perKey(perKeyPartial(df, ...), ...)` for an exact two-stage
+    * top-k whose shuffle moves k×numPartitions rows per key instead of the
+    * key's whole group — the fix for jumbo-key skew (one stratum = half the
+    * corpus) where a single clustered pass funnels that key through one
+    * task. The per-partition rank is meaningless globally, so it is
+    * dropped. */
+  def perKeyPartial(df: DataFrame, keyNames: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int): DataFrame =
+    build(df, keyNames, orderSpec, k, "_partial_rn", partial = true)
+      .drop("_partial_rn")
+
+  private def build(df: DataFrame, keyNames: Seq[String],
+      orderSpec: Seq[(String, Boolean)], k: Int,
+      rankName: String, partial: Boolean): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -125,6 +150,6 @@ object TopKPerKey {
     }
     val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
     GraftSql.ofRows(spark,
-      TopKPerKey(k, keyNames.map(attr), order, rankAttr, analyzed))
+      TopKPerKey(k, keyNames.map(attr), order, rankAttr, analyzed, partial))
   }
 }

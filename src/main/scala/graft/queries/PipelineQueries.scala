@@ -94,6 +94,22 @@ object PipelineQueries {
     ivfModels.computeIfAbsent(dir, _ =>
       graft.functions.IVF.train(Tables.embeddings(s, dir), "embedding", "vec_id", k = 8))
 
+  /** Cell-partitioned IVF layout, written once per dir (the offline index
+    * build `IVF.writeIndexed` models): probe queries over it are partition
+    * PRUNING, the on-disk seat of the 100 TB scale story. Repo-local temp
+    * path; rebuilt per JVM, reused across catalog runs in one. */
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIndexedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfIndexDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/ivf-indexed-$safe"
+      graft.functions.IVF.writeIndexed(
+        Tables.embeddings(s, dir), "embedding", "vec_id", ivfModel(s, dir), path)
+      path
+    })
+
   /** DuckDB oracle for IVF probe search, given the trained centroids as
     * exact double literals: recomputes cell assignment (argmin with
     * lower-cell tie-break), the probed cell ranking, and cosine top-k —
@@ -312,6 +328,18 @@ object PipelineQueries {
              |      FROM tf JOIN dfreq USING (term))
              |SELECT doc_id, term_rank, term, tf, df, score FROM r
              |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin)),
+
+    QueryDef("dedup_spans",
+      // corpus-wide duplicated-span census (the exact-substring primitive
+      // of Lee et al. 2022): every 3-word shingle in >= 2 distinct docs
+      // with its doc frequency; oracle recomputes shingling + counting
+      (s, dir) => graft.functions.Dedup.duplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2)
+        .orderBy("sh"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents)
+              |SELECT sh, count(DISTINCT doc_id) AS n_docs
+              |FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+              |ORDER BY sh""".stripMargin)),
 
     QueryDef("text_chunk",
       // fixed-window word chunking with overlap (width 32, stride 24) —
@@ -735,6 +763,23 @@ object PipelineQueries {
       // Verify against the actual sf dir (everything downstream of
       // training — assignment, probe ranking, cosine top-k — is then
       // recomputed independently by DuckDB)
+      dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
+        topK = 10, nProbe = 2))),
+
+    QueryDef("ann_ivf_indexed",
+      // probe search over the cell-PARTITIONED on-disk layout
+      // (IVF.writeIndexed): the probe predicate resolves against the
+      // partition column, so unprobed cells are pruned before any file IO.
+      // Ranking contract: identical to ann_ivf_topk (same model, same
+      // query vector), so the same dynamic oracle verifies both — this row
+      // proves the indexed path end-to-end, not just its plan shape
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        graft.functions.IVF.searchIndexed(s, ivfIndexedPath(s, dir),
+          "embedding", "vec_id", ivfModel(s, dir), q, topK = 10, nProbe = 2)
+      },
+      None,
       dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
         topK = 10, nProbe = 2))),
 

@@ -77,6 +77,31 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.exists(s => s.contains("struct<>")), p)
   }
 
+  test("salient_terms: the vocabulary (df) side is never broadcast") {
+    // the document-frequency side IS the corpus vocabulary — unbounded on
+    // a web corpus — so the tf x df join must stay a partitioned shuffle
+    // join even where toy-scale stats would let Catalyst broadcast it
+    val p = planOf("salient_terms")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"), p)
+  }
+
+  test("sample_reservoir: two-stage bottom-k, no per-stratum window, pruned exchange") {
+    val p = planOf("sample_reservoir")
+    // no window at all: neither global nor partitioned-by-stratum (a jumbo
+    // stratum would funnel through one task)
+    assert(!p.contains("Window"), p)
+    // partial (map-side, no exchange below it) + final TopKPerKey stages
+    assert("TopKPerKey".r.findAllMatchIn(p).size == 2, p)
+    // the stratum exchange sits BETWEEN the stages (plans print top-down:
+    // final above the exchange, partial below it), so it moves only the
+    // k-per-partition survivors, never the corpus
+    val finalIdx = p.indexOf("TopKPerKey")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(lang")
+    val partialIdx = p.lastIndexOf("TopKPerKey")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
+  }
+
   /** The documented reference-parity operators that model an inherently
     * sequential counter (the reference's global page/WRR state). Each has a
     * scale-path sibling in the catalog; nothing else may plan a

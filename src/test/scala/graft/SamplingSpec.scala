@@ -31,6 +31,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(got - 0.3) < 0.02, s"sampled fraction $got")
   }
 
+  test("reservoirPerKey (two-stage bottom-k) matches the one-pass window form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // repartition so the PARTIAL stage genuinely prunes across partitions
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001).repartition(8)
+    val got = Sampling.reservoirPerKey(docs, "doc_id", "lang", 5)
+      .select("lang", "sample_rank", "doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    val w = Window.partitionBy($"lang")
+      .orderBy(Sampling.hashSlice32($"doc_id").asc, $"doc_id".asc)
+    val want = docs.withColumn("sample_rank", row_number().over(w))
+      .filter($"sample_rank" <= 5)
+      .select("lang", "sample_rank", "doc_id")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
