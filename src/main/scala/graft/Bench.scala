@@ -19,7 +19,11 @@ object Bench {
     // sink shape measured via the scale-path form: the WRR parity form
     // plans a global window by design and must stay off the bench path
     "doc_fingerprint", "sink_kafka_shape_hash", "multimodal_decode",
-    "scan_page_scalable", "sample_stratified", "text_chunk")
+    "scan_page_scalable", "sample_stratified", "text_chunk",
+    // round-4 additions: the training-data ops whose scale paths changed
+    // or were newly gated this round
+    "salient_terms", "sample_reservoir", "dedup_spans",
+    "decontaminate_corpus", "seq_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,7 +61,12 @@ object Bench {
     // median-of-N per query: single-run timings at this scale carry ±20%
     // noise, which makes round-over-round per-query deltas unactionable
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = Headline.filter(SparkEntry.queries.contains).map { name =>
+    // comma-separated override for targeted measurements (e.g. SCALING.md's
+    // 10x runs over a subset)
+    val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Headline)
+    val results = queryList.filter(SparkEntry.queries.contains).map { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
