@@ -66,10 +66,21 @@ object Bench {
     val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Headline)
+    // count() lets Catalyst prune work a query's OUTPUT columns carry (e.g.
+    // an outer join against a unique right side folds away) — the right
+    // default for plan-level comparisons, but set
+    // SPARK_GRAFT_BENCH_MATERIALIZE=1 to force every output column to be
+    // computed (hash-reduced server-side; nothing collected)
+    val materialize = sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1")
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      if (materialize)
+        df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*).as("h"))
+          .agg(org.apache.spark.sql.functions.sum("h")).count()
+      else df.count()
     val results = queryList.filter(SparkEntry.queries.contains).map { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        try { run(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9

@@ -121,6 +121,46 @@ object Dedup {
       .groupBy("sh").agg(countDistinct(col("_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** REMOVE corpus-duplicated spans from every document — the removal half
+    * of the Lee et al. 2022 pipeline ([[duplicatedSpans]] is the census
+    * half): a word is dropped when ANY k-gram covering it occurs in >=
+    * minDocs distinct documents. Documents shorter than k words have no
+    * k-gram and pass through unchanged. Returns (id, clean_text,
+    * n_removed).
+    *
+    * Plan at scale: positional k-grams are sliced from one materialized
+    * token array per doc (narrow); a LEFT SEMI join against the census
+    * keys the only shuffle by the gram and moves just the HIT positions
+    * (the census side is grams with df >= minDocs — a sliver of the
+    * vocabulary, and semi-join probes never duplicate rows); covered word
+    * indices aggregate per doc (bounded by the doc's own token count);
+    * the rebuild filters the token array by index — a narrow map. Never
+    * text×text, never a broadcast of anything corpus-sized. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): DataFrame = {
+    val dup = duplicatedSpans(df, idCol, textCol, k, minDocs).select("sh")
+    val withToks = df.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("_toks"))
+    // positional grams: (doc, 0-based start index, gram text)
+    val grams = withToks
+      .select(col(idCol), col("_toks"),
+        explode(when(size(col("_toks")) >= k,
+            sequence(lit(0), size(col("_toks")) - k))
+          .otherwise(array().cast("array<int>"))).as("_i"))
+      .select(col(idCol), col("_i"),
+        concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(k))).as("sh"))
+    val covered = grams.join(dup, Seq("sh"), "left_semi")
+      .select(col(idCol), explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_j"))
+      .groupBy(idCol).agg(collect_set(col("_j")).as("_cov"))
+    withToks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_cov").isNull, col(textCol)).otherwise(concat_ws(" ",
+          filter(col("_toks"), (t, j) => !array_contains(col("_cov"), j))))
+          .as("clean_text"),
+        when(col("_cov").isNull, lit(0))
+          .otherwise(size(col("_cov"))).cast("int").as("n_removed"))
+  }
+
   // ---- MinHash + LSH ----
 
   /** Deterministic (a, b) coefficients for the minhash family, from a fixed

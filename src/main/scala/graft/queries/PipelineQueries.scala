@@ -341,6 +341,32 @@ object PipelineQueries {
               |FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
               |ORDER BY sh""".stripMargin)),
 
+    QueryDef("dedup_spans_remove",
+      // the removal half of Lee et al.: words covered by any corpus-
+      // duplicated 3-gram are dropped from each doc; oracle recomputes the
+      // census, positional gram hits, covered indices, and the rebuilt text
+      (s, dir) => graft.functions.Dedup.removeDuplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+              |allsh AS (SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents),
+              |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd
+              |                        FROM allsh GROUP BY sh) WHERE nd >= 2),
+              |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+              |      FROM t WHERE len(toks) >= 3),
+              |g AS (SELECT doc_id, i, array_to_string(toks[i:i+2], ' ') AS sh FROM p),
+              |cov AS (SELECT DISTINCT doc_id, j FROM
+              |         (SELECT doc_id, unnest(generate_series(i, i + 2)) AS j
+              |          FROM g JOIN dup USING (sh))),
+              |covs AS (SELECT doc_id, list(j) AS cov, count(*) AS n_rem
+              |         FROM cov GROUP BY doc_id)
+              |SELECT t.doc_id,
+              |  CASE WHEN c.doc_id IS NULL THEN t.text
+              |       ELSE coalesce(array_to_string(list_filter(t.toks,
+              |              (x, i) -> NOT list_contains(c.cov, i)), ' '), '') END AS clean_text,
+              |  CAST(coalesce(c.n_rem, 0) AS INT) AS n_removed
+              |FROM t LEFT JOIN covs c USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
     QueryDef("text_chunk",
       // fixed-window word chunking with overlap (width 32, stride 24) —
       // the tokenize-and-pack prep stage; oracle recomputes every window

@@ -37,6 +37,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(short == Seq("two words"))
   }
 
+  test("removeDuplicatedSpans drops only words covered by corpus-duplicated grams") {
+    val tiny = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "alpha beta gamma delta unique2 tail2"),
+      (3L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(tiny, "doc_id", "text", k = 3, minDocs = 2)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    // "alpha beta gamma" and "beta gamma delta" are in docs 1 and 2 ->
+    // words 0..3 covered in both; the unique tails survive
+    assert(out(0) == ((1L, "unique1 tail1", 4)))
+    assert(out(1) == ((2L, "unique2 tail2", 4)))
+    assert(out(2) == ((3L, "nothing shared here at all today", 0)))
+    // a doc shorter than k words passes through even if its text repeats
+    val short = Seq((1L, "hi there"), (2L, "hi there")).toDF("doc_id", "text")
+    val s = Dedup.removeDuplicatedSpans(short, "doc_id", "text", 3, 2)
+      .select("clean_text").as[String].collect()
+    assert(s.toSet == Set("hi there"))
+  }
+
   test("minhash LSH finds exact and near dups, with true jaccard attached") {
     val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
       k = 3, numHashes = 16, threshold = 0.5)
