@@ -23,7 +23,7 @@ object Bench {
     // round-4 additions: the training-data ops whose scale paths changed
     // or were newly gated this round
     "salient_terms", "sample_reservoir", "dedup_spans",
-    "decontaminate_corpus", "seq_pack")
+    "decontaminate_corpus", "seq_pack", "dedup_spans_remove", "split_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -331,6 +331,22 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection: ONE representative per near-dup
+    * cluster — the member with the HIGHEST `scoreCol` (id ascending as the
+    * tie-break), the policy production pipelines actually want (keep the
+    * cleanest copy) where [[minhashSurvivors]] keeps the lowest id.
+    * `clusters` is [[connectedComponents]] output (`id`, `cluster_id`).
+    * One partial-aggregable shuffle keyed by cluster: `max_by` over the
+    * (score, -id) struct — no window, no per-cluster sort. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"), col(scoreCol).as("_score"))
+      .join(clusters, Seq("id"))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("id"), struct(col("_score"), (lit(0L) - col("id")))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff the

@@ -43,6 +43,33 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(stratifiedKeep(col(keyCol), col(strataCol), rates, defaultRate))
 
+  /** Deterministic weighted split assignment (train/val/test and friends):
+    * the md5-slice of the key lands uniformly in [0, 2^32) and cumulative
+    * weight thresholds partition that range. Pure hash — retry-safe,
+    * auditable, stable under re-runs AND under incremental appends (a
+    * record's split can never change when new data arrives, which is what
+    * keeps eval sets uncontaminated across corpus versions), and
+    * SQL-recomputable so the gate verifies exact membership. Weights are
+    * normalized; the last split takes the hash-range remainder. */
+  def splitAssign(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h = hashSlice32(key)
+    splits.zip(cum).dropRight(1).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(h < lit(math.round(c * 4294967296.0)), lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Exact thresholds [[splitAssign]] uses, for oracle rendering. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    splits.zip(cum).map { case ((n, _), c) => n -> math.round(c * 4294967296.0) }
+  }
+
   /** Exact-k deterministic "reservoir" per stratum: the k records with the
     * smallest hash priority in each stratum (key as tie-break). Same
     * membership as a sequential reservoir under priority sampling, but

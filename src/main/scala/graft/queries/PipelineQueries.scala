@@ -599,6 +599,84 @@ object PipelineQueries {
               |SELECT id AS doc_id, min(lbl) AS cluster_id
               |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("dedup_keep_best",
+      // quality-aware survivor selection: per near-dup cluster keep the
+      // highest-quality member (id tie-break) — clusters, quality scores,
+      // and the argmax are ALL recomputed independently by the oracle
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val q = TextAnalysis.qualityMetrics(docs)
+          .withColumn("q", TextAnalysis.qualityScore())
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        val clusters = Dedup.connectedComponents(docs, "doc_id", pairs)
+        Dedup.keepBestPerCluster(q, "doc_id", "q", clusters)
+          .orderBy("cluster_id")
+      },
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |jp AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |good AS (
+           |  SELECT id_a, id_b FROM jp
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+           |          UNION ALL SELECT id_b, id_a FROM good),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           |m AS (SELECT doc_id,
+           |        len(string_split(text,' ')) AS n_tokens,
+           |        len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+           |        len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |        length(text) AS n_chars
+           |      FROM documents),
+           |q AS (SELECT doc_id,
+           |        (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.5
+           |        + (CAST(n_stop AS DOUBLE) / n_uniq_tokens) * 0.2
+           |        + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 AS score
+           |      FROM m),
+           |r AS (SELECT c.cluster_id, c.id,
+           |        row_number() OVER (PARTITION BY c.cluster_id
+           |          ORDER BY q.score DESC, c.id ASC) AS rn,
+           |        count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+           |      FROM clus c JOIN q ON q.doc_id = c.id)
+           |SELECT cluster_id, id AS keep_id, n_members
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+      }),
+
+    QueryDef("split_assign",
+      // deterministic 80/10/10 train/val/test assignment by hashed key —
+      // stable under re-runs and corpus appends; oracle recomputes the
+      // md5-slice hash and the exact cumulative thresholds
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Sampling.splitAssign(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id"),
+      Some {
+        val th = graft.functions.Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        s"""SELECT doc_id,
+           |  CASE WHEN h < ${th(0)._2} THEN 'train'
+           |       WHEN h < ${th(1)._2} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, list_reduce(list_transform(
+           |    regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+           |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS h
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("dedup_ngram_jaccard",
       // exact all-pairs Jaccard, blocked by source to bound the quadratic
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir),

@@ -37,6 +37,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(short == Seq("two words"))
   }
 
+  test("inverted-index jaccard/containment == direct pairwise computation (seeded random corpus)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val base = (1L to 25L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        s"s${rnd.nextInt(2)}")
+    }
+    // planted near-dups: same source, one appended word — the overlap graph
+    // must be non-trivial for the equality check to mean anything
+    val variants = base.take(8).map { case (i, t, s) =>
+      (i + 100L, t + " " + vocab(rnd.nextInt(vocab.size)), s)
+    }
+    val corpus = (base ++ variants).toDF("doc_id", "text", "src")
+    val sh = corpus.select($"doc_id", $"src", Dedup.shingles($"text", 3).as("sh"))
+      .as[(Long, String, Seq[String])].collect()
+    val wantJac = (for {
+      a <- sh; b <- sh if a._1 < b._1 && a._2 == b._2
+      inter = a._3.toSet.intersect(b._3.toSet).size
+      uni = a._3.toSet.union(b._3.toSet).size
+      j = inter.toDouble / uni if j >= 0.3
+    } yield (a._1, b._1, j)).toSet
+    val gotJac = Dedup.jaccardPairs(corpus, "doc_id", "text", "src", 3, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotJac == wantJac)
+    assert(wantJac.nonEmpty) // the corpus must actually exercise the path
+    val wantCon = (for {
+      a <- sh; b <- sh if a._1 != b._1 && a._2 == b._2
+      c = a._3.toSet.intersect(b._3.toSet).size.toDouble / a._3.size if c >= 0.5
+    } yield (a._1, b._1, c)).toSet
+    val gotCon = Dedup.containmentPairs(corpus, "doc_id", "text", "src", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotCon == wantCon)
+    assert(wantCon.nonEmpty)
+  }
+
   test("removeDuplicatedSpans drops only words covered by corpus-duplicated grams") {
     val tiny = Seq(
       (1L, "alpha beta gamma delta unique1 tail1"),

@@ -48,6 +48,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("splitAssign: exhaustive, disjoint, ~weighted, append-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = keys.toDF().select($"k",
+      Sampling.splitAssign($"k", splits).as("split"))
+    val byS = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test")) // exhaustive + disjoint
+    val n = 20000.0
+    assert(math.abs(byS("train") / n - 0.8) < 0.02)
+    assert(math.abs(byS("val") / n - 0.1) < 0.01)
+    // append stability: assignment over a subset is the restriction of the
+    // assignment over the whole — a record's split never changes
+    val subset = keys.toDF().filter($"k".cast("long") < 1000)
+      .select($"k", Sampling.splitAssign($"k", splits).as("split"))
+      .as[(String, String)].collect().toMap
+    val full = assigned.filter($"k".cast("long") < 1000)
+      .as[(String, String)].collect().toMap
+    assert(subset == full)
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
