@@ -331,6 +331,26 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Corpus snapshot diff — the incremental-ingest primitive: classify every
+    * id across two corpus versions as added / removed / changed / unchanged
+    * by CONTENT HASH (md5 of the text), so "changed" is detected without
+    * comparing full texts across the join. Plan: two narrow hash maps, one
+    * full outer join keyed by id (uniform), a four-way CASE — no text ever
+    * crosses the shuffle, only (id, 32-byte hash). At 100 TB this is how a
+    * nightly corpus version is reconciled against yesterday's: the delta
+    * feeds re-tokenization/re-embedding while `unchanged` short-circuits. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("_old_h"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("_new_h"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_old_h").isNull, lit("added"))
+          .when(col("_new_h").isNull, lit("removed"))
+          .when(col("_old_h") =!= col("_new_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Quality-aware survivor selection: ONE representative per near-dup
     * cluster — the member with the HIGHEST `scoreCol` (id ascending as the
     * tie-break), the policy production pipelines actually want (keep the

@@ -654,6 +654,32 @@ object PipelineQueries {
            |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
       }),
 
+    QueryDef("corpus_diff",
+      // snapshot reconciliation by content hash: old = ids % 7 != 0, new =
+      // ids % 11 != 0 with % 5 == 0 texts "edited" — all four statuses
+      // occur deterministically from one table; only (id, hash) shuffles
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+        val newV = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.functions.Dedup.corpusDiff(oldV, newV, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0),
+             |n AS (SELECT doc_id AS id,
+             |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+             |      FROM documents WHERE doc_id % 11 != 0)
+             |SELECT coalesce(o.id, n.id) AS id,
+             |  CASE WHEN o.id IS NULL THEN 'added'
+             |       WHEN n.id IS NULL THEN 'removed'
+             |       WHEN o.h != n.h THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM o FULL OUTER JOIN n ON o.id = n.id
+             |ORDER BY id""".stripMargin)),
+
     QueryDef("split_assign",
       // deterministic 80/10/10 train/val/test assignment by hashed key —
       // stable under re-runs and corpus appends; oracle recomputes the
