@@ -70,6 +70,44 @@ object Sampling {
     splits.zip(cum).map { case ((n, _), c) => n -> math.round(c * 4294967296.0) }
   }
 
+  /** Per-stratum keep-rates that rebalance a corpus to a target mixture.
+    * Given observed stratum counts and target weights (normalized over the
+    * weighted strata), the largest achievable rebalanced corpus keeps every
+    * stratum at rate <= 1: its size is `n = min_s(count_s / weight_s)` and
+    * stratum s keeps `weight_s * n / count_s` of its rows. All double
+    * arithmetic is written in a fixed order so an oracle recomputing from
+    * the same counts reproduces the rates bit-for-bit. */
+  def mixtureRates(counts: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be non-empty and positive")
+    val total = weights.values.sum
+    val present = weights.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 => (s, w / total, counts(s))
+    }.toSeq
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    val n = present.map { case (_, w, c) => c.toDouble / w }.min
+    present.map { case (s, w, c) =>
+      s -> math.min(1.0, w * n / c.toDouble)
+    }.toMap
+  }
+
+  /** Rebalance `df` to the target stratum mixture — the domain-mixing step
+    * of corpus curation (e.g. web 50% / code 25% / books 25% regardless of
+    * raw crawl proportions). One metadata-sized aggregate (a row per
+    * stratum) crosses to the driver to derive the rates; the selection
+    * itself is the same pure-hash narrow map as [[stratifiedSample]], so
+    * membership is deterministic, retry-safe, and exactly recomputable by
+    * the oracle. Strata without a weight are dropped (rate 0). */
+  def rebalanceMixture(df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = mixtureRates(counts, weights)
+    df.filter(stratifiedKeep(col(keyCol), col(stratumCol), rates,
+      defaultRate = 0.0))
+  }
+
   /** Exact-k deterministic "reservoir" per stratum: the k records with the
     * smallest hash priority in each stratum (key as tie-break). Same
     * membership as a sequential reservoir under priority sampling, but
@@ -93,5 +131,54 @@ object Sampling {
     graft.plans.TopKPerKey.perKey(pruned, Seq(strataCol), order, k,
         rankName = "sample_rank")
       .drop("_sample_prio")
+  }
+
+  /** Best-first selection under a global token budget: keep the
+    * highest-`scoreCol` rows whose running `tokensCol` total — over the
+    * total order (score DESC, key ASC) — stays within `budget`. The "take
+    * the best N tokens" curation step when the training run has a fixed
+    * token count.
+    *
+    * The running total over a global order is computed WITHOUT a global
+    * window (the same discipline as `Scan.withPageNumberScalable`):
+    *   1. bucket rows by `buckets` approx-quantile bounds of scoreCol (one
+    *      sampled stats pass; bounds are a driver-side double array);
+    *   2. sum tokens per bucket (a `buckets`-row aggregate) and fold the
+    *      higher-score buckets' totals into literal offsets;
+    *   3. running-sum within each bucket (Window PARTITIONED by bucket —
+    *      fully parallel) plus the bucket's offset.
+    * Equivalence to the one-pass global-window form is exact: buckets
+    * partition score RANGES, so every row of a higher-score bucket precedes
+    * every row of a lower one in the total order, and ties cannot straddle
+    * a boundary (bucketing compares values, not positions). Token sums are
+    * integer arithmetic — no float drift. At 100 TB: nothing serializes
+    * through one task; the largest window group is corpus/buckets, tuned by
+    * `buckets` (thousands on a real cluster). */
+  def budgetTrim(df: DataFrame, keyCol: String, scoreCol: String,
+      tokensCol: String, budget: Long, buckets: Int = 32,
+      out: String = "cum_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(scoreCol, probs, 0.001).distinct.sorted
+    val bucketExpr = bounds
+      .map(b => when(col(scoreCol) > lit(b), 1).otherwise(0): Column)
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("_bkt", bucketExpr)
+    // per-bucket token totals are metadata-sized (`buckets` longs)
+    val sums = withB.groupBy("_bkt")
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // consumption runs score-DESC: offsets(b) = total tokens in buckets > b
+    val maxB = bounds.length
+    val offsets = (maxB to 0 by -1).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }.dropRight(1).reverse
+    val offExpr = element_at(array(offsets.map(lit): _*), col("_bkt") + lit(1))
+    val w = Window.partitionBy(col("_bkt"))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.withColumn(out, sum(col(tokensCol).cast("long")).over(w) + offExpr)
+      .filter(col(out) <= lit(budget))
+      .drop("_bkt")
   }
 }

@@ -164,6 +164,12 @@ object PipelineQueries {
     "en" -> 0.5, "zh" -> 0.25)
   private val StratDefault = 0.1
 
+  /** Target mixture for corpus_mix — exact binary fractions summing to 1.0,
+    * so Scala's normalization (w / total) is bit-exact identity and the
+    * oracle can embed the weights as plain literals. */
+  private val MixWeights = scala.collection.immutable.ListMap(
+    "en" -> 0.5, "es" -> 0.25, "de" -> 0.125, "fr" -> 0.125)
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis ----
@@ -701,6 +707,72 @@ object PipelineQueries {
            |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS h
            |  FROM documents)
            |ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("corpus_mix",
+      // domain-mixing rebalance: target lang mixture en/es/de/fr =
+      // .5/.25/.125/.125 (zh unweighted -> dropped); the oracle recomputes
+      // the per-stratum counts, the achievable corpus size, the keep-rates,
+      // and the exact hash membership — end to end in SQL
+      (s, dir) => graft.functions.Sampling.rebalanceMixture(
+          Tables.documents(s, dir), "doc_id", "lang", MixWeights)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some {
+        val values = MixWeights
+          .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }.mkString(", ")
+        s"""WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt
+           |           FROM documents GROUP BY lang),
+           |w(lang, wt) AS (VALUES $values),
+           |j AS (SELECT c.lang, c.cnt, w.wt FROM c JOIN w ON c.lang = w.lang),
+           |m AS (SELECT min(cnt / wt) AS n FROM j),
+           |t AS (SELECT lang, CAST(floor(least(1.0, wt * (SELECT n FROM m) / cnt)
+           |                              * 4294967296.0 + 0.5) AS BIGINT) AS th
+           |      FROM j)
+           |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+           |WHERE list_reduce(list_transform(
+           |    regexp_extract_all(substr(md5(CAST(d.doc_id AS VARCHAR)), 25, 8), '.'),
+           |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)
+           |  < t.th
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("token_budget_trim",
+      // best-first selection under a global token budget: the oracle is the
+      // straightforward global-window cumsum; the engine computes the SAME
+      // running total via quantile buckets + literal offsets (no global
+      // window — integer token sums make the equivalence exact)
+      (s, dir) => {
+        val scored = TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+          .withColumn("quality_score", TextAnalysis.qualityScore())
+        graft.functions.Sampling.budgetTrim(scored, "doc_id", "quality_score",
+            "n_tokens", budget = 10000L)
+          .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH q AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, n_tokens,
+           |    (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.5
+           |      + (CAST(n_stop AS DOUBLE) / n_uniq_tokens) * 0.2
+           |      + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3
+           |      AS quality_score
+           |  FROM q),
+           |r AS (
+           |  SELECT doc_id, quality_score, n_tokens,
+           |    CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM m)
+           |SELECT doc_id, quality_score, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+           |FROM r WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
       }),
 
     QueryDef("dedup_ngram_jaccard",

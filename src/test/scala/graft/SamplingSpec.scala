@@ -67,6 +67,56 @@ class SamplingSpec extends AnyFunSuite {
     assert(subset == full)
   }
 
+  test("rebalanceMixture: output tracks the target mixture, drops unweighted strata") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val weights = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.125, "fr" -> 0.125)
+    val out = Sampling.rebalanceMixture(docs, "doc_id", "lang", weights)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("zh")) // unweighted stratum dropped
+    // the binding stratum (min count/weight) is kept whole, so its share
+    // anchors the mixture; other strata are hash-thinned toward their
+    // weight — at 500 docs the binomial noise is ~±10%, so assert ordering
+    // and bounds rather than exact shares
+    val n = byLang.values.sum.toDouble
+    val shares = weights.keys.map(l => l -> byLang.getOrElse(l, 0L) / n).toMap
+    assert(shares("en") > shares("es") && shares("es") > shares("de"))
+    assert(math.abs(shares("en") - 0.5) < 0.15, s"en share ${shares("en")}")
+    // membership is a subset of the input and deterministic across runs
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.rebalanceMixture(docs, "doc_id", "lang", weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // nesting: a stratum's kept set is a subset of that stratum's rows
+    val enAll = docs.filter($"lang" === "en").select("doc_id")
+      .as[Long].collect().toSet
+    val enKept = out.filter($"lang" === "en").select("doc_id")
+      .as[Long].collect().toSet
+    assert(enKept.subsetOf(enAll))
+  }
+
+  test("budgetTrim (bucketed cumsum) matches the one-pass global-window form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.functions.TextAnalysis
+      .qualityMetrics(Tables.documents(spark, GraftTestSpark.Sf0001))
+      .withColumn("q", graft.functions.TextAnalysis.qualityScore())
+      .repartition(8) // so buckets genuinely span partitions
+    def collectTrim(buckets: Int) =
+      Sampling.budgetTrim(docs, "doc_id", "q", "n_tokens", 5000L,
+          buckets = buckets)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    val got = collectTrim(16)
+    val w = Window.orderBy($"q".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs
+      .withColumn("cum_tokens", sum($"n_tokens".cast("long")).over(w))
+      .filter($"cum_tokens" <= 5000L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // bucket count is a pure performance knob — results are identical
+    assert(collectTrim(4) == got && collectTrim(64) == got)
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
