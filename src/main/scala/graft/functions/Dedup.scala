@@ -35,6 +35,32 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Soft dedup: keep at most `maxCopies` rows per exact-content group
+    * (lowest ids survive, `copy_rank` = 1-based rank within the group).
+    * Pipelines that weight common documents UP keep 2-3 copies instead of
+    * hard-deduplicating; this is that knob. The window key is the content
+    * hash — group size is the duplication factor of one text, never a
+    * stratum, so no task ever sees more than one clique. */
+  def capDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxCopies: Int): DataFrame = {
+    require(maxCopies >= 1, "maxCopies must be >= 1")
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("copy_rank", row_number().over(w))
+      .filter(col("copy_rank") <= maxCopies)
+  }
+
+  /** Incremental exact dedup: rows of `incoming` whose content hash is NOT
+    * already in `corpus` — the nightly-ingest step (dedup the new crawl
+    * against everything already accepted). LEFT ANTI join keyed by the
+    * 32-hex-char digest: the corpus side reduces to distinct hashes before
+    * the join, so only digests shuffle, never text. Compose with
+    * [[exactDedup]] on the survivors to also dedup within the batch. */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("_seen_h")).distinct()
+    incoming.join(seen, md5(col(textCol)) === col("_seen_h"), "left_anti")
+  }
+
   // ---- shingles / jaccard ----
 
   /** k-word shingles (distinct), whitespace-tokenized; documents shorter

@@ -127,6 +127,19 @@ object TextAnalysis {
       .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-group corpus summary — the curation dashboard numbers: document
+    * count, char/token totals, distinct text count (exact-dup signal). All
+    * integer aggregates (long sums, distinct count of a hash), so results
+    * are partial/merge-order independent and engine-comparable — no double
+    * accumulation anywhere. One uniform group-keyed shuffle at any scale. */
+  def corpusStats(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"),
+      countDistinct(md5(col(textCol))).as("n_unique_texts"))
+
   /** Canonical text normalization for dedup/filter preprocessing: trim,
     * lowercase, collapse internal whitespace runs. Narrow map, fused into
     * the scan. */

@@ -526,6 +526,49 @@ object PipelineQueries {
              |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
              |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("dedup_cap",
+      // soft dedup: at most 2 copies of any exact text survive (pipelines
+      // that UP-weight common docs keep N copies instead of hard-deduping)
+      (s, dir) => Dedup.capDuplicates(Tables.documents(s, dir),
+          "text", "doc_id", maxCopies = 2)
+        .select("doc_id", "copy_rank", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, copy_rank, lang, source FROM (
+             |  SELECT doc_id, lang, source,
+             |    CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT)
+             |      AS copy_rank
+             |  FROM documents) WHERE copy_rank <= 2 ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("dedup_incremental",
+      // nightly-ingest dedup: the new batch (doc_id % 7 = 0) anti-joined by
+      // content hash against the already-accepted corpus (the rest); the
+      // documents table's replicated dup clusters make real hash hits
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.dedupAgainstCorpus(
+            docs.filter(col("doc_id") % 7 === 0),
+            docs.filter(col("doc_id") % 7 =!= 0), "text")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id % 7 = 0 AND md5(text) NOT IN
+             |  (SELECT md5(text) FROM documents WHERE doc_id % 7 != 0)
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("corpus_stats",
+      // curation dashboard: per (lang, source) doc/char/token/unique-text
+      // totals — all integer aggregates, merge-order independent
+      (s, dir) => TextAnalysis.corpusStats(Tables.documents(s, dir),
+          "text", Seq("lang", "source"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |  count(DISTINCT md5(text)) AS n_unique_texts
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     QueryDef("dedup_minhash",
       (s, dir) => Dedup.minhashDedupPairs(Tables.documents(s, dir),
           "doc_id", "text", k = 3, numHashes = 16, threshold = 0.8)
