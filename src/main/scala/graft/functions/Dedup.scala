@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -29,24 +28,39 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: keep the lowest-id row per distinct text. */
+  /** Exact dedup: keep the lowest-id row per distinct text.
+    *
+    * NOT a digest-keyed window: a window puts an entire exact-dup clique in
+    * one task, and common boilerplate (empty page, robots text) duplicated
+    * 10⁷-10⁸× is a single-task funnel at corpus scale. Two-stage bounded
+    * heap instead ([[graft.plans.TopKPerKey]], k=1): the partial pass keeps
+    * one row per digest per input partition with NO exchange, so the
+    * shuffle the final pass induces moves at most numPartitions rows per
+    * digest — a jumbo clique costs what a small one costs. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    import graft.plans.TopKPerKey
+    val withD = df.withColumn("_digest", md5(col(textCol)))
+    val partial = TopKPerKey.perKeyPartial(withD, Seq("_digest"), Seq((idCol, true)), 1)
+    TopKPerKey.perKey(partial, Seq("_digest"), Seq((idCol, true)), 1, "_rn")
+      .drop("_rn", "_digest")
   }
 
   /** Soft dedup: keep at most `maxCopies` rows per exact-content group
     * (lowest ids survive, `copy_rank` = 1-based rank within the group).
     * Pipelines that weight common documents UP keep 2-3 copies instead of
-    * hard-deduplicating; this is that knob. The window key is the content
-    * hash — group size is the duplication factor of one text, never a
-    * stratum, so no task ever sees more than one clique. */
+    * hard-deduplicating; this is that knob. Same two-stage bounded-heap
+    * shape as [[exactDedup]] (k=maxCopies): the final pass's 1-based heap
+    * rank IS `copy_rank` — identical to the window formulation's
+    * row_number because the order (id) is total — and no task ever holds
+    * more than k×numPartitions rows of any clique. */
   def capDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxCopies: Int): DataFrame = {
     require(maxCopies >= 1, "maxCopies must be >= 1")
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("copy_rank", row_number().over(w))
-      .filter(col("copy_rank") <= maxCopies)
+    import graft.plans.TopKPerKey
+    val withD = df.withColumn("_digest", md5(col(textCol)))
+    val partial = TopKPerKey.perKeyPartial(withD, Seq("_digest"), Seq((idCol, true)), maxCopies)
+    TopKPerKey.perKey(partial, Seq("_digest"), Seq((idCol, true)), maxCopies, "copy_rank")
+      .drop("_digest")
   }
 
   /** Incremental exact dedup: rows of `incoming` whose content hash is NOT
@@ -178,10 +192,19 @@ object Dedup {
     val covered = grams.join(dup, Seq("sh"), "left_semi")
       .select(col(idCol), explode(sequence(col("_i"), col("_i") + lit(k - 1))).as("_j"))
       .groupBy(idCol).agg(collect_set(col("_j")).as("_cov"))
+    // rebuild: kept indices = all positions minus covered ones, then index
+    // back into the token array. array_except builds one hash set over
+    // _cov and streams the position sequence through it — O(n + |cov|) per
+    // document (and preserves the ascending order of its first argument),
+    // where the per-token array_contains scan it replaces was
+    // O(n × |cov|): a 100k-token doc that is mostly duplicated spans paid
+    // ~10¹⁰ comparisons in one row's evaluation
     withToks.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         when(col("_cov").isNull, col(textCol)).otherwise(concat_ws(" ",
-          filter(col("_toks"), (t, j) => !array_contains(col("_cov"), j))))
+          transform(
+            array_except(sequence(lit(0), size(col("_toks")) - 1), col("_cov")),
+            j => element_at(col("_toks"), j + 1))))
           .as("clean_text"),
         when(col("_cov").isNull, lit(0))
           .otherwise(size(col("_cov"))).cast("int").as("n_removed"))
@@ -249,17 +272,77 @@ object Dedup {
     * join shuffles (band, key) only. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bandRows: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val bands = bandIndex(df, idCol, textCol, k, numHashes, bandRows)
+    val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exploded LSH banding of a corpus as (id, band, bkey) — the NEAR-DUP
+    * INDEX: the minimal state a pipeline persists so later crawl
+    * increments can be near-deduped against the accepted corpus WITHOUT
+    * re-signaturing it ([[nearDupAgainstCorpus]]). Each band key hashes
+    * that band's `bandRows` signature minima to one long (the band index
+    * is mixed in so bands never alias). numHashes/bandRows small rows per
+    * document — at 100 TB the index is ~n_docs × 8 (id, int, long) rows,
+    * a sliver of the text it stands for. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, bandRows: Int = 2): DataFrame = {
     val nBands = numHashes / bandRows
     val bandKeys = array((0 until nBands).map { j =>
       xxhash64((lit(j) +: (0 until bandRows).map(r =>
         element_at(col("sig"), j * bandRows + r + 1))): _*)
     }: _*)
-    val bands = sigs.select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
-    val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    minhashSignatures(df, idCol, textCol, k, numHashes)
+      .select(col("id"), posexplode(bandKeys).as(Seq("band", "bkey")))
+  }
+
+  /** Persist [[bandIndex]] as parquet partitioned by `band` — the offline
+    * index build (mirrors [[graft.functions.IVF.writeIndexed]]): an
+    * incremental batch only probes the band partitions its own keys land
+    * in, and appending a new batch's bands later is a partition-local
+    * write. */
+  def writeBandIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, k: Int = 3, numHashes: Int = 16, bandRows: Int = 2): Unit =
+    bandIndex(df, idCol, textCol, k, numHashes, bandRows)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Incremental NEAR-dup: pairs (id_new, id_corp, jaccard >= threshold)
+    * between an incoming batch and the already-accepted corpus, probing a
+    * PERSISTED band index ([[writeBandIndex]]) instead of re-signaturing
+    * the corpus — the nightly-crawl analogue of [[dedupAgainstCorpus]] for
+    * near-duplicates.
+    *
+    * Plan at scale: only the incoming batch is signatured (narrow, fused
+    * into its scan); the candidate join shuffles (band, bkey) tuples —
+    * batch-sized on one side, index rows on the other; corpus TEXT is
+    * touched only for candidate ids (left-semi reduction before the
+    * verify join), so a 100 TB corpus contributes kilobytes per candidate
+    * rather than a full pass. Exactness of the verify step matches
+    * [[minhashDedupPairs]]: false positives cost one array intersect,
+    * false negatives are bounded by the band math. */
+  def nearDupAgainstCorpus(incoming: DataFrame, corpus: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5,
+      bandRows: Int = 2): DataFrame = {
+    val newBands = bandIndex(incoming, idCol, textCol, k, numHashes, bandRows)
+      .select(col("band"), col("bkey"), col("id").as("id_new"))
+    val cands = newBands
+      .join(index.select(col("band"), col("bkey"), col("id").as("id_corp")),
+        Seq("band", "bkey"))
+      .select("id_new", "id_corp").distinct()
+    val shNew = incoming.select(col(idCol).as("id_new"),
+      shingles(col(textCol), k).as("sh_a"))
+    // corpus text is only shingled for ids that are actually candidates
+    val corpHit = corpus.join(cands.select(col("id_corp").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val shCorp = corpHit.select(col(idCol).as("id_corp"),
+      shingles(col(textCol), k).as("sh_b"))
+    cands.join(shNew, "id_new").join(shCorp, "id_corp")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_corp", "jaccard")
   }
 
   /** Full MinHash-LSH near-dup pipeline with exact-Jaccard verification of
@@ -305,14 +388,23 @@ object Dedup {
 
   /** Connected components over a near-dup pair set: every document gets
     * `cluster_id` = the smallest doc id reachable through pairs (singletons
-    * keep their own id). Iterative min-label propagation on DataFrames:
-    * each round every node takes the min label in its closed neighborhood,
-    * stopping when a round changes nothing — the standard large-graph CC
-    * loop (label propagation converges in <= graph diameter rounds; dedup
-    * clusters are shallow, so a handful). Each round is one join + one
-    * aggregate, both partitioned by node id; the frame persists per round
-    * so lineage doesn't stack across iterations. The driver sees only the
-    * per-round change COUNT (a long), never data. */
+    * keep their own id). Iterative min-label propagation WITH POINTER
+    * JUMPING on DataFrames: each round every node first takes the min
+    * label in its closed neighborhood, then follows that label to ITS
+    * current label (`l'(v) = min(m(v), l(m(v)))` — the pointer-doubling
+    * step of Shiloach-Vishkin / hash-to-min). Plain propagation converges
+    * in Θ(diameter) rounds — a 100-node chain is 99 joins; the jump step
+    * roughly halves the distance-to-root each round, giving O(log d)
+    * convergence on chains (pinned by test: a 100-node path converges
+    * within 15 rounds). Every label value is a node id in the same
+    * component (labels start as self and only min-combine within the
+    * component), so the jump join is always well-keyed.
+    *
+    * Each round is two id-keyed joins + one aggregate; the frame persists
+    * per round and is `localCheckpoint`ed every [[CcCheckpointEvery]]
+    * rounds so the plan lineage stays bounded no matter how many rounds a
+    * pathological graph needs. The driver sees only the per-round change
+    * COUNT (a long), never data. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 50): DataFrame = {
@@ -325,23 +417,43 @@ object Dedup {
       .persist(lvl)
     var converged = false
     var iter = 0
+    var labelsCheckpointed = false
     while (!converged && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionAll(viaEdges)
+      val neigh = labels.unionAll(viaEdges)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .persist(lvl)
+      // pointer jump: follow the candidate label to its own current label
+      // (labels only decrease, so least() keeps monotone convergence)
+      val jumped = neigh
+        .join(labels.select(col("id").as("cluster_id"), col("cluster_id").as("_pl")),
+          Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_pl"), col("cluster_id")))
+            .as("cluster_id"))
+      val checkpointNow = (iter + 1) % CcCheckpointEvery == 0
+      // localCheckpoint materializes AND truncates lineage; persist covers
+      // the non-checkpoint rounds. A checkpointed frame's blocks must not
+      // be unpersisted by hand (later rounds' lineage may still read them
+      // and the truncated lineage cannot recompute) — the ContextCleaner
+      // reclaims them once unreferenced.
+      val next = if (checkpointNow) jumped.localCheckpoint(true)
+        else jumped.persist(lvl)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
         .filter(col("cluster_id") =!= col("_old")).count()
-      labels.unpersist()
+      if (!labelsCheckpointed) labels.unpersist()
       labels = next
+      labelsCheckpointed = checkpointNow
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
     labels
   }
+
+  /** Lineage-truncation cadence for [[connectedComponents]]. */
+  val CcCheckpointEvery: Int = 5
 
   /** The surviving corpus after near-dup removal: greedy keep-lowest-id —
     * a document is dropped iff it appears as the HIGHER id of some
@@ -433,27 +545,97 @@ object Dedup {
     summed.select(col(idCol), hash.as(out))
   }
 
-  /** SimHash near-dup candidate pairs with hamming distance <= maxDist,
-    * found by chunk-LSH (pigeonhole: maxDist+1 chunks, equal chunk => join),
-    * then exact popcount verification. */
+  /** SimHash near-dup pairs with hamming distance <= maxDist: multi-block
+    * LSH keys, then exact popcount verification.
+    *
+    * Key width is the whole scale story. The naive pigeonhole split
+    * (maxDist+1 chunks of 64/(maxDist+1) bits — 16-bit keys at maxDist=3)
+    * is exact but its keys are so narrow that RANDOM collisions between
+    * dissimilar docs dominate: ~4·n²/2¹⁷ candidate pairs at n docs from key
+    * collisions alone — 10¹³ junk pairs through the verify join at 10⁹
+    * docs. The fix is Manku et al.'s (WWW'07 §3) block-combination scheme:
+    * split the 64 bits into `maxDist + keep` blocks and join once per
+    * combination of `keep` blocks on the CONCATENATION of those blocks.
+    * Pigeonhole still guarantees exactness — hamming <= maxDist flips bits
+    * in at most maxDist blocks, so at least `keep` blocks are untouched and
+    * that exact combination collides. With keep=3, maxDist=3: 6 blocks,
+    * C(6,3)=20 keys of ~32 bits — 20·n²/2³³ random collisions, ~3 orders
+    * of magnitude fewer than the 16-bit form for 5× the (narrow, pre-join)
+    * explode. Measured at 10×-sf0.1 (tools.ProfileSimhash): candidate
+    * pairs drop from the n²/2^16-driven count to essentially the true-pair
+    * count. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val nChunks = maxDist + 1
-    val chunkBits = 64 / nChunks
+    val keep = 3
+    val nBlocks = maxDist + keep
+    require(nBlocks <= 64, s"maxDist=$maxDist needs ${nBlocks} blocks > 64 bits")
+    // block widths: 64 bits distributed as evenly as possible
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    // one 64-bit key per block combination; the combo index is mixed into
+    // the hash so key spaces of different combos never alias each other
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    val keys = array(combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci) +: combo.map(block)): _*)
+    }: _*)
     val hashes = simhash(df, idCol, textCol)
     val chunked = hashes.select(col(idCol).as("id"), col("simhash"),
-      posexplode(array((0 until nChunks).map { c =>
-        shiftrightunsigned(col("simhash"), c * chunkBits)
-          .bitwiseAND(lit((1L << chunkBits) - 1))
-      }: _*)).as(Seq("chunk", "ckey")))
-    val a = chunked.select(col("chunk"), col("ckey"),
+      posexplode(keys).as(Seq("combo", "ckey")))
+    val a = chunked.select(col("combo"), col("ckey"),
       col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("ckey"),
+    val b = chunked.select(col("combo"), col("ckey"),
       col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+    a.join(b, Seq("combo", "ckey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Candidate pairs of the multi-block scheme BEFORE verification —
+    * exposed so the collision behavior is measurable
+    * ([[graft.tools.ProfileSimhash]] compares this count against the
+    * legacy narrow-chunk scheme at scale). */
+  private[graft] def simhashCandidates(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    val keep = 3
+    val nBlocks = maxDist + keep
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until nBlocks).combinations(keep).toSeq
+    val keys = array(combos.zipWithIndex.map { case (combo, ci) =>
+      xxhash64((lit(ci) +: combo.map(block)): _*)
+    }: _*)
+    val chunked = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), posexplode(keys).as(Seq("combo", "ckey")))
+    val a = chunked.select(col("combo"), col("ckey"), col("id").as("id_a"))
+    val b = chunked.select(col("combo"), col("ckey"), col("id").as("id_b"))
+    a.join(b, Seq("combo", "ckey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** The legacy narrow-chunk candidate scheme (maxDist+1 chunks of
+    * 64/(maxDist+1) bits) — kept ONLY as the measurement baseline for
+    * [[graft.tools.ProfileSimhash]]; [[simhashPairs]] no longer uses it. */
+  private[graft] def simhashCandidatesNarrow(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int = 3): DataFrame = {
+    val nChunks = maxDist + 1
+    val chunkBits = 64 / nChunks
+    val chunked = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"),
+        posexplode(array((0 until nChunks).map { c =>
+          shiftrightunsigned(col("simhash"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1))
+        }: _*)).as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 }

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct —
   * the layout a 100 TB multimodal pipeline actually uses (bytes in parquet,
-  * metadata queryable without decoding). The container has no image/audio
-  * libs, so the decode step is a clearly-marked deterministic STUB
-  * (`fakeDecode*`); everything around it — schema, batch shape, partition
-  * behavior, the mapPartitions seam where a real decoder (JNI/FFmpeg/
-  * ImageIO) would sit — is real and tested.
+  * metadata queryable without decoding). The container has no external
+  * image/audio libs, so the audio/video decode steps are clearly-marked
+  * deterministic STUBS (`fakeDecode*`); IMAGE decode is REAL — the JDK
+  * ships PNG/JPEG codecs in `javax.imageio`, and [[decodeImage]] runs them
+  * through the same partition-wise seam ([[synthesizePng]] builds the
+  * deterministic PNG fixtures whose decoded samples an external engine can
+  * predict from the id alone). Everything around the stubs — schema, batch
+  * shape, partition behavior, the mapPartitions/Arrow seams where a
+  * JNI/FFmpeg codec would sit — is real and tested.
   */
 object Multimodal {
 
@@ -143,5 +147,75 @@ object Multimodal {
         }
       }
     out.toDF(idCol, "byte_sum", "byte_len")
+  }
+
+  // ---- real image decode (JDK ImageIO — no external deps) ----
+
+  /** Deterministic 8-bit grayscale PNG bytes for an id: w = 4 + id%5,
+    * h = 4 + id%7, pixel(x,y) = (id*31 + x*7 + y*13) % 256, encoded by the
+    * JDK's real PNG writer. PNG grayscale is lossless, so every decoded
+    * sample is predictable from the id alone — which is what lets the gate
+    * verify a REAL codec round trip against an independent SQL oracle. */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(id, 5L)).toInt
+    val h = (4 + java.lang.Math.floorMod(id, 7L)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real PNG payload per row of `df` ([[pngBytes]] of the id),
+    * computed per partition with no driver involvement — the fixture
+    * generator standing where an object-store read of the raw media bytes
+    * would sit in production. */
+  def synthesizePng(df: DataFrame, idCol: String,
+      payloadCol: String = "png"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, pngBytes(id))))
+      .toDF(idCol, payloadCol)
+  }
+
+  /** REAL image decode through the partition-wise seam: the JDK's
+    * `javax.imageio` codecs (PNG/JPEG) parse each payload and emit
+    * (width, height, pix_sum = sum of band-0 samples) — the decode-verify
+    * triple an ingest pipeline checks before trusting upstream metadata.
+    * Same seam shape as [[mapDecode]]; swapping in a JNI codec is a
+    * one-line change inside the iterator. */
+  def decodeImage(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload of id=$id is not a decodable image")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, sum)
+        }
+      }
+    out.toDF(idCol, "width", "height", "pix_sum")
   }
 }

@@ -110,6 +110,24 @@ object PipelineQueries {
       path
     })
 
+  /** Band-partitioned MinHash LSH index over the accepted corpus
+    * (doc_id % 7 != 0 — the same split `dedup_incremental` uses), written
+    * once per dir (`Dedup.writeBandIndex` models the offline index build):
+    * the incremental near-dup probe joins a new batch's band keys against
+    * this persisted layout without re-signaturing the corpus. */
+  private val bandIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def bandIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    bandIndexDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/band-index-$safe"
+      Dedup.writeBandIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", path, k = 3, numHashes = 16, bandRows = 2)
+      path
+    })
+
   /** DuckDB oracle for IVF probe search, given the trained centroids as
     * exact double literals: recomputes cell assignment (argmin with
     * lower-cell tie-break), the probed cell ranking, and cosine top-k —
@@ -555,6 +573,40 @@ object PipelineQueries {
              |WHERE doc_id % 7 = 0 AND md5(text) NOT IN
              |  (SELECT md5(text) FROM documents WHERE doc_id % 7 != 0)
              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("dedup_incremental_near",
+      // the NEAR-dup analogue of dedup_incremental: the new batch
+      // (doc_id % 7 = 0) probes a PERSISTED band index of the accepted
+      // corpus (parquet partitioned by band — built once, offline), then
+      // exact-Jaccard-verifies candidates against only the corpus docs
+      // that were hit; the oracle recomputes the exact cross-set pair
+      // set independently (LSH recall is 1 at this threshold/banding on
+      // this corpus, pinned in ScalaTest)
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val incoming = docs.filter(col("doc_id") % 7 === 0)
+        val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+        val index = s.read.parquet(bandIndexPath(s, dir))
+        Dedup.nearDupAgainstCorpus(incoming, corpus, index, "doc_id", "text",
+            k = 3, numHashes = 16, threshold = 0.8)
+          .orderBy("id_new", "id_corp")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_new, b.doc_id AS id_corp, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh)
+              |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+              |  GROUP BY 1, 2)
+              |SELECT id_new, id_corp,
+              |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON sa.doc_id = id_new
+              |JOIN sizes sb ON sb.doc_id = id_corp
+              |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+              |ORDER BY id_new, id_corp""".stripMargin)),
 
     QueryDef("corpus_stats",
       // curation dashboard: per (lang, source) doc/char/token/unique-text
@@ -1141,6 +1193,27 @@ object PipelineQueries {
              |              c -> CAST(unicode(c) AS BIGINT)), (a, b) -> a + b) END AS byte_sum,
              |  CAST(octet_length(encode(text)) AS INT) AS byte_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("multimodal_decode_real",
+      // REAL codec round trip, zero new deps: deterministic grayscale PNGs
+      // (w = 4+id%5, h = 4+id%7, pixel = (id*31 + x*7 + y*13) % 256) are
+      // encoded by the JDK's real PNG writer and decoded back through the
+      // partition-wise ImageIO seam; PNG is lossless, so the oracle can
+      // predict every decoded sample from the id alone and recompute
+      // width/height/pixel-sum without ever seeing the bytes
+      (s, dir) => Multimodal.decodeImage(
+          Multimodal.synthesizePng(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id", "png")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 7 AS h
+             |           FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |         unnest(generate_series(0, w * h - 1)) AS p FROM d)
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |  CAST(sum((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256) AS BIGINT)
+             |    AS pix_sum
+             |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
 
     QueryDef("multimodal_features",
       // gate shape: the array is projected to scalar columns (driver's

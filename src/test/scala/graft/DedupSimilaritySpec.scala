@@ -200,6 +200,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash multi-block pairs == brute-force hamming<=3 (exact by pigeonhole)") {
+    // seeded corpus with exact-dup groups and one-token variants so the
+    // pair set is non-trivial; the LSH output must equal an all-pairs
+    // popcount computed independently on the collected signatures
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (1L to 20L).map { i =>
+      (i, Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val copies = base.take(6).map { case (i, t) => (i + 100L, t) }
+    val variants = base.take(6).map { case (i, t) =>
+      (i + 200L, t + " " + vocab(rnd.nextInt(vocab.size)))
+    }
+    val corpus = (base ++ copies ++ variants).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val want = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want.map { case (a, b, d) => (a, b, d) })
+    assert(got.nonEmpty) // the planted exact dups guarantee hamming-0 pairs
+    // the multi-block candidate set is a superset of the verified pairs
+    val cands = Dedup.simhashCandidates(corpus, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toSet
+    assert(want.map(p => (p._1, p._2)).subsetOf(cands))
+  }
+
+  test("connected components: 100-node chain converges (pointer jumping) within 15 rounds") {
+    // plain min-label propagation needs 99 rounds on a 99-edge path; the
+    // jump step must finish in O(log n) — 15 is the budget, and a
+    // non-converged run leaves labels != 0 so the assertion catches it
+    val nodes = (0L until 100L).toDF("id")
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, "id", pairs, maxIters = 15)
+    assert(labels.count() == 100)
+    assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("incremental near-dup against persisted band index == batch pipeline cross-set pairs") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val incoming = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val path = "target/tmp/test-band-index"
+    Dedup.writeBandIndex(corpus, "doc_id", "text", path)
+    val got = Dedup.nearDupAgainstCorpus(incoming, corpus,
+        spark.read.parquet(path), "doc_id", "text", threshold = 0.8)
+      .select("id_new", "id_corp").as[(Long, Long)].collect().toSet
+    // batch pipeline over the whole corpus, filtered to cross-set pairs
+    val batch = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 16, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = batch.collect {
+      case (a, b) if a % 7 == 0 && b % 7 != 0 => (a, b)
+      case (a, b) if b % 7 == 0 && a % 7 != 0 => (b, a)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the documents table's dup clusters cross the split
+  }
+
   test("approx_count_distinct within 10% of exact (HLL accuracy pin)") {
     val li = Tables.lineitem(spark, GraftTestSpark.Sf0001)
     val both = li.groupBy("l_returnflag")

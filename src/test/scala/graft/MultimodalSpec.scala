@@ -24,6 +24,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(arrow == rowwise)
   }
 
+  test("real PNG round trip: ImageIO decode recovers the pixel formula exactly") {
+    val ids = Seq(0L, 1L, 5L, 12L, 123L, 4567L)
+    val df = ids.toDF("doc_id")
+    // the payload is a real PNG (magic bytes), not a stand-in
+    val png = Multimodal.synthesizePng(df, "doc_id")
+      .filter($"doc_id" === 0L).head().getAs[Array[Byte]]("png")
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    val out = Multimodal.decodeImage(
+        Multimodal.synthesizePng(df, "doc_id"), "doc_id", "png")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    ids.foreach { id =>
+      val w = (4 + id % 5).toInt
+      val h = (4 + id % 7).toInt
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(out(id) == ((w, h, sum)), s"id=$id")
+    }
+  }
+
   test("mapArrowBatches: batches respect batchSize and cover every row") {
     val in = docs.select($"doc_id".cast("long"), $"payload")
     val total = in.count()

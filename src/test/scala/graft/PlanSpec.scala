@@ -63,7 +63,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_minhash and salted_join: no nested-loop or cartesian joins") {
     Seq("dedup_minhash", "salted_join", "embedding_near_dup_lsh",
-        "range_join").foreach { q =>
+        "range_join", "dedup_incremental_near").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
@@ -100,6 +100,22 @@ class PlanSpec extends AnyFunSuite {
     val exchangeIdx = p.indexOf("Exchange hashpartitioning(lang")
     val partialIdx = p.lastIndexOf("TopKPerKey")
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
+  }
+
+  test("dedup_exact_rows / dedup_cap: two-stage heap keyed by digest, no window") {
+    // an exact-dup clique (one boilerplate text x 10^8 copies) must never
+    // funnel through one task: the digest-keyed window is banned, and the
+    // partial TopKPerKey stage must sit below the digest exchange so only
+    // k rows per digest per partition ever shuffle
+    Seq("dedup_exact_rows", "dedup_cap").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert("TopKPerKey".r.findAllMatchIn(p).size == 2, s"$q:\n$p")
+      val finalIdx = p.indexOf("TopKPerKey")
+      val exchangeIdx = p.indexOf("Exchange hashpartitioning(_digest")
+      val partialIdx = p.lastIndexOf("TopKPerKey")
+      assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, s"$q:\n$p")
+    }
   }
 
   /** The documented reference-parity operators that model an inherently
