@@ -561,11 +561,53 @@ object Dedup {
     * that exact combination collides. With keep=3, maxDist=3: 6 blocks,
     * C(6,3)=20 keys of ~32 bits — 20·n²/2³³ random collisions, ~3 orders
     * of magnitude fewer than the 16-bit form for 5× the (narrow, pre-join)
-    * explode. Measured at 10×-sf0.1 (tools.ProfileSimhash): candidate
-    * pairs drop from the n²/2^16-driven count to essentially the true-pair
-    * count. */
+    * explode. Measured at 10×-sf0.1 (tools.ProfileSimhash): 196M candidate
+    * pairs (narrow) -> 52M (multi-block) at 50k docs.
+    *
+    * Second structural choice: LSH runs over DISTINCT SIGNATURE VALUES,
+    * not documents. Exact-duplicate cliques (the LSH degenerate case — an
+    * m-clique agrees on every key and contributes m(m-1)/2 candidates per
+    * band) collapse to ONE representative before any key is built;
+    * hamming-0 pairs come from a signature-keyed equi-join instead, and
+    * verified cross-signature pairs expand back to member pairs at the
+    * end. The candidate join's size is set by the number of distinct
+    * signatures — clique-immune by construction (where minhash needs the
+    * exact-first composition, simhash gets it for free: identical text =>
+    * identical signature). The pair OUTPUT is still quadratic per clique —
+    * those pairs genuinely exist; callers who don't want them run
+    * [[exactGroups]] semantics instead. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    // hamming-0 pairs: equi-join keyed by the full 64-bit signature
+    val zero = sigs.select(col("simhash"), col("id").as("id_a"))
+      .join(sigs.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // multi-block LSH over unique signatures only
+    val uniq = sigs.select("simhash").distinct()
+    val chunked = uniq.select(col("simhash"),
+      posexplode(multiBlockKeys(maxDist)).as(Seq("combo", "ckey")))
+    val ua = chunked.select(col("combo"), col("ckey"), col("simhash").as("h_a"))
+    val ub = chunked.select(col("combo"), col("ckey"), col("simhash").as("h_b"))
+    val repPairs = ua.join(ub, Seq("combo", "ckey")).filter(col("h_a") < col("h_b"))
+      .select("h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDist)
+    // expand verified signature pairs to member doc pairs
+    val expanded = repPairs
+      .join(sigs.select(col("simhash").as("h_a"), col("id").as("_ia")), "h_a")
+      .join(sigs.select(col("simhash").as("h_b"), col("id").as("_ib")), "h_b")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("hamming"))
+    zero.unionAll(expanded)
+  }
+
+  /** One 64-bit LSH key per block combination of a `simhash` column (the
+    * combo index is mixed into the hash so key spaces of different combos
+    * never alias). */
+  private def multiBlockKeys(maxDist: Int): Column = {
     val keep = 3
     val nBlocks = maxDist + keep
     require(nBlocks <= 64, s"maxDist=$maxDist needs ${nBlocks} blocks > 64 bits")
@@ -575,24 +617,10 @@ object Dedup {
     def block(i: Int): Column =
       shiftrightunsigned(col("simhash"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1))
-    // one 64-bit key per block combination; the combo index is mixed into
-    // the hash so key spaces of different combos never alias each other
     val combos = (0 until nBlocks).combinations(keep).toSeq
-    val keys = array(combos.zipWithIndex.map { case (combo, ci) =>
+    array(combos.zipWithIndex.map { case (combo, ci) =>
       xxhash64((lit(ci) +: combo.map(block)): _*)
     }: _*)
-    val hashes = simhash(df, idCol, textCol)
-    val chunked = hashes.select(col(idCol).as("id"), col("simhash"),
-      posexplode(keys).as(Seq("combo", "ckey")))
-    val a = chunked.select(col("combo"), col("ckey"),
-      col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = chunked.select(col("combo"), col("ckey"),
-      col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("combo", "ckey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
   }
 
   /** Candidate pairs of the multi-block scheme BEFORE verification —
@@ -601,19 +629,9 @@ object Dedup {
     * legacy narrow-chunk scheme at scale). */
   private[graft] def simhashCandidates(df: DataFrame, idCol: String,
       textCol: String, maxDist: Int = 3): DataFrame = {
-    val keep = 3
-    val nBlocks = maxDist + keep
-    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def block(i: Int): Column =
-      shiftrightunsigned(col("simhash"), offsets(i))
-        .bitwiseAND(lit((1L << widths(i)) - 1))
-    val combos = (0 until nBlocks).combinations(keep).toSeq
-    val keys = array(combos.zipWithIndex.map { case (combo, ci) =>
-      xxhash64((lit(ci) +: combo.map(block)): _*)
-    }: _*)
     val chunked = simhash(df, idCol, textCol)
-      .select(col(idCol).as("id"), posexplode(keys).as(Seq("combo", "ckey")))
+      .select(col(idCol).as("id"),
+        posexplode(multiBlockKeys(maxDist)).as(Seq("combo", "ckey")))
     val a = chunked.select(col("combo"), col("ckey"), col("id").as("id_a"))
     val b = chunked.select(col("combo"), col("ckey"), col("id").as("id_b"))
     a.join(b, Seq("combo", "ckey")).filter(col("id_a") < col("id_b"))
