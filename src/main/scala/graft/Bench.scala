@@ -23,7 +23,10 @@ object Bench {
     // round-4 additions: the training-data ops whose scale paths changed
     // or were newly gated this round
     "salient_terms", "sample_reservoir", "dedup_spans",
-    "decontaminate_corpus", "seq_pack", "dedup_spans_remove", "split_assign")
+    "decontaminate_corpus", "seq_pack", "dedup_spans_remove", "split_assign",
+    // round-5 additions: incremental near-dup probe against the persisted
+    // band index, and the real ImageIO codec round trip
+    "dedup_incremental_near", "multimodal_decode_real")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +58,14 @@ object Bench {
       // quantizer once and persists it — IVF.writeIndexed); the timed
       // ann_ivf_topk entry measures probe search, not training
       graft.queries.PipelineQueries.ivfModel(spark, sfDir)
+      // same stance for the near-dup band index: built once, offline
+      // (Dedup.writeBandIndex); the timed dedup_incremental_near entry
+      // measures the incremental probe, not the corpus indexing
+      graft.queries.PipelineQueries.bandIndexPath(spark, sfDir)
+      // PNG payload table is staged data (bytes-in-parquet), not operator
+      // work — built once; the timed multimodal_decode_real entry measures
+      // the ImageIO codec pass over stored bytes
+      graft.queries.PipelineQueries.pngFixturePath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -128,6 +128,23 @@ object PipelineQueries {
       path
     })
 
+  /** Real-PNG payload table, written once per dir: media bytes live IN
+    * parquet next to their ids (the multimodal layout stance — payloads
+    * columnar, metadata queryable), so the decode query measures the
+    * CODEC pass over stored bytes, not fixture synthesis. */
+  private val pngFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def pngFixturePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    pngFixtureDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/png-fixtures-$safe"
+      Multimodal.synthesizePng(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** DuckDB oracle for IVF probe search, given the trained centroids as
     * exact double literals: recomputes cell assignment (argmin with
     * lower-cell tie-break), the probed cell ranking, and cosine top-k —
@@ -1197,14 +1214,14 @@ object PipelineQueries {
     QueryDef("multimodal_decode_real",
       // REAL codec round trip, zero new deps: deterministic grayscale PNGs
       // (w = 4+id%5, h = 4+id%7, pixel = (id*31 + x*7 + y*13) % 256) are
-      // encoded by the JDK's real PNG writer and decoded back through the
-      // partition-wise ImageIO seam; PNG is lossless, so the oracle can
+      // encoded by the JDK's real PNG writer into a parquet payload table
+      // (bytes-in-parquet, the multimodal layout stance; staged once per
+      // dir — fixture synthesis is not the operator) and decoded through
+      // the partition-wise ImageIO seam; PNG is lossless, so the oracle can
       // predict every decoded sample from the id alone and recompute
       // width/height/pixel-sum without ever seeing the bytes
       (s, dir) => Multimodal.decodeImage(
-          Multimodal.synthesizePng(
-            Tables.documents(s, dir).select("doc_id"), "doc_id"),
-          "doc_id", "png")
+          s.read.parquet(pngFixturePath(s, dir)), "doc_id", "png")
         .orderBy("doc_id"),
       Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 7 AS h
              |           FROM documents),
