@@ -127,6 +127,63 @@ object TextAnalysis {
       .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** CCNet-style unigram language-model scoring: each document's
+    * add-one-smoothed unigram log-probability under the CORPUS ITSELF as
+    * the LM (p(t) = (c_t + 1) / (N + V)), with the perplexity bucket
+    * (head / middle / tail) CCNet uses to tier web data by LM fit
+    * (Wenzek et al. 2020 keep "head" and drop or down-weight "tail").
+    *
+    * Arithmetic is integer-exact by construction: each token's surprisal
+    * is quantized to MICRONATS (floor(ln p × 1e6 + 0.5) — a BIGINT) before
+    * summing, so the per-document total is an associative integer sum —
+    * merge-order independent, engine-comparable (a raw double sum of logs
+    * would differ in ulps between engines and across partition merges);
+    * 1e-6 nat quantization is far below any bucketing threshold anyone
+    * sets. Bucket cutoffs are CORPUS-RELATIVE, as in CCNet (their
+    * thresholds are per-language percentiles, not absolute): a document is
+    * `head` when its mean surprisal is <= headPct% of the corpus mean,
+    * `tail` above tailPct%. The cutoffs derive from ONE corpus aggregate —
+    * two longs (total micronats, total tokens), the same metadata-sized
+    * driver fold `rebalanceMixture` uses — floored in exact integer
+    * arithmetic so any engine reproduces them bit-for-bit; per-document
+    * comparison is then the integer form -logprob <= n_tokens × cutoff.
+    *
+    * Plan shape at scale: token explode (narrow), one groupBy token for
+    * counts (uniform), a SHUFFLE hash join of tokens against counts — the
+    * count side is the corpus vocabulary, which grows with a web corpus
+    * and must never broadcast (same discipline as [[salientTerms]]) — a
+    * single-row totals aggregate (broadcast — two longs), and a final
+    * groupBy doc. */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+      headPct: Int = 100, tailPct: Int = 102): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).cast("long").as("n_total"),
+      count(lit(1)).as("v"))
+    val scored = toks.join(cnt.hint("shuffle_hash"), Seq("t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("m",
+        floor(log((col("c") + 1).cast("double") / (col("n_total") + col("v")))
+          * 1e6 + 0.5).cast("long"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("m")).as("logprob_micronats"))
+    // corpus mean surprisal: a single two-long aggregate (metadata-sized);
+    // exact integer floor division keeps the cutoffs engine-reproducible
+    val row = agg.agg(
+      sum(lit(0L) - col("logprob_micronats")).as("slp"),
+      sum(col("n_tokens").cast("long")).as("sn")).head()
+    val (slpNeg, sn) = (row.getLong(0), row.getLong(1))
+    val headCut = (BigInt(headPct) * slpNeg / (BigInt(100) * sn)).toLong
+    val tailCut = (BigInt(tailPct) * slpNeg / (BigInt(100) * sn)).toLong
+    agg.withColumn("ppl_bucket",
+      when((lit(0L) - col("logprob_micronats")) <=
+          col("n_tokens") * lit(headCut), lit("head"))
+        .when((lit(0L) - col("logprob_micronats")) <=
+          col("n_tokens") * lit(tailCut), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Per-group corpus summary — the curation dashboard numbers: document
     * count, char/token totals, distinct text count (exact-dup signal). All
     * integer aggregates (long sums, distinct count of a hash), so results

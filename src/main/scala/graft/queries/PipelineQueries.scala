@@ -243,6 +243,37 @@ object PipelineQueries {
            |FROM m ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("text_perplexity",
+      // CCNet-style corpus-LM scoring: add-one-smoothed unigram
+      // log-probability quantized to integer micronats per token (an
+      // associative BIGINT sum — a raw double log-sum would differ in
+      // ulps between engines), plus the corpus-relative head/middle/tail
+      // perplexity bucket; the oracle retrains the LM (counts, totals)
+      // AND rederives the bucket cutoffs from scratch in exact integer
+      // arithmetic
+      (s, dir) => TextAnalysis.perplexity(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |            FROM documents),
+             |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM cnt),
+             |sc AS (SELECT doc_id,
+             |         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (n_total + v))
+             |              * 1000000 + 0.5) AS BIGINT) AS m
+             |       FROM tok JOIN cnt USING (t) CROSS JOIN tot),
+             |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(m) AS lp
+             |        FROM sc GROUP BY doc_id),
+             |cut AS (SELECT CAST((100 * sum(-lp)) // (100 * sum(n_tokens)) AS BIGINT) AS hc,
+             |               CAST((102 * sum(-lp)) // (100 * sum(n_tokens)) AS BIGINT) AS tc
+             |        FROM agg)
+             |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             |  CAST(lp AS BIGINT) AS logprob_micronats,
+             |  CASE WHEN -lp <= n_tokens * hc THEN 'head'
+             |       WHEN -lp <= n_tokens * tc THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
+
     QueryDef("token_count",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),

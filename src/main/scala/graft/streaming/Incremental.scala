@@ -126,6 +126,62 @@ object Incremental {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming NEAR-dup gate — the streaming seat of
+    * [[graft.functions.Dedup.nearDupAgainstCorpus]]: each micro-batch
+    * (1) near-dedups within itself, (2) probes the PERSISTED band index of
+    * everything accepted so far and drops batch docs that near-match the
+    * accepted corpus, (3) appends the survivors to the accepted corpus and
+    * their band rows to the index — so batch N+1 near-dedups against every
+    * earlier batch without re-signaturing any of them.
+    *
+    * All cross-batch state lives in parquet (the band-partitioned index +
+    * the accepted table), NOT in executor memory: the state a Spark
+    * streaming aggregation would hold for this is the full corpus
+    * signature set, which no state store should carry at 100 TB — the
+    * parquet index is bounded, shared, and survives restarts for free.
+    * foreachBatch runs batches sequentially, so the read-probe-append
+    * cycle is race-free by construction. */
+  def nearDupGate(indexDir: String, acceptedDir: String,
+      idCol: String, textCol: String, k: Int = 3, numHashes: Int = 16,
+      threshold: Double = 0.5, bandRows: Int = 2): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.Dedup
+      // within-batch near-dedup first (a micro-batch is small; the
+      // exact-first composition matters at corpus scale, not here)
+      val inBatch = Dedup.minhashSurvivors(batch, idCol, textCol,
+        k, numHashes, threshold, bandRows)
+      val hasState = Files.exists(Paths.get(acceptedDir)) &&
+        Files.exists(Paths.get(indexDir))
+      val survivors = (if (!hasState) inBatch else {
+        val corpus = spark.read.parquet(acceptedDir)
+        val index = spark.read.parquet(indexDir)
+        val hits = Dedup.nearDupAgainstCorpus(inBatch, corpus, index,
+            idCol, textCol, k, numHashes, threshold, bandRows)
+          .select(col("id_new").as(idCol)).distinct()
+        inBatch.join(hits, Seq(idCol), "left_anti")
+      }).persist()
+      try {
+        survivors.write.mode("append").parquet(acceptedDir)
+        Dedup.bandIndex(survivors, idCol, textCol, k, numHashes, bandRows)
+          .write.mode("append").partitionBy("band").parquet(indexDir)
+      } finally survivors.unpersist()
+  }
+
+  /** Wire [[nearDupGate]] into a streaming query: file-source batches flow
+    * through the gate, survivors land in `acceptedDir`, and the band index
+    * grows in `indexDir`; restart resume comes from the checkpoint. */
+  def startNearDupGate(df: DataFrame, indexDir: String, acceptedDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      threshold: Double = 0.5): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(nearDupGate(indexDir, acceptedDir, idCol, textCol,
+        threshold = threshold))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Idempotent per-batch sink: one output dir per batchId, skipped if it
     * already committed — the `foreachBatch` replay-suppression analogue of
     * the reference's page-DONE state (`worker.py:164-188`). */

@@ -117,6 +117,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(collectTrim(4) == got && collectTrim(64) == got)
   }
 
+  test("perplexity: common-token docs score head, rare-token docs tail; micronats match Math.log") {
+    import graft.functions.TextAnalysis
+    // 20 docs of corpus-common tokens, 2 of singleton tokens: the common
+    // docs must have strictly lower mean surprisal and land in 'head',
+    // the rare docs in 'tail' (cutoffs are corpus-relative)
+    val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val rare = Seq((21L, "zyx wvu tsr qpo nml kji"), (22L, "abc bcd cde def efg fgh"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._3 == "head")
+    assert(out(21L)._3 == "tail" && out(22L)._3 == "tail")
+    // recompute doc 21's logprob independently: 6 singleton tokens,
+    // p = (1+1)/(N+V), N = 20*6 + 12 tokens, V = distinct tokens
+    val n = 20 * 6 + 12
+    val v = docs.selectExpr("explode(split(text, ' ')) t").distinct().count()
+    val m = math.floor(math.log(2.0 / (n + v)) * 1e6 + 0.5).toLong
+    assert(out(21L)._2 == 6 * m)
+    assert(out(21L)._1 == 6)
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)

@@ -222,6 +222,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("near-dup gate: later batches drop near-matches of earlier accepted docs") {
+    val dir = Files.createTempDirectory("neardup-gate").toString
+    val gate = Incremental.nearDupGate(s"$dir/index", s"$dir/accepted",
+      "doc_id", "text", threshold = 0.8)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b1 = Seq(
+      (1L, base),
+      (2L, "completely different text about spark catalyst query planning rules")
+    ).toDF("doc_id", "text")
+    gate(b1, 0L)
+    val b2 = Seq(
+      (3L, base), // exact dup of accepted doc 1 -> dropped
+      (4L, base + " extra"), // near dup of doc 1 (jaccard > 0.8) -> dropped
+      (5L, "unrelated corpus about parquet columnar file formats and readers")
+    ).toDF("doc_id", "text")
+    gate(b2, 1L)
+    val accepted = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(1L, 2L, 5L))
+    // the index grew to cover every accepted doc (8 bands each)
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 5L))
+  }
+
   test("streaming dedup: re-delivered rows dropped within the watermark") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions._
