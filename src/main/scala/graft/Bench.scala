@@ -25,8 +25,10 @@ object Bench {
     "salient_terms", "sample_reservoir", "dedup_spans",
     "decontaminate_corpus", "seq_pack", "dedup_spans_remove", "split_assign",
     // round-5 additions: incremental near-dup probe against the persisted
-    // band index, and the real ImageIO codec round trip
-    "dedup_incremental_near", "multimodal_decode_real")
+    // band index, the real ImageIO/javax.sound codec passes, and the
+    // corpus-LM perplexity scorer
+    "dedup_incremental_near", "multimodal_decode_real",
+    "multimodal_decode_audio", "text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,10 +64,11 @@ object Bench {
       // (Dedup.writeBandIndex); the timed dedup_incremental_near entry
       // measures the incremental probe, not the corpus indexing
       graft.queries.PipelineQueries.bandIndexPath(spark, sfDir)
-      // PNG payload table is staged data (bytes-in-parquet), not operator
-      // work — built once; the timed multimodal_decode_real entry measures
-      // the ImageIO codec pass over stored bytes
+      // PNG/WAV payload tables are staged data (bytes-in-parquet), not
+      // operator work — built once; the timed multimodal_decode_* entries
+      // measure the codec passes over stored bytes
       graft.queries.PipelineQueries.pngFixturePath(spark, sfDir)
+      graft.queries.PipelineQueries.wavFixturePath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

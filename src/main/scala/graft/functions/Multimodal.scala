@@ -190,6 +190,72 @@ object Multimodal {
       .toDF(idCol, payloadCol)
   }
 
+  // ---- real audio decode (JDK javax.sound.sampled — no external deps) ----
+
+  /** Deterministic 16-bit mono PCM WAV bytes for an id: n = 8 + id%5
+    * samples at 8 kHz, sample(i) = ((id*37 + i*101) % 2001) - 1000,
+    * encoded by the JDK's real WAV writer. PCM WAV is lossless, so every
+    * decoded sample is predictable from the id alone — the audio analogue
+    * of [[pngBytes]]. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val n = (8 + java.lang.Math.floorMod(id, 5L)).toInt
+    val buf = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      buf.putShort((java.lang.Math.floorMod(id * 37 + i * 101L, 2001L) - 1000L).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(buf.array()), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One real WAV payload per row ([[wavBytes]] of the id) — see
+    * [[synthesizePng]]. */
+  def synthesizeWav(df: DataFrame, idCol: String,
+      payloadCol: String = "wav"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, wavBytes(id))))
+      .toDF(idCol, payloadCol)
+  }
+
+  /** REAL audio decode through the partition-wise seam: the JDK's
+    * `javax.sound.sampled` WAV codec parses each payload and emits
+    * (n_samples, sample_sum, sample_rate) — signed 16-bit little-endian
+    * PCM samples summed exactly, the decode-verify triple for audio
+    * payloads. Same seam shape as [[decodeImage]]. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"unexpected WAV format for id=$id: $fmt")
+          val raw = ais.readAllBytes()
+          var sum = 0L
+          var j = 0
+          while (j + 1 < raw.length) {
+            sum += ((raw(j) & 0xff) | (raw(j + 1) << 8)).toShort
+            j += 2
+          }
+          (id, raw.length / 2, sum, fmt.getSampleRate.toInt)
+        }
+      }
+    out.toDF(idCol, "n_samples", "sample_sum", "sample_rate")
+  }
+
   /** REAL image decode through the partition-wise seam: the JDK's
     * `javax.imageio` codecs (PNG/JPEG) parse each payload and emit
     * (width, height, pix_sum = sum of band-0 samples) — the decode-verify

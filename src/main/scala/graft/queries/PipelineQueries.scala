@@ -145,6 +145,21 @@ object PipelineQueries {
       path
     })
 
+  /** Real-WAV payload table, written once per dir — the audio counterpart
+    * of [[pngFixturePath]]. */
+  private val wavFixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def wavFixturePath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    wavFixtureDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/wav-fixtures-$safe"
+      Multimodal.synthesizeWav(
+          Tables.documents(s, dir).select("doc_id"), "doc_id")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** DuckDB oracle for IVF probe search, given the trained centroids as
     * exact double literals: recomputes cell assignment (argmin with
     * lower-cell tie-break), the probed cell ranking, and cosine top-k —
@@ -1262,6 +1277,26 @@ object PipelineQueries {
              |  CAST(sum((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256) AS BIGINT)
              |    AS pix_sum
              |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("multimodal_decode_audio",
+      // REAL audio codec round trip (the WAV analogue of
+      // multimodal_decode_real): deterministic 16-bit mono PCM payloads
+      // (n = 8 + id%5 samples, sample(i) = (id*37 + i*101) % 2001 - 1000)
+      // are written by the JDK's real WAV encoder into a parquet payload
+      // table and decoded back through the partition-wise
+      // javax.sound.sampled seam; PCM is lossless, so the oracle predicts
+      // every decoded sample from the id alone
+      (s, dir) => Multimodal.decodeAudio(
+          s.read.parquet(wavFixturePath(s, dir)), "doc_id", "wav")
+        .orderBy("doc_id"),
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS n FROM documents),
+             |sm AS (SELECT doc_id, n,
+             |         unnest(generate_series(0, n - 1)) AS i FROM d)
+             |SELECT doc_id, CAST(n AS INT) AS n_samples,
+             |  CAST(sum((doc_id * 37 + i * 101) % 2001 - 1000) AS BIGINT)
+             |    AS sample_sum,
+             |  CAST(8000 AS INT) AS sample_rate
+             |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)),
 
     QueryDef("multimodal_features",
       // gate shape: the array is projected to scalar columns (driver's

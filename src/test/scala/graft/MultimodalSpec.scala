@@ -45,6 +45,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV round trip: javax.sound decode recovers the PCM formula exactly") {
+    val ids = Seq(0L, 1L, 7L, 42L, 999L)
+    val df = ids.toDF("doc_id")
+    // the payload is a real RIFF/WAVE file, not a stand-in
+    val wav = Multimodal.synthesizeWav(df, "doc_id")
+      .filter($"doc_id" === 0L).head().getAs[Array[Byte]]("wav")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val out = Multimodal.decodeAudio(
+        Multimodal.synthesizeWav(df, "doc_id"), "doc_id", "wav")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3)))).toMap
+    ids.foreach { id =>
+      val n = (8 + id % 5).toInt
+      val sum = (0 until n).map(i => (id * 37 + i * 101) % 2001 - 1000).sum
+      assert(out(id) == ((n, sum, 8000)), s"id=$id")
+    }
+  }
+
   test("mapArrowBatches: batches respect batchSize and cover every row") {
     val in = docs.select($"doc_id".cast("long"), $"payload")
     val total = in.count()

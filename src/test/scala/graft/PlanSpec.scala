@@ -102,6 +102,15 @@ class PlanSpec extends AnyFunSuite {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
   }
 
+  test("text_perplexity: the vocabulary (count) side is never broadcast") {
+    // same discipline as salient_terms: the unigram-count side IS the
+    // corpus vocabulary — unbounded on a web corpus — so the token x count
+    // join must stay partitioned; only the single-row totals may broadcast
+    val p = planOf("text_perplexity")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dedup_exact_rows / dedup_cap: two-stage heap keyed by digest, no window") {
     // an exact-dup clique (one boilerplate text x 10^8 copies) must never
     // funnel through one task: the digest-keyed window is banned, and the
