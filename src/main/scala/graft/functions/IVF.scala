@@ -82,6 +82,23 @@ object IVF {
       .partitionBy("ivf_cell")
       .parquet(path)
 
+  /** APPEND a new vector batch into an existing [[writeIndexed]] layout —
+    * the incremental-ingest path for the vector index (the analogue of
+    * [[Dedup.writeBandIndex]]'s append in the streaming near-dup gate): new
+    * vectors are assigned to cells by the SAME frozen coarse quantizer and
+    * land as new files inside their cell directories. Nothing existing is
+    * rewritten, unprobed cells stay untouched, and a probe search over the
+    * layout sees old and new vectors identically — which is why production
+    * IVF systems freeze the quantizer and re-train offline only when drift
+    * accumulates. Compose with [[graft.sources.Layout.compact]] when the
+    * accumulated small appended files warrant it. */
+  def appendIndexed(df: DataFrame, vecCol: String, idCol: String,
+      model: Model, path: String): Unit =
+    df.withColumn("ivf_cell", assign(col(vecCol), model))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+
   /** Probe search over a [[writeIndexed]] layout: the cell predicate
     * resolves against the partition column, so the scan's PartitionFilters
     * excludes whole cell directories before any file IO (asserted by

@@ -110,6 +110,27 @@ object PipelineQueries {
       path
     })
 
+  /** Two-stage IVF layout, written once per dir: a base batch via
+    * `writeIndexed`, then an increment APPENDED into the same
+    * cell-partitioned layout by the frozen quantizer
+    * (`IVF.appendIndexed`) — the incremental-ingest path whose probe
+    * results must be indistinguishable from a single-shot index. */
+  private val ivfIncrementalDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ivfIncrementalPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfIncrementalDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/ivf-incremental-$safe"
+      val e = Tables.embeddings(s, dir)
+      val model = ivfModel(s, dir)
+      graft.functions.IVF.writeIndexed(
+        e.filter(col("vec_id") % 5 =!= 0), "embedding", "vec_id", model, path)
+      graft.functions.IVF.appendIndexed(
+        e.filter(col("vec_id") % 5 === 0), "embedding", "vec_id", model, path)
+      path
+    })
+
   /** Band-partitioned MinHash LSH index over the accepted corpus
     * (doc_id % 7 != 0 — the same split `dedup_incremental` uses), written
     * once per dir (`Dedup.writeBandIndex` models the offline index build):
@@ -1137,6 +1158,23 @@ object PipelineQueries {
         val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
           .head().getSeq[Float](1)
         graft.functions.IVF.searchIndexed(s, ivfIndexedPath(s, dir),
+          "embedding", "vec_id", ivfModel(s, dir), q, topK = 10, nProbe = 2)
+      },
+      None,
+      dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
+        topK = 10, nProbe = 2))),
+
+    QueryDef("ann_ivf_incremental",
+      // incremental vector ingest: the layout is built in TWO stages —
+      // base batch (vec_id % 5 != 0) via writeIndexed, increment
+      // (vec_id % 5 = 0, including the query vector itself) APPENDED by
+      // the frozen quantizer (IVF.appendIndexed) — and the probe search
+      // over it must rank identically to a single-shot index of the full
+      // corpus, which is exactly what the shared dynamic oracle verifies
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        graft.functions.IVF.searchIndexed(s, ivfIncrementalPath(s, dir),
           "embedding", "vec_id", ivfModel(s, dir), q, topK = 10, nProbe = 2)
       },
       None,

@@ -354,6 +354,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(idx == mem)
   }
 
+  test("IVF appendIndexed: two-stage (base + appended increment) layout == single-shot index") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val full = java.nio.file.Files.createTempDirectory("ivf-full").toString
+    IVF.writeIndexed(e, "embedding", "vec_id", model, full)
+    val inc = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    IVF.writeIndexed(e.filter($"vec_id" % 3 =!= 0), "embedding", "vec_id", model, inc)
+    IVF.appendIndexed(e.filter($"vec_id" % 3 === 0), "embedding", "vec_id", model, inc)
+    // several query vectors: ranking over the incrementally-built layout
+    // must be indistinguishable from the single-shot one
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val q = e.filter($"vec_id" === qid).head.getSeq[Float](1)
+      val a = IVF.searchIndexed(spark, full, "embedding", "vec_id", model, q, 10, 2)
+        .select("vec_id").as[Long].collect().toSeq
+      val b = IVF.searchIndexed(spark, inc, "embedding", "vec_id", model, q, 10, 2)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(a == b, s"query $qid")
+    }
+  }
+
   test("int8 quantized dot tracks the exact dot: bounded error, high recall") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
