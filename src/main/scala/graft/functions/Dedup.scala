@@ -32,17 +32,19 @@ object Dedup {
     *
     * NOT a digest-keyed window: a window puts an entire exact-dup clique in
     * one task, and common boilerplate (empty page, robots text) duplicated
-    * 10⁷-10⁸× is a single-task funnel at corpus scale. Two-stage bounded
-    * heap instead ([[graft.plans.TopKPerKey]], k=1): the partial pass keeps
-    * one row per digest per input partition with NO exchange, so the
-    * shuffle the final pass induces moves at most numPartitions rows per
-    * digest — a jumbo clique costs what a small one costs. */
+    * 10⁷-10⁸× is a single-task funnel at corpus scale. A `min_by`-struct
+    * hash aggregate instead: the map-side partial keeps ONE row per digest
+    * per partition, so the digest-keyed exchange moves at most
+    * numPartitions rows per clique — and unlike a bounded-heap operator
+    * keyed by a near-unique key (digest cardinality ≈ row count), Spark's
+    * aggregate falls back to sort-based spilling when the per-partition
+    * key map outgrows memory. The k>1 sibling [[capDuplicates]] keeps the
+    * two-stage heap (an aggregate cannot emit k rows per group). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    import graft.plans.TopKPerKey
-    val withD = df.withColumn("_digest", md5(col(textCol)))
-    val partial = TopKPerKey.perKeyPartial(withD, Seq("_digest"), Seq((idCol, true)), 1)
-    TopKPerKey.perKey(partial, Seq("_digest"), Seq((idCol, true)), 1, "_rn")
-      .drop("_rn", "_digest")
+    val cols = df.columns.toSeq
+    df.groupBy(md5(col(textCol)).as("_digest"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col("_row." + c).as(c)): _*)
   }
 
   /** Soft dedup: keep at most `maxCopies` rows per exact-content group

@@ -140,7 +140,14 @@ object Incremental {
     * signature set, which no state store should carry at 100 TB — the
     * parquet index is bounded, shared, and survives restarts for free.
     * foreachBatch runs batches sequentially, so the read-probe-append
-    * cycle is race-free by construction. */
+    * cycle is race-free by construction.
+    *
+    * Replay-safe without batchId markers: if a committed batch is
+    * re-delivered after a restart, every accepted doc in it near-matches
+    * its OWN copy in the index (identical text => identical band keys and
+    * Jaccard 1 >= any threshold <= 1), so the probe drops the whole
+    * replay and the append is a no-op — idempotence falls out of the
+    * dedup semantics themselves (pinned by test). */
   def nearDupGate(indexDir: String, acceptedDir: String,
       idCol: String, textCol: String, k: Int = 3, numHashes: Int = 16,
       threshold: Double = 0.5, bandRows: Int = 2): (DataFrame, Long) => Unit = {

@@ -111,20 +111,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
-  test("dedup_exact_rows / dedup_cap: two-stage heap keyed by digest, no window") {
+  test("dedup_exact_rows: partial min_by aggregate keyed by digest, no window") {
     // an exact-dup clique (one boilerplate text x 10^8 copies) must never
     // funnel through one task: the digest-keyed window is banned, and the
-    // partial TopKPerKey stage must sit below the digest exchange so only
-    // k rows per digest per partition ever shuffle
-    Seq("dedup_exact_rows", "dedup_cap").foreach { q =>
-      val p = planOf(q)
-      assert(!p.contains("Window"), s"$q:\n$p")
-      assert("TopKPerKey".r.findAllMatchIn(p).size == 2, s"$q:\n$p")
-      val finalIdx = p.indexOf("TopKPerKey")
-      val exchangeIdx = p.indexOf("Exchange hashpartitioning(_digest")
-      val partialIdx = p.lastIndexOf("TopKPerKey")
-      assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, s"$q:\n$p")
-    }
+    // partial min_by stage must sit below the digest exchange so only one
+    // row per digest per partition ever shuffles (hash aggregate = spill
+    // support, which matters because digest cardinality ~ row count)
+    val p = planOf("dedup_exact_rows")
+    assert(!p.contains("Window"), p)
+    // the digest alias inlines to _groupingexpression in the aggregate plan
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("partial_min_by")
+    assert(exchange >= 0 && partial > exchange, p)
+  }
+
+  test("dedup_cap: two-stage heap keyed by digest, no window") {
+    // same clique discipline for the keep-k form: the partial TopKPerKey
+    // stage keeps k rows per digest per partition before the exchange
+    val p = planOf("dedup_cap")
+    assert(!p.contains("Window"), p)
+    assert("TopKPerKey".r.findAllMatchIn(p).size == 2, p)
+    val finalIdx = p.indexOf("TopKPerKey")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(_digest")
+    val partialIdx = p.lastIndexOf("TopKPerKey")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
   }
 
   /** The documented reference-parity operators that model an inherently

@@ -244,6 +244,12 @@ class StreamingSpec extends AnyFunSuite {
     // the index grew to cover every accepted doc (8 bands each)
     val idx = spark.read.parquet(s"$dir/index")
     assert(idx.select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // replay of a committed batch: every doc near-matches its own accepted
+    // copy, so the gate drops the whole batch — append is a no-op
+    gate(b1, 0L)
+    val afterReplay = spark.read.parquet(s"$dir/accepted")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(afterReplay.sorted == Seq(1L, 2L, 5L))
   }
 
   test("streaming dedup: re-delivered rows dropped within the watermark") {
