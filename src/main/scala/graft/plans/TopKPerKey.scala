@@ -70,30 +70,63 @@ case class TopKPerKeyExec(
     val orderExprs = order
     val childOutput = child.output
     val outputAttrs = output
+    val partialLocal = partial
+    val maxKeys = TopKPerKey.PartialMaxKeys
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(orderExprs, childOutput)
-      // max-heap of the k best-so-far (head = worst kept)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reversed()))
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-      }
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outputAttrs.map(_.dataType).toArray)
-      heaps.valuesIterator.flatMap { heap =>
+      def drain(heap: java.util.PriorityQueue[InternalRow]): Iterator[UnsafeRow] = {
         val arr = heap.toArray(new Array[InternalRow](heap.size))
         java.util.Arrays.sort(arr, ord)
         arr.iterator.zipWithIndex.map { case (r, i) =>
           rankRow.setInt(0, i + 1)
           outProj(joined(r, rankRow))
         }
+      }
+      // max-heap of the k best-so-far per key (head = worst kept). PARTIAL
+      // mode bounds the key map: when a near-unique key (a content digest)
+      // would grow it past maxKeys, the least-recently-seen key's heap is
+      // EMITTED early and dropped from the map — a re-appearing key then
+      // emits up to 2k rows, which is still a SUPERSET of its partition
+      // top-k, and the final (clustered) stage reduces it exactly. Memory
+      // is O(maxKeys x k rows) regardless of key cardinality. Final mode
+      // never evicts (clustering guarantees each key's rows co-arrive, and
+      // its ranks are the real output).
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var drainedFinal = false
+        private def advance(): Unit = {
+          while (!pending.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            val heap = heaps.get(key) match {
+              case Some(h) => h
+              case None =>
+                if (partialLocal && heaps.size >= maxKeys) {
+                  val eldest = heaps.head
+                  heaps.remove(eldest._1)
+                  pending = drain(eldest._2) // emit NOW — memory stays bounded
+                }
+                val h = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reversed())
+                heaps.put(key.copy(), h)
+                h
+            }
+            if (heap.size < kLocal) heap.add(row.copy())
+            else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.add(row.copy())
+            }
+          }
+          if (!pending.hasNext && !iter.hasNext && !drainedFinal) {
+            drainedFinal = true
+            pending = heaps.valuesIterator.flatMap(drain)
+          }
+        }
+        override def hasNext: Boolean = { advance(); pending.hasNext }
+        override def next(): InternalRow = { advance(); pending.next() }
       }
     }
   }
@@ -111,6 +144,16 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopKPerKey {
+
+  /** Partial-mode key-map bound: beyond this many live keys per partition
+    * the least-recently-seen key's heap is emitted early (still a superset
+    * of the partition top-k — the final stage reduces exactly), so partial
+    * memory is O(PartialMaxKeys × k rows) even when the key is a content
+    * digest with cardinality ≈ row count. Overridable for tests via
+    * `spark.graft.topk.partialMaxKeys` would be config plumbing; a JVM
+    * property keeps the test hook dependency-free. */
+  private[graft] def PartialMaxKeys: Int =
+    Integer.getInteger("graft.topk.partialMaxKeys", 1 << 16)
 
   /** Public API: top `k` rows per `keys` group in `order`, with a 1-based
     * rank column appended. Append a unique column to `order` for total

@@ -195,6 +195,26 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("+- Sort"), plan)
   }
 
+  test("TopKPerKey partial eviction: tiny key cap still yields exact two-stage top-k") {
+    // force constant eviction in the partial stage (keys interleave, cap 2):
+    // evicted heaps stream out early as a SUPERSET and the final stage must
+    // still reduce to the exact per-key top-2
+    System.setProperty("graft.topk.partialMaxKeys", "2")
+    try {
+      val rows = (1 to 500).map(i => (i % 50, i))
+      val df = rows.toDF("key", "v").repartition(4)
+      val partial = graft.plans.TopKPerKey.perKeyPartial(
+        df, Seq("key"), Seq(("v", true)), 2)
+      val got = graft.plans.TopKPerKey.perKey(
+          partial, Seq("key"), Seq(("v", true)), 2, "rn")
+        .select("key", "v", "rn").as[(Int, Int, Int)].collect().sorted.toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, vs) =>
+        vs.map(_._2).sorted.take(2).zipWithIndex.map { case (v, i) => (k, v, i + 1) }
+      }.sorted
+      assert(got == want)
+    } finally System.clearProperty("graft.topk.partialMaxKeys")
+  }
+
   test("rangeJoin == brute-force inequality join on randomized data") {
     import graft.operators.Joins
     val rnd = new scala.util.Random(7)
