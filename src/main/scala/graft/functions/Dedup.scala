@@ -606,6 +606,20 @@ object Dedup {
     zero.unionAll(expanded)
   }
 
+  /** Exact-signature groups — the SCALABLE sibling of [[simhashPairs]] for
+    * clique-heavy corpora: one row per distinct signature with the
+    * surviving (min) id and multiplicity, exactly [[exactGroups]] keyed by
+    * the simhash instead of the md5 digest. Where the pair form's output
+    * is inherently quadratic per clique (m(m-1)/2 rows for an m-clique —
+    * those pairs exist), this is one partial-aggregable shuffle keyed by
+    * the signature and one OUTPUT row per clique, any clique size. Compose
+    * with [[simhashPairs]] over the group representatives when
+    * cross-signature (hamming 1..maxDist) pairs are also needed. */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(df, idCol, textCol)
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_members"))
+
   /** One 64-bit LSH key per block combination of a `simhash` column (the
     * combo index is mixed into the hash so key spaces of different combos
     * never alias). */

@@ -1043,6 +1043,18 @@ object PipelineQueries {
               |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
               |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("dedup_simhash_groups",
+      // the clique-safe simhash contract: one row per distinct signature
+      // (min id survives, multiplicity counted) — the pair form's output
+      // is quadratic per exact-dup clique by definition; this is the form
+      // a 100 TB dedup actually materializes. Oracle recomputes every
+      // signature and the grouping from scratch
+      (s, dir) => Dedup.simhashGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("simhash"),
+      Some(s"""WITH $simhashSigsSql
+              |SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_members
+              |FROM sigs GROUP BY simhash ORDER BY simhash""".stripMargin)),
+
     // ---- similarity search ----
     QueryDef("cosine_topk",
       (s, dir) => {
