@@ -28,7 +28,7 @@ object Bench {
     // band index, the real ImageIO/javax.sound codec passes, and the
     // corpus-LM perplexity scorer
     "dedup_incremental_near", "multimodal_decode_real",
-    "multimodal_decode_audio", "text_perplexity")
+    "multimodal_decode_audio", "text_perplexity", "text_perplexity_bigram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

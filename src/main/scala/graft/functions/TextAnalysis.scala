@@ -184,6 +184,61 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Bigram counterpart of [[perplexity]]: per-document log-probability of
+    * the token TRANSITIONS under the corpus-trained add-one-smoothed
+    * bigram LM, p(cur | prev) = (c(prev,cur) + 1) / (c(prev) + V), where
+    * c(prev) counts `prev` as a CONTEXT (so probabilities sum to 1 over
+    * the vocabulary) and V is the corpus vocabulary size. The conditional
+    * model separates fluent word order from rare-but-wellformed text —
+    * the signal n-gram-LM filters (CCNet's KenLM) actually use; the
+    * unigram form only sees token rarity. Same integer-exactness
+    * discipline: micronat quantization before summing, corpus-relative
+    * cutoffs from one two-long aggregate, vocabulary-sized count sides
+    * shuffle-hash-joined (never broadcast; only the single-row V total
+    * broadcasts). Documents with fewer than 2 tokens have no transitions:
+    * they carry (0, 0) and land in `head` (0 <= 0). */
+  def perplexityBigram(df: DataFrame, idCol: String, textCol: String,
+      headPct: Int = 100, tailPct: Int = 102): DataFrame = {
+    val withT = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val trans = withT
+      .select(col(idCol),
+        explode(when(size(col("_toks")) >= 2,
+            sequence(lit(1), size(col("_toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("_i"),
+        col("_toks"))
+      .select(col(idCol), element_at(col("_toks"), col("_i")).as("prev"),
+        element_at(col("_toks"), col("_i") + 1).as("cur"))
+    val bcnt = trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc"))
+    val ccnt = trans.groupBy(col("prev")).agg(count(lit(1)).as("cc"))
+    val vocab = withT.select(explode(col("_toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val scored = trans
+      .join(bcnt.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(ccnt.hint("shuffle_hash"), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("m",
+        floor(log((col("bc") + 1).cast("double") / (col("cc") + col("v")))
+          * 1e6 + 0.5).cast("long"))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"), sum(col("m")).as("_lp"))
+    val agg = df.select(col(idCol)).join(agg0, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
+    val row = agg.agg(
+      sum(lit(0L) - col("logprob_micronats")).as("slp"),
+      sum(col("n_transitions").cast("long")).as("sn")).head()
+    val (slpNeg, sn) = (row.getLong(0), row.getLong(1))
+    val headCut = (BigInt(headPct) * slpNeg / (BigInt(100) * sn)).toLong
+    val tailCut = (BigInt(tailPct) * slpNeg / (BigInt(100) * sn)).toLong
+    agg.withColumn("ppl_bucket",
+      when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(headCut), lit("head"))
+        .when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(tailCut), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** Per-group corpus summary — the curation dashboard numbers: document
     * count, char/token totals, distinct text count (exact-dup signal). All
     * integer aggregates (long sums, distinct count of a hash), so results

@@ -310,6 +310,42 @@ object PipelineQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_perplexity_bigram",
+      // conditional (bigram) LM scoring — transitions, not token rarity:
+      // p(cur|prev) = (c(prev,cur)+1) / (c(prev)+V) with c(prev) counted
+      // as a context; same micronat/corpus-relative-cutoff discipline as
+      // text_perplexity, oracle retrains everything from scratch
+      (s, dir) => TextAnalysis.perplexityBigram(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tr AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             |       FROM (SELECT doc_id, toks,
+             |               unnest(generate_series(1, len(toks) - 1)) AS i
+             |             FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT prev, cur, count(*) AS bc FROM tr GROUP BY 1, 2),
+             |cc AS (SELECT prev, count(*) AS cc FROM tr GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT tk) AS v
+             |        FROM (SELECT unnest(toks) AS tk FROM t)),
+             |sc AS (SELECT doc_id,
+             |         CAST(floor(ln(CAST(bc + 1 AS DOUBLE) / (cc + v))
+             |              * 1000000 + 0.5) AS BIGINT) AS m
+             |       FROM tr JOIN bc USING (prev, cur) JOIN cc USING (prev)
+             |       CROSS JOIN voc),
+             |agg0 AS (SELECT doc_id, count(*) AS nt, sum(m) AS lp
+             |         FROM sc GROUP BY doc_id),
+             |agg AS (SELECT d.doc_id, coalesce(nt, 0) AS nt, coalesce(lp, 0) AS lp
+             |        FROM documents d LEFT JOIN agg0 ON agg0.doc_id = d.doc_id),
+             |cut AS (SELECT CAST((100 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS hc,
+             |               CAST((102 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS tc
+             |        FROM agg)
+             |SELECT doc_id, CAST(nt AS INT) AS n_transitions,
+             |  CAST(lp AS BIGINT) AS logprob_micronats,
+             |  CASE WHEN -lp <= nt * hc THEN 'head'
+             |       WHEN -lp <= nt * tc THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
+
     QueryDef("token_count",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),

@@ -59,4 +59,26 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(path)
     nFiles
   }
+
+  /** [[compact]] for a PARTITIONED layout (e.g. the near-dup band index or
+    * an IVF cell layout, both of which accumulate one small file per
+    * append/micro-batch per partition): same real-bytes file-count math,
+    * but the output keeps `partitionBy(partCol)` so partition pruning and
+    * dynamic partition pruning on the probe path survive the maintenance
+    * op. Range-clustering on (partCol, sortCols…) keeps each output task
+    * writing into few partition directories. */
+  def compactPartitioned(df: DataFrame, path: String, partCol: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val bytes = df.inputFiles.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen
+    }.sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    df.repartitionByRange(nFiles, (partCol +: sortCols).map(col): _*)
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    nFiles
+  }
 }

@@ -139,6 +139,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(21L)._1 == 6)
   }
 
+  test("perplexityBigram: scrambled word order lands in tail where unigram cannot tell") {
+    import graft.functions.TextAnalysis
+    // scrambled docs reuse EXACTLY the fluent docs' token multiset, so the
+    // unigram model scores them identically; only the conditional model
+    // sees the broken transitions
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = Seq((21L, "mat the on sat cat the"), (22L, "on mat the cat the sat"))
+    val docs = (fluent ++ scrambled).toDF("doc_id", "text")
+    val uni = TextAnalysis.perplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(uni(21L)._1 == uni(1L)._1) // same token multiset => same unigram logprob
+    assert(uni(21L)._2 == uni(1L)._2)
+    val bi = TextAnalysis.perplexityBigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(bi(1L)._2 == "head")
+    assert(bi(21L)._2 == "tail" && bi(22L)._2 == "tail")
+    assert(bi(21L)._1 < bi(1L)._1) // strictly less probable transitions
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)

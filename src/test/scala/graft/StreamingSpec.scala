@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import graft.streaming.Incremental
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -250,6 +252,23 @@ class StreamingSpec extends AnyFunSuite {
     val afterReplay = spark.read.parquet(s"$dir/accepted")
       .select("doc_id").as[Long].collect().toSeq
     assert(afterReplay.sorted == Seq(1L, 2L, 5L))
+    // maintenance: compacting the appended index (partition-preserving)
+    // changes files, not probe results
+    val compacted = s"$dir/index-compacted"
+    graft.sources.Layout.compactPartitioned(
+      spark.read.parquet(s"$dir/index"), compacted, "band", Seq("bkey"))
+    assert(Files.list(java.nio.file.Paths.get(compacted)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("band=")))
+    val b3 = Seq((6L, base + " words"), (7L, "fresh unrelated content entirely")).toDF("doc_id", "text")
+    val viaOld = graft.functions.Dedup.nearDupAgainstCorpus(
+        b3, spark.read.parquet(s"$dir/accepted"), spark.read.parquet(s"$dir/index"),
+        "doc_id", "text", threshold = 0.8)
+      .select("id_new", "id_corp").as[(Long, Long)].collect().toSet
+    val viaCompacted = graft.functions.Dedup.nearDupAgainstCorpus(
+        b3, spark.read.parquet(s"$dir/accepted"), spark.read.parquet(compacted),
+        "doc_id", "text", threshold = 0.8)
+      .select("id_new", "id_corp").as[(Long, Long)].collect().toSet
+    assert(viaCompacted == viaOld && viaOld.contains((6L, 1L)))
   }
 
   test("streaming dedup: re-delivered rows dropped within the watermark") {
