@@ -102,13 +102,15 @@ class PlanSpec extends AnyFunSuite {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
   }
 
-  test("text_perplexity: the vocabulary (count) side is never broadcast") {
-    // same discipline as salient_terms: the unigram-count side IS the
+  test("text_perplexity / _bigram: the vocabulary-sized count sides are never broadcast") {
+    // same discipline as salient_terms: the n-gram-count sides ARE the
     // corpus vocabulary — unbounded on a web corpus — so the token x count
-    // join must stay partitioned; only the single-row totals may broadcast
-    val p = planOf("text_perplexity")
-    assert(p.contains("ShuffledHashJoin"), p)
-    assert(!p.contains("BroadcastHashJoin"), p)
+    // joins must stay partitioned; only the single-row totals may broadcast
+    Seq("text_perplexity", "text_perplexity_bigram").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
   }
 
   test("dedup_exact_rows: partial min_by aggregate keyed by digest, no window") {
