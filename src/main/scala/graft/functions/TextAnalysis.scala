@@ -221,7 +221,9 @@ object TextAnalysis {
           * 1e6 + 0.5).cast("long"))
     val agg0 = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("_nt"), sum(col("m")).as("_lp"))
-    val agg = df.select(col(idCol)).join(agg0, Seq(idCol), "left")
+    // agg0 is PER-DOCUMENT — corpus-sized, so the docs x agg0 left join
+    // must stay partitioned too (toy-scale stats would broadcast it)
+    val agg = df.select(col(idCol)).join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
         coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
