@@ -28,7 +28,12 @@ object Bench {
     // band index, the real ImageIO/javax.sound codec passes, and the
     // corpus-LM perplexity scorer
     "dedup_incremental_near", "multimodal_decode_real",
-    "multimodal_decode_audio", "text_perplexity", "text_perplexity_bigram")
+    "multimodal_decode_audio", "text_perplexity", "text_perplexity_bigram",
+    // round-5 second batch: sketch-prefiltered decontamination, the
+    // temperature/quality samplers, mixture QA, and cell-blocked semantic
+    // dedup (IVF model comes from warmup — training is offline work)
+    "decontaminate_bloom", "mixture_temperature", "sample_weighted",
+    "corpus_divergence", "semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,42 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[overlaps]] with a Bloom-sketch prefilter — the 100 TB form. The
+    * exact broadcast join above ships the benchmark's full distinct-gram
+    * STRING set to every executor; at a large eval suite (10^9 grams) that
+    * broadcast is tens of GB of strings. A Bloom filter over the same gram
+    * set is ~1.2 GB at 1% fpp — an order of magnitude smaller — and drops
+    * ~99% of the corpus's exploded (id, gram) stream before it reaches the
+    * verify join, so the join (broadcast or, beyond broadcast reach,
+    * shuffle) only sees grams that probably hit. The verify join stays
+    * EXACT-string, so a Bloom false positive costs a lookup, never a
+    * wrongly-flagged document: output is row-identical to [[overlaps]].
+    * Bloom filters have no false negatives, so no hit is ever missed.
+    *
+    * The sketch is built distributed (`stat.bloomFilter` merges per-task
+    * sketches — only sketch bytes cross to the driver) and broadcast once.
+    * The membership probe is a deserialize-once-per-executor UDF; it sits
+    * on the exploded stream AFTER the narrow shingle pass, so everything
+    * upstream of it still whole-stage-codegens. */
+  def overlapsBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int, expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), k)).as("gram"))
+      .distinct()
+    val bloom = benchGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomBc.value.mightContain(g))
+    val benchIds = bench.select(col(benchIdCol).as(idCol)).distinct()
+    corpus
+      .join(benchIds, Seq(idCol), "left_anti")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** The decontaminated corpus: every document of `corpus` that shares NO
     * k-gram with `bench` (benchmark members themselves are kept — dropping
     * them is a separate policy choice, composable via an id anti-join).

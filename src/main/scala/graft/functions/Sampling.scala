@@ -133,6 +133,59 @@ object Sampling {
       .drop("_sample_prio")
   }
 
+  /** Per-stratum keep-rates for TEMPERATURE-scaled mixture sampling — the
+    * multi-domain rebalance used by multilingual / multi-source training
+    * runs (target share ∝ p^T with T<1 flattening the head so low-resource
+    * strata survive). Rates are the largest achievable subsample with every
+    * stratum at rate <= 1, i.e. [[mixtureRates]] with weight_s = p_s^T —
+    * but computed WITHOUT normalizing the weights: rates are scale-invariant
+    * in exact arithmetic, and skipping the normalization sum removes the
+    * one operation whose float result depends on stratum iteration order.
+    * Every remaining op (sqrt/divide/multiply/min) is IEEE correctly
+    * rounded, so an oracle recomputing from the same counts in another
+    * engine reproduces the thresholds bit-for-bit. T = 0.5 is computed as
+    * `sqrt` (correctly rounded) — `pow(x, 0.5)` is exp/log-based in both
+    * JVM and C++ and NOT guaranteed to equal sqrt in the last ulp. */
+  def temperatureRates(counts: Map[String, Long],
+      temperature: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0),
+      "temperatureRates needs non-empty positive stratum counts")
+    val total = counts.values.sum // integer sum — exact, order-free
+    def powT(x: Double): Double =
+      if (temperature == 0.5) math.sqrt(x) else math.pow(x, temperature)
+    val scaled = counts.map { case (s, c) => s -> powT(c.toDouble / total) }
+    val n = scaled.map { case (s, w) => counts(s).toDouble / w }.min
+    scaled.map { case (s, w) =>
+      s -> math.min(1.0, w * n / counts(s).toDouble)
+    }
+  }
+
+  /** Temperature-scaled mixture sample of `df` (see [[temperatureRates]]).
+    * One metadata-sized aggregate (a row per stratum) reaches the driver;
+    * the selection is the same pure-hash narrow map as
+    * [[stratifiedSample]] — no shuffle of data rows, retry-safe, and the
+    * exact membership is SQL-recomputable by the gate oracle. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      temperature: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = temperatureRates(counts, temperature)
+    df.filter(stratifiedKeep(col(keyCol), col(stratumCol), rates,
+      defaultRate = 0.0))
+  }
+
+  /** Score-proportional sampling: keep a row iff hash(key) < rate * 2^32
+    * where `rateCol` is a per-ROW keep-probability in [0, 1] (e.g. a
+    * quality score — higher-quality documents survive at a higher rate,
+    * the quality-weighted curation step). Unlike [[stratifiedSample]] the
+    * rate varies per row, so the threshold is computed inline:
+    * floor(rate * 2^32 + 0.5), the same rounding [[stratifiedKeep]] bakes
+    * into its literals. Pure narrow map — no shuffle, no RNG state,
+    * membership exactly recomputable from (key, rate) by any engine. */
+  def weightedSample(df: DataFrame, keyCol: String, rateCol: Column): DataFrame =
+    df.filter(hashSlice32(col(keyCol)) <
+      floor(rateCol * lit(4294967296.0) + lit(0.5)).cast("long"))
+
   /** Best-first selection under a global token budget: keep the
     * highest-`scoreCol` rows whose running `tokensCol` total — over the
     * total order (score DESC, key ASC) — stays within `budget`. The "take

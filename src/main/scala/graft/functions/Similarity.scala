@@ -124,4 +124,44 @@ object Similarity {
       .select("id_a", "id_b", "cos")
       .distinct()
   }
+
+  /** Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023): block the
+    * O(n²) cosine comparison by the IVF coarse-quantizer cell — two
+    * embeddings are compared only when k-means assigns them the same cell.
+    * This is the published trade: near-identical embeddings land in the
+    * same cell with overwhelming probability, and the per-cell quadratic is
+    * bounded because the quantizer balances cells where random hyperplanes
+    * cannot (grow k with the corpus: cells of ~10^5 vectors keep the
+    * within-cell join tractable at 10^9+ vectors). The shuffle is keyed by
+    * cell id; norms are computed once per vector before the join, so each
+    * candidate pair costs exactly one dot product. */
+  def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
+      model: IVF.Model, threshold: Double): DataFrame = {
+    val celled = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_cell", IVF.assign(col("v"), model))
+      .withColumn("_nrm", norm(col("v")))
+    val a = celled.select(col("_cell"), col("id").as("id_a"),
+      col("v").as("v_a"), col("_nrm").as("nrm_a"))
+    val b = celled.select(col("_cell"), col("id").as("id_b"),
+      col("v").as("v_b"), col("_nrm").as("nrm_b"))
+    a.join(b, Seq("_cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Semantic dedup verdict per vector: cluster semantically-near vectors
+    * ([[semanticPairs]] edges -> [[Dedup.connectedComponents]] min-label
+    * clusters) and keep one representative per cluster (the minimum id —
+    * quality-aware survivor choice composes via
+    * [[Dedup.keepBestPerCluster]] exactly as in text near-dup). Output:
+    * (id, cluster_id, keep). Scale shape: cell-blocked pairs, the
+    * label-propagation loop's shuffles carry (id, label) pairs only. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      model: IVF.Model, threshold: Double): DataFrame = {
+    val pairs = semanticPairs(df, vecCol, idCol, model, threshold)
+    Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as(idCol), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+  }
 }

@@ -254,6 +254,42 @@ object TextAnalysis {
       sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"),
       countDistinct(md5(col(textCol))).as("n_unique_texts"))
 
+  /** Jensen-Shannon divergence between two corpora's stratum (language /
+    * source / domain) distributions — the mixture-QA check that a sampled
+    * or rebalanced corpus still matches its target, or that two crawl
+    * snapshots drifted. One row per stratum with the counts, both
+    * probabilities, and the stratum's JS contribution
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m), m = (p+q)/2 (sum of the column = the
+    * divergence; a missing stratum contributes its one-sided KL term with
+    * the 0·ln(0) limit = 0). Contributions are quantized to integer
+    * NANONATS (floor(x·1e9 + 0.5)) — the same discipline as
+    * [[perplexity]]'s micronats: ln is the one op engines may disagree on
+    * in the last ulp, and quantizing right after it makes the gate
+    * engine-exact. Scale shape: two stratum-keyed aggregates (metadata-
+    * sized output) full-outer-joined — the corpora themselves never
+    * shuffle; totals are integer counts, divisions are IEEE-exact. */
+  def jsDivergenceByStratum(a: DataFrame, b: DataFrame,
+      stratumCol: String): DataFrame = {
+    val ca = a.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_b"))
+    val ta = a.count() // driver scalars: one long each, not data
+    val tb = b.count()
+    val joined = ca.join(cb, Seq(stratumCol), "full_outer")
+      .select(col(stratumCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val p = col("n_a").cast("double") / lit(ta.toDouble)
+    val q = col("n_b").cast("double") / lit(tb.toDouble)
+    val m = (p + q) / lit(2.0)
+    def half(x: Column): Column =
+      when(x === lit(0.0), lit(0.0))
+        .otherwise(lit(0.5) * x * log(x / m))
+    joined
+      .withColumn("js_nanonats",
+        floor((half(p) + half(q)) * lit(1e9) + lit(0.5)).cast("long"))
+      .select(col(stratumCol), col("n_a"), col("n_b"), col("js_nanonats"))
+  }
+
   /** Canonical text normalization for dedup/filter preprocessing: trim,
     * lowercase, collapse internal whitespace runs. Narrow map, fused into
     * the scan. */

@@ -185,16 +185,17 @@ object PipelineQueries {
     * exact double literals: recomputes cell assignment (argmin with
     * lower-cell tie-break), the probed cell ranking, and cosine top-k —
     * everything downstream of training, independently. */
-  private def ivfOracleSql(model: graft.functions.IVF.Model,
-      topK: Int, nProbe: Int): String = {
+  /** The cents/dists/assigned CTE chain recomputing IVF cell assignment
+    * from centroid literals — shared by [[ivfOracleSql]] and the semantic
+    * dedup oracle (same argmin, same tie-break, same float order as
+    * `IVF.assign`). */
+  private def ivfAssignedCteSql(model: graft.functions.IVF.Model): String = {
     val cents = model.centroids.zipWithIndex.map { case (c, j) =>
       val arr = c.map(fmtD).mkString("[", ", ", "]")
       val cn2 = fmtD(c.map(x => x * x).sum)
       s"($j, CAST($arr AS DOUBLE[]), CAST($cn2 AS DOUBLE))"
     }.mkString(",\n    ")
-    val qcDist = "list_reduce(list_transform(generate_series(1, len(qv)), " +
-      "i -> (CAST(qv[i] AS DOUBLE) - c.c[i]) * (CAST(qv[i] AS DOUBLE) - c.c[i])), (x,y) -> x + y)"
-    s"""WITH cents(cell, c, cn2) AS (VALUES
+    s"""cents(cell, c, cn2) AS (VALUES
        |    $cents),
        |dists AS (
        |  SELECT e.vec_id, e.embedding, c.cell,
@@ -204,7 +205,14 @@ object PipelineQueries {
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT vec_id, embedding, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |    FROM dists) WHERE rn = 1),
+       |    FROM dists) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracleSql(model: graft.functions.IVF.Model,
+      topK: Int, nProbe: Int): String = {
+    val qcDist = "list_reduce(list_transform(generate_series(1, len(qv)), " +
+      "i -> (CAST(qv[i] AS DOUBLE) - c.c[i]) * (CAST(qv[i] AS DOUBLE) - c.c[i])), (x,y) -> x + y)"
+    s"""WITH ${ivfAssignedCteSql(model)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        |qp AS (SELECT c.cell FROM cents c CROSS JOIN q ORDER BY $qcDist, c.cell LIMIT $nProbe)
        |SELECT a.vec_id,
@@ -228,6 +236,14 @@ object PipelineQueries {
       |  THEN list_transform(generate_series(1, len(string_split(text,' '))-4),
       |       i -> array_to_string((string_split(text,' '))[i:i+4], ' '))
       |  ELSE [text] END)""".stripMargin
+
+  /** DuckDB rendering of [[graft.functions.Sampling.hashSlice32]] on
+    * doc_id — the uniform 32-bit md5 slice every deterministic sampler
+    * keys on. */
+  private val DocHashSql =
+    """list_reduce(list_transform(
+      |    regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+      |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
 
   /** Mixing weights for the `sample_stratified` gate query (ListMap: the
     * CASE chain must fold in a stable order in both engines). */
@@ -741,6 +757,41 @@ object PipelineQueries {
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
 
+    QueryDef("corpus_divergence",
+      // mixture QA: per-language Jensen-Shannon decomposition between two
+      // corpus halves (doc_id parity stands in for "two crawl snapshots").
+      // Counts are exact integers; the JS contribution is quantized to
+      // integer nanonats right after the ln (the perplexity discipline),
+      // so the gate is engine-exact
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextAnalysis.jsDivergenceByStratum(
+            d.filter(col("doc_id") % 2 === 0),
+            d.filter(col("doc_id") % 2 =!= 0), "lang")
+          .orderBy("lang")
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+             |           WHERE doc_id % 2 = 0 GROUP BY lang),
+             |b AS (SELECT lang, count(*) AS n_b FROM documents
+             |      WHERE doc_id % 2 != 0 GROUP BY lang),
+             |ta AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 2 = 0),
+             |tb AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents WHERE doc_id % 2 != 0),
+             |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+             |             CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+             |             CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+             |      FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+             |pq AS (SELECT lang, n_a, n_b,
+             |         CAST(n_a AS DOUBLE) / (SELECT t FROM ta) AS p,
+             |         CAST(n_b AS DOUBLE) / (SELECT t FROM tb) AS q
+             |       FROM j),
+             |d AS (SELECT lang, n_a, n_b, p, q, (p + q) / 2.0 AS m FROM pq)
+             |SELECT lang, n_a, n_b,
+             |  CAST(floor((
+             |    (CASE WHEN p = 0.0 THEN 0.0 ELSE 0.5 * p * ln(p / m) END)
+             |    + (CASE WHEN q = 0.0 THEN 0.0 ELSE 0.5 * q * ln(q / m) END)
+             |  ) * 1000000000.0 + 0.5) AS BIGINT) AS js_nanonats
+             |FROM d ORDER BY lang""".stripMargin)),
+
     QueryDef("dedup_minhash",
       (s, dir) => Dedup.minhashDedupPairs(Tables.documents(s, dir),
           "doc_id", "text", k = 3, numHashes = 16, threshold = 0.8)
@@ -952,6 +1003,66 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("mixture_temperature",
+      // temperature-scaled mixture sampling (target share ∝ p^T, T = 0.5 —
+      // the multilingual rebalance that keeps low-resource strata alive):
+      // the oracle retrains the whole decision — counts, sqrt weights, the
+      // largest achievable size, per-stratum thresholds, and the exact
+      // hash membership — in SQL. sqrt/divide/multiply/min are all IEEE
+      // correctly rounded and the rate derivation avoids any
+      // iteration-order-dependent float sum, so thresholds match
+      // bit-for-bit (see Sampling.temperatureRates)
+      (s, dir) => graft.functions.Sampling.temperatureSample(
+          Tables.documents(s, dir), "doc_id", "lang", temperature = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+              |           FROM documents GROUP BY lang),
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+              |s AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE) / t) AS w
+              |      FROM c CROSS JOIN tot),
+              |m AS (SELECT min(CAST(cnt AS DOUBLE) / w) AS n FROM s),
+              |th AS (SELECT lang,
+              |         CAST(floor(least(1.0, w * (SELECT n FROM m) / CAST(cnt AS DOUBLE))
+              |              * 4294967296.0 + 0.5) AS BIGINT) AS th
+              |       FROM s)
+              |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+              |WHERE $DocHashSql < th.th
+              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("sample_weighted",
+      // quality-proportional sampling: each document's keep-probability IS
+      // its quality score (higher quality -> more likely kept), membership
+      // a pure hash so the oracle verifies the exact per-row decision —
+      // score recomputation, per-row threshold, and hash all re-derived
+      (s, dir) => {
+        val scored = TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+          .withColumn("q", TextAnalysis.qualityScore())
+        graft.functions.Sampling.weightedSample(scored, "doc_id", col("q"))
+          .select("doc_id", "q")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id,
+           |    (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.5
+           |      + (CAST(n_stop AS DOUBLE) / n_uniq_tokens) * 0.2
+           |      + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3
+           |      AS q
+           |  FROM m)
+           |SELECT doc_id, q FROM q
+           |WHERE $DocHashSql < CAST(floor(q * 4294967296.0 + 0.5) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("token_budget_trim",
       // best-first selection under a global token budget: the oracle is the
       // straightforward global-window cumsum; the engine computes the SAME
@@ -1055,6 +1166,29 @@ object PipelineQueries {
               |SELECT doc_id, lang, source, n_chars FROM documents
               |WHERE doc_id NOT IN (SELECT doc_id FROM hit)
               |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("decontaminate_bloom",
+      // the Bloom-prefiltered decontamination path: a sketch over the
+      // benchmark grams drops ~all clean corpus grams BEFORE the exact
+      // verify join. Bloom filters have no false negatives and every
+      // surviving gram is exact-string-verified, so the report is
+      // row-identical to `decontaminate` — the oracle is literally the
+      // same SQL, which is the point: the sketch changes the plan, not
+      // the answer
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        graft.functions.Decontam.overlapsBloom(docs, "doc_id", "text",
+            bench, "doc_id", "text", k = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $Shingles5Sql AS shl FROM documents),
+              |e AS (SELECT doc_id, unnest(shl) AS gram FROM sh),
+              |bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0)
+              |SELECT e.doc_id, count(*) AS n_shared_grams
+              |FROM e JOIN bench USING (gram)
+              |WHERE e.doc_id % 20 != 0
+              |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash",
       // md5-u64 token hash on purpose: DuckDB recomputes every signature
@@ -1273,6 +1407,36 @@ object PipelineQueries {
               |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
               |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("semantic_dedup",
+      // SemDeDup: IVF-cell-blocked cosine near-dup pairs -> connected
+      // components -> keep the min-id representative per semantic cluster.
+      // The oracle re-derives cell assignment from the shared centroid
+      // literals, re-finds every within-cell pair, and recomputes the
+      // clusters with a RECURSIVE reachability CTE — only the trained
+      // centroids are shared between engines (same contract as ann_ivf_*)
+      (s, dir) => graft.functions.Similarity.semanticDedup(
+          Tables.embeddings(s, dir), "embedding", "vec_id",
+          ivfModel(s, dir), threshold = 0.4)
+        .orderBy("vec_id"),
+      None,
+      dynOracle = Some((s, dir) =>
+        s"""WITH RECURSIVE ${ivfAssignedCteSql(ivfModel(s, dir))},
+           |n AS (SELECT vec_id, embedding, cell,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |      FROM assigned),
+           |good AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+           |          UNION ALL SELECT id_b, id_a FROM good),
+           |reach(id, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+           |SELECT id AS vec_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
+           |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
 
     // ---- multimodal ----
     QueryDef("multimodal_meta",

@@ -408,4 +408,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("semanticDedup: labels are the connected components of semanticPairs") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val pairs = Similarity.semanticPairs(e, "embedding", "vec_id", model, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val out = Similarity.semanticDedup(e, "embedding", "vec_id", model, 0.4)
+      .select("vec_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    // independent union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id per component == cluster_id; keep iff id is its own root
+    val comp = out.map(_._1).groupBy(find).map { case (r, ids) => r -> ids.min }
+    out.foreach { case (id, cluster, keep) =>
+      assert(cluster == comp(find(id)), s"vec $id")
+      assert(keep == (id == cluster), s"keep flag of $id")
+    }
+    // the pair graph is non-trivial and so is the dedup
+    assert(pairs.nonEmpty && out.count(!_._3) > 0)
+  }
+
+  test("semanticPairs is cell-blocked: a subset of exact cosine pairs") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001).filter($"vec_id" < 200)
+    val model = IVF.train(e, "embedding", "vec_id", k = 4)
+    val got = Similarity.semanticPairs(e, "embedding", "vec_id", model, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"v_a", $"v_b"))
+      .filter($"cos" >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(exact))
+  }
+
+  test("overlapsBloom is row-identical to the exact overlaps join") {
+    import graft.functions.Decontam
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val exact = Decontam.overlaps(docs, "doc_id", "text",
+        bench, "doc_id", "text", k = 5)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Decontam.overlapsBloom(docs, "doc_id", "text",
+        bench, "doc_id", "text", k = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact) // no false negatives, exact verify join
+    assert(exact.nonEmpty)
+  }
 }

@@ -158,6 +158,66 @@ class SamplingSpec extends AnyFunSuite {
     assert(bi(21L)._1 < bi(1L)._1) // strictly less probable transitions
   }
 
+  test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val total = docs.count()
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang", 1.0).count()
+    // T=1 target = observed mixture -> every rate is 1 up to one float ulp;
+    // a 1-ulp-short threshold can drop at most the hash-max row per stratum
+    assert(kept >= total - 5, s"kept $kept of $total")
+  }
+
+  test("temperatureSample: T=0.5 flattens the mixture, binding stratum kept whole") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // flattening: max/min share ratio strictly shrinks toward sqrt
+    val ratioBefore = before.values.max.toDouble / before.values.min
+    val ratioAfter = after.values.max.toDouble / after.values.min
+    assert(ratioAfter < ratioBefore, s"$ratioAfter !< $ratioBefore")
+    // the smallest stratum binds (c/sqrt(p) is minimized by smallest c):
+    // it is kept whole up to the 1-ulp threshold edge
+    val smallest = before.minBy(_._2)._1
+    assert(after(smallest) >= before(smallest) - 1)
+    // determinism + per-stratum subset of input
+    val ids1 = out.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.temperatureSample(docs, "doc_id", "lang", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2 && ids1.nonEmpty)
+  }
+
+  test("weightedSample: rate-0 rows never kept, rate-1 rows always, 0.5 tracks") {
+    val rows = spark.range(30000).select($"id".cast("long").as("k"),
+      (when($"id" % 3 === 0, 0.0).when($"id" % 3 === 1, 1.0)
+        .otherwise(0.5)).as("rate"))
+    val kept = Sampling.weightedSample(rows, "k", $"rate")
+    assert(kept.filter($"rate" === 0.0).count() == 0)
+    assert(kept.filter($"rate" === 1.0).count() == 10000)
+    val half = kept.filter($"rate" === 0.5).count() / 10000.0
+    assert(math.abs(half - 0.5) < 0.03, s"half-rate fraction $half")
+    // determinism: same keys -> same sample
+    val k1 = kept.select("k").as[Long].collect().toSet
+    val k2 = Sampling.weightedSample(rows, "k", $"rate")
+      .select("k").as[Long].collect().toSet
+    assert(k1 == k2)
+  }
+
+  test("jsDivergenceByStratum: zero for identical corpora, ln2-halves for disjoint") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val self = TextAnalysis.jsDivergenceByStratum(docs, docs, "lang")
+      .select("js_nanonats").as[Long].collect()
+    assert(self.nonEmpty && self.forall(_ == 0L)) // p=q -> ln(1)=0 exactly
+    // fully disjoint strata: each side's term is 0.5*p*ln(2) with p=1
+    val a = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    val b = Seq((3L, "y"), (4L, "y")).toDF("doc_id", "lang")
+    val d = TextAnalysis.jsDivergenceByStratum(a, b, "lang")
+      .select("lang", "js_nanonats").as[(String, Long)].collect().toMap
+    val want = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5).toLong
+    assert(d == Map("x" -> want, "y" -> want))
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
