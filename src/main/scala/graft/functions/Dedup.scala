@@ -403,10 +403,20 @@ object Dedup {
     * component), so the jump join is always well-keyed.
     *
     * Each round is two id-keyed joins + one aggregate; the frame persists
-    * per round and is `localCheckpoint`ed every [[CcCheckpointEvery]]
-    * rounds so the plan lineage stays bounded no matter how many rounds a
-    * pathological graph needs. The driver sees only the per-round change
-    * COUNT (a long), never data. */
+    * per round is `localCheckpoint`ed so the plan lineage stays bounded
+    * no matter how many rounds a pathological graph needs. The driver sees only a per-round label-sum
+    * (one decimal), never data.
+    *
+    * Two working-set optimizations, both exact:
+    *  - the loop runs over the ACTIVE subgraph only — nodes that appear in
+    *    at least one edge. Every other node is its own singleton cluster
+    *    by definition and joins back in one final left join. At corpus
+    *    scale this is the difference between iterating over the near-dup
+    *    endpoints (dup-rate × n) and iterating over all of 100 TB;
+    *  - convergence is detected by the label SUM: labels start at the node
+    *    id and are strictly non-increasing, so an unchanged sum is exactly
+    *    "no label changed" — one aggregate on the already-persisted frame
+    *    instead of a join against the previous round. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 50): DataFrame = {
@@ -415,11 +425,19 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+    // active subgraph: both directions are present, so `src` alone covers
+    // every node incident to an edge
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
       .persist(lvl)
-    var converged = false
+    // sum over DECIMAL(38,0): exact at any id range / node count
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
+    var converged = labels.head(1).isEmpty // no edges at all -> all singletons
     var iter = 0
-    var labelsCheckpointed = false
     while (!converged && iter < maxIters) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -434,28 +452,29 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_pl"), col("cluster_id")))
             .as("cluster_id"))
-      val checkpointNow = (iter + 1) % CcCheckpointEvery == 0
-      // localCheckpoint materializes AND truncates lineage; persist covers
-      // the non-checkpoint rounds. A checkpointed frame's blocks must not
-      // be unpersisted by hand (later rounds' lineage may still read them
-      // and the truncated lineage cannot recompute) — the ContextCleaner
-      // reclaims them once unreferenced.
-      val next = if (checkpointNow) jumped.localCheckpoint(true)
-        else jumped.persist(lvl)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("_old")).count()
-      if (!labelsCheckpointed) labels.unpersist()
+      // localCheckpoint EVERY round: `labels` is referenced three times per
+      // round (edge join, neighborhood union, pointer jump), so the logical
+      // plan grows ~3x per round if only persist()ed — persist caches DATA
+      // but Catalyst still re-analyzes the full lineage, and round N's
+      // planning cost is O(3^N) (measured: rounds 0-4 at 1.0/1.3/3.2/16/30 s
+      // on a 287-edge graph before this fix). localCheckpoint materializes
+      // AND truncates the plan; each round is materialized anyway for the
+      // convergence sum, so the only extra cost is the block write — the
+      // same trade GraphX/GraphFrames iterative algorithms make. Blocks are
+      // reclaimed by the ContextCleaner once unreferenced.
+      val next = jumped.localCheckpoint(true)
+      val curSum = labelSum(next)
       labels = next
-      labelsCheckpointed = checkpointNow
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
-    labels
+    // singletons (no incident edge) rejoin as their own cluster
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster_id", "_cc"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_cc"), col("id")).as("cluster_id"))
   }
-
-  /** Lineage-truncation cadence for [[connectedComponents]]. */
-  val CcCheckpointEvery: Int = 5
 
   /** The surviving corpus after near-dup removal: greedy keep-lowest-id —
     * a document is dropped iff it appears as the HIGHER id of some

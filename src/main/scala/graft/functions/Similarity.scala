@@ -150,6 +150,35 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Incremental semantic near-dup: probe a NEW embedding batch against an
+    * already-indexed corpus (an [[IVF.writeIndexed]]-style frame carrying
+    * its `ivf_cell` column) without recomparing the corpus to itself — the
+    * nightly-ingest analogue of [[graft.functions.Dedup.nearDupAgainstCorpus]]
+    * for the embedding space. The incoming batch is assigned cells by the
+    * SAME frozen quantizer that built the index; the corpus side is first
+    * restricted to the cells the batch actually touches (a metadata-sized
+    * driver list, at most k ids), which over a `partitionBy("ivf_cell")`
+    * layout is partition PRUNING — unprobed cell directories cost zero IO.
+    * At 100 TB: per-increment work scales with the increment and the
+    * touched cells, never the corpus. Output: (id_new, id_corpus, cos). */
+  def semanticPairsAgainstIndex(incoming: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, model: IVF.Model,
+      threshold: Double): DataFrame = {
+    val in = incoming.select(col(idCol).as("id_new"), col(vecCol).as("_vn"))
+      .withColumn("ivf_cell", IVF.assign(col("_vn"), model))
+      .withColumn("_nn", norm(col("_vn")))
+    val touched = in.select("ivf_cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // <= k cell ids — metadata, not data
+    val base = corpus.filter(col("ivf_cell").isin(touched: _*))
+      .select(col("ivf_cell"), col(idCol).as("id_corpus"),
+        col(vecCol).as("_vc"))
+      .withColumn("_nc", norm(col("_vc")))
+    in.join(base, Seq("ivf_cell"))
+      .withColumn("cos", dot(col("_vn"), col("_vc")) / (col("_nn") * col("_nc")))
+      .filter(col("cos") >= threshold)
+      .select("id_new", "id_corpus", "cos")
+  }
+
   /** Semantic dedup verdict per vector: cluster semantically-near vectors
     * ([[semanticPairs]] edges -> [[Dedup.connectedComponents]] min-label
     * clusters) and keep one representative per cluster (the minimum id —

@@ -1438,6 +1438,37 @@ object PipelineQueries {
            |SELECT id AS vec_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
            |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
 
+    QueryDef("semantic_dedup_incremental",
+      // incremental semantic near-dup: the new batch (vec_id % 5 = 0) is
+      // probed against the PERSISTED cell-partitioned index of the
+      // accepted corpus (vec_id % 5 != 0) — only touched cell directories
+      // are read (partition pruning), the corpus is never self-compared.
+      // The oracle recomputes cell assignment for BOTH sides from the
+      // shared centroid literals and re-finds every cross-batch pair
+      (s, dir) => {
+        val incoming = Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 5 === 0)
+        val corpus = s.read.parquet(ivfIndexedPath(s, dir))
+          .filter(col("vec_id") % 5 =!= 0)
+        graft.functions.Similarity.semanticPairsAgainstIndex(
+            incoming, corpus, "embedding", "vec_id",
+            ivfModel(s, dir), threshold = 0.4)
+          .orderBy("id_new", "id_corpus")
+      },
+      None,
+      dynOracle = Some((s, dir) =>
+        s"""WITH ${ivfAssignedCteSql(ivfModel(s, dir))},
+           |n AS (SELECT vec_id, embedding, cell,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |      FROM assigned),
+           |inc AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+           |base AS (SELECT * FROM n WHERE vec_id % 5 != 0)
+           |SELECT id_new, id_corpus, cos FROM (
+           |  SELECT i.vec_id AS id_new, b.vec_id AS id_corpus,
+           |         ${dotSql("i.embedding", "b.embedding")} / (i.nrm * b.nrm) AS cos
+           |  FROM inc i JOIN base b ON i.cell = b.cell)
+           |WHERE cos >= 0.4 ORDER BY id_new, id_corpus""".stripMargin)),
+
     // ---- multimodal ----
     QueryDef("multimodal_meta",
       (s, dir) => Multimodal.attachBinary(Tables.documents(s, dir))

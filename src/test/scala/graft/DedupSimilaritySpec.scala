@@ -453,6 +453,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.subsetOf(exact))
   }
 
+  test("semanticPairsAgainstIndex: prunes cell partitions, matches in-memory cross-batch pairs") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-semdedup").toString
+    IVF.writeIndexed(e, "embedding", "vec_id", model, dir)
+    val incoming = e.filter($"vec_id" % 5 === 0)
+    val corpus = spark.read.parquet(dir).filter($"vec_id" % 5 =!= 0)
+    val got = Similarity.semanticPairsAgainstIndex(incoming, corpus,
+      "embedding", "vec_id", model, 0.4)
+    // the touched-cell predicate must reach the scan as partition pruning
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"), plan)
+    // equivalence: same-cell cross-batch cosine pairs computed in memory
+    val celled = e.withColumn("_cell", IVF.assign($"embedding", model))
+    val a = celled.filter($"vec_id" % 5 === 0)
+      .select($"_cell", $"vec_id".as("id_new"), $"embedding".as("va"))
+    val b = celled.filter($"vec_id" % 5 =!= 0)
+      .select($"_cell", $"vec_id".as("id_corpus"), $"embedding".as("vb"))
+    val want = a.join(b, Seq("_cell"))
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .filter($"cos" >= 0.4)
+      .select("id_new", "id_corpus").as[(Long, Long)].collect().toSet
+    val gotSet = got.select("id_new", "id_corpus")
+      .as[(Long, Long)].collect().toSet
+    assert(gotSet == want && gotSet.nonEmpty)
+  }
+
   test("overlapsBloom is row-identical to the exact overlaps join") {
     import graft.functions.Decontam
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
