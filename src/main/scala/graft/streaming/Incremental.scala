@@ -189,6 +189,55 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SEMANTIC near-dup gate — the embedding-space sibling of
+    * [[nearDupGate]]: each micro-batch of vectors is (1) near-deduped
+    * within the batch (greedy keep-lowest-id over the IVF-cell-blocked
+    * pair graph — the same one-pass trade `Dedup.minhashSurvivors`
+    * documents; a full CC pass per micro-batch would buy transitive
+    * exactness a stream does not need), (2) probed against the persisted
+    * cell-partitioned layout of everything accepted so far (partition
+    * pruning: only touched cells are read), and (3) survivors APPENDED
+    * into the same layout by the frozen quantizer
+    * ([[graft.functions.IVF.appendIndexed]]). The index IS the accepted
+    * corpus — one parquet dir, all cross-batch state on disk, none in
+    * executor memory; replay suppression comes from the streaming
+    * checkpoint exactly as with [[nearDupGate]]. */
+  def semanticGate(indexDir: String, model: graft.functions.IVF.Model,
+      idCol: String, vecCol: String,
+      threshold: Double): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.{IVF, Similarity}
+      val inPairs = Similarity.semanticPairs(batch, vecCol, idCol, model,
+        threshold)
+      val inBatch = batch.join(
+        inPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      val hasState = Files.exists(Paths.get(indexDir))
+      val survivors = (if (!hasState) inBatch else {
+        val corpus = spark.read.parquet(indexDir)
+        val hits = Similarity.semanticPairsAgainstIndex(inBatch, corpus,
+            vecCol, idCol, model, threshold)
+          .select(col("id_new").as(idCol)).distinct()
+        inBatch.join(hits, Seq(idCol), "left_anti")
+      }).persist()
+      try {
+        IVF.appendIndexed(survivors, vecCol, idCol, model, indexDir)
+      } finally survivors.unpersist()
+  }
+
+  /** Wire [[semanticGate]] into a streaming query (file-source batches,
+    * checkpointed restart — same wiring as [[startNearDupGate]]). */
+  def startSemanticGate(df: DataFrame, indexDir: String,
+      checkpointDir: String, model: graft.functions.IVF.Model,
+      idCol: String, vecCol: String, threshold: Double): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(semanticGate(indexDir, model, idCol, vecCol, threshold))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Idempotent per-batch sink: one output dir per batchId, skipped if it
     * already committed — the `foreachBatch` replay-suppression analogue of
     * the reference's page-DONE state (`worker.py:164-188`). */

@@ -271,6 +271,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCompacted == viaOld && viaOld.contains((6L, 1L)))
   }
 
+  test("semantic gate: later batches drop embedding near-dups of accepted vectors") {
+    import graft.functions.IVF
+    val dir = Files.createTempDirectory("semantic-gate").toString
+    val index = s"$dir/index"
+    // frozen 2-cell quantizer (the production IVF contract)
+    val model = IVF.Model(Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0)))
+    val gate = Incremental.semanticGate(index, model, "vec_id", "v",
+      threshold = 0.95)
+    def emb(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "v")
+    val b1 = emb(1L -> Seq(1f, 0.01f, 0f, 0f), 2L -> Seq(0.01f, 1f, 0f, 0f))
+    gate(b1, 0L)
+    val b2 = emb(
+      3L -> Seq(0.99f, 0.011f, 0f, 0f),  // near-dup of accepted 1 -> dropped
+      4L -> Seq(0f, 0.2f, 0.97f, 0f),    // novel -> kept
+      5L -> Seq(0.01f, 0.1f, 0.99f, 0f)) // within-batch near-dup of 4 -> dropped
+    gate(b2, 1L)
+    val accepted = spark.read.parquet(index)
+      .select("vec_id").as[Long].collect().toSet
+    assert(accepted == Set(1L, 2L, 4L))
+    // the accepted corpus lives in the cell-partitioned layout itself
+    assert(Files.list(java.nio.file.Paths.get(index)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("ivf_cell=")))
+    // replay: every vector near-matches its own accepted copy -> no-op
+    gate(b1, 0L)
+    assert(spark.read.parquet(index)
+      .select("vec_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 4L))
+  }
+
   test("streaming dedup: re-delivered rows dropped within the watermark") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions._
