@@ -33,7 +33,8 @@ object Bench {
     // temperature/quality samplers, mixture QA, and cell-blocked semantic
     // dedup (IVF model comes from warmup — training is offline work)
     "decontaminate_bloom", "mixture_temperature", "sample_weighted",
-    "corpus_divergence", "semantic_dedup", "semantic_dedup_incremental")
+    "corpus_divergence", "semantic_dedup", "semantic_dedup_incremental",
+    "novelty_score", "collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -254,6 +254,70 @@ object TextAnalysis {
       sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"),
       countDistinct(md5(col(textCol))).as("n_unique_texts"))
 
+  /** Per-document novelty: the fraction of a document's distinct k-word
+    * shingles that occur in NO other document (corpus document frequency
+    * 1). High novelty = unique content; low novelty = boilerplate — the
+    * inverse signal of [[graft.functions.Dedup.duplicatedSpans]], rolled up
+    * per document for filtering/weighting. Inverted-index shape: one
+    * explode of distinct shingles, one gram-keyed count aggregate, one
+    * doc-keyed rollup — the shuffle is keyed by the gram (uniform), the
+    * join carries (gram, df) pairs, and every output number is an integer
+    * or one exact division, so the gate is engine-exact. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val ex = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("_df"))
+    ex.join(dfreq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
+  /** Collocation extraction: adjacent token pairs ranked by pointwise
+    * mutual information, PMI = ln( (c_ab/T_pair) / ((c_a/T_tok)(c_b/T_tok)) )
+    * — the corpus-analysis step that surfaces multi-word expressions.
+    * Counts: c_ab over adjacent pairs (T_pair of them), c_x over ALL tokens
+    * (T_tok). PMI is quantized to integer MICRONATS right after the ln
+    * (the [[perplexity]] discipline) and the top-k ranking orders by the
+    * QUANTIZED value (then pair text), so the cut is integer-exact across
+    * engines. `minCount` drops the unstable low-frequency tail, standard
+    * practice since PMI favors rare pairs. Shuffles are keyed by pair /
+    * token; the final top-k is a TakeOrdered over the filtered pair set. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      topK: Int, minCount: Long = 5L): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = df
+      .select(split(col(textCol), " ").as("_toks"))
+      .select(explode(when(size(col("_toks")) >= 2,
+          sequence(lit(1), size(col("_toks")) - 1))
+        .otherwise(array().cast("array<int>"))).as("_i"),
+        col("_toks"))
+      .select(element_at(col("_toks"), col("_i")).as("tok_a"),
+        element_at(col("_toks"), col("_i") + 1).as("tok_b"))
+    val pairCounts = pairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("c_ab"))
+    val tokCounts = df.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    // totals are two scalars (driver-side literals): exact integer counts
+    val tPair = pairs.count()
+    val tTok = df.select(sum(size(toks)).cast("long")).head.getLong(0)
+    val ca = tokCounts.select(col("tok").as("tok_a"), col("c_tok").as("c_a"))
+    val cb = tokCounts.select(col("tok").as("tok_b"), col("c_tok").as("c_b"))
+    pairCounts.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("tok_a")).join(cb, Seq("tok_b"))
+      .withColumn("pmi_micronats",
+        floor(log((col("c_ab").cast("double") / lit(tPair.toDouble)) /
+            ((col("c_a").cast("double") / lit(tTok.toDouble)) *
+             (col("c_b").cast("double") / lit(tTok.toDouble))))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("tok_a", "tok_b", "c_ab", "pmi_micronats")
+      .orderBy(col("pmi_micronats").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   /** Jensen-Shannon divergence between two corpora's stratum (language /
     * source / domain) distributions — the mixture-QA check that a sampled
     * or rebalanced corpus still matches its target, or that two crawl

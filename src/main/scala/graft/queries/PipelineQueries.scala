@@ -398,6 +398,47 @@ object PipelineQueries {
              |  FROM documents)
              |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)),
 
+    QueryDef("novelty_score",
+      // per-doc fraction of distinct 3-gram shingles unique to the doc
+      // corpus-wide (df = 1) — the boilerplate-vs-unique-content signal;
+      // the oracle rebuilds the whole inverted index and every ratio
+      (s, dir) => TextAnalysis.noveltyScores(Tables.documents(s, dir),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest($ShinglesSql) AS g FROM documents),
+              |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+              |SELECT doc_id, count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+              |FROM sh JOIN dfreq USING (g)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("collocations",
+      // top-20 adjacent-pair collocations by PMI, ranked on the integer
+      // MICRONAT quantization (engine-exact cut); counts, totals, and
+      // every PMI value recomputed from scratch by the oracle
+      (s, dir) => TextAnalysis.collocations(Tables.documents(s, dir),
+          "doc_id", "text", topK = 20, minCount = 5L),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tr AS (SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+             |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+             |             FROM t WHERE len(toks) >= 2)),
+             |pc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM tr GROUP BY 1, 2),
+             |tp AS (SELECT CAST(count(*) AS BIGINT) AS t_pair FROM tr),
+             |tok AS (SELECT unnest(toks) AS tok FROM t),
+             |tc AS (SELECT tok, count(*) AS c_tok FROM tok GROUP BY tok),
+             |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_tok FROM tok)
+             |SELECT tok_a, tok_b, c_ab,
+             |  CAST(floor(ln((CAST(c_ab AS DOUBLE) / t_pair) /
+             |       ((CAST(ca.c_tok AS DOUBLE) / t_tok) * (CAST(cb.c_tok AS DOUBLE) / t_tok)))
+             |     * 1000000 + 0.5) AS BIGINT) AS pmi_micronats
+             |FROM pc
+             |JOIN tc ca ON ca.tok = pc.tok_a
+             |JOIN tc cb ON cb.tok = pc.tok_b
+             |CROSS JOIN tp CROSS JOIN tt
+             |WHERE c_ab >= 5
+             |ORDER BY pmi_micronats DESC, tok_a, tok_b LIMIT 20""".stripMargin)),
+
     QueryDef("text_repetition",
       // duplicate-3-gram fraction, the corpus-filtering repetition signal
       (s, dir) => Tables.documents(s, dir)

@@ -218,6 +218,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(d == Map("x" -> want, "y" -> want))
   }
 
+  test("noveltyScores: shared-gram docs score 0, unique docs score 1") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // shares every 3-gram with doc 2
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"))   // all grams unique corpus-wide
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 2L, 2L, 1.0)))
+  }
+
+  test("collocations: a planted strong pair ranks first with the exact PMI formula") {
+    import graft.functions.TextAnalysis
+    // "new york" always adjacent (strong collocation); "the" is everywhere
+    // (so "the x" pairs get low PMI); pair counts meet minCount = 5
+    val docs = (1L to 6L).map(i =>
+      (i, "the new york office and the new york team met the group"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "doc_id", "text",
+        topK = 5, minCount = 5L)
+      .select("tok_a", "tok_b", "c_ab", "pmi_micronats")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // ranking is by quantized PMI desc (then pair text) — verify monotone
+    val pmis = out.map(_._4).toSeq
+    assert(pmis == pmis.sorted.reverse, out.mkString(", "))
+    // "new york": 12 occurrences over 66 transitions, c(new)=c(york)=12 of
+    // 72 tokens — recompute its exact micronat value independently
+    val want = math.floor(math.log((12.0 / 66.0) /
+      ((12.0 / 72.0) * (12.0 / 72.0))) * 1e6 + 0.5).toLong
+    val ny = out.find(r => (r._1, r._2) == ("new", "york")).get
+    assert(ny._3 == 12L && ny._4 == want, out.mkString(", "))
+    // PMI ranks exclusive pairs ("office"+"and" co-occur in 100% of their
+    // uses) above the frequent-but-promiscuous ones — the head pair's
+    // tokens must appear ONLY in that pair
+    val (ta, tb, cab, _) = out.head
+    assert(cab == 6L && Set("office", "and", "team", "met")((ta)) &&
+      Set("office", "and", "team", "met")(tb))
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
