@@ -157,6 +157,35 @@ object GraftProps extends Properties("graft") {
         Prop(formula == m) :| s"n=$n w=$width s=$stride formula=$formula brute=$m"
     }
 
+  val countsGen: Gen[Map[String, Long]] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+  } yield cs.zipWithIndex.map { case (c, i) => s"s$i" -> c }.toMap
+
+  property("temperatureRates: rates in (0,1], binding (smallest) stratum kept whole") =
+    forAll(countsGen, Gen.oneOf(0.25, 0.5, 0.75, 1.0)) { (counts, t) =>
+      val rates = graft.functions.Sampling.temperatureRates(counts, t)
+      val inRange = rates.values.forall(r => r > 0.0 && r <= 1.0)
+      // the binding stratum's rate is 1 up to a float ulp
+      val binding = rates.values.max
+      Prop(inRange && binding >= 1.0 - 1e-12) :| s"rates=$rates"
+    }
+
+  property("temperatureRates: T=1 keeps every stratum ~whole; T<1 flattens toward sqrt") =
+    forAll(countsGen.suchThat(_.size >= 2)) { counts =>
+      val id = graft.functions.Sampling.temperatureRates(counts, 1.0)
+      val idWhole = id.values.forall(_ >= 1.0 - 1e-9)
+      val flat = graft.functions.Sampling.temperatureRates(counts, 0.5)
+      // kept counts under T=0.5 order INVERSELY to raw counts' share ratio:
+      // kept_i/kept_j -> sqrt(c_i/c_j), so the max/min kept ratio is the
+      // sqrt of the raw ratio (within float tolerance)
+      val kept = counts.map { case (s, c) => s -> c * flat(s) }
+      val rawRatio = counts.values.max.toDouble / counts.values.min
+      val keptRatio = kept.values.max / kept.values.min
+      Prop(idWhole && keptRatio <= math.sqrt(rawRatio) * (1 + 1e-9)) :|
+        s"keptRatio=$keptRatio sqrt(raw)=${math.sqrt(rawRatio)}"
+    }
+
   property("solr parser: malformed input throws, never mis-parses") = {
     val malformed = for {
       f <- solrIdent; t <- solrIdent
