@@ -1044,6 +1044,39 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("corpus_pipeline_temperature",
+      // the spec-driven pipeline in temperature mode: token filter ->
+      // exact dedup -> temperature-rebalanced sample, all declared in one
+      // JSON spec; the oracle replays every stage INCLUDING re-deriving
+      // the temperature thresholds from the post-dedup stratum counts
+      (s, dir) => graft.spec.CorpusSpec.run(
+        Tables.documents(s, dir),
+        graft.spec.CorpusSpec.parse("""{
+          "filter": {"minTokens": 5, "langs": ["en", "es", "de"]},
+          "dedup": {"method": "exact"},
+          "sample": {"strataCol": "lang", "temperature": 0.5}}"""))
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, lang, text FROM documents
+              |  WHERE lang IN ('en', 'es', 'de')
+              |    AND len(string_split(text, ' ')) >= 5),
+              |d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |                                   ORDER BY doc_id) AS rn FROM f),
+              |k AS (SELECT doc_id, lang FROM d WHERE rn = 1),
+              |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY lang),
+              |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+              |s AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE) / t) AS w
+              |      FROM c CROSS JOIN tot),
+              |m AS (SELECT min(CAST(cnt AS DOUBLE) / w) AS n FROM s),
+              |th AS (SELECT lang,
+              |         CAST(floor(least(1.0, w * (SELECT n FROM m) / CAST(cnt AS DOUBLE))
+              |              * 4294967296.0 + 0.5) AS BIGINT) AS th
+              |       FROM s)
+              |SELECT k.doc_id, k.lang FROM k JOIN th USING (lang)
+              |WHERE $DocHashSql < th.th
+              |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("mixture_temperature",
       // temperature-scaled mixture sampling (target share ∝ p^T, T = 0.5 —
       // the multilingual rebalance that keeps low-resource strata alive):

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   *  "normalize": true,
   *  "dedup":   {"method": "exact" | "minhash", "threshold": 0.8},
   *  "sample":  {"strataCol": "lang", "rates": {"en": 0.5}, "default": 0.1},
+  *  "sample":  {"strataCol": "lang", "temperature": 0.5},   // OR p^T mode
   *  "chunk":   {"width": 32, "stride": 24}}
   * }}}
   *
@@ -37,6 +38,7 @@ final case class CorpusSpec(
     sampleStrataCol: Option[String] = None,
     sampleRates: Map[String, Double] = Map.empty,
     sampleDefault: Double = 1.0,
+    sampleTemperature: Option[Double] = None,
     chunkWidth: Option[Int] = None,
     chunkStride: Option[Int] = None)
 
@@ -67,6 +69,8 @@ object CorpusSpec {
       }.getOrElse(Map.empty),
       sampleDefault = sample.flatMap(sm =>
         Option(sm.get("default")).map(_.asDouble())).getOrElse(1.0),
+      sampleTemperature = sample.flatMap(sm =>
+        Option(sm.get("temperature")).map(_.asDouble())),
       chunkWidth = chunk.flatMap(c => Option(c.get("width")).map(_.asInt())),
       chunkStride = chunk.flatMap(c => Option(c.get("stride")).map(_.asInt())))
   }
@@ -98,8 +102,13 @@ object CorpusSpec {
         s"unknown dedup method '$other' (exact | minhash)")
     }
     spec.sampleStrataCol.foreach { strata =>
-      out = Sampling.stratifiedSample(out, idCol, strata,
-        spec.sampleRates, spec.sampleDefault)
+      out = spec.sampleTemperature match {
+        // temperature mode: target share ∝ observed^T — rates derived from
+        // the post-dedup stratum counts (sampling after dedup, like rates)
+        case Some(t) => Sampling.temperatureSample(out, idCol, strata, t)
+        case None => Sampling.stratifiedSample(out, idCol, strata,
+          spec.sampleRates, spec.sampleDefault)
+      }
     }
     (spec.chunkWidth, spec.chunkStride) match {
       case (Some(w), Some(st)) => out = TextAnalysis.chunk(out, idCol, textCol, w, st)

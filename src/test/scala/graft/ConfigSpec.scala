@@ -95,6 +95,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(viaSpec.nonEmpty)
     assert(viaSpec == hand)
   }
+  test("CorpusSpec temperature sample path == Sampling.temperatureSample") {
+    import graft.spec.CorpusSpec
+    val spark = GraftTestSpark.spark
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    val spec = CorpusSpec.parse(
+      """{"sample": {"strataCol": "lang", "temperature": 0.5}}""")
+    assert(spec.sampleTemperature.contains(0.5))
+    val viaSpec = CorpusSpec.run(docs, spec)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = graft.functions.Sampling
+      .temperatureSample(docs, "doc_id", "lang", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSpec == direct && viaSpec.nonEmpty)
+  }
   test("CorpusSpec minhash dedup path == Dedup.minhashSurvivors") {
     import graft.spec.CorpusSpec
     import graft.functions.Dedup
