@@ -115,6 +115,21 @@ object IVF {
       .limit(topK)
   }
 
+  /** Per-vector prototypicality: the assigned cell and the squared-L2
+    * distance to its centroid. Far-from-centroid vectors are the cluster's
+    * outliers — the SemDeDup-style pruning signal (drop the noise tail) and
+    * the drift monitor for a frozen quantizer (rising mean distance means
+    * the coarse quantizer no longer fits the data and it is time for the
+    * offline re-train). Narrow map — k native dot products per row, no
+    * shuffle; the distance reuses the same argmin structs [[assign]]
+    * builds, so assignment and distance cannot disagree. */
+  def outlierScores(df: DataFrame, vecCol: String, idCol: String,
+      model: Model): DataFrame = {
+    val best = array_min(cellStructs(col(vecCol), model))
+    df.select(col(idCol), best.getField("cell").as("ivf_cell"),
+      best.getField("dist").as("dist2"))
+  }
+
   /** The query's `nProbe` nearest cells (squared-L2 to centroids, ties to
     * the lower cell id). */
   def probeCells(model: Model, query: Seq[Float], nProbe: Int): Seq[Int] = {

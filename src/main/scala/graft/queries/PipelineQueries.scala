@@ -191,9 +191,15 @@ object PipelineQueries {
     * `IVF.assign`). */
   private def ivfAssignedCteSql(model: graft.functions.IVF.Model): String = {
     val cents = model.centroids.zipWithIndex.map { case (c, j) =>
-      val arr = c.map(fmtD).mkString("[", ", ", "]")
+      // components as QUOTED strings -> direct varchar->double parse.
+      // A bare numeric array literal goes through DECIMAL type unification
+      // (one common scale for all 64 elements), which truncates the last
+      // ulp of ~20% of the components — measured by the embedding_outliers
+      // gate, whose output IS the distance (the ann_ivf_* gates never
+      // exposed it: a 1-ulp dist shift almost never flips an argmin)
+      val arr = c.map(x => "'" + fmtD(x) + "'").mkString("[", ", ", "]")
       val cn2 = fmtD(c.map(x => x * x).sum)
-      s"($j, CAST($arr AS DOUBLE[]), CAST($cn2 AS DOUBLE))"
+      s"($j, CAST($arr AS DOUBLE[]), CAST('$cn2' AS DOUBLE))"
     }.mkString(",\n    ")
     s"""cents(cell, c, cn2) AS (VALUES
        |    $cents),
@@ -1511,6 +1517,23 @@ object PipelineQueries {
            |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
            |SELECT id AS vec_id, min(lbl) AS cluster_id, (id = min(lbl)) AS keep
            |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("embedding_outliers",
+      // per-vector prototypicality: assigned cell + squared-L2 distance to
+      // its centroid (the SemDeDup noise-pruning / quantizer-drift signal).
+      // The oracle recomputes every distance and the argmin from the
+      // shared centroid literals
+      (s, dir) => graft.functions.IVF.outlierScores(
+          Tables.embeddings(s, dir), "embedding", "vec_id", ivfModel(s, dir))
+        .orderBy("vec_id"),
+      None,
+      dynOracle = Some((s, dir) =>
+        s"""WITH ${ivfAssignedCteSql(ivfModel(s, dir))},
+           |d AS (SELECT vec_id, cell, dist,
+           |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |      FROM dists)
+           |SELECT vec_id, cell AS ivf_cell, dist AS dist2
+           |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
     QueryDef("semantic_dedup_incremental",
       // incremental semantic near-dup: the new batch (vec_id % 5 = 0) is

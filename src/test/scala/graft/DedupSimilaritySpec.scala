@@ -481,6 +481,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotSet == want && gotSet.nonEmpty)
   }
 
+  test("outlierScores: cell matches assign(), distance is the true squared-L2 minimum") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val got = IVF.outlierScores(e, "embedding", "vec_id", model)
+      .select("vec_id", "ivf_cell", "dist2")
+      .as[(Long, Int, Double)].collect()
+    val cells = e.select($"vec_id",
+        IVF.assign($"embedding", model).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    got.foreach { case (id, cell, d2) =>
+      assert(cell == cells(id)) // assignment and distance cannot disagree
+      // recompute the min squared-L2 independently (plain double loops)
+      val v = vecs(id).map(_.toDouble)
+      val want = model.centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.size) { val d = v(i) - c(i); s += d * d; i += 1 }
+        s
+      }.min
+      // engine computes |v|^2 - 2 v.c + |c|^2 (one pass per cell); the
+      // expanded form differs from (v-c)^2 folding only in float grouping
+      assert(math.abs(d2 - want) <= 1e-9 * math.max(1.0, want), s"vec $id")
+    }
+    assert(got.nonEmpty && got.forall(_._3 >= -1e-12))
+  }
+
   test("overlapsBloom is row-identical to the exact overlaps join") {
     import graft.functions.Decontam
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
