@@ -34,7 +34,8 @@ object Bench {
     // dedup (IVF model comes from warmup — training is offline work)
     "decontaminate_bloom", "mixture_temperature", "sample_weighted",
     "corpus_divergence", "semantic_dedup", "semantic_dedup_incremental",
-    "novelty_score", "collocations", "embedding_outliers")
+    "novelty_score", "collocations", "embedding_outliers",
+    "tokenize_ids", "seq_concat_blocks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,4 +38,50 @@ object Packing {
       .groupBy(col(shardCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).cast("long").as("n_tokens"))
+
+  /** GLOBAL concatenate-and-chunk layout — the GPT-style pre-training
+    * assembly: documents are laid out in one deterministic shuffled stream
+    * (seeded-hash order, the [[graft.queries]] corpus_shuffle key) and the
+    * stream is cut into fixed `blockWidth`-token training blocks that
+    * freely cross document boundaries. Each doc's global token interval
+    * [start_off, start_off + n) and its first/last block come from a
+    * GLOBAL running sum computed WITHOUT a global window: the order key is
+    * a uniform 32-bit hash, so its top `bucketBits` bits partition the
+    * order into 2^bucketBits contiguous RANGES — per-bucket token totals
+    * (metadata: 2^bucketBits longs to the driver) fold into literal
+    * offsets, and each bucket cumsums independently under a PARTITIONED
+    * window. Same discipline as `Sampling.budgetTrim` / the scalable page
+    * rank, but the bucket bound needs no quantile estimate — the hash is
+    * uniform by construction. Integer token counts make the equivalence to
+    * the one-pass global window exact. */
+  def concatBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockWidth: Int, seed: String = "pack42#",
+      bucketBits: Int = 8): DataFrame = {
+    require(blockWidth > 0 && bucketBits > 0 && bucketBits <= 16,
+      "blockWidth > 0; bucketBits in 1..16")
+    val n = TextAnalysis.tokenCountWs(col(textCol)).cast("long")
+    val h = conv(substring(md5(concat(lit(seed), col(idCol).cast("string"))),
+      25, 8), 16, 10).cast("long")
+    val withH = df.select(col(idCol), n.as("n_tokens"), h.as("_h"))
+      .withColumn("_bkt", shiftright(col("_h"), 32 - bucketBits).cast("int"))
+    val sums = withH.groupBy("_bkt")
+      .agg(sum(col("n_tokens")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nBuckets = 1 << bucketBits
+    val offsets = (0 until nBuckets).scanLeft(0L) { (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }.dropRight(1)
+    val offExpr = element_at(array(offsets.map(lit): _*), col("_bkt") + lit(1))
+    val w = Window.partitionBy(col("_bkt"))
+      .orderBy(col("_h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offExpr)
+      .withColumn("block_first",
+        expr(s"start_off div ${blockWidth}"))
+      .withColumn("block_last",
+        expr(s"(start_off + n_tokens - 1) div ${blockWidth}"))
+      .select(idCol, "n_tokens", "start_off", "block_first", "block_last")
+  }
 }

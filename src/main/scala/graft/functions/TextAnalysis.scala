@@ -254,6 +254,32 @@ object TextAnalysis {
       sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"),
       countDistinct(md5(col(textCol))).as("n_unique_texts"))
 
+  /** Vocabulary-indexed tokenization — the id-mapping step before sequence
+    * assembly: the vocabulary is the top `vocabSize` tokens by
+    * (frequency DESC, token ASC), ids 1..N in that order, out-of-vocabulary
+    * tokens map to 0. The vocabulary is MODEL-sized (10^5-10^6 entries for
+    * real tokenizers), not data-sized, so ranking it on the driver is the
+    * same metadata-collect contract as `IVF.train`'s centroids; the mapping
+    * returns to the cluster as one broadcast join against the exploded
+    * token stream (narrow + broadcast — the corpus never shuffles). Output
+    * is one row per token position (doc, 1-based pos, id) — the exploded
+    * form every downstream packing step consumes. */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("_pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok")).limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }.toSeq
+    import spark.implicits._
+    val vdf = vocab.toDF("tok", "tok_id")
+    toks.join(broadcast(vdf), Seq("tok"), "left")
+      .select(col(idCol), (col("_pos") + 1).as("pos"),
+        coalesce(col("tok_id"), lit(0)).as("tok_id"))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct k-word
     * shingles that occur in NO other document (corpus document frequency
     * 1). High novelty = unique content; low novelty = boilerplate — the

@@ -404,6 +404,49 @@ object PipelineQueries {
              |  FROM documents)
              |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)),
 
+    QueryDef("tokenize_ids",
+      // vocabulary-indexed tokenization: top-1000 vocab by (freq desc,
+      // token asc), ids 1..N, OOV -> 0, one row per token position; the
+      // oracle retrains the vocabulary and re-maps every position
+      (s, dir) => TextAnalysis.tokenizeIds(Tables.documents(s, dir),
+          "doc_id", "text", vocabSize = 1000)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks FROM t),
+             |tk AS (SELECT doc_id, pos, toks[pos] AS tok FROM tok),
+             |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             |voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS tok_id
+             |        FROM cnt ORDER BY c DESC, tok LIMIT 1000)
+             |SELECT tk.doc_id, CAST(tk.pos AS INT) AS pos,
+             |       coalesce(voc.tok_id, 0) AS tok_id
+             |FROM tk LEFT JOIN voc USING (tok)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    QueryDef("seq_concat_blocks",
+      // GPT-style concatenate-and-chunk: docs in seeded-shuffle order, the
+      // global token stream cut into 64-token blocks crossing doc
+      // boundaries; the engine's bucketed global cumsum must equal the
+      // oracle's one-pass global window exactly (integer token counts)
+      (s, dir) => graft.functions.Packing.concatBlocks(
+          Tables.documents(s, dir), "doc_id", "text", blockWidth = 64)
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |         list_reduce(list_transform(
+             |           regexp_extract_all(substr(md5('pack42#' || CAST(doc_id AS VARCHAR)), 25, 8), '.'),
+             |           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS h
+             |  FROM documents),
+             |o AS (
+             |  SELECT doc_id, n,
+             |         coalesce(sum(n) OVER (ORDER BY h, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+             |  FROM d)
+             |SELECT doc_id, n AS n_tokens,
+             |       CAST(start_off AS BIGINT) AS start_off,
+             |       CAST(start_off // 64 AS BIGINT) AS block_first,
+             |       CAST((start_off + n - 1) // 64 AS BIGINT) AS block_last
+             |FROM o ORDER BY doc_id""".stripMargin)),
+
     QueryDef("novelty_score",
       // per-doc fraction of distinct 3-gram shingles unique to the doc
       // corpus-wide (df = 1) — the boilerplate-vs-unique-content signal;

@@ -263,6 +263,52 @@ class SamplingSpec extends AnyFunSuite {
       Set("office", "and", "team", "met")(tb))
   }
 
+  test("tokenizeIds: rank order (freq desc, tok asc), OOV -> 0, positions 1-based") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a a b z")) .toDF("doc_id", "text")
+    // freqs: a=4, b=4, c=1, z=1 -> vocab(3): a=1, b=2, c=3; z is OOV
+    val out = TextAnalysis.tokenizeIds(docs, "doc_id", "text", vocabSize = 3)
+      .select("doc_id", "pos", "tok_id")
+      .as[(Long, Int, Int)].collect().toSet
+    val want = Set(
+      (1L, 1, 2), (1L, 2, 2), (1L, 3, 2), (1L, 4, 1), (1L, 5, 1), (1L, 6, 3),
+      (2L, 1, 1), (2L, 2, 1), (2L, 3, 2), (2L, 4, 0))
+    assert(out == want)
+  }
+
+  test("concatBlocks (bucketed global cumsum) matches the one-pass global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{Packing, TextAnalysis}
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001).repartition(8)
+    def run(bits: Int) = Packing.concatBlocks(docs, "doc_id", "text",
+        blockWidth = 64, bucketBits = bits)
+      .select("doc_id", "start_off", "block_first", "block_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = run(8)
+    val h = conv(substring(md5(concat(lit("pack42#"), $"doc_id".cast("string"))),
+      25, 8), 16, 10).cast("long")
+    val w = Window.orderBy(h.asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = TextAnalysis.tokenCountWs($"text").cast("long")
+    val want = docs
+      .withColumn("_n", n)
+      .withColumn("start_off", coalesce(sum($"_n").over(w), lit(0L)))
+      .withColumn("block_first", expr("start_off div 64"))
+      .withColumn("block_last", expr("(start_off + _n - 1) div 64"))
+      .select("doc_id", "start_off", "block_first", "block_last")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // bucket count is a pure performance knob
+    assert(run(4) == got && run(12) == got)
+    // the stream is gapless: offsets+counts tile [0, total)
+    val total = docs.select(sum(n)).head.getLong(0)
+    val covered = Packing.concatBlocks(docs, "doc_id", "text", 64)
+      .select(sum($"n_tokens")).head.getLong(0)
+    assert(covered == total)
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
