@@ -136,6 +136,31 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Corpus-level provenance overlap: pairwise k-gram Jaccard between
+    * GROUPS of documents (sources, dumps, crawl snapshots) over each
+    * group's distinct shingle SET — the planning signal for which corpus
+    * slices are worth cross-deduplicating and which are disjoint. Same
+    * inverted-index shape as [[jaccardPairs]] one level up: the shuffle is
+    * keyed by the gram, the pair table is #groups² at most (tiny — groups
+    * are sources, not documents), and |A∪B| derives from the per-group
+    * distinct counts. All integers plus one exact division. */
+  def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sg = df.select(col(groupCol).as("grp"),
+        explode(shingles(col(textCol), k)).as("g"))
+      .distinct()
+    val sizes = sg.groupBy("grp").agg(count(lit(1)).as("n"))
+    val a = sg.select(col("grp").as("grp_a"), col("g"))
+    val b = sg.select(col("grp").as("grp_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("grp").as("grp_a"), col("n").as("n_a")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("n").as("n_b")), Seq("grp_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+      .select("grp_a", "grp_b", "n_a", "n_b", "n_shared", "jaccard")
+  }
+
   /** Exploded (block, gram) posting list with each doc's distinct-shingle
     * count — the shared inverted index behind [[jaccardPairs]] /
     * [[containmentPairs]]. */

@@ -847,6 +847,25 @@ object PipelineQueries {
              |FROM documents GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
 
+    QueryDef("source_overlap",
+      // pairwise 3-gram Jaccard between sources over each source's
+      // distinct shingle set — which slices of the corpus are worth
+      // cross-deduplicating; the oracle rebuilds the whole matrix
+      (s, dir) => Dedup.groupOverlap(Tables.documents(s, dir),
+          "source", "text", k = 3)
+        .orderBy("grp_a", "grp_b"),
+      Some(s"""WITH sg AS (
+              |  SELECT DISTINCT source AS grp, g FROM (
+              |    SELECT source, unnest($ShinglesSql) AS g FROM documents)),
+              |sz AS (SELECT grp, count(*) AS n FROM sg GROUP BY grp),
+              |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_shared
+              |      FROM sg a JOIN sg b ON a.g = b.g AND a.grp < b.grp
+              |      GROUP BY 1, 2)
+              |SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+              |       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+              |FROM p JOIN sz sa ON sa.grp = grp_a JOIN sz sb ON sb.grp = grp_b
+              |ORDER BY grp_a, grp_b""".stripMargin)),
+
     QueryDef("corpus_divergence",
       // mixture QA: per-language Jensen-Shannon decomposition between two
       // corpus halves (doc_id parity stands in for "two crawl snapshots").

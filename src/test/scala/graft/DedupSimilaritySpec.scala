@@ -481,6 +481,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotSet == want && gotSet.nonEmpty)
   }
 
+  test("groupOverlap: planted shared/disjoint sources get exact jaccard") {
+    val d = Seq(
+      (1L, "sA", "alpha beta gamma delta"),   // grams: {abc, bcd} (2)
+      (2L, "sB", "alpha beta gamma epsilon"), // shares {alpha beta gamma} with sA
+      (3L, "sC", "zeta eta theta iota"))      // disjoint
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.groupOverlap(d, "source", "text", k = 3)
+      .select("grp_a", "grp_b", "n_a", "n_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // sA grams: {alpha beta gamma, beta gamma delta}; sB: {alpha beta gamma,
+    // beta gamma epsilon}; shared = 1, union = 3
+    assert(out(("sA", "sB")) == (("sA", "sB", 2L, 2L, 1L, 1.0 / 3.0)))
+    // zero-overlap pairs never materialize (inverted index)
+    assert(!out.contains(("sA", "sC")) && !out.contains(("sB", "sC")))
+  }
+
   test("outlierScores: cell matches assign(), distance is the true squared-L2 minimum") {
     import graft.functions.IVF
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
