@@ -139,6 +139,26 @@ class PlanSpec extends AnyFunSuite {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
   }
 
+  test("tokenize_ids: the vocab id-mapping is a broadcast join (corpus never shuffles for it)") {
+    val p = planOf("tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("decontaminate_bloom: sketch prefilter feeds a broadcast verify join") {
+    val p = planOf("decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), p) // exact-string verify side
+    // the bloom probe (the only UDF in the engine's bench surface) sits on
+    // the exploded stream as a plain filter — present in the plan
+    assert(p.contains("UDF") || p.contains("mightContain"), p)
+  }
+
+  test("seq_concat_blocks: the cumsum window is partitioned by the hash bucket") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = Catalog.queries("seq_concat_blocks")(spark, GraftTestSpark.Sf0001)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   /** The documented reference-parity operators that model an inherently
     * sequential counter (the reference's global page/WRR state). Each has a
     * scale-path sibling in the catalog; nothing else may plan a
