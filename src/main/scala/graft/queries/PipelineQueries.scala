@@ -744,6 +744,24 @@ object PipelineQueries {
              |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
              |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)),
 
+    QueryDef("source_json_roundtrip",
+      // the READ side of the reference's JSON-file sink format: land the
+      // table as JSON lines, read it back through spark.read.json with an
+      // EXPLICIT schema (inference would scan twice at 100 TB), prove the
+      // round trip is content-identical against the parquet-sourced oracle
+      (s, dir) => {
+        val out = "/tmp/graft_jsonl/" + new java.io.File(dir).getName
+        Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(out)
+        s.read.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .json(out)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("compact_roundtrip",
       // storage-maintenance gate: compact the table into ~4 MB range-
       // clustered files and prove the rewrite is content-identical (the
