@@ -79,6 +79,32 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** The REVERSE contamination report — per BENCHMARK document: how many
+    * corpus documents share at least one k-gram with it, and how many of
+    * its distinct grams leak. This is the eval-integrity view ([[overlaps]]
+    * is the training-corpus view): a benchmark item contaminated into
+    * thousands of training documents is compromised no matter how the
+    * corpus is cleaned, and should be dropped from the EVAL instead. Same
+    * join shape as [[overlaps]] — bench grams broadcast, corpus side
+    * narrow — with the aggregation keyed by the bench id. */
+  def benchReport(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int): DataFrame = {
+    val benchGrams = bench
+      .select(col(benchIdCol).as("bench_id"),
+        explode(Dedup.shingles(col(benchTextCol), k)).as("gram"))
+      .distinct()
+    val benchIds = bench.select(col(benchIdCol).as(idCol)).distinct()
+    corpus
+      .join(benchIds, Seq(idCol), "left_anti")
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .distinct()
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col(idCol)).as("n_contaminated_docs"),
+        countDistinct(col("gram")).as("n_leaked_grams"))
+  }
+
   /** The decontaminated corpus: every document of `corpus` that shares NO
     * k-gram with `bench` (benchmark members themselves are kept — dropping
     * them is a separate policy choice, composable via an id anti-join).

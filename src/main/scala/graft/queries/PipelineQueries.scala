@@ -1350,6 +1350,65 @@ object PipelineQueries {
               |WHERE e.doc_id % 20 != 0
               |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("decontaminate_bench_report",
+      // the eval-integrity view: per benchmark doc, how many corpus docs
+      // it leaked into and how many of its grams leak — a heavily-leaked
+      // eval item is compromised regardless of corpus cleaning
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        graft.functions.Decontam.benchReport(docs, "doc_id", "text",
+            bench, "doc_id", "text", k = 5)
+          .orderBy("bench_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $Shingles5Sql AS shl FROM documents),
+              |e AS (SELECT DISTINCT doc_id, unnest(shl) AS gram FROM sh),
+              |bench AS (SELECT doc_id AS bench_id, gram FROM e WHERE doc_id % 20 = 0)
+              |SELECT b.bench_id,
+              |       count(DISTINCT e.doc_id) AS n_contaminated_docs,
+              |       count(DISTINCT b.gram) AS n_leaked_grams
+              |FROM e JOIN bench b USING (gram)
+              |WHERE e.doc_id % 20 != 0
+              |GROUP BY b.bench_id ORDER BY bench_id""".stripMargin)),
+
+    QueryDef("dedup_cluster_sizes",
+      // corpus-health census: histogram of near-dup cluster sizes (how
+      // much of the corpus is singletons vs 2-cliques vs jumbo clusters);
+      // oracle recomputes pairs, the RECURSIVE components, and the census
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        Dedup.connectedComponents(docs, "doc_id", pairs)
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jp AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (
+              |  SELECT id_a, id_b FROM jp
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+              |          UNION ALL SELECT id_b, id_a FROM good),
+              |reach(id, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+              |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+              |cs AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)
+              |SELECT sz AS cluster_size, count(*) AS n_clusters
+              |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
     QueryDef("dedup_simhash",
       // md5-u64 token hash on purpose: DuckDB recomputes every signature
       // from scratch (split -> md5 -> bit votes -> signed pack), so the gate
