@@ -35,7 +35,8 @@ object Bench {
     "decontaminate_bloom", "mixture_temperature", "sample_weighted",
     "corpus_divergence", "semantic_dedup", "semantic_dedup_incremental",
     "novelty_score", "collocations", "embedding_outliers",
-    "tokenize_ids", "seq_concat_blocks", "source_overlap")
+    "tokenize_ids", "seq_concat_blocks", "source_overlap",
+    "semantic_dedup_central", "event_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

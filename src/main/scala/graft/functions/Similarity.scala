@@ -150,6 +150,27 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup's published survivor policy: within each semantic near-dup
+    * cluster keep the member CLOSEST to its k-means centroid (the most
+    * prototypical example; Abbas et al. keep low-distance points and drop
+    * the redundant shell). Composes [[semanticDedup]]'s clusters with
+    * [[IVF.outlierScores]]'s distances through one `min_by` aggregate —
+    * ordering by (dist2, id) is engine-exact because both engines compute
+    * dist2 identically (pinned by the embedding_outliers gate). One row
+    * per cluster: (cluster_id, keep_id, n_members). */
+  def semanticKeepCentral(df: DataFrame, vecCol: String, idCol: String,
+      model: IVF.Model, threshold: Double): DataFrame = {
+    val clusters = semanticDedup(df, vecCol, idCol, model, threshold)
+      .select(col(idCol), col("cluster_id"))
+    val scored = IVF.outlierScores(df, vecCol, idCol, model)
+      .select(col(idCol), col("dist2"))
+    clusters.join(scored, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min_by(col(idCol), struct(col("dist2"), col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Incremental semantic near-dup: probe a NEW embedding batch against an
     * already-indexed corpus (an [[IVF.writeIndexed]]-style frame carrying
     * its `ivf_cell` column) without recomparing the corpus to itself — the

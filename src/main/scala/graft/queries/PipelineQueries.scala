@@ -1674,6 +1674,44 @@ object PipelineQueries {
            |SELECT vec_id, cell AS ivf_cell, dist AS dist2
            |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
 
+    QueryDef("semantic_dedup_central",
+      // SemDeDup's survivor policy: per semantic cluster keep the member
+      // closest to its centroid; the oracle re-derives assignment,
+      // distances, pairs, RECURSIVE clusters, and the per-cluster argmin
+      (s, dir) => graft.functions.Similarity.semanticKeepCentral(
+          Tables.embeddings(s, dir), "embedding", "vec_id",
+          ivfModel(s, dir), threshold = 0.4)
+        .orderBy("cluster_id"),
+      None,
+      dynOracle = Some((s, dir) =>
+        s"""WITH RECURSIVE ${ivfAssignedCteSql(ivfModel(s, dir))},
+           |n AS (SELECT vec_id, embedding, cell,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+           |      FROM assigned),
+           |good AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+           |          UNION ALL SELECT id_b, id_a FROM good),
+           |reach(id, lbl) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |clus AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           |dist AS (SELECT vec_id, dist FROM (
+           |    SELECT vec_id, dist,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |    FROM dists) WHERE rn = 1),
+           |j AS (SELECT c.cluster_id, c.id, d.dist
+           |      FROM clus c JOIN dist d ON d.vec_id = c.id),
+           |r AS (SELECT cluster_id, id,
+           |        row_number() OVER (PARTITION BY cluster_id ORDER BY dist, id) AS rn,
+           |        count(*) OVER (PARTITION BY cluster_id) AS n
+           |      FROM j)
+           |SELECT cluster_id, id AS keep_id, n AS n_members
+           |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
     QueryDef("semantic_dedup_incremental",
       // incremental semantic near-dup: the new batch (vec_id % 5 = 0) is
       // probed against the PERSISTED cell-partitioned index of the

@@ -217,6 +217,30 @@ object RelationalQueries {
     // Ordered 3-stage funnel (click -> view -> purchase): stage k's
     // timestamp is the earliest matching event strictly after stage k-1 —
     // three per-user aggregations, each one shuffle keyed by user.
+    QueryDef("event_retention",
+      // weekly retention triangle: cohort = a user's first active epoch
+      // week, one row per (cohort, week offset) with distinct active
+      // users — all integer arithmetic (epoch-second div 604800), so the
+      // cohorting is engine-exact
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+          .withColumn("wk", expr("(ts_ms div 1000) div 604800"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |            CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) // 1000 // 604800 AS wk
+             |          FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+             |SELECT cohort_wk, e.wk - cohort_wk AS week_offset,
+             |       count(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin)),
+
     QueryDef("event_funnel",
       (s, dir) => {
         val ev = Tables.events(s, dir).select(col("user_id"),

@@ -453,6 +453,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got.subsetOf(exact))
   }
 
+  test("semanticKeepCentral: survivor is the cluster member closest to its centroid") {
+    import graft.functions.IVF
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = IVF.train(e, "embedding", "vec_id", k = 8)
+    val out = Similarity.semanticKeepCentral(e, "embedding", "vec_id", model, 0.4)
+      .select("cluster_id", "keep_id", "n_members")
+      .as[(Long, Long, Long)].collect()
+    val clusters = Similarity.semanticDedup(e, "embedding", "vec_id", model, 0.4)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val d2 = IVF.outlierScores(e, "embedding", "vec_id", model)
+      .select("vec_id", "dist2").as[(Long, Double)].collect().toMap
+    assert(out.map(_._1).toSet == clusters.keySet)
+    out.foreach { case (cid, keep, n) =>
+      val members = clusters(cid)
+      assert(n == members.size && members(keep), s"cluster $cid")
+      // argmin by (dist2, id)
+      val want = members.minBy(id => (d2(id), id))
+      assert(keep == want, s"cluster $cid: $keep vs $want")
+    }
+    // at least one multi-member cluster exercises the argmin
+    assert(out.exists(_._3 > 1))
+  }
+
   test("semanticPairsAgainstIndex: prunes cell partitions, matches in-memory cross-batch pairs") {
     import graft.functions.IVF
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
