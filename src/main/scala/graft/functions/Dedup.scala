@@ -161,6 +161,43 @@ object Dedup {
       .select("grp_a", "grp_b", "n_a", "n_b", "n_shared", "jaccard")
   }
 
+  /** Sketch-merge group similarity — [[groupOverlap]]'s scale sibling:
+    * per-GROUP MinHash signatures (min over every member document's grams)
+    * and the pairwise agreement fraction as the Jaccard estimate. The
+    * point at 100 TB: min is associative, so the per-group signature is a
+    * partial-aggregable sketch — numHashes longs per group cross the
+    * shuffle, never gram sets — and sketches of corpus slices computed on
+    * different days MERGE by element-wise min without touching the data
+    * again. Estimation error is the standard sqrt(J(1-J)/numHashes). The
+    * base hash is the md5-u64 slice (not xxhash) so an external engine
+    * can recompute every signature from scratch — the same trick
+    * [[simhash]] uses for its oracle. */
+  def groupMinhashSimilarity(df: DataFrame, groupCol: String,
+      textCol: String, k: Int, numHashes: Int): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
+    val hashed = df.select(col(groupCol).as("grp"),
+        explode(shingles(col(textCol), k)).as("_sh"))
+      .select(col("grp"),
+        pmod(Sampling.hashSlice32(col("_sh")), lit(MinhashPrime)).as("_h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("_h") + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("grp")).agg(mins.head, mins.tail: _*)
+    val aS = sigs.select(col("grp").as("grp_a") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"a$i")): _*)
+    val bS = sigs.select(col("grp").as("grp_b") +:
+      (0 until numHashes).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    // #groups² pair table over numHashes-long sketches — metadata-sized
+    aS.crossJoin(broadcast(bS)).filter(col("grp_a") < col("grp_b"))
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numHashes.toDouble))
+      .select("grp_a", "grp_b", "n_agree", "est_jaccard")
+  }
+
   /** Exploded (block, gram) posting list with each doc's distinct-shingle
     * count — the shared inverted index behind [[jaccardPairs]] /
     * [[containmentPairs]]. */

@@ -884,6 +884,37 @@ object PipelineQueries {
               |FROM p JOIN sz sa ON sa.grp = grp_a JOIN sz sb ON sb.grp = grp_b
               |ORDER BY grp_a, grp_b""".stripMargin)),
 
+    QueryDef("source_similarity_sketch",
+      // the sketch-merge sibling of source_overlap: per-source MinHash
+      // signatures (associative min — sketches of slices merge without
+      // re-reading data) and pairwise agreement as the Jaccard estimate;
+      // md5-based base hash so the oracle retrains every signature
+      (s, dir) => Dedup.groupMinhashSimilarity(Tables.documents(s, dir),
+          "source", "text", k = 3, numHashes = 16)
+        .orderBy("grp_a", "grp_b"),
+      Some {
+        val coeffs = Dedup.minhashCoeffs(16)
+        val h32 = """list_reduce(list_transform(
+          |      regexp_extract_all(substr(md5(s), 25, 8), '.'),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"""
+          .stripMargin
+        val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i"
+        }.mkString(",\n       ")
+        val agree = (0 until 16)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH sh AS (SELECT source AS grp, unnest($ShinglesSql) AS s FROM documents),
+           |h AS (SELECT grp, ($h32 % 2147483647) AS h FROM sh),
+           |sig AS (SELECT grp,
+           |       $minCols
+           |       FROM h GROUP BY grp)
+           |SELECT a.grp AS grp_a, b.grp AS grp_b,
+           |  CAST($agree AS BIGINT) AS n_agree,
+           |  CAST($agree AS DOUBLE) / 16.0 AS est_jaccard
+           |FROM sig a JOIN sig b ON a.grp < b.grp
+           |ORDER BY grp_a, grp_b""".stripMargin
+      }),
+
     QueryDef("corpus_divergence",
       // mixture QA: per-language Jensen-Shannon decomposition between two
       // corpus halves (doc_id parity stands in for "two crawl snapshots").

@@ -522,6 +522,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!out.contains(("sA", "sC")) && !out.contains(("sB", "sC")))
   }
 
+  test("groupMinhashSimilarity: identical groups estimate 1.0, estimates track exact jaccard") {
+    val d = Seq(
+      (1L, "sA", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "sB", "alpha beta gamma delta epsilon zeta eta theta"), // == sA
+      (3L, "sC", "iota kappa lambda mu nu xi omicron pi"))         // disjoint
+      .toDF("doc_id", "source", "text")
+    val est = Dedup.groupMinhashSimilarity(d, "source", "text",
+        k = 3, numHashes = 16)
+      .select("grp_a", "grp_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est(("sA", "sB")) == 1.0)  // identical shingle sets -> all minima agree
+    assert(est(("sA", "sC")) <= 0.25) // disjoint sets -> agreement is hash luck only
+    // on the real corpus the estimate tracks the exact overlap within
+    // sketch noise (sd = sqrt(J(1-J)/16) <= 0.125)
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val exact = Dedup.groupOverlap(docs, "source", "text", k = 3)
+      .select("grp_a", "grp_b", "jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val sketch = Dedup.groupMinhashSimilarity(docs, "source", "text", 3, 16)
+      .select("grp_a", "grp_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val errs = exact.keys.map(k => math.abs(sketch(k) - exact(k)))
+    assert(errs.max <= 0.45 && errs.sum / errs.size <= 0.15,
+      s"mean=${errs.sum / errs.size} max=${errs.max}")
+  }
+
   test("outlierScores: cell matches assign(), distance is the true squared-L2 minimum") {
     import graft.functions.IVF
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
