@@ -329,7 +329,9 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("c_tok"))
     // totals are two scalars (driver-side literals): exact integer counts
     val tPair = pairs.count()
-    val tTok = df.select(sum(size(toks)).cast("long")).head.getLong(0)
+    // coalesce: sum over an EMPTY corpus is NULL, not 0
+    val tTok = df.select(coalesce(sum(size(toks)).cast("long"), lit(0L)))
+      .head.getLong(0)
     val ca = tokCounts.select(col("tok").as("tok_a"), col("c_tok").as("c_a"))
     val cb = tokCounts.select(col("tok").as("tok_b"), col("c_tok").as("c_b"))
     pairCounts.filter(col("c_ab") >= minCount)

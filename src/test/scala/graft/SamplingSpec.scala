@@ -309,6 +309,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(covered == total)
   }
 
+  test("empty-input robustness: round-5 ops return empty frames, not crashes") {
+    import graft.functions.{Dedup, Packing, TextAnalysis}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Packing.concatBlocks(empty, "doc_id", "text", 64).count() == 0)
+    assert(TextAnalysis.tokenizeIds(empty, "doc_id", "text", 10).count() == 0)
+    assert(TextAnalysis.noveltyScores(empty, "doc_id", "text", 3).count() == 0)
+    assert(TextAnalysis.collocations(empty, "doc_id", "text", 5).count() == 0)
+    val emptyG = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Dedup.groupOverlap(emptyG, "source", "text", 3).count() == 0)
+    assert(Dedup.groupMinhashSimilarity(emptyG, "source", "text", 3, 8).count() == 0)
+    assert(TextAnalysis.jsDivergenceByStratum(
+      emptyG.withColumnRenamed("source", "lang"),
+      emptyG.withColumnRenamed("source", "lang"), "lang").count() == 0)
+    // CC with zero edges: every node is its own singleton
+    val nodes = Seq(1L, 2L, 3L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, "doc_id", noPairs)
+      .as[(Long, Long)].collect().toSet
+    assert(cc == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("per-stratum rates apply to the right strata, deterministically") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val rates = Map("en" -> 1.0, "zh" -> 0.0)
