@@ -762,6 +762,26 @@ object PipelineQueries {
       Some("""SELECT doc_id, text, lang, source, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("source_schema_evolution",
+      // schema evolution on a landed layout: an old batch without `lang`
+      // plus a new batch with it, read back through mergeSchema — rows
+      // from the pre-evolution files surface the new column as NULL; the
+      // oracle states exactly that contract
+      (s, dir) => {
+        val out = "/tmp/graft_evolve/" + new java.io.File(dir).getName
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+          .write.mode("overwrite").parquet(out)
+        docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "n_chars", "lang")
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select("doc_id", "n_chars", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars,
+             |  CASE WHEN doc_id % 2 != 0 THEN lang END AS lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     QueryDef("compact_roundtrip",
       // storage-maintenance gate: compact the table into ~4 MB range-
       // clustered files and prove the rewrite is content-identical (the

@@ -81,4 +81,38 @@ object Layout {
       .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
     nFiles
   }
+
+  /** Retention maintenance over a partitioned layout: DELETE whole
+    * partition directories whose `partCol` value sorts strictly below
+    * `cutoff` (partition values are directory names — day strings compare
+    * lexicographically in date order). This is the other half of the
+    * time-partitioned contract: expiry is O(#expired directories) of
+    * metadata work, ZERO data reads/rewrites — the reason retention policy
+    * should always align with the partition key. Returns the deleted
+    * partition values. Readers racing an expiry see standard
+    * eventual-list-consistency (same as any compaction); at 100 TB this
+    * runs in the maintenance window like [[compact]]. */
+  def expirePartitions(spark: SparkSession, path: String, partCol: String,
+      cutoff: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val prefix = partCol + "="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath)
+      .filter { p =>
+        // partition dir names are URL-encoded by Spark; values here are
+        // plain day strings, decode for exactness anyway
+        val v = java.net.URLDecoder.decode(
+          p.getName.stripPrefix(prefix), "UTF-8")
+        v < cutoff
+      }
+      .map { p =>
+        val v = java.net.URLDecoder.decode(
+          p.getName.stripPrefix(prefix), "UTF-8")
+        fs.delete(p, true)
+        v
+      }
+  }
 }

@@ -95,6 +95,27 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == ev.count())
   }
 
+  test("expirePartitions: deletes only below-cutoff day directories, rest stays readable") {
+    import graft.sources.{Layout, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("layout-expire").toString
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+    Layout.writePartitionedByDay(ev, dir)
+    val days = ev.select(to_date(col("ts")).cast("string"))
+      .distinct().as[String].collect().sorted
+    assert(days.size >= 3, s"need several days, got ${days.toSeq}")
+    val cutoff = days(days.size / 2)
+    val expectedExpired = days.filter(_ < cutoff).toSet
+    val expired = Layout.expirePartitions(spark, dir, "event_date", cutoff)
+    assert(expired.toSet == expectedExpired)
+    // surviving data: exactly the rows at/after the cutoff, still readable
+    val left = spark.read.parquet(dir)
+    assert(left.count() ==
+      ev.filter(to_date(col("ts")) >= lit(cutoff)).count())
+    assert(left.select(min(col("event_date").cast("string"))).head.getString(0) == cutoff)
+    // idempotent: nothing left to expire
+    assert(Layout.expirePartitions(spark, dir, "event_date", cutoff).isEmpty)
+  }
+
   test("asofJoin: latest prior right row per left row, inclusive ties, left-outer") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
       .toDF("trade_id", "sym", "t")
