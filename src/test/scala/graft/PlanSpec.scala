@@ -159,6 +159,28 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  /** Queries whose OPTIMIZED plans legitimately retain a join with no
+    * condition: the perplexity scorers broadcast their ONE-ROW vocabulary
+    * total into every scored row. Every other apparent cross product in
+    * the catalog (bounded pair generators written as
+    * `crossJoin(...).filter(a < b)`) leaves the optimizer as a
+    * CONDITIONED join — the filter becomes the join predicate — which is
+    * exactly what this guard verifies. */
+  private val BoundedCrossProductQueries = Set(
+    "text_perplexity", "text_perplexity_bigram")
+
+  test("no unconditioned join outside the documented bounded set") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val offenders = Catalog.all.flatMap { d =>
+      val plan = d.fn(spark, GraftTestSpark.Sf0001).queryExecution.optimizedPlan
+      val free = plan.collect { case j: LJoin if j.condition.isEmpty => j }
+      if (free.nonEmpty) Some(d.name) else None
+    }.toSet
+    assert(offenders == BoundedCrossProductQueries,
+      s"unexpected: ${offenders -- BoundedCrossProductQueries}; " +
+        s"allowlisted but clean: ${BoundedCrossProductQueries -- offenders}")
+  }
+
   /** The documented reference-parity operators that model an inherently
     * sequential counter (the reference's global page/WRR state). Each has a
     * scale-path sibling in the catalog; nothing else may plan a
