@@ -36,7 +36,8 @@ object Bench {
     "corpus_divergence", "semantic_dedup", "semantic_dedup_incremental",
     "novelty_score", "collocations", "embedding_outliers",
     "tokenize_ids", "seq_concat_blocks", "source_overlap",
-    "semantic_dedup_central", "event_retention", "source_similarity_sketch")
+    "semantic_dedup_central", "event_retention", "source_similarity_sketch",
+    "text_quality_gopher")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

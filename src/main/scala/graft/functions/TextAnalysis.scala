@@ -67,6 +67,29 @@ object TextAnalysis {
       col("stopword_ratio") * lit(0.2) +
       least(col("mean_token_len") / lit(10.0), lit(1.0)) * lit(0.3)
 
+  /** Gopher-style rule-level quality flags (Rae et al. 2021 §A1.1 shape,
+    * thresholds adapted to whitespace tokenization): one BOOLEAN per rule
+    * plus the conjunction — rule-level flags are what practitioners tune
+    * and audit (a blended score hides WHICH rule fired). All comparisons
+    * are on the same exact metrics [[qualityMetrics]] derives, so the gate
+    * is engine-exact. Narrow map, fused into the scan. */
+  def gopherFlags(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 8, maxTokens: Int = 100000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      maxRepetition3: Double = 0.5, minStopRatio: Double = 0.02): DataFrame = {
+    val m = qualityMetrics(df, textCol)
+      .withColumn("rep3", repetitionRatio(col(textCol), 3))
+    m.withColumn("ok_length",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_mean_len",
+        col("mean_token_len") >= minMeanLen && col("mean_token_len") <= maxMeanLen)
+      .withColumn("ok_repetition", col("rep3") <= maxRepetition3)
+      .withColumn("ok_stopwords", col("stopword_ratio") >= minStopRatio)
+      .withColumn("keep",
+        col("ok_length") && col("ok_mean_len") &&
+          col("ok_repetition") && col("ok_stopwords"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(split(text, " "))
 

@@ -500,6 +500,39 @@ object PipelineQueries {
               |              / (len(string_split(text,' ')) - 2) END AS rep3
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_quality_gopher",
+      // Gopher-style rule-level quality flags: one boolean per rule plus
+      // the conjunction (practitioners audit WHICH rule fired, not a
+      // blended score); oracle recomputes every metric and every flag
+      (s, dir) => TextAnalysis.gopherFlags(Tables.documents(s, dir))
+        .select("doc_id", "ok_length", "ok_mean_len", "ok_repetition",
+          "ok_stopwords", "keep")
+        .orderBy("doc_id"),
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars,
+           |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
+           |                / (len(string_split(text,' ')) - 2) END AS rep3
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id,
+           |    (n_tokens >= 8 AND n_tokens <= 100000) AS ok_length,
+           |    (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
+           |     AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0) AS ok_mean_len,
+           |    (rep3 <= 0.5) AS ok_repetition,
+           |    (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02) AS ok_stopwords
+           |  FROM m)
+           |SELECT doc_id, ok_length, ok_mean_len, ok_repetition, ok_stopwords,
+           |       (ok_length AND ok_mean_len AND ok_repetition AND ok_stopwords) AS keep
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("text_normalize",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
