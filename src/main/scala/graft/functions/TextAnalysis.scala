@@ -90,6 +90,21 @@ object TextAnalysis {
           col("ok_repetition") && col("ok_stopwords"))
   }
 
+  /** Per-group curation dashboard: document count, the SUM of per-document
+    * quality scores quantized to integer nanos (floor(q·1e9 + 0.5) — a raw
+    * double sum is partial/merge-order dependent at 1000 executors; the
+    * quantized LONG sum is associative and engine-exact; mean = sum/1e9/n
+    * downstream), and the Gopher-rule pass count. One group-keyed shuffle
+    * of three longs per group. */
+  def qualityByGroup(df: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame =
+    gopherFlags(df, textCol)
+      .withColumn("_q", qualityScore())
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("_q") * lit(1e9) + lit(0.5)).cast("long")).as("q_nanos_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_gopher_pass"))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(split(text, " "))
 

@@ -533,6 +533,43 @@ object PipelineQueries {
            |FROM f ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("quality_by_source",
+      // per-source curation dashboard: doc counts, quality-score sums in
+      // integer nanos (associative — a raw double sum would be
+      // merge-order-dependent), Gopher pass counts; everything recomputed
+      // by the oracle from the text
+      (s, dir) => TextAnalysis.qualityByGroup(Tables.documents(s, dir),
+          "source")
+        .orderBy("source"),
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (
+           |  SELECT doc_id, source,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars,
+           |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
+           |                / (len(string_split(text,' ')) - 2) END AS rep3
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, source,
+           |    (CAST(n_uniq AS DOUBLE) / n_tokens) * 0.5
+           |      + (CAST(n_stop AS DOUBLE) / n_uniq) * 0.2
+           |      + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 AS q,
+           |    ((n_tokens >= 8 AND n_tokens <= 100000)
+           |     AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
+           |          AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0)
+           |     AND (rep3 <= 0.5)
+           |     AND (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02)) AS keep
+           |  FROM m)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CAST(floor(q * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS q_nanos_sum,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+           |FROM q GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     QueryDef("text_normalize",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
