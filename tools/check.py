@@ -36,8 +36,22 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single-file tables; Spark-written copies (e.g. the
+        # ScaleUp 10x dataset) are DIRECTORIES of part files
+        src = Path(sf_dir, f"{t}.parquet")
+        pattern = f"{src}/*.parquet" if src.is_dir() else str(src)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+        if t == "events":
+            # ScaleUp stores ts as raw NANOS BIGINT (the engine's Tables
+            # normalizes on read); mirror that normalization here so the
+            # oracles' CAST(ts AS TIMESTAMP) works on both layouts
+            (ts_type,) = [r[1] for r in con.execute(
+                "DESCRIBE events").fetchall() if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute("""CREATE OR REPLACE VIEW events AS
+                    SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+                    FROM read_parquet('{}')""".format(pattern))
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
     for qdir in sorted(Path(out_dir).iterdir()):
