@@ -159,6 +159,25 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("catalog hygiene: unique names; every oracle names every output column") {
+    val names = Catalog.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate names: ${names.diff(names.distinct)}")
+    // the driver's compare sorts columns BY NAME before hashing — an
+    // aliased Spark column missing from the oracle text is the classic
+    // silent schema-mismatch; catch it before the gate does
+    Catalog.all.foreach { d =>
+      val cols = d.fn(spark, GraftTestSpark.Sf0001).columns
+      val oracleText = d.oracle
+        .orElse(d.dynOracle.map(f => f(spark, GraftTestSpark.Sf0001)))
+      oracleText.foreach { sql =>
+        val lower = sql.toLowerCase
+        cols.foreach(c => assert(lower.contains(c.toLowerCase),
+          s"${d.name}: oracle SQL never mentions output column '$c'"))
+      }
+    }
+  }
+
   /** Queries whose OPTIMIZED plans legitimately retain a join with no
     * condition: the perplexity scorers broadcast their ONE-ROW vocabulary
     * total into every scored row. Every other apparent cross product in
