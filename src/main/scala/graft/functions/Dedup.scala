@@ -326,6 +326,29 @@ object Dedup {
       .select(col("id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures over the md5-u64 hash family, exploded to
+    * (id, hash_idx, sig) rows — the GATE form whose every minimum an
+    * external engine recomputes from scratch (md5 is SQL-computable where
+    * the production family's xxhash64 is not; same shingles, same affine
+    * family, only the base hash differs). Shape: narrow explode + one
+    * id-keyed aggregate + a stack unpivot. */
+  def minhashSignaturesMd5(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int): DataFrame = {
+    val coeffs = minhashCoeffs(numHashes)
+    val hashed = df.select(col(idCol),
+        explode(shingles(col(textCol), k)).as("_sh"))
+      .select(col(idCol),
+        pmod(Sampling.hashSlice32(col("_sh")), lit(MinhashPrime)).as("_h"))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("_h") + lit(b), lit(MinhashPrime))).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val stackExpr = s"stack($numHashes, " +
+      (0 until numHashes).map(i => s"$i, m$i").mkString(", ") +
+      ") AS (hash_idx, sig)"
+    sigs.selectExpr(idCol, stackExpr)
+  }
+
   /** LSH candidate pairs with banding (bandRows = r signature rows per
     * band): two docs are candidates iff some band's r minima all match.
     * P[candidate | jaccard s] = 1-(1-s^r)^b. Defaults (16 hashes, r=2,

@@ -275,6 +275,49 @@ object PipelineQueries {
               |SELECT doc_id, lang AS actual_lang, $langCaseSql AS pred_lang
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_langid_confusion",
+      // classifier QA for the lang-id heuristic: (actual, predicted)
+      // confusion counts against the table's ground-truth lang — the
+      // evaluation loop every heuristic filter needs; oracle re-runs the
+      // whole classifier and the census
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang").as("actual_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual_lang", "pred_lang"),
+      Some(s"""WITH sc AS (SELECT doc_id, lang, $langScoreSql FROM documents)
+              |SELECT lang AS actual_lang, $langCaseSql AS pred_lang,
+              |       count(*) AS n_docs
+              |FROM sc GROUP BY 1, 2 ORDER BY actual_lang, pred_lang""".stripMargin)),
+
+    QueryDef("dedup_minhash_sigs",
+      // the MinHash signatures THEMSELVES, gate-compared value by value:
+      // md5-u64-based hash family (the [[simhash]] oracle trick) exploded
+      // to (doc_id, hash_idx, sig) rows so DuckDB recomputes every minimum
+      // from scratch — the deepest form of "the oracle retrains the
+      // sketch" (the xxhash64 production family is cross-checked against
+      // this one structurally: same shingles, same affine family, only
+      // the base hash differs)
+      (s, dir) => Dedup.minhashSignaturesMd5(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, numHashes = 8)
+        .orderBy("doc_id", "hash_idx"),
+      Some {
+        val coeffs = Dedup.minhashCoeffs(8)
+        val h32 = """list_reduce(list_transform(
+          |      regexp_extract_all(substr(md5(s), 25, 8), '.'),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"""
+          .stripMargin
+        val perIdx = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT doc_id, $i AS hash_idx, min(($a * h + $b) % 2147483647) AS sig FROM h GROUP BY doc_id"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM documents),
+           |h AS (SELECT doc_id, ($h32 % 2147483647) AS h FROM sh)
+           |SELECT doc_id, hash_idx, sig FROM (
+           |  $perIdx)
+           |ORDER BY doc_id, hash_idx""".stripMargin
+      }),
+
     QueryDef("text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(Tables.documents(s, dir))
         .withColumn("quality_score", TextAnalysis.qualityScore())
