@@ -556,6 +556,31 @@ object RelationalQueries {
              |                    FROM lineitem l2
              |                    WHERE l2.l_partkey = l_partkey)""".stripMargin)),
 
+    // TPC-H Q4-shaped: priority census of orders with at least one
+    // late-shipped line — EXISTS decorrelated to a semi-join keyed by
+    // orderkey; the count runs on the reduced order set
+    QueryDef("q4_order_priority",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val late = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+        o.join(late.hint("shuffle_hash"),
+            o("o_orderkey") === late("o_orderkey") &&
+              late("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // TPC-H Q21-flavoured: EXISTS and NOT EXISTS against the same table —
     // customers with open orders but no finished ones.
     QueryDef("q21_semi_anti",
