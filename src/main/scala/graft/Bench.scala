@@ -37,7 +37,8 @@ object Bench {
     "novelty_score", "collocations", "embedding_outliers",
     "tokenize_ids", "seq_concat_blocks", "source_overlap",
     "semantic_dedup_central", "event_retention", "source_similarity_sketch",
-    "text_quality_gopher")
+    "text_quality_gopher", "quality_by_source", "text_langid_confusion",
+    "dedup_minhash_sigs", "q4_order_priority")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
