@@ -1103,6 +1103,42 @@ object PipelineQueries {
               |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("dedup_pair_provenance",
+      // where do near-dups come from — the same source or across sources?
+      // The census that decides whether per-source dedup (cheap, parallel)
+      // suffices or global dedup (one corpus-wide shuffle) is required;
+      // oracle recomputes the exact pair set and both provenance joins
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+          .groupBy((col("src_a") === col("src_b")).as("same_source"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("same_source")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jp AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (
+              |  SELECT id_a, id_b FROM jp
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8)
+              |SELECT (da.source = db.source) AS same_source, count(*) AS n_pairs
+              |FROM good
+              |JOIN documents da ON da.doc_id = id_a
+              |JOIN documents db ON db.doc_id = id_b
+              |GROUP BY 1 ORDER BY same_source""".stripMargin)),
+
     QueryDef("dedup_minhash_rows",
       // the surviving corpus (greedy keep-lowest-id over near-dup pairs);
       // oracle recomputes the pair set exactly (exact Jaccard — LSH recall
