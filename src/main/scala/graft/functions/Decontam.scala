@@ -62,7 +62,8 @@ object Decontam {
     * upstream of it still whole-stage-codegens. */
   def overlapsBloom(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
-      k: Int, expectedGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      k: Int, expectedGrams: Long = 1000000L, fpp: Double = 0.01,
+      maxBroadcastGrams: Long = 50000000L): DataFrame = {
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(benchTextCol), k)).as("gram"))
       .distinct()
@@ -70,11 +71,20 @@ object Decontam {
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => bloomBc.value.mightContain(g))
     val benchIds = bench.select(col(benchIdCol).as(idCol)).distinct()
+    // the verify side is broadcast only while the gram SET is within
+    // broadcast reach — the whole reason the Bloom sketch exists is that
+    // beyond ~5·10⁷ distinct grams the string set is tens of GB and must
+    // shuffle instead (the sketch still prefilters the stream either way).
+    // One count() over an already-aggregated metadata-sized set; the
+    // sketch build above scanned it anyway.
+    val verifySide =
+      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      else benchGrams.hint("shuffle_hash")
     corpus
       .join(benchIds, Seq(idCol), "left_anti")
       .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("gram"))
       .filter(mightContain(col("gram")))
-      .join(broadcast(benchGrams), Seq("gram"))
+      .join(verifySide, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
   }

@@ -402,8 +402,11 @@ object TextAnalysis {
       stratumCol: String): DataFrame = {
     val ca = a.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_a"))
     val cb = b.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_b"))
-    val ta = a.count() // driver scalars: one long each, not data
-    val tb = b.count()
+    // driver scalars: one long each, not data. An EMPTY corpus clamps to 1
+    // so every stratum gets p (or q) = 0/1 = 0 — the documented one-sided
+    // KL limit — instead of 0.0/0.0 = NaN poisoning js_nanonats to NULL.
+    val ta = math.max(a.count(), 1L)
+    val tb = math.max(b.count(), 1L)
     val joined = ca.join(cb, Seq(stratumCol), "full_outer")
       .select(col(stratumCol),
         coalesce(col("n_a"), lit(0L)).as("n_a"),

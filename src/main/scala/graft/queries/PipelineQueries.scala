@@ -98,13 +98,23 @@ object PipelineQueries {
     * build `IVF.writeIndexed` models): probe queries over it are partition
     * PRUNING, the on-disk seat of the 100 TB scale story. Repo-local temp
     * path; rebuilt per JVM, reused across catalog runs in one. */
+  /** Repo-local scratch dir, unique per (prefix, dataset dir, JVM): two
+    * concurrent runs (Verify + an sbt test JVM both construct catalog
+    * queries, and the side-effecting ones write on construction) must
+    * never race on one directory. Same target/tmp discipline as
+    * [[ivfIndexedPath]]. */
+  private val jvmTag = java.lang.ProcessHandle.current().pid().toString
+  private def scratchPath(prefix: String, dir: String): String = {
+    val safe = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"target/tmp/$prefix-$safe-pid$jvmTag"
+  }
+
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def ivfIndexedPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     ivfIndexDirs.computeIfAbsent(dir, _ => {
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"target/tmp/ivf-indexed-$safe"
+      val path = scratchPath("ivf-indexed", dir)
       graft.functions.IVF.writeIndexed(
         Tables.embeddings(s, dir), "embedding", "vec_id", ivfModel(s, dir), path)
       path
@@ -120,8 +130,7 @@ object PipelineQueries {
   private[graft] def ivfIncrementalPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     ivfIncrementalDirs.computeIfAbsent(dir, _ => {
-      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-      val path = s"target/tmp/ivf-incremental-$safe"
+      val path = scratchPath("ivf-incremental", dir)
       val e = Tables.embeddings(s, dir)
       val model = ivfModel(s, dir)
       graft.functions.IVF.writeIndexed(
@@ -863,7 +872,7 @@ object PipelineQueries {
       // EXPLICIT schema (inference would scan twice at 100 TB), prove the
       // round trip is content-identical against the parquet-sourced oracle
       (s, dir) => {
-        val out = "/tmp/graft_jsonl/" + new java.io.File(dir).getName
+        val out = scratchPath("jsonl", dir)
         Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars")
           .write.mode("overwrite").json(out)
@@ -881,7 +890,7 @@ object PipelineQueries {
       // from the pre-evolution files surface the new column as NULL; the
       // oracle states exactly that contract
       (s, dir) => {
-        val out = "/tmp/graft_evolve/" + new java.io.File(dir).getName
+        val out = scratchPath("evolve", dir)
         val docs = Tables.documents(s, dir)
         docs.filter(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
           .write.mode("overwrite").parquet(out)
@@ -900,7 +909,7 @@ object PipelineQueries {
       // clustered files and prove the rewrite is content-identical (the
       // layout changed, the data did not)
       (s, dir) => {
-        val out = "/tmp/graft_compact/" + new java.io.File(dir).getName
+        val out = scratchPath("compact", dir)
         graft.sources.Layout.compact(Tables.documents(s, dir), out,
           sortCols = Seq("source", "doc_id"), targetFileBytes = 4L * 1024 * 1024)
         s.read.parquet(out).select("doc_id", "source", "n_chars").orderBy("doc_id")

@@ -98,19 +98,18 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val prefix = partCol + "="
+    // partition dir names are Hive-escaped (%XX only) by Spark's
+    // escapePathName; URLDecoder is NOT its inverse ('+' would decode to a
+    // space) — use the catalog's own unescape
+    def unescape(name: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(name.stripPrefix(prefix))
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(s => s.getPath)
-      .filter { p =>
-        // partition dir names are URL-encoded by Spark; values here are
-        // plain day strings, decode for exactness anyway
-        val v = java.net.URLDecoder.decode(
-          p.getName.stripPrefix(prefix), "UTF-8")
-        v < cutoff
-      }
+      .filter(p => unescape(p.getName) < cutoff)
       .map { p =>
-        val v = java.net.URLDecoder.decode(
-          p.getName.stripPrefix(prefix), "UTF-8")
+        val v = unescape(p.getName)
         fs.delete(p, true)
         v
       }

@@ -116,6 +116,20 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(Layout.expirePartitions(spark, dir, "event_date", cutoff).isEmpty)
   }
 
+  test("expirePartitions: Hive-escaped partition values round-trip ('+' is not a space)") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("layout-expire-esc").toString
+    // values exercising escapePathName: '+' (URLDecoder's false friend),
+    // space, and ':' all get %XX-escaped in the directory name
+    val rows = Seq((1L, "a+b"), (2L, "c d"), (3L, "x:y"), (4L, "zz"))
+      .toDF("id", "part")
+    rows.write.mode("overwrite").partitionBy("part").parquet(dir)
+    val expired = Layout.expirePartitions(spark, dir, "part", "d")
+    assert(expired.toSet == Set("a+b", "c d"))
+    assert(spark.read.parquet(dir).select("part").as[String]
+      .collect().toSet == Set("x:y", "zz"))
+  }
+
   test("asofJoin: latest prior right row per left row, inclusive ties, left-outer") {
     val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
       .toDF("trade_id", "sym", "t")

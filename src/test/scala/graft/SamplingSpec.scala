@@ -216,6 +216,12 @@ class SamplingSpec extends AnyFunSuite {
       .select("lang", "js_nanonats").as[(String, Long)].collect().toMap
     val want = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5).toLong
     assert(d == Map("x" -> want, "y" -> want))
+    // one EMPTY corpus: the other side's one-sided KL term (p=1 vs q=0 ->
+    // 0.5*ln2), never NULL from a 0/0 total
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val oneSided = TextAnalysis.jsDivergenceByStratum(a, none, "lang")
+      .select("lang", "js_nanonats").as[(String, Long)].collect().toMap
+    assert(oneSided == Map("x" -> want))
   }
 
   test("noveltyScores: shared-gram docs score 0, unique docs score 1") {
