@@ -604,6 +604,299 @@ object RelationalQueries {
              |                  WHERE o2.o_custkey = c_custkey AND o2.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // TPC-H Q7-shaped volume-shipping: nation-pair trade flows by ship
+    // year. One fact-fact shuffle (lineitem x orders on orderkey); every
+    // dimension — supplier, customer, both nation aliases — broadcasts, so
+    // the nation-pair label attaches without re-shuffling the fact rows.
+    QueryDef("q7_nation_flows",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INT) AS l_year,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_name <> n2.n_name
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H Q8-shaped market share: NATION_0 suppliers' revenue share of
+    // ECONOMY-part sales by order year. Both sums are exact scaled longs;
+    // the one division per row is IEEE-identical across engines (the Q14
+    // discipline). The part filter broadcasts and prunes the fact join.
+    QueryDef("q8_market_share",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ord = Tables.orders(s, dir)
+        val eco = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val vol = Money.cents(col("l_extendedprice")) *
+          (lit(100L) - Money.pct(col("l_discount")))
+        li.join(broadcast(eco), col("p_partkey") === col("l_partkey"))
+          .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((sum(when(col("n_name") === "NATION_0", vol).otherwise(0L))
+              .cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(sum(CASE WHEN n_name = 'NATION_0' THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+             |  / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) AS mkt_share
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_type = 'ECONOMY'
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    // TPC-H Q9-shaped product profit: revenue on widget parts by supplier
+    // nation and order year (no partsupp table in this corpus, so profit is
+    // gross revenue rather than revenue minus supplycost — same plan shape:
+    // selective part filter broadcast into the fact, one fact-fact shuffle).
+    QueryDef("q9_product_profit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val widget = Tables.part(s, dir)
+          .filter(col("p_name").contains("widget")).select("p_partkey")
+        li.join(broadcast(widget), col("p_partkey") === col("l_partkey"))
+          .join(Tables.orders(s, dir).hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("supp_nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("sum_profit"))
+          .orderBy(col("supp_nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_profit
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY supp_nation, o_year ORDER BY supp_nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q12-shaped shipping census: high- vs low-priority line counts
+    // per linestatus over one ship year (this corpus has no l_shipmode, so
+    // linestatus is the category). Conditional integer sums — associative,
+    // partial-agg safe.
+    QueryDef("q12_priority_by_status",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, dir)
+          .join(li.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // TPC-H Q13-shaped customer distribution: orders-per-customer histogram
+    // through a LEFT OUTER join (zero-order customers must appear), then a
+    // second tiny aggregation over the counts.
+    QueryDef("q13_custdist",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o.hint("shuffle_hash"),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15-shaped top supplier: per-supplier revenue over one quarter,
+    // keep the max-revenue supplier(s). The max is selected on the EXACT
+    // long sum (division to dollars happens after), so ties and equality
+    // are integer-exact; the single-row max broadcasts back onto the
+    // metadata-sized revenue aggregate.
+    QueryDef("q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("s_suppkey"))
+          .agg(sum(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("rev4"))
+        val top = rev.agg(max(col("rev4")).as("rev4max"))
+        rev.join(broadcast(top), col("rev4") === col("rev4max"))
+          .join(broadcast(Tables.supplier(s, dir)), Seq("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("rev4").cast("double") / 10000.0).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS s_suppkey,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
+             |  FROM lineitem
+             |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT rev.s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+             |FROM rev JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+             |WHERE r = (SELECT max(r) FROM rev)
+             |ORDER BY rev.s_suppkey""".stripMargin)),
+
+    // TPC-H Q16-shaped supplier census: distinct suppliers per (brand,
+    // size) for small non-Brand#3 parts, excluding bad-standing suppliers
+    // via an anti-join (NOT IN with non-nullable keys). Part filter and
+    // exclusion list both broadcast; the countDistinct shuffles once keyed
+    // by (brand, size).
+    QueryDef("q16_supplier_census",
+      (s, dir) => {
+        val bad = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#3" && col("p_size") <= 25)
+          .select("p_partkey", "p_brand", "p_size")
+        Tables.lineitem(s, dir)
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+          .groupBy("p_brand", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#3' AND p_size <= 25
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+
+    // TPC-H Q19-shaped disjunctive predicate: three OR'd brand/size/
+    // quantity windows collapse to one scan + one broadcast join — the
+    // filter stays a single codegen'd predicate, no union of three scans.
+    QueryDef("q19_disjunctive",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir)
+        def win(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand && col("p_size").between(1, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+          .filter(win("Brand#1", 15, 1, 20) || win("Brand#2", 20, 10, 30) ||
+            win("Brand#3", 25, 20, 40))
+          .agg(count(lit(1)).as("n_lines"),
+            Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+              (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)""".stripMargin)),
+
+    // TPC-H Q20-shaped qualified suppliers: suppliers who moved > 60 units
+    // of any red part in 1997 — a grouped HAVING reduced to a tiny key set,
+    // then a semi-join into the (already tiny) supplier dim. Quantities are
+    // integral doubles, so the sums and the > 60 cut are exact.
+    QueryDef("q20_qualified_suppliers",
+      (s, dir) => {
+        val red = Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red")).select("p_partkey")
+        val qualified = Tables.lineitem(s, dir)
+          .filter(year(col("l_shipdate")) === 1997)
+          .join(broadcast(red), col("p_partkey") === col("l_partkey"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("l_quantity")).as("q"))
+          .filter(col("q") > 60)
+          .select(col("l_suppkey").as("s_suppkey")).distinct()
+        Tables.supplier(s, dir)
+          .join(broadcast(qualified), Seq("s_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE p_name LIKE 'red%' AND year(l_shipdate) = 1997
+             |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 60)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q22-shaped dormant rich accounts: customers above the positive-
+    // balance average with no urgent orders, grouped by segment. The
+    // average-balance threshold is compared in INTEGER cents cross-
+    // multiplied by the count (cents*n > total), so the cut is exact in
+    // both engines — no float average crosses an equality. The two scalars
+    // are a driver-side single-row aggregate (metadata, not data).
+    QueryDef("q22_dormant_accounts",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val row = c.filter(col("c_acctbal") > 0)
+          .agg(sum(Money.cents(col("c_acctbal"))).as("t"), count(lit(1)).as("n"))
+          .head()
+        val (t, n) = (row.getLong(0), row.getLong(1))
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        c.filter(Money.cents(col("c_acctbal")) * lit(n) > lit(t))
+          .join(urgent.hint("shuffle_hash"), Seq("c_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"),
+            Money.sumDollars(Money.cents(col("c_acctbal"))).as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+             |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+             |FROM customer c
+             |WHERE CAST(round(c_acctbal * 100) AS BIGINT)
+             |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+             |    > (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+             |       FROM customer WHERE c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Pivot: status x priority counts as columns (explicit value list so the
     // output schema is static and oracle-comparable).
     QueryDef("pivot_agg",
