@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over corpus-derived graphs (the near-dup pair
+  * graph, source-overlap graph, …). The reference has no graph surface;
+  * these exist for the 100 TB engine: cluster-health ranking (which
+  * documents sit at the center of big near-dup neighborhoods) is the
+  * standard prioritizer for manual dedup review and survivor policies.
+  *
+  * Scale shape: one shuffle per iteration, keyed by the destination node —
+  * the textbook distributed PageRank data flow (rank joins degree, the
+  * per-node contribution joins the edge list, contributions aggregate at
+  * the destination). Ranks are one long per node; the graph never
+  * replicates. Each round materializes (persist + count) so the lineage is
+  * bounded by the iteration count, the same discipline as
+  * [[Dedup.connectedComponents]].
+  *
+  * Exactness: all arithmetic is INTEGER — ranks live in units of
+  * `scale` (default 10^12, "picorank"), per-edge contributions are
+  * floor-divided (`rank div degree`), and the damping update is
+  * `teleport + (dampingPct * inSum) div 100`. Integer floor division is
+  * deterministic and engine-portable, so the correctness gate recomputes
+  * every iteration in SQL and hash-matches — a float PageRank could never
+  * gate this way (summation order changes the last ulp).
+  */
+object Graphs {
+
+  /** Damped PageRank over an UNDIRECTED pair list, `iterations` rounds of
+    * integer power iteration. `pairs` holds one row per unordered edge
+    * (aCol < bCol, the near-dup pair convention); both directions are
+    * materialized internally. Nodes absent from `pairs` (dangling) keep
+    * the teleport mass. Returns (idCol, rank_nano). */
+  def pageRank(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val ids = nodes.select(col(idCol).as("id"))
+    val n = ids.count() // driver scalar: one long
+    require(n > 0, "pageRank over an empty node set")
+    val base = scale / n
+    val teleport = ((100L - dampingPct) * base) / 100L
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = ids.select(col("id"), lit(base).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(deg, col("id") === col("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+      val inSums = edges.join(contribs, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      val next = ids
+        .join(inSums, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .persist()
+      next.count() // materialize: lineage stays one round deep
+      ranks.unpersist()
+      ranks = next
+    }
+    edges.unpersist(); deg.unpersist()
+    ranks.select(col("id").as(idCol), col("rank").as("rank_nano"))
+  }
+
+  /** DuckDB SQL for the SAME integer power iteration, parameterized by the
+    * CTE name holding (id_a, id_b) pairs and one holding node ids — the
+    * correctness oracle's second half (the caller supplies the pair CTEs,
+    * typically the exact-Jaccard rebuild the dedup gates already use). */
+  def pageRankOracleSql(nodesCte: String, nodeIdCol: String, pairsCte: String,
+      iterations: Int = 3, dampingPct: Int = 85,
+      scale: Long = 1000000000000L): String = {
+    val d = dampingPct
+    val head =
+      s"""edges AS (SELECT id_a AS src, id_b AS dst FROM $pairsCte
+         |          UNION ALL SELECT id_b, id_a FROM $pairsCte),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS c FROM $nodesCte),
+         |r0 AS (SELECT $nodeIdCol AS id,
+         |         (SELECT $scale // c FROM nn) AS rank FROM $nodesCte)""".stripMargin
+    val rounds = (1 to iterations).map { i =>
+      s"""s$i AS (SELECT e.dst AS id, sum(r.rank // dg.deg) AS in_sum
+         |  FROM r${i - 1} r JOIN deg dg ON dg.src = r.id
+         |  JOIN edges e ON e.src = r.id GROUP BY e.dst),
+         |r$i AS (SELECT b.id,
+         |    (SELECT (((100 - $d) * ($scale // c)) // 100) FROM nn)
+         |    + (($d * COALESCE(s.in_sum, 0)) // 100) AS rank
+         |  FROM r0 b LEFT JOIN s$i s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextAnalysis, TextClean}
+import graft.functions.{Dedup, Graphs, Multimodal, Packing, Similarity, TextAnalysis, TextClean}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -1617,6 +1617,34 @@ object PipelineQueries {
               |cs AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY cluster_id)
               |SELECT sz AS cluster_size, count(*) AS n_clusters
               |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin)),
+
+    QueryDef("graph_pagerank",
+      // centrality over the near-dup graph: which documents anchor the big
+      // duplicate neighborhoods (the review-priority ranking for survivor
+      // policies). Integer power iteration — every round recomputed in SQL,
+      // including the exact-Jaccard edge rebuild the cluster gates share.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        Graphs.pageRank(docs, "doc_id", pairs, iterations = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (
+              |  SELECT doc_id, unnest($ShinglesSql) AS sh
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |jp AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |good AS (
+              |  SELECT id_a, id_b FROM jp
+              |  JOIN sizes sa ON sa.doc_id = id_a
+              |  JOIN sizes sb ON sb.doc_id = id_b
+              |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+              |${Graphs.pageRankOracleSql("documents", "doc_id", "good", iterations = 3)}
+              |SELECT id AS doc_id, rank AS rank_nano FROM r3 ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash",
       // md5-u64 token hash on purpose: DuckDB recomputes every signature
