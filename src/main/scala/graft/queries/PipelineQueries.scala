@@ -916,6 +916,25 @@ object PipelineQueries {
       },
       Some("SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id")),
 
+    QueryDef("layout_zorder",
+      // multi-column clustering gate: land the table Z-ordered on
+      // (n_chars, doc_id), read it back, and recompute every Morton value —
+      // proves the rewrite is content-identical AND the bit interleave is
+      // engine-exact (the file-skipping evidence itself is PlanSpec-side:
+      // per-file min/max tightness on both dimensions)
+      (s, dir) => {
+        val out = scratchPath("zorder", dir)
+        graft.sources.Layout.writeZOrdered(
+          Tables.documents(s, dir), "n_chars", "doc_id", out, numFiles = 8)
+        s.read.parquet(out)
+          .select(col("doc_id"), col("n_chars"),
+            graft.sources.Layout.zValue(col("n_chars"), col("doc_id")).as("zval"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_chars,
+              |  CAST(${graft.sources.Layout.zValueSql("n_chars", "doc_id")} AS BIGINT) AS zval
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- dedup ----
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")

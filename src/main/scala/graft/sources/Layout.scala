@@ -92,6 +92,65 @@ object Layout {
     * partition values. Readers racing an expiry see standard
     * eventual-list-consistency (same as any compaction); at 100 TB this
     * runs in the maintenance window like [[compact]]. */
+  /** Morton (Z-order) value of two non-negative integer columns: the low
+    * `bits` bits of each interleave (a's bit i lands at 2i+1, b's at 2i),
+    * so range-clustering on the z-value keeps BOTH dimensions locally
+    * narrow in every output file — the multi-column file-skipping layout
+    * (Delta/Iceberg OPTIMIZE ZORDER) for tables queried by two independent
+    * selective predicates, where a plain sort nails one dimension and
+    * spreads the other across every file. Pure bit arithmetic (shift/and/
+    * add) — codegen'd, engine-portable, SQL-recomputable for the gate. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31)
+    val mask = (1L << bits) - 1
+    val al = a.cast("long").bitwiseAND(lit(mask))
+    val bl = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB SQL rendering of [[zValue]] over the given column expressions —
+    * the oracle's half of the contract. */
+  def zValueSql(a: String, b: String, bits: Int = 16): String = {
+    val mask = (1L << bits) - 1
+    (0 until bits).map { i =>
+      s"((((($a) & $mask) >> $i) & 1) << ${2 * i + 1}) + " +
+        s"((((($b) & $mask) >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Write `df` clustered by the Morton curve over (colA, colB): normalize
+    * each column to its own [0, 2^bits) range (otherwise the wider-domain
+    * column's high bits own the curve and the layout degenerates to a
+    * single-column sort), compute the z-value, range-partition on it (one
+    * shuffle, like [[compact]]), sort within partitions, drop the helpers.
+    * Every file then holds a z-contiguous block — tight min/max stats on
+    * BOTH columns, so scans filtering either (or both) skip most files.
+    * The min/max normalizers are one driver-side aggregate row (metadata);
+    * (x-min)*mask must stay under 2^53 (true for any real column at
+    * bits<=16 unless the raw range exceeds ~1.4e11). */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+      numFiles: Int = 8, bits: Int = 16): Unit = {
+    val mask = (1L << bits) - 1
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    def scaled(c: String, lo: Long, hi: Long) =
+      if (hi > lo) floor((col(c).cast("long") - lit(lo)) * lit(mask) /
+        lit(hi - lo)).cast("long")
+      else lit(0L)
+    df.withColumn("_z", zValue(
+        scaled(colA, r.getLong(0), r.getLong(1)),
+        scaled(colB, r.getLong(2), r.getLong(3)), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def expirePartitions(spark: SparkSession, path: String, partCol: String,
       cutoff: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)

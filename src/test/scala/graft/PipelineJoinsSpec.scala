@@ -116,6 +116,35 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(Layout.expirePartitions(spark, dir, "event_date", cutoff).isEmpty)
   }
 
+  test("writeZOrdered: per-file ranges are tight on BOTH columns (vs single-column sort)") {
+    import graft.sources.{Layout, Tables}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "n_chars")
+    // average per-file (max-min)/globalRange for one column of a layout
+    def avgFrac(dir: String, c: String): Double = {
+      val withFile = spark.read.parquet(dir)
+        .withColumn("_f", input_file_name())
+      val global = withFile.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+      val per = withFile.groupBy("_f")
+        .agg(((max(col(c)) - min(col(c))).cast("double") / global).as("fr"))
+        .agg(avg("fr")).head.getDouble(0)
+      per
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.writeZOrdered(docs, "n_chars", "doc_id", zDir, numFiles = 8)
+    val sortDir = java.nio.file.Files.createTempDirectory("asort").toString
+    docs.repartitionByRange(8, col("n_chars")).sortWithinPartitions("n_chars")
+      .write.mode("overwrite").parquet(sortDir)
+    // single-column sort: perfect on n_chars, useless on doc_id
+    assert(avgFrac(sortDir, "doc_id") > 0.9)
+    // z-order: BOTH dimensions locally narrow — every file skippable by
+    // either predicate
+    assert(avgFrac(zDir, "n_chars") < 0.6, s"n_chars ${avgFrac(zDir, "n_chars")}")
+    assert(avgFrac(zDir, "doc_id") < 0.6, s"doc_id ${avgFrac(zDir, "doc_id")}")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(zDir).count() == docs.count())
+  }
+
   test("expirePartitions: Hive-escaped partition values round-trip ('+' is not a space)") {
     import graft.sources.Layout
     val dir = java.nio.file.Files.createTempDirectory("layout-expire-esc").toString
