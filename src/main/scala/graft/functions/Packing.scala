@@ -84,4 +84,40 @@ object Packing {
         expr(s"(start_off + n_tokens - 1) div ${blockWidth}"))
       .select(idCol, "n_tokens", "start_off", "block_first", "block_last")
   }
+
+  /** Length-bucketed batching: group documents of similar token length
+    * into fixed-size batches and account the padding each batch pays
+    * (`batch_size * max_len - sum_len`) — the pad-efficiency layout for
+    * SFT/eval-style batching where sequences are padded to the batch max
+    * rather than concatenated. Bucketing by `floor(len / bucketWidth)`
+    * bounds within-batch length spread to one bucket width, which is where
+    * the pad savings come from (a random batch pays `max_corpus - mean`
+    * per row).
+    *
+    * Scale shape: batches are numbered per (bucket, slice) where slice is
+    * a uniform hash slice — the parallelism knob. The row_number window
+    * partitions on (bucket, slice), so no task ever sees more than
+    * ~N/(buckets*slices) rows; batches never need GLOBAL numbers, only
+    * stable in-group ones (deterministic by id order, so the gate
+    * recomputes them exactly in SQL). Output: one row per batch with its
+    * fill stats. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int, nSlices: Int = 4): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && nSlices > 0)
+    val toks = TextAnalysis.tokenCountWs(col(textCol)).cast("long")
+    val withB = df.select(col(idCol), toks.as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("slice",
+        pmod(Sampling.hashSlice32(col(idCol)), lit(nSlices.toLong)).cast("int"))
+    withB
+      .withColumn("batch_id",
+        expr(s"(row_number() OVER (PARTITION BY bucket, slice ORDER BY $idCol) - 1) div $batchSize"))
+      .groupBy("bucket", "slice", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tok"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("pad_tokens", col("n_docs") * col("max_tok") - col("n_tokens"))
+      .select("bucket", "slice", "batch_id", "n_docs", "max_tok", "n_tokens",
+        "pad_tokens")
+  }
 }

@@ -234,4 +234,34 @@ object Sampling {
       .filter(col(out) <= lit(budget))
       .drop("_bkt")
   }
+
+  /** Fractional epoch expansion: materialize each stratum `epochs(s)` times
+    * per training run — the multi-epoch up-/down-sampling step (e.g.
+    * Wikipedia x2.5, CommonCrawl x0.8) that turns per-source repeat
+    * factors into physical rows with an `epoch` index. The integer part
+    * replicates every row; the fractional part keeps a deterministic hash
+    * slice of rows for one extra epoch (the SAME rows every run and under
+    * appends — hash membership, not rng). epochs < 1 degrade to plain
+    * hash downsampling; rows with zero copies are dropped. A narrow map +
+    * explode — no shuffle at all; the epoch column is what downstream
+    * shufflers key on so repeats of a row land in different batches. */
+  def epochExpand(df: DataFrame, keyCol: String, stratumCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epoch factors must be >= 0")
+    def full(e: Double): Long = math.floor(e).toLong
+    def thr(e: Double): Long = math.round((e - math.floor(e)) * 4294967296.0)
+    val fullCol = epochs.foldLeft(lit(full(defaultEpochs))) {
+      case (acc, (s, e)) => when(col(stratumCol) === lit(s), lit(full(e))).otherwise(acc)
+    }
+    val thrCol = epochs.foldLeft(lit(thr(defaultEpochs))) {
+      case (acc, (s, e)) => when(col(stratumCol) === lit(s), lit(thr(e))).otherwise(acc)
+    }
+    val extra = (hashSlice32(concat(col(keyCol).cast("string"), lit("#ep")))
+      < thrCol).cast("long")
+    df.withColumn("_copies", fullCol + extra)
+      .filter(col("_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_copies"), lit(1L))))
+      .drop("_copies")
+  }
 }

@@ -655,6 +655,36 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("sample_epochs",
+      // fractional epoch expansion: src0 x2.5, src1 x0.5, everything else
+      // x1.25 — integer copies for all, plus a deterministic hash slice for
+      // the extra epoch; the oracle rematerializes every copy
+      (s, dir) => graft.functions.Sampling.epochExpand(
+          Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5), defaultEpochs = 1.25)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "epoch"),
+      Some {
+        def th(f: Double): Long = math.round(f * 4294967296.0)
+        s"""WITH h AS (SELECT doc_id, source,
+           |    list_reduce(list_transform(
+           |      regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR) || '#ep'), 25, 8), '.'),
+           |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS hv
+           |  FROM documents),
+           |c AS (SELECT source,
+           |    (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END)
+           |    + (CASE WHEN hv < (CASE WHEN source = 'src0' THEN ${th(0.5)}
+           |                            WHEN source = 'src1' THEN ${th(0.5)}
+           |                            ELSE ${th(0.25)} END)
+           |       THEN 1 ELSE 0 END) AS copies
+           |  FROM h),
+           |e AS (SELECT source, unnest(generate_series(1, copies)) AS epoch
+           |      FROM c WHERE copies >= 1)
+           |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n_docs
+           |FROM e GROUP BY source, epoch ORDER BY source, epoch""".stripMargin
+      }),
+
     QueryDef("sample_reservoir",
       // exact-k bottom-k-by-hash "reservoir" per stratum: deterministic
       // membership AND rank, so the oracle verifies the full sample order
@@ -865,6 +895,30 @@ object PipelineQueries {
              |SELECT source, CAST(floor(CAST(cum AS DOUBLE) / 256) AS BIGINT) AS seq_id,
              |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
              |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin)),
+
+    QueryDef("batch_length_buckets",
+      // length-bucketed batching (bucket width 32 tokens, batch size 8,
+      // 4 hash slices): one row per batch with its padding bill — the
+      // pad-efficiency layout for padded (SFT/eval) batching; the oracle
+      // renumbers every batch with the same (bucket, slice, id-order)
+      // row_number
+      (s, dir) => Packing.lengthBucketBatches(
+          Tables.documents(s, dir), "doc_id", "text",
+          bucketWidth = 32, batchSize = 8, nSlices = 4)
+        .orderBy("bucket", "slice", "batch_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+              |    ($DocHashSql) % 4 AS slice
+              |  FROM documents),
+              |b AS (SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+              |        CAST(slice AS INT) AS slice FROM t),
+              |r AS (SELECT *, (row_number() OVER (PARTITION BY bucket, slice
+              |        ORDER BY doc_id) - 1) // 8 AS batch_id FROM b)
+              |SELECT bucket, slice, batch_id, count(*) AS n_docs,
+              |  max(n_tokens) AS max_tok, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              |  count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT) AS pad_tokens
+              |FROM r GROUP BY bucket, slice, batch_id
+              |ORDER BY bucket, slice, batch_id""".stripMargin)),
 
     QueryDef("source_json_roundtrip",
       // the READ side of the reference's JSON-file sink format: land the

@@ -224,6 +224,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(oneSided == Map("x" -> want))
   }
 
+  test("epochExpand: integer factors replicate exactly; fractional part is a stable hash slice") {
+    import graft.functions.Sampling
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val n = docs.count()
+    // x2.0 exactly: every row twice, epochs 1 and 2
+    val twice = Sampling.epochExpand(docs, "doc_id", "source",
+      Map.empty, defaultEpochs = 2.0)
+    assert(twice.count() == 2 * n)
+    assert(twice.groupBy("doc_id").count().filter($"count" =!= 2).count() == 0)
+    // x0.5: a proper subset, all epoch 1, deterministic across runs
+    val half1 = Sampling.epochExpand(docs, "doc_id", "source",
+      Map.empty, defaultEpochs = 0.5).select("doc_id").as[Long].collect().toSet
+    val half2 = Sampling.epochExpand(docs, "doc_id", "source",
+      Map.empty, defaultEpochs = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(half1 == half2 && half1.nonEmpty && half1.size < n)
+    // x1.5 contains every row once plus exactly the x0.5 slice again
+    val sesq = Sampling.epochExpand(docs, "doc_id", "source",
+      Map.empty, defaultEpochs = 1.5)
+    assert(sesq.filter($"epoch" === 1).count() == n)
+    assert(sesq.filter($"epoch" === 2)
+      .select("doc_id").as[Long].collect().toSet == half1)
+  }
+
+  test("lengthBucketBatches: full batches, non-negative bounded padding, nothing lost") {
+    import graft.functions.Packing
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val b = Packing.lengthBucketBatches(docs, "doc_id", "text",
+      bucketWidth = 32, batchSize = 8, nSlices = 4)
+    val rows = b.select("bucket", "slice", "batch_id", "n_docs", "max_tok",
+      "n_tokens", "pad_tokens").as[(Long, Int, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(rows.map(_._4).sum == docs.count()) // every doc batched once
+    assert(rows.forall(r => r._4 <= 8 && r._7 >= 0))
+    // within a bucket all lengths agree to one bucket width, so a FULL
+    // batch's padding is bounded by batchSize * bucketWidth
+    assert(rows.filter(_._4 == 8).forall(_._7 < 8L * 32))
+  }
+
   test("noveltyScores: shared-gram docs score 0, unique docs score 1") {
     import graft.functions.TextAnalysis
     val docs = Seq(
