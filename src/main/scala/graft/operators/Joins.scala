@@ -36,6 +36,28 @@ object Joins {
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
+  /** Bloom semi-join reduction: prefilter `big` down to rows whose key
+    * PROBABLY appears in `small` before the real join runs. This is the
+    * scale path where classic semi-reduction stops working: a broadcast
+    * semi-join needs the key SET to fit in memory, but a Bloom sketch of
+    * 10^9 keys at 1% fpp is ~1.2 GB where the key set is tens of GB — the
+    * sketch broadcasts when the keys can't. False positives only cost the
+    * join a lookup (the equi-join still verifies exactly); false negatives
+    * don't exist, so the result is row-identical to the unreduced join.
+    * The sketch builds distributed (`stat.bloomFilter` merges per-task
+    * sketches) and the probe is a deserialize-once-per-executor UDF on the
+    * scan side — everything upstream whole-stage-codegens. Same discipline
+    * as [[graft.functions.Decontam.overlapsBloom]], lifted to joins. */
+  def bloomReducedJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(col(key)).distinct()
+    val bloom = keys.stat.bloomFilter(key, expectedKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    big.filter(mightContain(col(key)))
+      .join(small.hint("shuffle_hash"), Seq(key))
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` within the same key — the time-series join Spark
     * has no operator for.

@@ -989,6 +989,25 @@ object PipelineQueries {
               |  CAST(${graft.sources.Layout.zValueSql("n_chars", "doc_id")} AS BIGINT) AS zval
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("agg_incremental_rollup",
+      // incremental view maintenance: land per-(day, type) PARTIAL
+      // aggregate states (associative longs) day-partitioned, then answer
+      // a two-week range query by merging partials — pruned to the touched
+      // day directories, identical to aggregating the raw range
+      (s, dir) => {
+        val out = scratchPath("rollup", dir)
+        graft.sources.Layout.writeDailyRollup(Tables.events(s, dir), out)
+        graft.sources.Layout.readRollupRange(s, out,
+            "2024-01-08", "2024-01-21")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+             |FROM events
+             |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+             |      BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- dedup ----
     QueryDef("dedup_exact",
       (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")

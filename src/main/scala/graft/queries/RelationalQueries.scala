@@ -1170,6 +1170,28 @@ object RelationalQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Bloom semi-join reduction: the fact side is prefiltered by a sketch
+    // of the reduced dim keys before the join — row-identical to the plain
+    // join (the equi-join verifies every probabilistic hit exactly).
+    QueryDef("join_bloom_reduce",
+      (s, dir) => graft.operators.Joins.bloomReducedJoin(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice",
+            "l_discount"),
+          Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+          key = "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          Money.sumDollars4(Money.cents(col("l_extendedprice")) *
+            (lit(100L) - Money.pct(col("l_discount")))).as("revenue"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Grouped min/max/avg with exact arithmetic.
     QueryDef("agg_stats",
       (s, dir) => Tables.lineitem(s, dir)

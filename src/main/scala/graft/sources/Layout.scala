@@ -92,6 +92,41 @@ object Layout {
     * partition values. Readers racing an expiry see standard
     * eventual-list-consistency (same as any compaction); at 100 TB this
     * runs in the maintenance window like [[compact]]. */
+  /** Land a day-partitioned PARTIAL-aggregate rollup of an events-shaped
+    * frame: per (day, group) one row of associative state — counts and
+    * exact cent sums. This is incremental view maintenance for the
+    * append-only 100 TB log: each new day's raw data aggregates once into
+    * its own partition (re-running a day overwrites just that directory),
+    * and any date-range query then reads a few KB of partials instead of
+    * re-scanning raw events. Works because the states are ASSOCIATIVE
+    * (longs add), the same property that makes them partial-agg safe
+    * inside Spark. */
+  def writeDailyRollup(events: DataFrame, path: String,
+      tsCol: String = "ts", groupCol: String = "event_type",
+      valueCol: String = "value"): Unit =
+    events
+      .withColumn("event_date", to_date(col(tsCol)))
+      .groupBy("event_date", groupCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Answer a date-range aggregate FROM the rollup: partition pruning
+    * keeps IO to the touched days; the merge is a sum of partial states —
+    * exactly what a final-mode aggregate does, so the result is identical
+    * to aggregating the raw range. */
+  def readRollupRange(spark: SparkSession, path: String,
+      fromDay: String, toDay: String,
+      groupCol: String = "event_type"): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("event_date") >= lit(fromDay) &&
+        col("event_date") <= lit(toDay))
+      .groupBy(groupCol)
+      .agg(sum(col("n_events")).as("n_events"),
+        (sum(col("value_cents")).cast("double") / 100.0).as("value_sum"))
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * `bits` bits of each interleave (a's bit i lands at 2i+1, b's at 2i),
     * so range-clustering on the z-value keeps BOTH dimensions locally

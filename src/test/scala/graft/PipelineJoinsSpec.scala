@@ -64,6 +64,47 @@ class PipelineJoinsSpec extends AnyFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("bloomReducedJoin equals plain join; the sketch probe drops most non-matching rows") {
+    val li = Tables.lineitem(spark, GraftTestSpark.Sf0001)
+      .select("l_orderkey", "l_extendedprice")
+    val urgent = Tables.orders(spark, GraftTestSpark.Sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val reduced = Joins.bloomReducedJoin(li, urgent, "l_orderkey")
+    val plain = li.join(urgent, Seq("l_orderkey"))
+    assert(reduced.count() == plain.count() && plain.count() > 0)
+    // the prefilter is a real stream reducer: at 1% fpp the kept fraction
+    // is ~(match rate + fpp), far below 1
+    val mightContain = {
+      val bloom = urgent.select("l_orderkey").distinct()
+        .stat.bloomFilter("l_orderkey", 1000000L, 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      udf((k: Long) => bc.value.mightContainLong(k))
+    }
+    val kept = li.filter(mightContain(col("l_orderkey"))).count().toDouble
+    val matchRate = plain.select("l_orderkey").distinct().count().toDouble /
+      li.select("l_orderkey").distinct().count()
+    assert(kept / li.count() < matchRate + 0.05)
+  }
+
+  test("readRollupRange: the range query is partition pruning over the partials") {
+    import graft.sources.{Layout, Tables}
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    Layout.writeDailyRollup(Tables.events(spark, GraftTestSpark.Sf0001), dir)
+    val q = Layout.readRollupRange(spark, dir, "2024-01-08", "2024-01-14")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"), plan)
+    // partials merge to exactly the raw-range aggregate
+    val raw = Tables.events(spark, GraftTestSpark.Sf0001)
+      .filter(to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    val merged = q.select("event_type", "n_events")
+      .as[(String, Long)].collect().toMap
+    raw.as[(String, Long)].collect().foreach { case (t, n) =>
+      assert(merged(t) == n, s"type $t")
+    }
+  }
+
   test("co-located bucketed join plans without a shuffle Exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     try {
