@@ -38,7 +38,14 @@ object Bench {
     "tokenize_ids", "seq_concat_blocks", "source_overlap",
     "semantic_dedup_central", "event_retention", "source_similarity_sketch",
     "text_quality_gopher", "quality_by_source", "text_langid_confusion",
-    "dedup_minhash_sigs", "q4_order_priority")
+    "dedup_minhash_sigs", "q4_order_priority",
+    // round-6 additions: the TPC-H completion's heaviest shapes, iterative
+    // graph rank, Bloom-reduced join, z-order rewrite, rollup maintenance,
+    // and the batching/epoch samplers
+    "q7_nation_flows", "q9_product_profit", "q13_custdist",
+    "q16_supplier_census", "q19_disjunctive", "graph_pagerank",
+    "join_bloom_reduce", "layout_zorder", "agg_incremental_rollup",
+    "batch_length_buckets", "sample_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
