@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-health statistics: the monitoring queries an always-on 100 TB
+  * extraction runs against itself — volume-anomaly detection over the
+  * ingest log and ANALYZE-style column profiles of landed tables.
+  *
+  * Exactness discipline: the anomaly test is the z-score test rearranged
+  * into INTEGER cross-multiplied form — `(x·n − S)² > k²·(n·Q − S²)` with
+  * S = Σx, Q = Σx² over a group's days — so no mean, variance, sqrt, or
+  * float division ever happens and both engines flag identical days. The
+  * comparison runs in DECIMAL(38,0) (exact at any realistic volume; DuckDB
+  * sums to HUGEINT natively).
+  */
+object Stats {
+
+  /** Flag (day, group) volume anomalies: days whose event count deviates
+    * from the group's mean by more than `k` population standard deviations,
+    * decided entirely in integer arithmetic. Two metadata-sized shuffles
+    * (daily counts, then per-group moments); the raw events never move
+    * twice. Days with zero events for a group do not appear (they are
+    * missing partitions, not zero measurements — dropout detection is the
+    * retention query's job). */
+  def anomalousDays(events: DataFrame, tsCol: String, groupCol: String,
+      k: Int = 2): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).cast("string").as("day"), col(groupCol))
+      .agg(count(lit(1)).as("n_events"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = daily.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+    daily.join(broadcast(moments), Seq(groupCol))
+      .withColumn("_lhs",
+        (dec(col("n_events")) * dec(col("n_days")) - dec(col("s"))) *
+          (dec(col("n_events")) * dec(col("n_days")) - dec(col("s"))))
+      .withColumn("_rhs",
+        lit(k.toLong * k) * (dec(col("n_days")) * dec(col("q")) -
+          dec(col("s")) * dec(col("s"))))
+      .select(col("day"), col(groupCol), col("n_events"),
+        (col("_lhs") > col("_rhs")).cast("int").as("is_anomaly"))
+  }
+
+  /** ANALYZE-style column profile: one row per column with row/null/
+    * distinct counts and min/max (as strings, schema-stable across column
+    * types). One aggregation pass (Spark plans the multi-distinct via
+    * expand); output is columns-sized metadata. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        countDistinct(col(c)).as(s"_d_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val total = count(lit(1)).as("_total")
+    val row = df.agg(aggs.head, (aggs.tail :+ total): _*)
+    val stacked = cols.map { c =>
+      s"'$c', _total - `_n_$c`, `_d_$c`, `_min_$c`, `_max_$c`"
+    }.mkString(", ")
+    row.select(col("_total").as("n_rows"),
+        expr(s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val")
+  }
+}

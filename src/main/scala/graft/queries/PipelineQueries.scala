@@ -109,6 +109,21 @@ object PipelineQueries {
     s"target/tmp/$prefix-$safe-pid$jvmTag"
   }
 
+  /** Key-bucketed documents table for the point-lookup gate, written once
+    * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
+    * other's warehouse entries. */
+  private val lookupTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def lookupTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    lookupTables.computeIfAbsent(dir, _ => {
+      val safe = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      val name = s"graft_lookup_${safe}_pid$jvmTag"
+      graft.sources.Layout.writeKeyBucketed(
+        Tables.documents(s, dir), "doc_id", buckets = 16, name)
+      name
+    })
+
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def ivfIndexedPath(s: org.apache.spark.sql.SparkSession,
@@ -988,6 +1003,40 @@ object PipelineQueries {
       Some(s"""SELECT doc_id, n_chars,
               |  CAST(${graft.sources.Layout.zValueSql("n_chars", "doc_id")} AS BIGINT) AS zval
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("scan_point_lookup",
+      // serving-path point read: documents landed bucketed+sorted on
+      // doc_id, an IN-list lookup prunes to the matching buckets at plan
+      // time (SelectedBucketsCount — asserted in PlanSpec) and reads
+      // 1/buckets of the table no matter how big it is
+      (s, dir) => {
+        graft.sources.Layout.lookupKeys(s,
+            lookupTable(s, dir), "doc_id", Seq(7L, 42L, 123L, 444L))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+             |WHERE doc_id IN (7, 42, 123, 444) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("table_profile",
+      // ANALYZE-style column profile of the landed table: row/null/distinct
+      // counts and min/max per column in ONE aggregation pass (multi-
+      // distinct via expand) — the stats collection a catalog runs after
+      // every load
+      (s, dir) => graft.functions.Stats.profile(
+          Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name"),
+      Some {
+        val per = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_val,
+             |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin
+        }.mkString("\n UNION ALL\n")
+        s"SELECT * FROM (\n$per\n) ORDER BY column_name"
+      }),
 
     QueryDef("agg_incremental_rollup",
       // incremental view maintenance: land per-(day, type) PARTIAL

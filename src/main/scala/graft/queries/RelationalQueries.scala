@@ -217,6 +217,27 @@ object RelationalQueries {
     // Ordered 3-stage funnel (click -> view -> purchase): stage k's
     // timestamp is the earliest matching event strictly after stage k-1 —
     // three per-user aggregations, each one shuffle keyed by user.
+    QueryDef("events_anomalous_days",
+      // ingest-volume anomaly flags: days > 2 population-sigma from their
+      // event type's mean daily count — the z-score test rearranged into
+      // integer cross-multiplied form ((x*n - S)^2 > k^2*(n*Q - S^2)), so
+      // no float mean/variance/sqrt exists and both engines flag the same
+      // days exactly
+      (s, dir) => graft.functions.Stats.anomalousDays(
+          Tables.events(s, dir), "ts", "event_type", k = 2)
+        .orderBy("day", "event_type"),
+      Some("""WITH d AS (
+             |  SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+             |         event_type, count(*) AS x
+             |  FROM events GROUP BY day, event_type),
+             |t AS (SELECT event_type, count(*) AS n, sum(x) AS s,
+             |        sum(x * x) AS q
+             |      FROM d GROUP BY event_type)
+             |SELECT day, d.event_type, CAST(x AS BIGINT) AS n_events,
+             |  CAST((x * n - s) * (x * n - s) > 4 * (n * q - s * s) AS INT) AS is_anomaly
+             |FROM d JOIN t ON d.event_type = t.event_type
+             |ORDER BY day, d.event_type""".stripMargin)),
+
     QueryDef("event_retention",
       // weekly retention triangle: cohort = a user's first active epoch
       // week, one row per (cohort, week offset) with distinct active

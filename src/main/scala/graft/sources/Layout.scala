@@ -127,6 +127,39 @@ object Layout {
       .agg(sum(col("n_events")).as("n_events"),
         (sum(col("value_cents")).cast("double") / 100.0).as("value_sum"))
 
+  /** Land a table bucketed + sorted on its lookup key — the SERVING layout
+    * for point reads over extracted data: a key-equality (or IN-list)
+    * filter prunes to the matching buckets at plan time
+    * (`SelectedBucketsCount` in the scan), so a lookup reads 1/buckets of
+    * the table regardless of size, and the per-file sort keeps row-group
+    * stats tight inside each bucket. Same warehouse mechanics as
+    * [[graft.operators.Joins.coLocatedJoin]]. */
+  def writeKeyBucketed(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
+  /** Point lookup over a [[writeKeyBucketed]] table: bucket pruning keeps
+    * the scan to the buckets the keys hash into. The auto-bucketed-scan
+    * planner rule only keeps bucketed scans for distribution requirements
+    * (joins/aggs) — it would discard the PRUNING benefit here and scan
+    * every bucket — so it's pinned off (bucketed tables in this engine
+    * exist precisely to be scanned bucketed). */
+  def lookupKeys(spark: SparkSession, table: String, key: String,
+      keys: Seq[Long]): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.table(table).filter(col(key).isin(keys: _*))
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the low
     * `bits` bits of each interleave (a's bit i lands at 2i+1, b's at 2i),
     * so range-clustering on the z-value keeps BOTH dimensions locally

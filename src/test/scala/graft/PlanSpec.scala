@@ -102,6 +102,20 @@ class PlanSpec extends AnyFunSuite {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, p)
   }
 
+  test("scan_point_lookup: the IN-list prunes buckets at plan time") {
+    val p = planOf("scan_point_lookup")
+    // 4 keys over 16 buckets: at most 4 buckets selected, never all 16
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, p)
+    assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 16, p)
+  }
+
+  test("graph_pagerank: no cartesian/nested-loop joins in the iteration") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("text_perplexity / _bigram: the vocabulary-sized count sides are never broadcast") {
     // same discipline as salient_terms: the n-gram-count sides ARE the
     // corpus vocabulary — unbounded on a web corpus — so the token x count

@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("anomalousDays: a planted spike flags, steady days don't") {
+    // 9 steady days of 10 events + one day of 100: z ~ 2.8 sigma
+    val rows = (0 until 9).flatMap(d =>
+      (0 until 10).map(i => (f"2024-02-${d + 1}%02d 12:00:00", "click"))) ++
+      (0 until 100).map(i => ("2024-02-10 12:00:00", "click"))
+    val ev = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Stats.anomalousDays(ev, "ts", "event_type", k = 2)
+      .select("day", "is_anomaly").as[(String, Int)].collect().toMap
+    assert(out("2024-02-10") == 1)
+    assert((1 to 9).forall(d => out(f"2024-02-$d%02d") == 0))
+  }
+
+  test("anomalousDays: uniform volume flags nothing") {
+    val rows = (0 until 10).flatMap(d =>
+      (0 until 10).map(_ => (f"2024-02-${d + 1}%02d 12:00:00", "view")))
+    val ev = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val flags = Stats.anomalousDays(ev, "ts", "event_type", k = 2)
+      .select("is_anomaly").as[Int].collect()
+    assert(flags.length == 10 && flags.forall(_ == 0))
+  }
+
+  test("profile: counts nulls and distincts per column, min/max as strings") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "v")
+    val p = Stats.profile(df, Seq("id", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == (("id", 4L, 0L, 4L, "1", "4")))
+    assert(p("v") == (("v", 4L, 1L, 2L, "a", "b")))
+  }
+}
