@@ -127,6 +127,19 @@ object Layout {
       .agg(sum(col("n_events")).as("n_events"),
         (sum(col("value_cents")).cast("double") / 100.0).as("value_sum"))
 
+  /** Coarser-granularity view FROM the daily partials — the cascade that
+    * makes rollup maintenance compose: weekly (epoch-week) totals are a
+    * re-aggregation of the day states, never of raw events, because the
+    * states are associative. Epoch-day integer arithmetic keeps the week
+    * assignment engine-exact. */
+  def readRollupWeekly(spark: SparkSession, path: String,
+      groupCol: String = "event_type"): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("wk", expr("unix_date(event_date) div 7"))
+      .groupBy("wk", groupCol)
+      .agg(sum(col("n_events")).as("n_events"),
+        (sum(col("value_cents")).cast("double") / 100.0).as("value_sum"))
+
   /** Land a table bucketed + sorted on its lookup key — the SERVING layout
     * for point reads over extracted data: a key-equality (or IN-list)
     * filter prunes to the matching buckets at plan time

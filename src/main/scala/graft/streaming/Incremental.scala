@@ -189,6 +189,50 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming rollup maintenance — the continuous form of
+    * [[graft.sources.Layout.writeDailyRollup]]: each micro-batch lands its
+    * OWN partial-aggregate states under `(event_date, batch_id)`
+    * partitions. Idempotency is structural, not stateful: a replayed batch
+    * dynamically overwrites exactly its own `batch_id` partitions (the
+    * write is keyed by the same id the checkpoint replays), and range
+    * readers just merge more partials — the states are associative, so
+    * per-batch granularity changes nothing downstream. No executor-memory
+    * state, no read-modify-write of previous days. */
+  def rollupMaintenance(rollupDir: String, tsCol: String, groupCol: String,
+      valueCol: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        batch
+          .withColumn("event_date", to_date(col(tsCol)))
+          .groupBy("event_date", groupCol)
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("event_date", "batch_id")
+          .parquet(rollupDir)
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+  }
+
+  def startRollupMaintenance(df: DataFrame, rollupDir: String,
+      checkpointDir: String, tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "value"): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(rollupMaintenance(rollupDir, tsCol, groupCol, valueCol))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming SEMANTIC near-dup gate — the embedding-space sibling of
     * [[nearDupGate]]: each micro-batch of vectors is (1) near-deduped
     * within the batch (greedy keep-lowest-id over the IVF-cell-blocked

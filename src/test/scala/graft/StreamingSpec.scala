@@ -224,6 +224,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("rollup maintenance: per-batch partials merge to the batch answer; replay is idempotent") {
+    val dir = tmp("rollup-stream").toString
+    val maintain = Incremental.rollupMaintenance(dir, "ts", "event_type", "value")
+    def ev(rows: (Long, String, String, Double)*) =
+      rows.toSeq.toDF("event_id", "ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+    val b0 = ev((1L, "2024-03-01 10:00:00", "click", 1.50),
+      (2L, "2024-03-01 11:00:00", "view", 2.25),
+      (3L, "2024-03-02 10:00:00", "click", 3.00))
+    val b1 = ev((4L, "2024-03-02 12:00:00", "click", 4.75),
+      (5L, "2024-03-03 09:00:00", "view", 0.25))
+    maintain(b0, 0L); maintain(b1, 1L)
+    def range(from: String, to: String) =
+      graft.sources.Layout.readRollupRange(spark, dir, from, to)
+        .select("event_type", "n_events", "value_sum")
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val all = range("2024-03-01", "2024-03-03")
+    assert(all == Map("click" -> (("click", 3L, 9.25)),
+      "view" -> (("view", 2L, 2.5))))
+    // range read prunes to touched days
+    assert(range("2024-03-03", "2024-03-03") ==
+      Map("view" -> (("view", 1L, 0.25))))
+    // a replayed batch overwrites its OWN batch_id partitions — merging
+    // again changes nothing
+    maintain(b0, 0L)
+    assert(range("2024-03-01", "2024-03-03") == all)
+  }
+
+  test("startRollupMaintenance: file-source stream lands the same partials as the batch path") {
+    import graft.sources.Tables
+    val src = tmp("rollup-src"); val dir = tmp("rollup-out").toString
+    val ev = Tables.events(spark, GraftTestSpark.Sf0001)
+      .select("event_id", "ts", "event_type", "value")
+    ev.write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = Incremental.startRollupMaintenance(stream, dir,
+      tmp("rollup-ck").toString)
+    q.awaitTermination(60000)
+    val merged = graft.sources.Layout
+      .readRollupRange(spark, dir, "2024-01-01", "2024-01-30")
+      .select("event_type", "n_events").as[(String, Long)].collect().toMap
+    val direct = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct)
+  }
+
   test("near-dup gate: later batches drop near-matches of earlier accepted docs") {
     val dir = Files.createTempDirectory("neardup-gate").toString
     val gate = Incremental.nearDupGate(s"$dir/index", s"$dir/accepted",
