@@ -1038,6 +1038,36 @@ object PipelineQueries {
         s"SELECT * FROM (\n$per\n) ORDER BY column_name"
       }),
 
+    QueryDef("entity_match_names",
+      // cross-table entity resolution: customer names fuzzy-matched to
+      // supplier names by char-3-gram Jaccard through the PREFIX-FILTERED
+      // similarity join (hot "stop grams" never become join keys); the
+      // oracle is the COMPLETE inverted-index join — prefix filtering is
+      // an engine-side optimization with an exactness theorem, so outputs
+      // are identical
+      (s, dir) => graft.functions.Entity.similarNamePairs(
+          Tables.customer(s, dir), "c_custkey", "c_name",
+          Tables.supplier(s, dir), "s_suppkey", "s_name",
+          k = 3, threshold = 0.27)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ag AS (SELECT c_custkey AS id_a,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, len(lower(c_name)) - 2),
+             |      i -> lower(c_name)[i:i+2]))) AS g FROM customer),
+             |bg AS (SELECT s_suppkey AS id_b,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, len(lower(s_name)) - 2),
+             |      i -> lower(s_name)[i:i+2]))) AS g FROM supplier),
+             |na AS (SELECT id_a, count(*) AS n FROM ag GROUP BY id_a),
+             |nb AS (SELECT id_b, count(*) AS n FROM bg GROUP BY id_b),
+             |j AS (SELECT id_a, id_b, count(*) AS n_shared
+             |      FROM ag JOIN bg USING (g) GROUP BY id_a, id_b)
+             |SELECT id_a, id_b, n_shared,
+             |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS jaccard
+             |FROM j JOIN na USING (id_a) JOIN nb USING (id_b)
+             |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.27
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("agg_rollup_cascade",
       // granularity cascade: WEEKLY totals re-aggregated from the daily
       // partial states (associativity is the whole contract) — identical
