@@ -44,6 +44,32 @@ object Stats {
         (col("_lhs") > col("_rhs")).cast("int").as("is_anomaly"))
   }
 
+  /** Exact heavy hitters by sketch-then-verify: pass 1 builds a
+    * Count-Min sketch (merged tree-wise, sketch bytes only cross
+    * executors) and keeps the keys whose ESTIMATE reaches `minCount` —
+    * CMS never underestimates, so this candidate set is a superset of the
+    * true heavy hitters no matter the collision rate; pass 2 counts the
+    * candidates exactly (a semi-join-reduced aggregation) and filters.
+    * The point at 100 TB: the second pass aggregates only candidate keys,
+    * so a trillion-key column with a few thousand heavy hitters never
+    * shuffles its full key set — the classic sketch-driven exact top-k.
+    * Candidate keys cross the driver once (bounded by distinct keys over
+    * threshold + collisions at the chosen sketch width). */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    // key normalized to string so build and probe hash identically
+    val keyed = df.select(col(keyCol).cast("string").as("_k"))
+    val sketch = keyed.stat.countMinSketch("_k", eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val probablyHeavy = udf((k: String) =>
+      k != null && bc.value.estimateCount(k) >= minCount)
+    keyed.filter(probablyHeavy(col("_k")))
+      .groupBy(col("_k").as(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** ANALYZE-style column profile: one row per column with row/null/
     * distinct counts and min/max (as strings, schema-stable across column
     * types). One aggregation pass (Spark plans the multi-distinct via

@@ -1038,6 +1038,22 @@ object PipelineQueries {
         s"SELECT * FROM (\n$per\n) ORDER BY column_name"
       }),
 
+    QueryDef("heavy_hitters",
+      // sketch-then-verify exact heavy hitters over the token stream: a
+      // Count-Min sketch (never underestimates) keeps candidate keys, the
+      // exact pass counts only those — a trillion-key column with a few
+      // thousand heavy keys never shuffles its full key set; output is
+      // EXACT, so the oracle is a plain HAVING
+      (s, dir) => graft.functions.Stats.heavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(split(col("text"), " ")).as("word")),
+          "word", minCount = 80L)
+        .orderBy("word"),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             |          FROM documents)
+             |SELECT word, count(*) AS n FROM w
+             |GROUP BY word HAVING count(*) >= 80 ORDER BY word""".stripMargin)),
+
     QueryDef("entity_match_names",
       // cross-table entity resolution: customer names fuzzy-matched to
       // supplier names by char-3-gram Jaccard through the PREFIX-FILTERED

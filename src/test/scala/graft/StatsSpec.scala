@@ -31,6 +31,15 @@ class StatsSpec extends AnyFunSuite {
     assert(flags.length == 10 && flags.forall(_ == 0))
   }
 
+  test("heavyHitters: exact counts for heavy keys, long light tail excluded") {
+    val rows = (0 until 1000).map(i => s"rare_$i") ++
+      Seq.fill(50)("hot_a") ++ Seq.fill(23)("hot_b") ++ Seq.fill(9)("warm")
+    val df = rows.toDF("k")
+    val out = Stats.heavyHitters(df, "k", minCount = 10L)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("hot_a" -> 50L, "hot_b" -> 23L))
+  }
+
   test("profile: counts nulls and distincts per column, min/max as strings") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
