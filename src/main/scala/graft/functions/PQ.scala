@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.plans.VecDot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the embedding store: split each vector
+  * into `m` subspaces, k-means each subspace independently (`ks` codes),
+  * and store one byte-sized code per subspace instead of the float
+  * subvector — a 64-dim float32 vector compresses 32x (256 bytes -> 8
+  * codes). At 100 TB of embeddings this is the difference between a
+  * vector store that fits executor memory for rerank and one that
+  * doesn't; it composes with [[IVF]] exactly as in the FAISS IVF-PQ
+  * layout (coarse cell for pruning, PQ codes for in-cell scoring).
+  *
+  * Search is ADC (asymmetric distance computation): the query stays
+  * full-precision, a per-subspace lookup table of
+  * `dist(querySlice, codebook[s][j])` is built once (m x ks doubles —
+  * driver metadata), and each stored vector's approximate distance is m
+  * table lookups summed — a narrow codegen'd map over the codes column,
+  * no vector arithmetic per row.
+  *
+  * Exactness discipline: table terms are quantized to integer NANOUNITS
+  * (floor(term*1e9 + 0.5)) BEFORE summation — the perplexity trick — so
+  * the per-row sum is associative long addition and the correctness gate
+  * recomputes codes AND ADC scores in SQL exactly. Training reuses
+  * [[IVF.train]] per subspace (deterministic seeding, exact-average Lloyd
+  * updates); train on a sample at real scale, as all PQ deployments do.
+  */
+object PQ {
+
+  /** m codebooks of ks centroids of dim/m doubles each. */
+  final case class Model(codebooks: Seq[Seq[Seq[Double]]]) {
+    def m: Int = codebooks.size
+    def ks: Int = codebooks.head.size
+    def dsub: Int = codebooks.head.head.size
+  }
+
+  /** Train per-subspace codebooks: `m` independent [[IVF.train]] runs over
+    * the sliced column. */
+  def train(df: DataFrame, vecCol: String, idCol: String, m: Int, ks: Int,
+      iters: Int = 2): Model = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Model((0 until m).map { s =>
+      IVF.train(
+        df.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as("_sub")),
+        "_sub", idCol, k = ks, iters = iters).centroids
+    })
+  }
+
+  /** Per-subspace argmin code (squared L2, lower-code tie-break), as an
+    * array<int> of length m — the stored representation. */
+  def encode(vec: Column, model: Model): Column = {
+    val dsub = model.dsub
+    array(model.codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      val selfDot = VecDot(sub, sub)
+      array_min(array(book.zipWithIndex.map { case (c, j) =>
+        val cArr = array(c.map(lit): _*)
+        val cn2 = c.map(x => x * x).sum
+        struct(
+          (selfDot - lit(2.0) * VecDot(sub, cArr) + lit(cn2)).as("dist"),
+          lit(j).as("code"))
+      }: _*)).getField("code")
+    }: _*)
+  }
+
+  /** ADC lookup table for `query`, quantized to nano-units: table(s)(j) =
+    * floor(1e9 * Σ_d (q_sd − c_sd)² + 0.5), summed left-to-right — the
+    * same fold the SQL oracle runs. */
+  def adcTable(query: Seq[Double], model: Model): Seq[Seq[Long]] = {
+    val dsub = model.dsub
+    model.codebooks.zipWithIndex.map { case (book, s) =>
+      val q = query.slice(s * dsub, (s + 1) * dsub)
+      book.map { c =>
+        val term = q.zip(c).foldLeft(0.0) { case (acc, (qd, cd)) =>
+          acc + (qd - cd) * (qd - cd)
+        }
+        math.floor(term * 1e9 + 0.5).toLong
+      }
+    }
+  }
+
+  /** Approximate squared-L2 (in nano-units) of each encoded row to the
+    * query: m integer table lookups summed — associative, engine-exact. */
+  def adcDist(codes: Column, query: Seq[Double], model: Model): Column =
+    adcTable(query, model).zipWithIndex.map { case (row, s) =>
+      element_at(array(row.map(lit): _*), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Top-k by ADC distance over an encoded frame (idCol, codesCol). */
+  def searchADC(encoded: DataFrame, idCol: String, codesCol: String,
+      query: Seq[Double], model: Model, k: Int): DataFrame =
+    encoded
+      .withColumn("adc_dist_nano", adcDist(col(codesCol), query, model))
+      .orderBy(col("adc_dist_nano"), col(idCol))
+      .limit(k)
+      .select(idCol, "adc_dist_nano")
+}

@@ -109,6 +109,50 @@ object PipelineQueries {
     s"target/tmp/$prefix-$safe-pid$jvmTag"
   }
 
+  /** PQ codebooks (m=8 subspaces, ks=16 codes), trained once per dir —
+    * model-sized driver state, the [[ivfModel]] contract. */
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.PQ.Model]()
+  private[graft] def pqModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.functions.PQ.Model =
+    pqModels.computeIfAbsent(dir, _ =>
+      graft.functions.PQ.train(Tables.embeddings(s, dir),
+        "embedding", "vec_id", m = 8, ks = 16))
+
+  /** DuckDB CTEs recomputing every PQ code from the codebook literals:
+    * per subspace a `pqS(code, c, cn2)` VALUES relation (quoted double
+    * literals — the [[ivfAssignedCteSql]] round-trip trick), the argmin
+    * assignment `aS` with the SAME float expression the engine evaluates
+    * (dot(sub,sub) - 2*dot(sub,c) + cn2), and a `codes(vec_id, codes)`
+    * relation assembling the arrays in subspace order. */
+  private def pqCodesCteSql(model: graft.functions.PQ.Model): String = {
+    val dsub = model.dsub
+    def subSlice(s: Int) = s"e.embedding[${s * dsub + 1}:${(s + 1) * dsub}]"
+    def dotS(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, $dsub), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
+    val books = model.codebooks.zipWithIndex.map { case (book, s) =>
+      val rows = book.zipWithIndex.map { case (c, j) =>
+        val arr = c.map(x => "'" + fmtD(x) + "'").mkString("[", ", ", "]")
+        val cn2 = fmtD(c.map(x => x * x).sum)
+        s"($j, CAST($arr AS DOUBLE[]), CAST('$cn2' AS DOUBLE))"
+      }.mkString(",\n    ")
+      s"pq$s(code, c, cn2) AS (VALUES\n    $rows)"
+    }.mkString(",\n")
+    val assigns = (0 until model.m).map { s =>
+      val sub = subSlice(s)
+      s"""a$s AS (SELECT vec_id, code FROM (
+         |  SELECT e.vec_id, p.code,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ((${dotS(sub, sub)} - 2.0 * ${dotS(sub, "p.c")}) + p.cn2), p.code) AS rn
+         |  FROM embeddings e CROSS JOIN pq$s p) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val arr = (0 until model.m).map(s => s"a$s.code").mkString("[", ", ", "]")
+    val joins = (0 until model.m).map(s => s"JOIN a$s USING (vec_id)").mkString(" ")
+    s"""$books,
+       |$assigns,
+       |codes AS (SELECT vec_id, $arr AS codes FROM embeddings $joins)""".stripMargin
+  }
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -2073,6 +2117,69 @@ object PipelineQueries {
       None,
       dynOracle = Some((s, dir) => ivfOracleSql(ivfModel(s, dir),
         topK = 10, nProbe = 2))),
+
+    QueryDef("ann_pq_codes",
+      // product quantization: every vector's m=8 per-subspace argmin codes
+      // (the 32x-compressed stored representation); the oracle retrains
+      // nothing — it re-derives every code from the codebook literals with
+      // the same float expression and tie-break
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          concat_ws("-", graft.functions.PQ.encode(col("embedding"),
+            pqModel(s, dir))).as("codes"))
+        .orderBy("vec_id"),
+      None,
+      dynOracle = Some((s, dir) =>
+        s"""WITH ${pqCodesCteSql(pqModel(s, dir))}
+           |SELECT vec_id, array_to_string(codes, '-') AS codes
+           |FROM codes ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("ann_pq_topk",
+      // ADC search: query stays full-precision, stored vectors are scored
+      // by m table lookups (terms quantized to integer nano-units BEFORE
+      // summation — associative, so the oracle's re-derivation of codes,
+      // table, and every per-row sum is engine-exact)
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble).toSeq
+        val model = pqModel(s, dir)
+        val encoded = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            graft.functions.PQ.encode(col("embedding"), model).as("codes"))
+        graft.functions.PQ.searchADC(encoded, "vec_id", "codes", q, model,
+          k = 10)
+      },
+      None,
+      dynOracle = Some { (s, dir) =>
+        val model = pqModel(s, dir)
+        val dsub = model.dsub
+        def qSlice(s0: Int) = s"qv[${s0 * dsub + 1}:${(s0 + 1) * dsub}]"
+        val terms = (0 until model.m).map { s0 =>
+          val qs = qSlice(s0)
+          s"""t$s0 AS (SELECT p.code, CAST(floor(1e9 * list_reduce(
+             |    list_transform(generate_series(1, $dsub),
+             |      i -> (CAST($qs[i] AS DOUBLE) - p.c[i]) * (CAST($qs[i] AS DOUBLE) - p.c[i])),
+             |    (x,y) -> x+y) + 0.5) AS BIGINT) AS tn
+             |  FROM pq$s0 p CROSS JOIN q)""".stripMargin
+        }.mkString(",\n")
+        val ts = (0 until model.m)
+          .map(s0 => s"SELECT $s0 AS s, code, tn FROM t$s0")
+          .mkString("\n  UNION ALL ")
+        s"""WITH ${pqCodesCteSql(model)},
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |$terms,
+           |ts AS (
+           |  $ts),
+           |cx AS (SELECT vec_id, unnest(list_transform(
+           |    generate_series(1, len(codes)),
+           |    i -> {'s': i - 1, 'code': codes[i]})) AS u FROM codes),
+           |scored AS (
+           |  SELECT vec_id, sum(tn) AS adc_dist_nano
+           |  FROM cx JOIN ts ON ts.s = cx.u['s'] AND ts.code = cx.u['code']
+           |  GROUP BY vec_id)
+           |SELECT vec_id, CAST(adc_dist_nano AS BIGINT) AS adc_dist_nano
+           |FROM scored ORDER BY adc_dist_nano, vec_id LIMIT 10""".stripMargin
+      }),
 
     QueryDef("ann_recall",
       // recall@10 of hyperplane-LSH ANN vs exact brute force, as a measured

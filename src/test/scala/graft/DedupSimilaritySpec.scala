@@ -20,6 +20,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     (6L, "another unrelated document mentioning parquet columnar storage"))
     .toDF("doc_id", "text")
 
+  test("PQ: ADC top-10 recalls most of the exact L2 top-10; codes compress 8x count-wise") {
+    import graft.functions.PQ
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val model = PQ.train(e, "embedding", "vec_id", m = 8, ks = 16)
+    assert(model.m == 8 && model.ks == 16 && model.dsub == 8)
+    val q = e.filter($"vec_id" === 1).head().getSeq[Float](1).map(_.toDouble).toSeq
+    val encoded = e.select($"vec_id",
+      PQ.encode($"embedding", model).as("codes"))
+    // stored representation: 8 small ints per 64-float vector
+    assert(encoded.select(size($"codes")).head().getInt(0) == 8)
+    val approx = PQ.searchADC(encoded, "vec_id", "codes", q, model, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // exact squared-L2 top-10 (same metric ADC approximates)
+    val qArr = array(q.map(lit): _*)
+    val exact = e.withColumn("d2",
+        graft.plans.VecDot($"embedding", $"embedding")
+          - lit(2.0) * graft.plans.VecDot($"embedding", qArr)
+          + lit(q.map(x => x * x).sum))
+      .orderBy($"d2", $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // the query's own vector is its nearest neighbor even after quantization
+    assert(approx.contains(1L))
+  }
+
   test("exact dedup keeps lowest id per distinct text") {
     val kept = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
