@@ -98,4 +98,30 @@ object PQ {
       .orderBy(col("adc_dist_nano"), col(idCol))
       .limit(k)
       .select(idCol, "adc_dist_nano")
+
+  /** IVF-PQ: the FAISS two-level layout — the coarse quantizer prunes to
+    * `nProbe` cells (over a `partitionBy("ivf_cell")` layout that is
+    * partition pruning), PQ codes score the survivors by ADC. Codes here
+    * quantize the RAW vectors, not cell residuals (slightly lower recall
+    * than residual-PQ, but codes are cell-independent — one codebook, one
+    * ADC table per query — and every arithmetic step stays SQL-provable;
+    * residual encoding is the documented upgrade path). Probe selection
+    * happens driver-side on the k coarse centroids (metadata). */
+  def searchIVFPQ(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, pq: Model, query: Seq[Double],
+      topK: Int, nProbe: Int): DataFrame = {
+    val probed = coarse.centroids.zipWithIndex.map { case (c, j) =>
+      val d = query.zip(c).foldLeft(0.0) { case (acc, (qd, cd)) =>
+        acc + (qd - cd) * (qd - cd)
+      }
+      (d, j)
+    }.sorted.take(nProbe).map(_._2)
+    df.withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
+      .filter(col("ivf_cell").isin(probed: _*))
+      .select(col(idCol), encode(col(vecCol), pq).as("_codes"))
+      .withColumn("adc_dist_nano", adcDist(col("_codes"), query, pq))
+      .orderBy(col("adc_dist_nano"), col(idCol))
+      .limit(topK)
+      .select(idCol, "adc_dist_nano")
+  }
 }

@@ -2181,6 +2181,57 @@ object PipelineQueries {
            |FROM scored ORDER BY adc_dist_nano, vec_id LIMIT 10""".stripMargin
       }),
 
+    QueryDef("ann_ivfpq_topk",
+      // the full two-level FAISS layout: coarse cells prune (partition
+      // pruning over the indexed layout), PQ codes score survivors by ADC;
+      // the oracle re-derives cell assignment, probe selection, codes, the
+      // ADC table, and every nano-quantized sum
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble).toSeq
+        graft.functions.PQ.searchIVFPQ(Tables.embeddings(s, dir),
+          "embedding", "vec_id", ivfModel(s, dir), pqModel(s, dir), q,
+          topK = 10, nProbe = 2)
+      },
+      None,
+      dynOracle = Some { (s, dir) =>
+        val model = pqModel(s, dir)
+        val dsub = model.dsub
+        def qSlice(s0: Int) = s"qv[${s0 * dsub + 1}:${(s0 + 1) * dsub}]"
+        val terms = (0 until model.m).map { s0 =>
+          val qs = qSlice(s0)
+          s"""t$s0 AS (SELECT p.code, CAST(floor(1e9 * list_reduce(
+             |    list_transform(generate_series(1, $dsub),
+             |      i -> (CAST($qs[i] AS DOUBLE) - p.c[i]) * (CAST($qs[i] AS DOUBLE) - p.c[i])),
+             |    (x,y) -> x+y) + 0.5) AS BIGINT) AS tn
+             |  FROM pq$s0 p CROSS JOIN q)""".stripMargin
+        }.mkString(",\n")
+        val ts = (0 until model.m)
+          .map(s0 => s"SELECT $s0 AS s, code, tn FROM t$s0")
+          .mkString("\n  UNION ALL ")
+        val qcDist = "list_reduce(list_transform(generate_series(1, len(qv)), " +
+          "i -> (CAST(qv[i] AS DOUBLE) - c.c[i]) * (CAST(qv[i] AS DOUBLE) - c.c[i])), (x,y) -> x + y)"
+        s"""WITH ${ivfAssignedCteSql(ivfModel(s, dir))},
+           |${pqCodesCteSql(model)},
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |qp AS (SELECT c.cell FROM cents c CROSS JOIN q
+           |       ORDER BY $qcDist, c.cell LIMIT 2),
+           |$terms,
+           |ts AS (
+           |  $ts),
+           |cx AS (SELECT vec_id, unnest(list_transform(
+           |    generate_series(1, len(codes)),
+           |    i -> {'s': i - 1, 'code': codes[i]})) AS u FROM codes),
+           |scored AS (
+           |  SELECT vec_id, sum(tn) AS adc_dist_nano
+           |  FROM cx JOIN ts ON ts.s = cx.u['s'] AND ts.code = cx.u['code']
+           |  GROUP BY vec_id)
+           |SELECT sc.vec_id, CAST(adc_dist_nano AS BIGINT) AS adc_dist_nano
+           |FROM scored sc JOIN assigned a ON a.vec_id = sc.vec_id
+           |WHERE a.cell IN (SELECT cell FROM qp)
+           |ORDER BY adc_dist_nano, sc.vec_id LIMIT 10""".stripMargin
+      }),
+
     QueryDef("ann_recall",
       // recall@10 of hyperplane-LSH ANN vs exact brute force, as a measured
       // catalog metric — both sides recomputed independently by the oracle
