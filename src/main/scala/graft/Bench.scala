@@ -45,7 +45,14 @@ object Bench {
     "q7_nation_flows", "q9_product_profit", "q13_custdist",
     "q16_supplier_census", "q19_disjunctive", "graph_pagerank",
     "join_bloom_reduce", "layout_zorder", "agg_incremental_rollup",
-    "batch_length_buckets", "sample_epochs")
+    "batch_length_buckets", "sample_epochs",
+    // round-6 third batch: PQ/IVF-PQ search (codebooks from warmup —
+    // training is offline), CDC merge, entity resolution, sketch-verify
+    // heavy hitters, anomaly flags, point lookup (bucketed layout from
+    // warmup — staged data), profiling, rollup cascade
+    "ann_pq_topk", "ann_ivfpq_topk", "snapshot_merge", "entity_match_names",
+    "heavy_hitters", "events_anomalous_days", "scan_point_lookup",
+    "table_profile", "agg_rollup_cascade")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +93,10 @@ object Bench {
       // measure the codec passes over stored bytes
       graft.queries.PipelineQueries.pngFixturePath(spark, sfDir)
       graft.queries.PipelineQueries.wavFixturePath(spark, sfDir)
+      // PQ codebooks: trained once offline, like the IVF quantizer
+      graft.queries.PipelineQueries.pqModel(spark, sfDir)
+      // point-lookup bucketed table: staged layout, not operator work
+      graft.queries.PipelineQueries.lookupTable(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
