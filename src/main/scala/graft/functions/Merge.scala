@@ -38,4 +38,26 @@ object Merge {
         when(col("_w").isNotNull, col("_w").getField(c))
           .otherwise(col(c)).as(c)): _*)
   }
+
+  /** Merge-on-read: resolve the current table state from an immutable base
+    * snapshot plus an append-only change LOG directory (as landed by
+    * [[graft.streaming.Incremental.startCdcLog]]) — the Hudi/Iceberg MOR
+    * trade: writes stay append-only (no read-modify-write, replay-safe),
+    * readers pay one [[applyChanges]] join. Identical output to eagerly
+    * applying every change; compact by materializing this view as the new
+    * base and truncating the log. */
+  def readMergeOnRead(snapshot: DataFrame, changesDir: String, key: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val spark = snapshot.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(changesDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(changesDir))) snapshot
+    else {
+      val wanted = (key +: opCol +: seqCol +:
+        snapshot.columns.filter(_ != key).toSeq).distinct
+      applyChanges(snapshot,
+        spark.read.parquet(changesDir).select(wanted.map(col): _*),
+        key, opCol, seqCol)
+    }
+  }
 }

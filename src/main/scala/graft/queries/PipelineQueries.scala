@@ -1203,6 +1203,62 @@ object PipelineQueries {
              |WHERE l.op IS NULL OR l.op <> 'd'
              |ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("snapshot_merge_mor",
+      // merge-on-read: the SAME change set as snapshot_merge, landed as an
+      // append-only two-batch change log and resolved at READ time — same
+      // oracle, proving MOR == eager apply (the Hudi/Iceberg trade: append-
+      // only writes, one join at read)
+      (s, dir) => {
+        val out = scratchPath("cdclog", dir)
+        val snap = Tables.documents(s, dir)
+          .select("doc_id", "lang", "source", "n_chars")
+        val d = Tables.documents(s, dir)
+        // batch 0: deletes + updates; batch 1: inserts + shadowed delete
+        val b0 = d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit("d").as("op"), lit(1L).as("seq"),
+            col("lang"), col("source"), col("n_chars"))
+          .unionAll(d.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), lit("u").as("op"), lit(1L).as("seq"),
+              lit("xx").as("lang"), col("source"),
+              (col("n_chars") + 1000).as("n_chars")))
+        val b1 = d.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("u").as("op"),
+            lit(1L).as("seq"), col("lang"), lit("ins").as("source"),
+            col("n_chars"))
+          .unionAll(d.filter(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), lit("d").as("op"), lit(1L).as("seq"),
+              col("lang"), col("source"), col("n_chars")))
+          .unionAll(d.filter(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), lit("u").as("op"), lit(2L).as("seq"),
+              col("lang"), col("source"), (col("n_chars") + 5).as("n_chars")))
+        val log = graft.streaming.Incremental.cdcLog(out)
+        log(b0, 0L); log(b1, 1L)
+        graft.functions.Merge.readMergeOnRead(snap, out, "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH snap AS (SELECT doc_id, lang, source, n_chars FROM documents),
+             |ch AS (
+             |  SELECT doc_id, 'd' AS op, 1 AS seq, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL SELECT doc_id, 'u', 1, 'xx', source, n_chars + 1000
+             |  FROM documents WHERE doc_id % 10 = 1
+             |  UNION ALL SELECT doc_id + 1000000, 'u', 1, lang, 'ins', n_chars
+             |  FROM documents WHERE doc_id % 10 = 2
+             |  UNION ALL SELECT doc_id, 'd', 1, lang, source, n_chars
+             |  FROM documents WHERE doc_id % 10 = 3
+             |  UNION ALL SELECT doc_id, 'u', 2, lang, source, n_chars + 5
+             |  FROM documents WHERE doc_id % 10 = 3),
+             |latest AS (SELECT * FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+             |  FROM ch) WHERE rn = 1)
+             |SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             |  CASE WHEN l.op IS NOT NULL THEN l.lang ELSE s.lang END AS lang,
+             |  CASE WHEN l.op IS NOT NULL THEN l.source ELSE s.source END AS source,
+             |  CASE WHEN l.op IS NOT NULL THEN l.n_chars ELSE s.n_chars END AS n_chars
+             |FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
+             |WHERE l.op IS NULL OR l.op <> 'd'
+             |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("agg_incremental_rollup",
       // incremental view maintenance: land per-(day, type) PARTIAL
       // aggregate states (associative longs) day-partitioned, then answer

@@ -1074,6 +1074,28 @@ object RelationalQueries {
              |FROM events
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Hopping (sliding) windows: 2-hour windows every hour — each event
+    // lands in exactly two windows; the oracle materializes both window
+    // starts per event with integer epoch arithmetic.
+    QueryDef("window_hopping",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("window_start_ms"),
+          col("event_type"), col("n"))
+        .orderBy("window_start_ms", "event_type"),
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ms
+             |  FROM events),
+             |w AS (SELECT event_type,
+             |    unnest([(ms // 3600000) * 3600000,
+             |            (ms // 3600000) * 3600000 - 3600000]) AS window_start_ms
+             |  FROM e)
+             |SELECT window_start_ms, event_type, count(*) AS n
+             |FROM w GROUP BY window_start_ms, event_type
+             |ORDER BY window_start_ms, event_type""".stripMargin)),
+
     // Session windows (30-minute inactivity gap) per user — the stateful
     // streaming primitive, verifiable in batch via gaps-and-islands.
     QueryDef("window_session",

@@ -233,6 +233,36 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CDC log — the write side of
+    * [[graft.functions.Merge.readMergeOnRead]]: each micro-batch of change
+    * rows (op/seq/payload) appends under its own `batch_id` partition, so
+    * a checkpoint replay overwrites exactly its own partition (the same
+    * structural idempotency as [[rollupMaintenance]]) and the base
+    * snapshot is never read-modify-written on the hot path. */
+  def cdcLog(changesDir: String): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(changesDir)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+  }
+
+  def startCdcLog(df: DataFrame, changesDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(cdcLog(changesDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming SEMANTIC near-dup gate — the embedding-space sibling of
     * [[nearDupGate]]: each micro-batch of vectors is (1) near-deduped
     * within the batch (greedy keep-lowest-id over the IVF-cell-blocked

@@ -272,6 +272,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("CDC log + merge-on-read: streamed changes resolve like eager apply; replay no-op") {
+    import graft.functions.Merge
+    val dir = tmp("cdc-log").toString
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n")
+    val log = Incremental.cdcLog(dir)
+    val b0 = Seq((2L, "u", 1L, "B", 21L), (3L, "d", 1L, "c", 30L))
+      .toDF("id", "op", "seq", "v", "n")
+    val b1 = Seq((4L, "u", 1L, "d", 40L), (3L, "u", 2L, "C", 31L))
+      .toDF("id", "op", "seq", "v", "n")
+    log(b0, 0L); log(b1, 1L)
+    def state() = Merge.readMergeOnRead(base, dir, "id")
+      .as[(Long, String, Long)].collect().toSet
+    val want = Set((1L, "a", 10L), (2L, "B", 21L), (3L, "C", 31L), (4L, "d", 40L))
+    assert(state() == want)
+    // eager apply of the union equals the MOR view
+    val eager = Merge.applyChanges(base, b0.unionAll(b1), "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(eager == want)
+    // replaying a committed batch overwrites its own partition — no change
+    log(b0, 0L)
+    assert(state() == want)
+  }
+
   test("near-dup gate: later batches drop near-matches of earlier accepted docs") {
     val dir = Files.createTempDirectory("neardup-gate").toString
     val gate = Incremental.nearDupGate(s"$dir/index", s"$dir/accepted",
