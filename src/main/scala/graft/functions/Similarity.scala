@@ -214,4 +214,20 @@ object Similarity {
       .select(col("id").as(idCol), col("cluster_id"),
         (col("id") === col("cluster_id")).as("keep"))
   }
+
+  /** Per-group centroids with INTEGER component sums: each float component
+    * quantizes to micro-units (floor(x*1e6 + 0.5) on the exact double
+    * widening of the stored float32) BEFORE the per-dimension sum, so the
+    * aggregation is associative long addition — engine-exact at any
+    * parallelism where a raw float avg is merge-order-dependent. Output:
+    * one row per (group, dim) with the summed micro-units and the count;
+    * the consumer divides (centroid = sum/n) exactly once. The shuffle
+    * carries (group, dim)-keyed longs — dims x groups rows, metadata. */
+  def groupCentroidSums(df: DataFrame, vecCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("x_micro",
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(groupCol, "dim")
+      .agg(count(lit(1)).as("n"), sum(col("x_micro")).as("sum_micro"))
 }

@@ -452,4 +452,28 @@ object TextAnalysis {
         array_join(slice(col("_toks"), col("chunk_idx") * lit(stride) + lit(1),
           lit(width)), " ").as("chunk_text"))
   }
+
+  /** Feature-hashing (hashing-trick) vectorizer: each token hashes to a
+    * dimension index and a ±1 sign; a document's vector is the signed
+    * token-count per dimension — the stateless, vocabulary-free
+    * featurization (sklearn HashingVectorizer / Weinberger et al. 2009)
+    * that turns raw text into a fixed-dim integer vector with NO trained
+    * vocabulary to ship or drift. Output is the SPARSE form, one
+    * (id, dim, weight) row per touched dimension — the shape downstream
+    * joins (cosine via dim-keyed join) want, and integer weights make
+    * every gate exact. The md5-slice hash is the engine-wide standard
+    * ([[Sampling.hashSlice32]]), so the oracle recomputes every index,
+    * sign, and sum. Sign bit and index use DISJOINT hash bits. */
+  def hashEmbedSparse(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0)
+    val h = Sampling.hashSlice32(col("_tok"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("_tok"))
+      .withColumn("_h", h)
+      .withColumn("dim", (expr("_h div 2") % dim).cast("int"))
+      .withColumn("_sign", when(col("_h") % 2 === 1, 1L).otherwise(-1L))
+      .groupBy(idCol, "dim")
+      .agg(sum(col("_sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
 }

@@ -2295,6 +2295,42 @@ object PipelineQueries {
            |ORDER BY adc_dist_nano, sc.vec_id LIMIT 10""".stripMargin
       }),
 
+    QueryDef("embedding_label_centroids",
+      // per-class centroid state: per (label, dim) the count and the
+      // micro-quantized component sum — associative long addition where a
+      // raw float avg is merge-order-dependent; consumer divides once
+      (s, dir) => graft.functions.Similarity.groupCentroidSums(
+          Tables.embeddings(s, dir), "embedding", "label")
+        .orderBy("label", "dim"),
+      Some("""WITH ex AS (SELECT label, unnest(embedding) AS x,
+             |    unnest(generate_series(1, len(embedding))) AS i
+             |  FROM embeddings)
+             |SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+             |  sum(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS sum_micro
+             |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
+
+    QueryDef("text_hash_embed",
+      // hashing-trick featurization: vocabulary-free text -> fixed-dim
+      // signed integer vector (sparse form); every index, sign, and sum
+      // recomputed by the oracle from the shared md5-slice hash
+      (s, dir) => graft.functions.TextAnalysis.hashEmbedSparse(
+          Tables.documents(s, dir), "doc_id", "text", dim = 16)
+        .orderBy("doc_id", "dim"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    list_reduce(list_transform(
+             |      regexp_extract_all(substr(md5(tok), 25, 8), '.'),
+             |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             |      (a,b) -> a*16 + b) AS hv
+             |  FROM t),
+             |w AS (SELECT doc_id, CAST((hv // 2) % 16 AS INT) AS dim,
+             |    CASE WHEN hv % 2 = 1 THEN 1 ELSE -1 END AS s
+             |  FROM h)
+             |SELECT doc_id, dim, sum(s) AS weight FROM w
+             |GROUP BY doc_id, dim HAVING sum(s) <> 0
+             |ORDER BY doc_id, dim""".stripMargin)),
+
     QueryDef("ann_recall",
       // recall@10 of hyperplane-LSH ANN vs exact brute force, as a measured
       // catalog metric — both sides recomputed independently by the oracle
