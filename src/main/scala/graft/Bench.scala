@@ -50,9 +50,11 @@ object Bench {
     // training is offline), CDC merge, entity resolution, sketch-verify
     // heavy hitters, anomaly flags, point lookup (bucketed layout from
     // warmup — staged data), profiling, rollup cascade
-    "ann_pq_topk", "ann_ivfpq_topk", "snapshot_merge", "entity_match_names",
+    "ann_pq_topk", "ann_ivfpq_topk", "snapshot_merge", "entity_match_keys",
     "heavy_hitters", "events_anomalous_days", "scan_point_lookup",
-    "table_profile", "agg_rollup_cascade")
+    "table_profile", "agg_rollup_cascade",
+    "snapshot_merge_mor", "window_hopping", "embedding_label_centroids",
+    "text_hash_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1135,6 +1135,40 @@ object PipelineQueries {
              |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.27
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("entity_match_keys",
+      // the production regime of the same operator: normalized (digit)
+      // keys at t=0.8 over the FULL sides — the prefix keeps 2-3 of ~7
+      // grams, so candidates come only from rare-gram collisions and the
+      // join never degenerates (37.6s -> 1.5s at sf0.1, SCALING.md)
+      (s, dir) => graft.functions.Entity.similarNamePairs(
+          Tables.customer(s, dir).withColumn("ckey",
+            regexp_replace(col("c_name"), "[^0-9]", "")),
+          "c_custkey", "ckey",
+          Tables.supplier(s, dir).withColumn("skey",
+            regexp_replace(col("s_name"), "[^0-9]", "")),
+          "s_suppkey", "skey",
+          k = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ag AS (SELECT c_custkey AS id_a,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, len(regexp_replace(c_name, '[^0-9]', '', 'g')) - 2),
+             |      i -> regexp_replace(c_name, '[^0-9]', '', 'g')[i:i+2]))) AS g
+             |  FROM customer),
+             |bg AS (SELECT s_suppkey AS id_b,
+             |    unnest(list_distinct(list_transform(
+             |      generate_series(1, len(regexp_replace(s_name, '[^0-9]', '', 'g')) - 2),
+             |      i -> regexp_replace(s_name, '[^0-9]', '', 'g')[i:i+2]))) AS g
+             |  FROM supplier),
+             |na AS (SELECT id_a, count(*) AS n FROM ag GROUP BY id_a),
+             |nb AS (SELECT id_b, count(*) AS n FROM bg GROUP BY id_b),
+             |j AS (SELECT id_a, id_b, count(*) AS n_shared
+             |      FROM ag JOIN bg USING (g) GROUP BY id_a, id_b)
+             |SELECT id_a, id_b, n_shared,
+             |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS jaccard
+             |FROM j JOIN na USING (id_a) JOIN nb USING (id_b)
+             |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QueryDef("agg_rollup_cascade",
       // granularity cascade: WEEKLY totals re-aggregated from the daily
       // partial states (associativity is the whole contract) — identical
