@@ -165,6 +165,38 @@ object TextAnalysis {
       .select(col(idCol), col("term_rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-GROUP salient terms — c-TF-IDF (the BERTopic topic-word score):
+    * treat each group (source, cluster, topic) as ONE pseudo-document and
+    * score term t in group g by `tf_{t,g} * ln(n_groups / gdf_t)`, where
+    * gdf is the number of GROUPS containing the term. Group count is a
+    * driver scalar; scores quantize to integer micronats right after the
+    * ln (the perplexity discipline) so the top-k cut is engine-exact.
+    * Terms in every group score exactly 0 (ln 1) and are dropped — the
+    * corpus-wide boilerplate filter falling out of the formula. Plan
+    * shape: one (group, term) aggregate, a term-keyed SHUFFLE join of the
+    * group-df side (vocabulary-sized — never broadcast, the
+    * [[salientTerms]] discipline), and a window per GROUP bounded by the
+    * group's vocabulary. */
+  def salientTermsByGroup(df: DataFrame, groupCol: String, textCol: String,
+      topK: Int): DataFrame = {
+    val nGroups = df.select(col(groupCol)).distinct().count()
+    val tf = df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val gdf = tf.groupBy(col("term")).agg(count(lit(1)).as("gdf"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score_micronat").desc, col("term").asc)
+    tf.join(gdf.hint("shuffle_hash"), Seq("term"))
+      .withColumn("score_micronat",
+        floor(col("tf") * log(lit(nGroups.toDouble) / col("gdf")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .filter(col("score_micronat") > 0)
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= topK)
+      .select(col(groupCol), col("term_rank"), col("term"), col("tf"),
+        col("gdf"), col("score_micronat"))
+  }
+
   /** CCNet-style unigram language-model scoring: each document's
     * add-one-smoothed unigram log-probability under the CORPUS ITSELF as
     * the LM (p(t) = (c_t + 1) / (N + V)), with the perplexity bucket

@@ -790,6 +790,32 @@ object PipelineQueries {
              |SELECT doc_id, term_rank, term, tf, df, score FROM r
              |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin)),
 
+    QueryDef("salient_terms_by_source",
+      // c-TF-IDF (BERTopic topic-word score): each SOURCE as one pseudo-
+      // document, term scored tf * ln(n_sources/gdf), micronat-quantized
+      // right after the ln so the top-5 cut is engine-exact; terms present
+      // in every source score 0 and drop out (the boilerplate filter)
+      (s, dir) => TextAnalysis.salientTermsByGroup(
+          Tables.documents(s, dir), "source", "text", topK = 5)
+        .orderBy("source", "term_rank"),
+      None,
+      dynOracle = Some { (s, dir) =>
+        val n = Tables.documents(s, dir)
+          .select(col("source")).distinct().count()
+        s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+           |gdf AS (SELECT term, count(*) AS gdf FROM tf GROUP BY term),
+           |sc AS (SELECT source, term, tf, gdf,
+           |    CAST(floor(tf * ln(CAST($n AS DOUBLE) / gdf) * 1e6 + 0.5) AS BIGINT) AS score_micronat
+           |  FROM tf JOIN gdf USING (term)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |        ORDER BY score_micronat DESC, term ASC) AS term_rank
+           |      FROM sc WHERE score_micronat > 0)
+           |SELECT source, term_rank, term, tf, gdf, score_micronat
+           |FROM r WHERE term_rank <= 5 ORDER BY source, term_rank""".stripMargin
+      }),
+
     QueryDef("dedup_spans",
       // corpus-wide duplicated-span census (the exact-substring primitive
       // of Lee et al. 2022): every 3-word shingle in >= 2 distinct docs

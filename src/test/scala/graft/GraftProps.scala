@@ -29,6 +29,33 @@ object GraftProps extends Properties("graft") {
         ws.forall { case (p, w) => sched.count(_ == p) == w }
     }
 
+  val codebookGen: Gen[Seq[Seq[Seq[Double]]]] = for {
+    m <- Gen.choose(1, 4)
+    dsub <- Gen.choose(1, 4)
+    ks <- Gen.choose(1, 4)
+    books <- Gen.listOfN(m, Gen.listOfN(ks,
+      Gen.listOfN(dsub, Gen.choose(-5.0, 5.0))))
+  } yield books.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]])
+
+  property("PQ adcTable: non-negative everywhere; exactly zero at a matching centroid") =
+    forAll(codebookGen) { books =>
+      val model = graft.functions.PQ.Model(books)
+      // query assembled from the FIRST centroid of every subspace
+      val q = books.flatMap(_.head)
+      val table = graft.functions.PQ.adcTable(q, model)
+      table.flatten.forall(_ >= 0L) &&
+        table.forall(row => row.head == 0L)
+    }
+
+  property("PQ adcTable: shifting the query by a constant never decreases a zero term") =
+    forAll(codebookGen, Gen.choose(0.5, 2.0)) { (books, delta) =>
+      val model = graft.functions.PQ.Model(books)
+      val q = books.flatMap(_.head).map(_ + delta)
+      val table = graft.functions.PQ.adcTable(q, model)
+      // the formerly-exact centroid now sits delta away in every dim
+      table.forall(row => row.head > 0L)
+    }
+
   val fieldGen: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 
   property("template fields extraction finds every placeholder in order") =
