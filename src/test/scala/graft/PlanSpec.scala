@@ -110,6 +110,21 @@ class PlanSpec extends AnyFunSuite {
     assert(m.get.group(1).toInt <= 4 && m.get.group(2).toInt == 16, p)
   }
 
+  test("q7_nation_flows: one fact-fact shuffle join, every dimension broadcast") {
+    val p = planOf("q7_nation_flows")
+    assert(p.contains("ShuffledHashJoin"), p) // lineitem x orders
+    // supplier, customer, and both nation aliases all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("join_bloom_reduce: the sketch probe sits below the join") {
+    val p = planOf("join_bloom_reduce")
+    val probe = p.indexOf("UDF")
+    val join = p.indexOf("ShuffledHashJoin")
+    assert(probe >= 0 && join >= 0 && probe > join, // plan prints top-down
+      s"probe=$probe join=$join\n$p")
+  }
+
   test("graph_pagerank: no cartesian/nested-loop joins in the iteration") {
     val p = planOf("graph_pagerank")
     assert(!p.contains("CartesianProduct") &&
