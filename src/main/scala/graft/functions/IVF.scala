@@ -48,9 +48,14 @@ object IVF {
     * (cell, dim) pairs — k*dim aggregates, tiny). */
   def train(df: DataFrame, vecCol: String, idCol: String, k: Int,
       iters: Int = 2): Model = {
+    // element type may be float (raw embeddings) or double (residuals)
     val seeds = df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      }.toSeq).toSeq
     var model = Model(seeds)
     for (_ <- 0 until iters) {
       val assigned = df.select(col(vecCol).as("v"),

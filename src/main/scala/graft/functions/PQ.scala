@@ -83,12 +83,16 @@ object PQ {
     }
   }
 
+  /** m table lookups summed from a prebuilt nano-unit table. */
+  def adcDistFromTable(codes: Column, table: Seq[Seq[Long]]): Column =
+    table.zipWithIndex.map { case (row, s) =>
+      element_at(array(row.map(lit): _*), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
   /** Approximate squared-L2 (in nano-units) of each encoded row to the
     * query: m integer table lookups summed — associative, engine-exact. */
   def adcDist(codes: Column, query: Seq[Double], model: Model): Column =
-    adcTable(query, model).zipWithIndex.map { case (row, s) =>
-      element_at(array(row.map(lit): _*), element_at(codes, s + 1) + 1)
-    }.reduce(_ + _)
+    adcDistFromTable(codes, adcTable(query, model))
 
   /** Top-k by ADC distance over an encoded frame (idCol, codesCol). */
   def searchADC(encoded: DataFrame, idCol: String, codesCol: String,
@@ -98,6 +102,69 @@ object PQ {
       .orderBy(col("adc_dist_nano"), col(idCol))
       .limit(k)
       .select(idCol, "adc_dist_nano")
+
+  /** Residual of each vector against its assigned coarse centroid, as
+    * array<double> — elementwise `cast(x as double) - c_d`, the exact
+    * subtraction the SQL oracle mirrors. */
+  def residual(vec: Column, coarse: IVF.Model): Column = {
+    val centLit = array(coarse.centroids.map(c => array(c.map(lit): _*)): _*)
+    val cent = element_at(centLit, IVF.assign(vec, coarse) + 1)
+    zip_with(vec, cent, (x, c) => x.cast("double") - c)
+  }
+
+  /** Train codebooks on coarse-cell RESIDUALS — the true FAISS IVF-PQ
+    * form: residuals concentrate around zero regardless of which cell a
+    * vector lives in, so one codebook serves all cells at much lower
+    * quantization error than raw-vector codes. */
+  def trainResidual(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, m: Int, ks: Int, iters: Int = 2): Model =
+    train(df.select(col(idCol), residual(col(vecCol), coarse).as("_res")),
+      "_res", idCol, m = m, ks = ks, iters = iters)
+
+  /** Residual IVF-PQ search: probe `nProbe` cells; within each probed
+    * cell, score rows against a PER-CELL ADC table built from the query's
+    * residual to THAT cell's centroid (nProbe × m × ks longs — driver
+    * metadata). Row distance = table lookup chain keyed by the row's own
+    * cell. */
+  def searchIVFPQResidual(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, pq: Model, query: Seq[Double],
+      topK: Int, nProbe: Int): DataFrame = {
+    val probed = coarse.centroids.zipWithIndex.map { case (c, j) =>
+      val d = query.zip(c).foldLeft(0.0) { case (acc, (qd, cd)) =>
+        acc + (qd - cd) * (qd - cd)
+      }
+      (d, j)
+    }.sorted.take(nProbe).map(_._2)
+    def cellTable(cell: Int): Seq[Seq[Long]] = {
+      val cent = coarse.centroids(cell)
+      pq.codebooks.zipWithIndex.map { case (book, s) =>
+        val off = s * pq.dsub
+        book.map { pc =>
+          var acc = 0.0
+          var i = 0
+          while (i < pq.dsub) {
+            val d = (query(off + i) - cent(off + i)) - pc(i)
+            acc += d * d
+            i += 1
+          }
+          math.floor(acc * 1e9 + 0.5).toLong
+        }
+      }
+    }
+    val withCell = df
+      .withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
+      .filter(col("ivf_cell").isin(probed: _*))
+      .withColumn("_codes", encode(residual(col(vecCol), coarse), pq))
+    val distExpr = probed.foldRight(lit(null).cast("long"): Column) {
+      case (c, acc) =>
+        when(col("ivf_cell") === c,
+          adcDistFromTable(col("_codes"), cellTable(c))).otherwise(acc)
+    }
+    withCell.withColumn("adc_dist_nano", distExpr)
+      .orderBy(col("adc_dist_nano"), col(idCol))
+      .limit(topK)
+      .select(idCol, "adc_dist_nano")
+  }
 
   /** IVF-PQ: the FAISS two-level layout — the coarse quantizer prunes to
     * `nProbe` cells (over a `partitionBy("ivf_cell")` layout that is

@@ -125,9 +125,16 @@ object PipelineQueries {
     * assignment `aS` with the SAME float expression the engine evaluates
     * (dot(sub,sub) - 2*dot(sub,c) + cn2), and a `codes(vec_id, codes)`
     * relation assembling the arrays in subspace order. */
-  private def pqCodesCteSql(model: graft.functions.PQ.Model): String = {
+  private def pqCodesCteSql(model: graft.functions.PQ.Model): String =
+    pqCodesCteSqlOver(model, "embeddings", "e.embedding", "codes")
+
+  /** Generalized form: derive the per-vector PQ codes from `vecExpr` of
+    * relation `rel` (which must expose vec_id), naming the result CTE
+    * `outName` — reused for raw-vector and residual codes. */
+  private def pqCodesCteSqlOver(model: graft.functions.PQ.Model,
+      rel: String, vecExpr: String, outName: String): String = {
     val dsub = model.dsub
-    def subSlice(s: Int) = s"e.embedding[${s * dsub + 1}:${(s + 1) * dsub}]"
+    def subSlice(s: Int) = s"$vecExpr[${s * dsub + 1}:${(s + 1) * dsub}]"
     def dotS(a: String, b: String) =
       s"list_reduce(list_transform(generate_series(1, $dsub), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)"
     val books = model.codebooks.zipWithIndex.map { case (book, s) =>
@@ -144,14 +151,24 @@ object PipelineQueries {
          |  SELECT e.vec_id, p.code,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ((${dotS(sub, sub)} - 2.0 * ${dotS(sub, "p.c")}) + p.cn2), p.code) AS rn
-         |  FROM embeddings e CROSS JOIN pq$s p) WHERE rn = 1)""".stripMargin
+         |  FROM $rel e CROSS JOIN pq$s p) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val arr = (0 until model.m).map(s => s"a$s.code").mkString("[", ", ", "]")
     val joins = (0 until model.m).map(s => s"JOIN a$s USING (vec_id)").mkString(" ")
     s"""$books,
        |$assigns,
-       |codes AS (SELECT vec_id, $arr AS codes FROM embeddings $joins)""".stripMargin
+       |$outName AS (SELECT e.vec_id, $arr AS codes FROM $rel e $joins)""".stripMargin
   }
+
+  /** Residual PQ codebooks (trained on coarse-cell residuals), once per
+    * dir. */
+  private val pqResModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.PQ.Model]()
+  private[graft] def pqResModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.functions.PQ.Model =
+    pqResModels.computeIfAbsent(dir, _ =>
+      graft.functions.PQ.trainResidual(Tables.embeddings(s, dir),
+        "embedding", "vec_id", ivfModel(s, dir), m = 8, ks = 16))
 
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
@@ -2390,6 +2407,67 @@ object PipelineQueries {
              |SELECT doc_id, dim, sum(s) AS weight FROM w
              |GROUP BY doc_id, dim HAVING sum(s) <> 0
              |ORDER BY doc_id, dim""".stripMargin)),
+
+    QueryDef("ann_ivfpq_residual_topk",
+      // the TRUE FAISS IVF-PQ: codebooks trained on coarse-cell RESIDUALS
+      // (one codebook serves all cells at lower quantization error),
+      // search scores each probed cell against a PER-CELL ADC table built
+      // from the query's residual to that cell's centroid; the oracle
+      // re-derives assignment, residuals, codes, probe cells, every
+      // per-cell table term, and every nano-quantized sum
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1).map(_.toDouble).toSeq
+        graft.functions.PQ.searchIVFPQResidual(Tables.embeddings(s, dir),
+          "embedding", "vec_id", ivfModel(s, dir), pqResModel(s, dir), q,
+          topK = 10, nProbe = 2)
+      },
+      None,
+      dynOracle = Some { (s, dir) =>
+        val coarse = ivfModel(s, dir)
+        val model = pqResModel(s, dir)
+        val dsub = model.dsub
+        val dim = model.m * dsub
+        val terms = (0 until model.m).map { s0 =>
+          val off = s0 * dsub
+          s"""rt$s0 AS (SELECT c.cell, p.code, CAST(floor(1e9 * list_reduce(
+             |    list_transform(generate_series(1, $dsub),
+             |      i -> ((CAST(qv[$off + i] AS DOUBLE) - c.c[$off + i]) - p.c[i])
+             |         * ((CAST(qv[$off + i] AS DOUBLE) - c.c[$off + i]) - p.c[i])),
+             |    (x,y) -> x+y) + 0.5) AS BIGINT) AS tn
+             |  FROM cents c CROSS JOIN pq$s0 p CROSS JOIN q)""".stripMargin
+        }.mkString(",\n")
+        val ts = (0 until model.m)
+          .map(s0 => s"SELECT cell, $s0 AS s, code, tn FROM rt$s0")
+          .mkString("\n  UNION ALL ")
+        val qcDist = "list_reduce(list_transform(generate_series(1, len(qv)), " +
+          "i -> (CAST(qv[i] AS DOUBLE) - c.c[i]) * (CAST(qv[i] AS DOUBLE) - c.c[i])), (x,y) -> x + y)"
+        s"""WITH ${ivfAssignedCteSql(coarse)},
+           |resid AS (SELECT a.vec_id, a.cell,
+           |    list_transform(generate_series(1, $dim),
+           |      i -> CAST(e.embedding[i] AS DOUBLE) - c.c[i]) AS r
+           |  FROM assigned a JOIN embeddings e USING (vec_id)
+           |  JOIN cents c ON c.cell = a.cell),
+           |${pqCodesCteSqlOver(model, "resid", "e.r", "rcodes")},
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |qp AS (SELECT c.cell FROM cents c CROSS JOIN q
+           |       ORDER BY $qcDist, c.cell LIMIT 2),
+           |$terms,
+           |ts AS (
+           |  $ts),
+           |cx AS (SELECT rc.vec_id, rd.cell, unnest(list_transform(
+           |    generate_series(1, len(rc.codes)),
+           |    i -> {'s': i - 1, 'code': rc.codes[i]})) AS u
+           |  FROM rcodes rc JOIN resid rd ON rd.vec_id = rc.vec_id
+           |  WHERE rd.cell IN (SELECT cell FROM qp)),
+           |scored AS (
+           |  SELECT vec_id, sum(tn) AS adc_dist_nano
+           |  FROM cx JOIN ts ON ts.cell = cx.cell AND ts.s = cx.u['s']
+           |    AND ts.code = cx.u['code']
+           |  GROUP BY vec_id)
+           |SELECT vec_id, CAST(adc_dist_nano AS BIGINT) AS adc_dist_nano
+           |FROM scored ORDER BY adc_dist_nano, vec_id LIMIT 10""".stripMargin
+      }),
 
     QueryDef("ann_recall",
       // recall@10 of hyperplane-LSH ANN vs exact brute force, as a measured
