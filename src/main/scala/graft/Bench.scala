@@ -54,7 +54,7 @@ object Bench {
     "heavy_hitters", "events_anomalous_days", "scan_point_lookup",
     "table_profile", "agg_rollup_cascade",
     "snapshot_merge_mor", "window_hopping", "embedding_label_centroids",
-    "text_hash_embed")
+    "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,8 +95,10 @@ object Bench {
       // measure the codec passes over stored bytes
       graft.queries.PipelineQueries.pngFixturePath(spark, sfDir)
       graft.queries.PipelineQueries.wavFixturePath(spark, sfDir)
-      // PQ codebooks: trained once offline, like the IVF quantizer
+      // PQ codebooks (raw + residual): trained once offline, like the
+      // IVF quantizer
       graft.queries.PipelineQueries.pqModel(spark, sfDir)
+      graft.queries.PipelineQueries.pqResModel(spark, sfDir)
       // point-lookup bucketed table: staged layout, not operator work
       graft.queries.PipelineQueries.lookupTable(spark, sfDir)
     } catch { case e: Throwable =>

@@ -46,6 +46,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(approx.contains(1L))
   }
 
+  test("residual IVF-PQ: quantization error below raw-vector codes; sane recall") {
+    import graft.functions.{IVF, PQ}
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val coarse = IVF.train(e, "embedding", "vec_id", k = 8)
+    val raw = PQ.train(e, "embedding", "vec_id", m = 8, ks = 16)
+    val res = PQ.trainResidual(e, "embedding", "vec_id", coarse, m = 8, ks = 16)
+    // mean squared quantization error: residual codes must beat raw codes
+    // (that is the whole point of encoding residuals). Vector and codes
+    // are materialized as columns FIRST so the 64 error terms reference
+    // them by name instead of inlining the (large) encode/residual trees
+    // 64 times over.
+    def mse(base: org.apache.spark.sql.DataFrame, model: PQ.Model): Double = {
+      val withCodes = base.select(col("_v"),
+        PQ.encode(col("_v"), model).as("_codes"))
+      val err = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+        (0 until model.dsub).map { d =>
+          val comps = book.map(c => lit(c(d)))
+          val r = element_at(array(comps: _*),
+            element_at(col("_codes"), s + 1) + 1)
+          val x = element_at(col("_v"), s * model.dsub + d + 1).cast("double")
+          (x - r) * (x - r)
+        }
+      }.reduce(_ + _)
+      withCodes.select(avg(err)).head().getDouble(0)
+    }
+    val rawMse = mse(e.select(col("embedding").as("_v")), raw)
+    val resMse = mse(
+      e.select(PQ.residual(col("embedding"), coarse).as("_v")), res)
+    assert(resMse < rawMse, s"residual $resMse vs raw $rawMse")
+    // search sanity: the query's own vector survives quantization
+    val q = e.filter($"vec_id" === 3).head().getSeq[Float](1).map(_.toDouble).toSeq
+    val top = PQ.searchIVFPQResidual(e, "embedding", "vec_id", coarse, res,
+      q, topK = 10, nProbe = 3).select("vec_id").as[Long].collect().toSet
+    assert(top.contains(3L))
+  }
+
   test("exact dedup keeps lowest id per distinct text") {
     val kept = Dedup.exactDedup(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
