@@ -99,6 +99,9 @@ object Bench {
       // IVF quantizer
       graft.queries.PipelineQueries.pqModel(spark, sfDir)
       graft.queries.PipelineQueries.pqResModel(spark, sfDir)
+      // residual-encoded index layout: offline build, probes read codes
+      graft.queries.PipelineQueries.pqResEncodedPath(spark, sfDir)
+      graft.queries.PipelineQueries.pqRawEncodedPath(spark, sfDir)
       // point-lookup bucketed table: staged layout, not operator work
       graft.queries.PipelineQueries.lookupTable(spark, sfDir)
     } catch { case e: Throwable =>

@@ -121,12 +121,38 @@ object PQ {
     train(df.select(col(idCol), residual(col(vecCol), coarse).as("_res")),
       "_res", idCol, m = m, ks = ks, iters = iters)
 
-  /** Residual IVF-PQ search: probe `nProbe` cells; within each probed
-    * cell, score rows against a PER-CELL ADC table built from the query's
-    * residual to THAT cell's centroid (nProbe × m × ks longs — driver
-    * metadata). Row distance = table lookup chain keyed by the row's own
-    * cell. */
-  def searchIVFPQResidual(df: DataFrame, vecCol: String, idCol: String,
+  /** OFFLINE residual encode — the index build: (id, ivf_cell, pq_codes),
+    * the FAISS inverted-list payload. The residual derives from the
+    * already-computed cell column (no second argmin), and a deployment
+    * lands this `partitionBy("ivf_cell")` so probes are partition pruning;
+    * raw vectors are no longer needed at search time. Encoding runs once
+    * per corpus, like [[IVF.writeIndexed]]. */
+  def encodeResidual(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, pq: Model): DataFrame = {
+    val centLit = array(coarse.centroids.map(c => array(c.map(lit): _*)): _*)
+    val res = zip_with(col(vecCol),
+      element_at(centLit, col("ivf_cell") + 1),
+      (x, c) => x.cast("double") - c)
+    df.withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
+      .withColumn("_res", res)
+      .select(col(idCol), col("ivf_cell"), encode(col("_res"), pq).as("pq_codes"))
+  }
+
+  /** Write the residual-encoded index cell-partitioned (the probe side of
+    * the layout contract). */
+  def writeResidualIndexed(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, pq: Model, path: String): Unit =
+    encodeResidual(df, vecCol, idCol, coarse, pq)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("ivf_cell")
+      .parquet(path)
+
+  /** Residual IVF-PQ search over the STORED codes: probe `nProbe` cells
+    * (partition pruning over a [[writeResidualIndexed]] layout); each
+    * probed cell scores against a PER-CELL ADC table built from the
+    * query's residual to that cell's centroid (nProbe × m × ks longs —
+    * driver metadata). The corpus' raw vectors are never touched. */
+  def searchIVFPQResidual(encoded: DataFrame, idCol: String,
       coarse: IVF.Model, pq: Model, query: Seq[Double],
       topK: Int, nProbe: Int): DataFrame = {
     val probed = coarse.centroids.zipWithIndex.map { case (c, j) =>
@@ -151,30 +177,33 @@ object PQ {
         }
       }
     }
-    val withCell = df
-      .withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
-      .filter(col("ivf_cell").isin(probed: _*))
-      .withColumn("_codes", encode(residual(col(vecCol), coarse), pq))
     val distExpr = probed.foldRight(lit(null).cast("long"): Column) {
       case (c, acc) =>
         when(col("ivf_cell") === c,
-          adcDistFromTable(col("_codes"), cellTable(c))).otherwise(acc)
+          adcDistFromTable(col("pq_codes"), cellTable(c))).otherwise(acc)
     }
-    withCell.withColumn("adc_dist_nano", distExpr)
+    encoded.filter(col("ivf_cell").isin(probed: _*))
+      .withColumn("adc_dist_nano", distExpr)
       .orderBy(col("adc_dist_nano"), col(idCol))
       .limit(topK)
       .select(idCol, "adc_dist_nano")
   }
 
-  /** IVF-PQ: the FAISS two-level layout — the coarse quantizer prunes to
-    * `nProbe` cells (over a `partitionBy("ivf_cell")` layout that is
-    * partition pruning), PQ codes score the survivors by ADC. Codes here
-    * quantize the RAW vectors, not cell residuals (slightly lower recall
-    * than residual-PQ, but codes are cell-independent — one codebook, one
-    * ADC table per query — and every arithmetic step stays SQL-provable;
-    * residual encoding is the documented upgrade path). Probe selection
-    * happens driver-side on the k coarse centroids (metadata). */
-  def searchIVFPQ(df: DataFrame, vecCol: String, idCol: String,
+  /** OFFLINE raw-vector encode: (id, ivf_cell, pq_codes) — like
+    * [[encodeResidual]] but with cell-independent codes (one codebook,
+    * one ADC table per query; slightly lower recall than residual codes,
+    * every arithmetic step SQL-provable with a single table). */
+  def encodeWithCells(df: DataFrame, vecCol: String, idCol: String,
+      coarse: IVF.Model, pq: Model): DataFrame =
+    df.withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
+      .select(col(idCol), col("ivf_cell"),
+        encode(col(vecCol), pq).as("pq_codes"))
+
+  /** IVF-PQ search over STORED raw-vector codes: the coarse quantizer
+    * prunes to `nProbe` cells (partition pruning over a cell-partitioned
+    * layout), one ADC table scores the survivors. Probe selection happens
+    * driver-side on the k coarse centroids (metadata). */
+  def searchIVFPQ(encoded: DataFrame, idCol: String,
       coarse: IVF.Model, pq: Model, query: Seq[Double],
       topK: Int, nProbe: Int): DataFrame = {
     val probed = coarse.centroids.zipWithIndex.map { case (c, j) =>
@@ -183,10 +212,8 @@ object PQ {
       }
       (d, j)
     }.sorted.take(nProbe).map(_._2)
-    df.withColumn("ivf_cell", IVF.assign(col(vecCol), coarse))
-      .filter(col("ivf_cell").isin(probed: _*))
-      .select(col(idCol), encode(col(vecCol), pq).as("_codes"))
-      .withColumn("adc_dist_nano", adcDist(col("_codes"), query, pq))
+    encoded.filter(col("ivf_cell").isin(probed: _*))
+      .withColumn("adc_dist_nano", adcDist(col("pq_codes"), query, pq))
       .orderBy(col("adc_dist_nano"), col(idCol))
       .limit(topK)
       .select(idCol, "adc_dist_nano")

@@ -170,6 +170,34 @@ object PipelineQueries {
       graft.functions.PQ.trainResidual(Tables.embeddings(s, dir),
         "embedding", "vec_id", ivfModel(s, dir), m = 8, ks = 16))
 
+  /** Raw-code PQ index layout (vec_id, ivf_cell, pq_codes), once per
+    * (dir, JVM) — offline index build; ADC searches read stored codes. */
+  private val pqRawEncodedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def pqRawEncodedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    pqRawEncodedDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("pq-raw-indexed", dir)
+      graft.functions.PQ.encodeWithCells(Tables.embeddings(s, dir),
+          "embedding", "vec_id", ivfModel(s, dir), pqModel(s, dir))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ivf_cell").parquet(path)
+      path
+    })
+
+  /** Residual-encoded IVF-PQ index layout, written once per (dir, JVM) —
+    * the offline index build; probes read stored codes only. */
+  private val pqResEncodedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def pqResEncodedPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    pqResEncodedDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("pq-res-indexed", dir)
+      graft.functions.PQ.writeResidualIndexed(Tables.embeddings(s, dir),
+        "embedding", "vec_id", ivfModel(s, dir), pqResModel(s, dir), path)
+      path
+    })
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -2283,9 +2311,8 @@ object PipelineQueries {
         val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
           .head().getSeq[Float](1).map(_.toDouble).toSeq
         val model = pqModel(s, dir)
-        val encoded = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            graft.functions.PQ.encode(col("embedding"), model).as("codes"))
+        val encoded = s.read.parquet(pqRawEncodedPath(s, dir))
+          .withColumnRenamed("pq_codes", "codes")
         graft.functions.PQ.searchADC(encoded, "vec_id", "codes", q, model,
           k = 10)
       },
@@ -2329,9 +2356,9 @@ object PipelineQueries {
       (s, dir) => {
         val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
           .head().getSeq[Float](1).map(_.toDouble).toSeq
-        graft.functions.PQ.searchIVFPQ(Tables.embeddings(s, dir),
-          "embedding", "vec_id", ivfModel(s, dir), pqModel(s, dir), q,
-          topK = 10, nProbe = 2)
+        graft.functions.PQ.searchIVFPQ(
+          s.read.parquet(pqRawEncodedPath(s, dir)), "vec_id",
+          ivfModel(s, dir), pqModel(s, dir), q, topK = 10, nProbe = 2)
       },
       None,
       dynOracle = Some { (s, dir) =>
@@ -2418,9 +2445,9 @@ object PipelineQueries {
       (s, dir) => {
         val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
           .head().getSeq[Float](1).map(_.toDouble).toSeq
-        graft.functions.PQ.searchIVFPQResidual(Tables.embeddings(s, dir),
-          "embedding", "vec_id", ivfModel(s, dir), pqResModel(s, dir), q,
-          topK = 10, nProbe = 2)
+        graft.functions.PQ.searchIVFPQResidual(
+          s.read.parquet(pqResEncodedPath(s, dir)), "vec_id",
+          ivfModel(s, dir), pqResModel(s, dir), q, topK = 10, nProbe = 2)
       },
       None,
       dynOracle = Some { (s, dir) =>

@@ -77,7 +77,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(resMse < rawMse, s"residual $resMse vs raw $rawMse")
     // search sanity: the query's own vector survives quantization
     val q = e.filter($"vec_id" === 3).head().getSeq[Float](1).map(_.toDouble).toSeq
-    val top = PQ.searchIVFPQResidual(e, "embedding", "vec_id", coarse, res,
+    val encoded = PQ.encodeResidual(e, "embedding", "vec_id", coarse, res)
+    val top = PQ.searchIVFPQResidual(encoded, "vec_id", coarse, res,
       q, topK = 10, nProbe = 3).select("vec_id").as[Long].collect().toSet
     assert(top.contains(3L))
   }
