@@ -1240,6 +1240,45 @@ object PipelineQueries {
              |WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    QueryDef("quality_expectations",
+      // declarative pre-publish validation: row-local rules fold into one
+      // scan, uniqueness is one (count, distinct) aggregate, referential
+      // integrity is an anti-join — violations counted exactly (the
+      // in-range/in-set/fk rules are tuned to catch real rows here)
+      (s, dir) => {
+        import graft.functions.Expectations._
+        val docRules = check(Tables.documents(s, dir), Seq(
+          NotNull("text"),
+          InRange("n_chars", 0, 300),
+          InSet("lang", Seq("en", "zh")),
+          Matches("text", "^[a-z ]*$"),
+          Unique("doc_id")))
+        val fkRules = check(Tables.lineitem(s, dir), Seq(
+          FkIn("l_partkey",
+            Tables.part(s, dir).filter(col("p_size") <= 25), "p_partkey")))
+        docRules.unionAll(fkRules).orderBy("rule")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'not_null(text)' AS rule,
+             |    count(*) FILTER (WHERE text IS NULL) AS n_violations FROM documents
+             |  UNION ALL SELECT 'in_range(n_chars,0.0,300.0)',
+             |    count(*) FILTER (WHERE n_chars IS NOT NULL
+             |      AND (n_chars < 0 OR n_chars > 300)) FROM documents
+             |  UNION ALL SELECT 'in_set(lang)',
+             |    count(*) FILTER (WHERE lang IS NOT NULL
+             |      AND lang NOT IN ('en', 'zh')) FROM documents
+             |  UNION ALL SELECT 'matches(text)',
+             |    count(*) FILTER (WHERE text IS NOT NULL
+             |      AND NOT regexp_matches(text, '^[a-z ]*$')) FROM documents
+             |  UNION ALL SELECT 'unique(doc_id)',
+             |    count(doc_id) - count(DISTINCT doc_id) FROM documents
+             |  UNION ALL SELECT 'fk(l_partkey)',
+             |    (SELECT count(*) FROM lineitem l
+             |     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+             |       SELECT 1 FROM part p
+             |       WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25))
+             |) ORDER BY rule""".stripMargin)),
+
     QueryDef("agg_rollup_cascade",
       // granularity cascade: WEEKLY totals re-aggregated from the daily
       // partial states (associativity is the whole contract) — identical

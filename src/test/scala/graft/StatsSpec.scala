@@ -40,6 +40,26 @@ class StatsSpec extends AnyFunSuite {
     assert(out == Map("hot_a" -> 50L, "hot_b" -> 23L))
   }
 
+  test("expectations: every rule counts its exact violations; nulls split correctly") {
+    import graft.functions.Expectations._
+    val df = Seq(
+      (Some(1L), Some("aa"), Some(10.0)),
+      (Some(2L), None, Some(500.0)),      // null text; range violation
+      (Some(2L), Some("b7"), Some(50.0)), // dup id; regex violation
+      (None: Option[Long], Some("cc"), None)) // null id (not a dup)
+      .toDF("id", "t", "v")
+    val out = check(df, Seq(
+      NotNull("t"), InRange("v", 0, 100), Matches("t", "^[a-z]*$"),
+      Unique("id"),
+      FkIn("id", Seq(1L).toDF("k"), "k")))
+      .as[(String, Long)].collect().toMap
+    assert(out("not_null(t)") == 1L)
+    assert(out("in_range(v,0.0,100.0)") == 1L) // null v is NOT a range violation
+    assert(out("matches(t)") == 1L)            // null t is NOT a regex violation
+    assert(out("unique(id)") == 1L)            // one extra copy of id=2; nulls excluded
+    assert(out("fk(id)") == 2L)                // both id=2 rows are orphans
+  }
+
   test("profile: counts nulls and distincts per column, min/max as strings") {
     val df = Seq(
       (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
