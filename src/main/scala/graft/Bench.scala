@@ -54,7 +54,8 @@ object Bench {
     "heavy_hitters", "events_anomalous_days", "scan_point_lookup",
     "table_profile", "agg_rollup_cascade",
     "snapshot_merge_mor", "window_hopping", "embedding_label_centroids",
-    "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source")
+    "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source",
+    "quality_expectations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
