@@ -75,10 +75,11 @@ object Decontam {
     // broadcast reach — the whole reason the Bloom sketch exists is that
     // beyond ~5·10⁷ distinct grams the string set is tens of GB and must
     // shuffle instead (the sketch still prefilters the stream either way).
-    // One count() over an already-aggregated metadata-sized set; the
-    // sketch build above scanned it anyway.
+    // The decision keys on expectedGrams — the SAME size estimate the
+    // sketch is dimensioned by, which the caller must get right anyway —
+    // so no extra counting job runs.
     val verifySide =
-      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      if (expectedGrams <= maxBroadcastGrams) broadcast(benchGrams)
       else benchGrams.hint("shuffle_hash")
     corpus
       .join(benchIds, Seq(idCol), "left_anti")
