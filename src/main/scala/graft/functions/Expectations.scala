@@ -56,6 +56,18 @@ object Expectations {
     case _ => lit(false)
   }
 
+  /** Row-level violation predicate for ROW-LOCAL rules (not-null / range /
+    * set / regex): true when the row breaks ANY of them — the routing
+    * predicate for quarantine/dead-letter flows. Unique/FkIn are not
+    * row-local and are rejected. */
+  def rowViolation(rules: Seq[Rule]): Column = {
+    require(rules.nonEmpty && rules.forall {
+      case _: Unique | _: FkIn => false
+      case _ => true
+    }, "rowViolation takes row-local rules only")
+    rules.map(violation).reduce(_ || _)
+  }
+
   /** Check every rule; returns (rule, n_violations), one row per rule, in
     * rule order. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {

@@ -263,6 +263,47 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming quality gate with a DEAD-LETTER lane: each micro-batch is
+    * split by the row-local expectation predicate
+    * ([[graft.functions.Expectations.rowViolation]]) — clean rows land in
+    * `acceptedDir`, violating rows in `quarantineDir` with the reason
+    * recorded; both under their own `batch_id` partition, so a checkpoint
+    * replay overwrites exactly its own partitions (the [[rollupMaintenance]]
+    * idempotency). Nothing is dropped silently: accepted + quarantined =
+    * input, and the quarantine lane is re-processable once the upstream
+    * defect is fixed. */
+  def qualityGate(acceptedDir: String, quarantineDir: String,
+      rules: Seq[graft.functions.Expectations.Rule]): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        val bad = graft.functions.Expectations.rowViolation(rules)
+        val marked = batch.withColumn("_bad", bad)
+          .withColumn("batch_id", lit(batchId))
+        marked.filter(!col("_bad")).drop("_bad")
+          .write.mode("overwrite").partitionBy("batch_id").parquet(acceptedDir)
+        marked.filter(col("_bad")).drop("_bad")
+          .write.mode("overwrite").partitionBy("batch_id").parquet(quarantineDir)
+      } finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+  }
+
+  def startQualityGate(df: DataFrame, acceptedDir: String,
+      quarantineDir: String, checkpointDir: String,
+      rules: Seq[graft.functions.Expectations.Rule]): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(qualityGate(acceptedDir, quarantineDir, rules))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming SEMANTIC near-dup gate — the embedding-space sibling of
     * [[nearDupGate]]: each micro-batch of vectors is (1) near-deduped
     * within the batch (greedy keep-lowest-id over the IVF-cell-blocked

@@ -296,6 +296,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == want)
   }
 
+  test("quality gate: violating rows quarantined, clean rows accepted, nothing lost; replay no-op") {
+    import graft.functions.Expectations._
+    val dir = tmp("qgate").toString
+    val gate = Incremental.qualityGate(s"$dir/ok", s"$dir/dlq",
+      Seq(NotNull("v"), InRange("n", 0, 100)))
+    val b0 = Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, Some("c"), 500L))
+      .toDF("id", "v", "n")
+    val b1 = Seq((4L, Some("d"), 40L)).toDF("id", "v", "n")
+    gate(b0, 0L); gate(b1, 1L)
+    def ids(p: String) = spark.read.parquet(p).select("id").as[Long].collect().toSet
+    assert(ids(s"$dir/ok") == Set(1L, 4L))
+    assert(ids(s"$dir/dlq") == Set(2L, 3L))
+    // conservation: accepted + quarantined == input
+    assert(ids(s"$dir/ok").size + ids(s"$dir/dlq").size == 4)
+    // replay overwrites only its own batch partitions
+    gate(b0, 0L)
+    assert(ids(s"$dir/ok") == Set(1L, 4L) && ids(s"$dir/dlq") == Set(2L, 3L))
+  }
+
   test("near-dup gate: later batches drop near-matches of earlier accepted docs") {
     val dir = Files.createTempDirectory("neardup-gate").toString
     val gate = Incremental.nearDupGate(s"$dir/index", s"$dir/accepted",
