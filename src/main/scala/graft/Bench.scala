@@ -55,7 +55,7 @@ object Bench {
     "table_profile", "agg_rollup_cascade",
     "snapshot_merge_mor", "window_hopping", "embedding_label_centroids",
     "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source",
-    "quality_expectations")
+    "quality_expectations", "events_psi_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

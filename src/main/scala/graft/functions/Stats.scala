@@ -70,6 +70,46 @@ object Stats {
       .filter(col("n") >= minCount)
   }
 
+  /** Population stability index between two snapshots of a continuous
+    * column — the standard drift monitor for feature/score distributions
+    * (PSI > 0.2 conventionally flags a shift). Values bin into
+    * `bins` fixed-width buckets over [lo, hi] (outliers clamp to the edge
+    * buckets: drift INTO the tails must count); proportions use add-one
+    * smoothing over the bins so an empty bucket contributes a finite,
+    * engine-exact term instead of the textbook ±epsilon hack. Each bucket's
+    * contribution `(p−q)·ln(p/q)` quantizes to integer MICRONATS right
+    * after the ln (the perplexity discipline); the column sum is the PSI.
+    * Two metadata-sized aggregates (bins × counts) — the snapshots
+    * themselves never shuffle. */
+  def psi(a: DataFrame, b: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo)
+    val w = (hi - lo) / bins
+    def bucket(df: DataFrame, n: String) = df
+      .withColumn("bucket",
+        least(greatest(floor((col(valueCol) - lit(lo)) / lit(w)), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val ca = bucket(a, "n_a")
+    val cb = bucket(b, "n_b")
+    val ta = a.count() // driver scalars, one long each
+    val tb = b.count()
+    val allBins = a.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bucket"))
+    val joined = allBins
+      .join(ca, Seq("bucket"), "left_outer")
+      .join(cb, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val p = (col("n_a") + lit(1L)).cast("double") / lit((ta + bins).toDouble)
+    val q = (col("n_b") + lit(1L)).cast("double") / lit((tb + bins).toDouble)
+    joined
+      .withColumn("psi_micronat",
+        floor((p - q) * log(p / q) * lit(1e6) + lit(0.5)).cast("long"))
+      .select("bucket", "n_a", "n_b", "psi_micronat")
+  }
+
   /** ANALYZE-style column profile: one row per column with row/null/
     * distinct counts and min/max (as strings, schema-stable across column
     * types). One aggregation pass (Spark plans the multi-distinct via

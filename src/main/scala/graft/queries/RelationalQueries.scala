@@ -238,6 +238,41 @@ object RelationalQueries {
              |FROM d JOIN t ON d.event_type = t.event_type
              |ORDER BY day, d.event_type""".stripMargin)),
 
+    QueryDef("events_psi_drift",
+      // population stability index: value distribution of the first half-
+      // month vs the second, 10 fixed-width bins with edge clamping and
+      // add-one smoothing; per-bin (p−q)·ln(p/q) quantized to micronats
+      // right after the ln — the drift monitor is engine-exact, the column
+      // sum is the PSI
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("_d", to_date(col("ts")))
+        graft.functions.Stats.psi(
+          ev.filter(col("_d") < lit("2024-01-16")),
+          ev.filter(col("_d") >= lit("2024-01-16")),
+          "value", lo = 0.0, hi = 500.0, bins = 10)
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value
+             |  FROM events),
+             |ca AS (SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9) AS INT) AS bucket,
+             |        count(*) AS n_a FROM e WHERE d < DATE '2024-01-16' GROUP BY bucket),
+             |cb AS (SELECT CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9) AS INT) AS bucket,
+             |        count(*) AS n_b FROM e WHERE d >= DATE '2024-01-16' GROUP BY bucket),
+             |ta AS (SELECT count(*) AS c FROM e WHERE d < DATE '2024-01-16'),
+             |tb AS (SELECT count(*) AS c FROM e WHERE d >= DATE '2024-01-16'),
+             |bins AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+             |j AS (SELECT bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+             |      FROM bins LEFT JOIN ca USING (bucket) LEFT JOIN cb USING (bucket))
+             |SELECT CAST(bucket AS INT) AS bucket, n_a, n_b,
+             |  CAST(floor(
+             |    (CAST(n_a + 1 AS DOUBLE) / (SELECT c + 10 FROM ta)
+             |     - CAST(n_b + 1 AS DOUBLE) / (SELECT c + 10 FROM tb))
+             |    * ln((CAST(n_a + 1 AS DOUBLE) / (SELECT c + 10 FROM ta))
+             |       / (CAST(n_b + 1 AS DOUBLE) / (SELECT c + 10 FROM tb)))
+             |    * 1e6 + 0.5) AS BIGINT) AS psi_micronat
+             |FROM j ORDER BY bucket""".stripMargin)),
+
     QueryDef("event_retention",
       // weekly retention triangle: cohort = a user's first active epoch
       // week, one row per (cohort, week offset) with distinct active

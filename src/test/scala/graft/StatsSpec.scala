@@ -40,6 +40,21 @@ class StatsSpec extends AnyFunSuite {
     assert(out == Map("hot_a" -> 50L, "hot_b" -> 23L))
   }
 
+  test("psi: identical snapshots score ~0; a shifted distribution scores high") {
+    val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Stats.psi(a, a, "v", 0.0, 100.0, bins = 10)
+      .agg(sum("psi_micronat")).head.getLong(0)
+    assert(same == 0L) // p == q bucket-wise, every term is ln(1) = 0
+    val shifted = (1 to 1000).map(i => (i % 100).toDouble + 50).toDF("v")
+    val drift = Stats.psi(a, shifted, "v", 0.0, 100.0, bins = 10)
+      .agg(sum("psi_micronat")).head.getLong(0)
+    assert(drift > 200000L, s"psi = $drift micronats") // >> 0.2 threshold
+    // clamping: values beyond hi land in the top bucket, not dropped
+    val counts = Stats.psi(a, shifted, "v", 0.0, 100.0, bins = 10)
+      .agg(sum("n_b")).head.getLong(0)
+    assert(counts == 1000L)
+  }
+
   test("expectations: every rule counts its exact violations; nulls split correctly") {
     import graft.functions.Expectations._
     val df = Seq(
