@@ -235,6 +235,81 @@ object Sampling {
       .drop("_bkt")
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every RAW document by how much more likely
+    * its hashed-n-gram features are under a TARGET corpus (the
+    * high-quality distribution you want more of) than under the raw
+    * corpus itself, `log w(x) = Σ_features [ln p_target(b) − ln p_raw(b)]`
+    * over unigram + bigram features hashed into `dim` buckets (the
+    * paper's §3 bag-of-hashed-n-grams model; add-one-smoothed bucket
+    * frequencies). Both distributions are FIXED-SIZE integer histograms —
+    * `dim` rows regardless of corpus size — which is the whole trick:
+    * fitting the "LM" is two partial-aggregable counts, scoring is a
+    * broadcast join against a kilobyte table.
+    *
+    * Integer-exactness discipline (the [[TextAnalysis.perplexity]]
+    * pattern): each bucket's two log-probabilities quantize to MICRONAT
+    * longs immediately after the `ln`, the per-bucket weight is their
+    * integer difference, and a document's log-weight is an associative
+    * integer sum of bucket weights — merge-order independent,
+    * engine-comparable. `selected` marks the above-corpus-mean documents
+    * (a deterministic stand-in for the paper's Gumbel resampling draw):
+    * the mean test is exact cross-multiplication `lw × n_docs ≥ Σ lw` in
+    * DECIMAL(38,0) — no floor-division sign traps, no doubles.
+    *
+    * Plan shape at 100 TB: token/bigram explode (narrow map), two
+    * groupBy-bucket counts (partial aggregation collapses each partition
+    * to ≤ dim rows before the shuffle), a `dim`-row weight table built
+    * with two metadata joins and BROADCAST to score (justified: its size
+    * is the configured `dim`, independent of data volume), one uniform
+    * per-doc aggregate. The only driver-side values are the two feature
+    * totals and the two-scalar mean fold — metadata, never data. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    // unigram + bigram feature stream: one (id, bucket) row per occurrence
+    def features(df: DataFrame): DataFrame = {
+      val withT = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      val bigrams = when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => concat_ws(" ", element_at(col("_toks"), i),
+              element_at(col("_toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      withT.select(col(idCol),
+          explode(concat(col("_toks"), bigrams)).as("_f"))
+        .select(col(idCol),
+          (hashSlice32(col("_f")) % dim).cast("int").as("_b"))
+    }
+    val rawF = features(raw)
+    val tgtC = features(target).groupBy(col("_b")).agg(count(lit(1)).as("ct"))
+    val rawC = rawF.groupBy(col("_b")).agg(count(lit(1)).as("cr"))
+    val totals = tgtC.agg(sum(col("ct")).as("tt"))
+      .crossJoin(rawC.agg(sum(col("cr")).as("rt")))
+    // dim-row weight table: micronat-quantize EACH ln, then integer-subtract
+    val spark = raw.sparkSession
+    val weights = spark.range(dim).select(col("id").cast("int").as("_b"))
+      .join(tgtC, Seq("_b"), "left")
+      .join(rawC, Seq("_b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (floor(log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("tt") + dim)) * 1e6 + 0.5).cast("long")
+          - floor(log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
+            / (col("rt") + dim)) * 1e6 + 0.5).cast("long")).as("w_micronat"))
+    val perDoc = rawF.join(broadcast(weights), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("w_micronat")).as("logweight_micronats"))
+    // corpus mean as exact cross-multiplication: lw * n_docs >= sum(lw)
+    val row = perDoc.agg(
+      sum(col("logweight_micronats").cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("d")).head()
+    val (s, d) = (row.getDecimal(0), row.getLong(1))
+    perDoc.withColumn("selected",
+      col("logweight_micronats").cast("decimal(38,0)") * lit(d)
+        >= lit(if (s == null) java.math.BigDecimal.ZERO else s))
+  }
+
   /** Fractional epoch expansion: materialize each stratum `epochs(s)` times
     * per training run — the multi-epoch up-/down-sampling step (e.g.
     * Wikipedia x2.5, CommonCrawl x0.8) that turns per-source repeat

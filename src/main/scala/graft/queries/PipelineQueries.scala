@@ -1938,6 +1938,57 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("dsir_select",
+      // DSIR importance resampling (Xie et al. 2023): raw docs scored by
+      // Σ_features [ln p_target(bucket) − ln p_raw(bucket)] over hashed
+      // unigram+bigram features (64 buckets, target = the English slice);
+      // the oracle re-derives every hash bucket, both smoothed histograms,
+      // each micronat-quantized ln, the integer per-doc sum, and the exact
+      // cross-multiplied above-mean selection flag
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.functions.Sampling.dsirWeights(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+            dim = 64)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+             |            FROM documents),
+             |bg AS (SELECT doc_id, lang, t,
+             |         unnest(generate_series(1, len(t) - 1)) AS i FROM tk),
+             |f AS (
+             |  SELECT doc_id, lang, unnest(t) AS f FROM tk
+             |  UNION ALL
+             |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f FROM bg),
+             |hb AS (SELECT doc_id, lang,
+             |    CAST(list_reduce(list_transform(
+             |      regexp_extract_all(substr(md5(f), 25, 8), '.'),
+             |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             |      (a, b) -> a * 16 + b) % 64 AS INT) AS b
+             |  FROM f),
+             |tc AS (SELECT b, count(*) AS c FROM hb WHERE lang = 'en'
+             |       GROUP BY 1),
+             |rc AS (SELECT b, count(*) AS c FROM hb GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(c) FROM tc) AS tt,
+             |               (SELECT sum(c) FROM rc) AS rt),
+             |w AS (SELECT g.b,
+             |    CAST(floor(ln((COALESCE(tc.c, 0) + 1) / (tot.tt + 64))
+             |      * 1000000.0 + 0.5) AS BIGINT)
+             |  - CAST(floor(ln((COALESCE(rc.c, 0) + 1) / (tot.rt + 64))
+             |      * 1000000.0 + 0.5) AS BIGINT) AS w
+             |  FROM (SELECT unnest(generate_series(0, 63)) AS b) g
+             |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot),
+             |d AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+             |    CAST(sum(w.w) AS BIGINT) AS logweight_micronats
+             |  FROM hb JOIN w USING (b) GROUP BY 1),
+             |sel AS (SELECT (SELECT CAST(sum(logweight_micronats) AS HUGEINT)
+             |                FROM d) AS s,
+             |               (SELECT count(*) FROM d) AS n)
+             |SELECT doc_id, n_features, logweight_micronats,
+             |  CAST(logweight_micronats AS HUGEINT) * sel.n >= sel.s
+             |    AS selected
+             |FROM d CROSS JOIN sel ORDER BY doc_id""".stripMargin)),
+
     QueryDef("token_budget_trim",
       // best-first selection under a global token budget: the oracle is the
       // straightforward global-window cumsum; the engine computes the SAME

@@ -388,4 +388,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(byLang.getOrElse("en", 0L) == allEn) // rate 1.0 keeps everything
     assert(!byLang.contains("zh"))              // rate 0.0 keeps nothing
   }
+
+  test("dsirWeights: target-like docs outscore off-target docs; exact feature count") {
+    // target distribution is pure "alpha beta"; raw has one doc matching it
+    // and one sharing nothing with it — importance log-weight must rank the
+    // matching doc strictly higher, and only it above the mean (selected)
+    val target = Seq((100L, "alpha beta"), (101L, "alpha beta"),
+      (102L, "beta alpha")).toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta"), (2L, "zeta yota")).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target, "doc_id", "text", dim = 64)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    // 2 tokens + 1 bigram each
+    assert(out.forall(_._2 == 3L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 > byId(2L)._3)
+    assert(byId(1L)._4 && !byId(2L)._4)
+    // weights are a pure function of the two corpora: stable across runs
+    val again = Sampling.dsirWeights(raw, target, "doc_id", "text", dim = 64)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
