@@ -485,6 +485,72 @@ object TextAnalysis {
           lit(width)), " ").as("chunk_text"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/Okapi
+    * scoring every search stack ships): top-k documents per query, where
+    * `score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`
+    * with the non-negative Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    * This is the retrieval half of a training-data stack (mine hard
+    * negatives, audit what a query surfaces, build seed sets for targeted
+    * filtering) expressed as a relational plan.
+    *
+    * Engine-exactness: each (doc, term) partial score is one scalar double
+    * expression — identical operation order in Spark and the oracle, so
+    * IEEE determinism applies — quantized to micronat longs, then the
+    * per-(query, doc) total is an associative integer sum; rank ties break
+    * on ascending doc id. `avgdl` enters as the exact ratio `dl·N/total`
+    * (two driver longs, like [[perplexity]]'s totals — never a pre-divided
+    * double that would round differently).
+    *
+    * Plan shape at 100 TB: the token explode is FILTERED to the query
+    * vocabulary before any shuffle (the scan's pushed `isin` keeps only
+    * hit tokens — candidate set, not corpus); df comes from the already
+    * query-vocab-sized tf aggregate, so both the query table and the df
+    * side are tiny broadcasts BY CONSTRUCTION (bounded by Σ query terms,
+    * not data); the final top-k is the two-stage [[graft.plans.TopKPerKey]]
+    * bounded-heap — map-side k per partition, no per-query global window
+    * funnel. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "queries must be non-empty term lists")
+    val docs = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("_dl"))
+    // two driver longs: corpus size and total token count (metadata)
+    val trow = docs.agg(count(lit(1)).as("n"),
+      sum(col("_dl").cast("long")).as("tot")).head()
+    val (nDocs, totLen) = (trow.getLong(0), trow.getLong(1))
+    val vocab = queries.flatMap(_._2).distinct
+    val tf = docs
+      .select(col(idCol), col("_dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy(col(idCol), col("_dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val spark = df.sparkSession
+    val qterms = spark.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) })
+      .toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dft), Seq("term"))
+      .withColumn("_s", floor(
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("dft") + lit(0.5))
+            / (col("dft") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * ((col("_dl") * lit(nDocs)) / lit(totLen.toDouble))))
+          * lit(1e6) + lit(0.5)).cast("long"))
+    val perDoc = scored.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("_s")).as("score_micronats"),
+        count(lit(1)).as("n_terms_hit"))
+    import graft.plans.TopKPerKey
+    val order = Seq(("score_micronats", false), (idCol, true))
+    TopKPerKey.perKey(
+      TopKPerKey.perKeyPartial(perDoc, Seq("qid"), order, topK),
+      Seq("qid"), order, topK, "rnk")
+  }
+
   /** Feature-hashing (hashing-trick) vectorizer: each token hashes to a
     * dimension index and a ±1 sign; a document's vector is the signed
     * token-count per dimension — the stateless, vocabulary-free

@@ -1989,6 +1989,51 @@ object PipelineQueries {
              |    AS selected
              |FROM d CROSS JOIN sel ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("bm25_topk",
+      // BM25 ranked retrieval: top-10 docs for two term queries under the
+      // Lucene/Okapi score; the oracle recomputes corpus stats (N, total
+      // length), per-term df, every micronat-quantized partial score with
+      // the identical operation order, the integer per-doc sum, and the
+      // (score desc, id asc) ranking
+      (s, dir) => TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          "doc_id", "text",
+          Seq("q_scan" -> Seq("scan", "table", "column"),
+              "q_join" -> Seq("join", "merge", "hash")),
+          k1 = 1.2, b = 0.75, topK = 10)
+        .orderBy("qid", "rnk"),
+      Some {
+        val (k1, b) = (1.2, 0.75)
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           |           FROM documents),
+           |st AS (SELECT count(*) AS n, sum(len(t)) AS tot FROM d),
+           |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+           |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d)
+           |       WHERE tok IN ('scan','table','column','join','merge','hash')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+           |q AS (SELECT * FROM (VALUES
+           |    ('q_scan','scan'), ('q_scan','table'), ('q_scan','column'),
+           |    ('q_join','join'), ('q_join','merge'), ('q_join','hash'))
+           |  v(qid, term)),
+           |sc AS (SELECT q.qid, tf.doc_id,
+           |    CAST(floor(ln(1.0 + (st.n - dft.dft + 0.5) / (dft.dft + 0.5))
+           |      * (tf.tf * ${fmtD(k1 + 1.0)})
+           |      / (tf.tf + ${fmtD(k1)} * (${fmtD(1.0 - b)}
+           |        + ${fmtD(b)} * ((tf.dl * st.n) / st.tot)))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS s
+           |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+           |  CROSS JOIN st),
+           |pd AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT)
+           |      AS score_micronats,
+           |    CAST(count(*) AS BIGINT) AS n_terms_hit
+           |  FROM sc GROUP BY 1, 2),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+           |        ORDER BY score_micronats DESC, doc_id) AS INT) AS rnk
+           |  FROM pd)
+           |SELECT qid, doc_id, score_micronats, n_terms_hit, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+      }),
+
     QueryDef("token_budget_trim",
       // best-first selection under a global token budget: the oracle is the
       // straightforward global-window cumsum; the engine computes the SAME

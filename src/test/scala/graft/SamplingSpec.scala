@@ -389,6 +389,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(!byLang.contains("zh"))              // rate 0.0 keeps nothing
   }
 
+  test("bm25TopK: tf wins at equal length, length-normalization wins at equal tf") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "scan scan scan pad pad"),             // tf=3, dl=5
+      (2L, "scan pad pad pad pad"),               // tf=1, dl=5
+      (3L, "scan pad pad pad pad pad pad pad pad pad"), // tf=1, dl=10
+      (4L, "pad pad")                             // no hit -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("q" -> Seq("scan")), topK = 10)
+      .select("qid", "doc_id", "rnk", "n_terms_hit")
+      .as[(String, Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L)) // tf, then shorter dl
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(out.forall(_._4 == 1L))
+    // topK truncates: with k=1 only the best survives
+    val top1 = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("q" -> Seq("scan")), topK = 1)
+    assert(top1.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs; exact feature count") {
     // target distribution is pure "alpha beta"; raw has one doc matching it
     // and one sharing nothing with it — importance log-weight must rank the
