@@ -55,7 +55,9 @@ object Bench {
     "table_profile", "agg_rollup_cascade",
     "snapshot_merge_mor", "window_hopping", "embedding_label_centroids",
     "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source",
-    "quality_expectations", "events_psi_drift")
+    "quality_expectations", "events_psi_drift",
+    // round-6 fourth batch: DSIR importance scoring and BM25 retrieval
+    "dsir_select", "bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

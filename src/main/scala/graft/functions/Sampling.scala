@@ -285,7 +285,11 @@ object Sampling {
     val rawC = rawF.groupBy(col("_b")).agg(count(lit(1)).as("cr"))
     val totals = tgtC.agg(sum(col("ct")).as("tt"))
       .crossJoin(rawC.agg(sum(col("cr")).as("rt")))
-    // dim-row weight table: micronat-quantize EACH ln, then integer-subtract
+    // dim-row weight table: micronat-quantize EACH ln, then integer-subtract.
+    // PERSISTED: building it costs a full histogram pass over both corpora,
+    // and without the pin each downstream action (the mean fold, the final
+    // output) would re-run those scans to rebuild 64 rows
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = raw.sparkSession
     val weights = spark.range(dim).select(col("id").cast("int").as("_b"))
       .join(tgtC, Seq("_b"), "left")
@@ -296,10 +300,14 @@ object Sampling {
             / (col("tt") + dim)) * 1e6 + 0.5).cast("long")
           - floor(log((coalesce(col("cr"), lit(0L)) + 1).cast("double")
             / (col("rt") + dim)) * 1e6 + 0.5).cast("long")).as("w_micronat"))
+      .persist(lvl)
+    // per-doc score table — three longs per doc, spillable; persisted so
+    // the mean fold and the returned frame share ONE scoring pass
     val perDoc = rawF.join(broadcast(weights), Seq("_b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
         sum(col("w_micronat")).as("logweight_micronats"))
+      .persist(lvl)
     // corpus mean as exact cross-multiplication: lw * n_docs >= sum(lw)
     val row = perDoc.agg(
       sum(col("logweight_micronats").cast("decimal(38,0)")).as("s"),
