@@ -57,7 +57,9 @@ object Bench {
     "text_hash_embed", "ann_ivfpq_residual_topk", "salient_terms_by_source",
     "quality_expectations", "events_psi_drift",
     // round-6 fourth batch: DSIR importance scoring and BM25 retrieval
-    "dsir_select", "bm25_topk")
+    "dsir_select", "bm25_topk",
+    // round-6 fifth batch: embedding mining + classifier inference
+    "hard_negatives", "quality_classifier", "rp_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

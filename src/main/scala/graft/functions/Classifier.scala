@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear text-classifier INFERENCE at corpus scale — the fastText-style
+  * quality/topic filter (Joulin et al. 2016; the model family behind
+  * CCNet/LLaMA-style "keep what looks like Wikipedia" filtering and
+  * FineWeb-style quality scoring). Training happens offline on a sample;
+  * what a 100 TB pipeline runs is the INFERENCE pass, and that is what
+  * this implements: score = Σ_features w(bucket(feature)) + bias over
+  * hashed unigram+bigram features (the hashing trick — no vocabulary to
+  * ship, the model IS the weight function).
+  *
+  * Weights here are derived deterministically from the bucket id by the
+  * engine-wide md5-slice hash ([[Sampling.hashSlice32]]), standing in for
+  * trained coefficients: `w(b) = (h("qw42#" + b) mod 2001) − 1000`
+  * micronats. A real deployment substitutes its trained table via
+  * `weightExpr`; everything else — featurization, fold, decision — is the
+  * production path, and the hash-derived default keeps the gate's oracle
+  * able to recompute every weight independently.
+  *
+  * Scale shape: a PURE NARROW MAP fused into the parquet scan — tokens,
+  * bigrams, buckets, weights, and the integer score fold are all array
+  * expressions on the row; no explode, no join, no shuffle, no state.
+  * This is the cheapest possible plan for per-document model inference,
+  * and it composes with any downstream filter (`accept`) as an ordinary
+  * pushable predicate. Integer micronat weights make the per-doc sum an
+  * associative long fold — engine-exact.
+  */
+object Classifier {
+
+  /** Hash bucket of a feature string: uniform 32-bit md5 slice mod dim. */
+  def bucket(f: Column, dim: Int): Column =
+    (Sampling.hashSlice32(f) % dim).cast("int")
+
+  /** Default deterministic stand-in weight table: pure function of the
+    * bucket id, micronat-integer in [-1000, 1000]. */
+  def hashWeight(b: Column): Column =
+    Sampling.hashSlice32(concat(lit("qw42#"), b.cast("string"))) % 2001L - 1000L
+
+  /** Per-document linear score over hashed unigram+bigram features.
+    * Output: (id, n_features, score_micronats, accept = score ≥ 0). */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, weightExpr: Column => Column = hashWeight,
+      keep: Seq[String] = Nil): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = split(col(textCol), " ")
+    val keepCols = keep.map(col)
+    val withT = df.select(col(idCol) +: toks.as("_toks") +: keepCols: _*)
+    val bigrams = when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", element_at(col("_toks"), i),
+            element_at(col("_toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    withT.select(col(idCol) +: concat(col("_toks"), bigrams).as("_f")
+        +: keepCols: _*)
+      .select(col(idCol) +:
+        size(col("_f")).cast("long").as("n_features") +:
+        aggregate(transform(col("_f"), f => weightExpr(bucket(f, dim))),
+          lit(0L), (acc, w) => acc + w).as("score_micronats") +:
+        keepCols: _*)
+      .withColumn("accept", col("score_micronats") >= 0L)
+  }
+
+  /** Precision/recall sweep of a scored corpus against a (weak) boolean
+    * label, at a fixed list of micronat thresholds — the calibration table
+    * a pipeline reads before picking its filter cutoff. Engine shape: the
+    * scored frame (narrow, from [[linearScore]]) cross-joins a BROADCAST
+    * |thresholds|-row table; partial aggregation collapses each partition
+    * to |thresholds| count rows before the only shuffle — output and
+    * exchange are both metadata-sized regardless of corpus size.
+    * Precision/recall are single divisions of exact long counts (0-denominator
+    * guarded to NULL) — engine-exact. */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val th = broadcast(thresholds.toDF("threshold"))
+    scored.select(col(scoreCol).as("_s"), col(labelCol).as("_y"))
+      .crossJoin(th)
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("_s") >= col("threshold") && col("_y"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("_s") >= col("threshold") && !col("_y"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_s") < col("threshold") && col("_y"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("_s") < col("threshold") && !col("_y"), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+  }
+}

@@ -230,4 +230,80 @@ object Similarity {
         floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(groupCol, "dim")
       .agg(count(lit(1)).as("n"), sum(col("x_micro")).as("sum_micro"))
+
+  /** Hard-negative mining for contrastive / embedding-model training: for
+    * each query vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's (the "hard" negatives — near in embedding
+    * space, wrong by label; the standard mining step behind dense-retriever
+    * and SimCSE-style training sets). Plan shape at 100 TB: the query set
+    * is an eval/anchor batch (small by construction) and is BROADCAST; the
+    * corpus streams through a broadcast nested-loop join (label-inequality
+    * predicate) without ever shuffling its vectors, and the two-stage
+    * [[graft.plans.TopKPerKey]] collapses each partition to ≤ k rows per
+    * query before the only exchange — the shuffle moves
+    * k × partitions × |queries| scored ids, never embeddings. Ties broken
+    * by (cos desc, id asc) — total order, engine-exact because cosine is
+    * the sequential [[dot]] fold both engines compute identically. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("_qv"), col(labelCol).as("_qlabel")))
+    val scored = corpus
+      .select(col(idCol).as("neg_id"), col(vecCol).as("_v"),
+        col(labelCol).as("_nlabel"))
+      .join(q, col("_nlabel") =!= col("_qlabel"))
+      .withColumn("cos", cosine(col("_v"), col("_qv")))
+      .select(col("qid"), col("neg_id"), col("cos"))
+    import graft.plans.TopKPerKey
+    val order = Seq(("cos", false), ("neg_id", true))
+    TopKPerKey.perKey(
+      TopKPerKey.perKeyPartial(scored, Seq("qid"), order, k),
+      Seq("qid"), order, k, "rnk")
+  }
+
+  /** Semantic (embedding-space) decontamination: flag every corpus vector
+    * whose cosine to ANY benchmark/eval vector reaches `threshold` — the
+    * embedding analogue of [[Decontam]]'s n-gram overlap, catching
+    * paraphrased eval leakage that exact grams miss. The bench side is an
+    * eval set — thousands of rows, metadata-sized by definition — so it is
+    * BROADCAST and the corpus never shuffles its vectors; the per-corpus-id
+    * `max` aggregate is partial-aggregable (map-side combine collapses each
+    * partition's |bench| candidate rows back to one row per corpus id
+    * before the exchange), so the only shuffle carries (id, double) pairs.
+    * `max` over doubles is order-independent — engine-exact. Output: one
+    * row per corpus vector, (id, max_bench_cos, contaminated). */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, vecCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("_bv")))
+    corpus.select(col(idCol), col(vecCol).as("_v"))
+      .join(b)
+      .groupBy(col(idCol))
+      .agg(max(cosine(col("_v"), col("_bv"))).as("max_bench_cos"))
+      .withColumn("contaminated", col("max_bench_cos") >= lit(threshold))
+  }
+
+  /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss random
+    * projection (Achlioptas 2003's database-friendly variant): outDim rows
+    * of inDim exact ±1.0 signs from the same fixed LCG as
+    * [[hyperplanes]] — plan literals, identical across runs and engines. */
+  def rpSigns(outDim: Int, inDim: Int, seed: Long = 11L): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 33) & 1L) == 1L) 1.0 else -1.0
+    }
+    Seq.fill(outDim)(Seq.fill(inDim)(next()))
+  }
+
+  /** Random-projection dimensionality reduction: y_j = <v, signs_j> for
+    * each of outDim ±1 sign rows — the JL map that shrinks a 100 TB
+    * embedding column by inDim/outDim while approximately preserving
+    * pairwise distances (within 1±ε for outDim = O(ln n / ε²)), the
+    * standard pre-step that makes downstream ANN / clustering move 8× less
+    * data. A pure narrow map fused into the scan: no shuffle, no state,
+    * and ±1 signs mean each component is an exact sequential sum of the
+    * input floats (widened to double) — bit-identical in any engine that
+    * folds left-to-right, which is what the oracle recomputes. */
+  def rpProject(vec: Column, signs: Seq[Seq[Double]]): Column =
+    array(signs.map(row => dot(vec, array(row.map(lit): _*))): _*)
 }

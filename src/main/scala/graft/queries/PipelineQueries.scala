@@ -364,6 +364,34 @@ object PipelineQueries {
       |    regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
 
+  /** [[DocHashSql]] generalized to an arbitrary VARCHAR expression —
+    * DuckDB rendering of [[graft.functions.Sampling.hashSlice32]]. */
+  private def md5SliceSql(expr: String): String =
+    s"""list_reduce(list_transform(
+       |    regexp_extract_all(substr(md5($expr), 25, 8), '.'),
+       |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
+
+  /** DuckDB CTE chain recomputing [[graft.functions.Classifier.linearScore]]
+    * from scratch — unigram+bigram features, md5-slice bucket, the
+    * hash-derived micronat weight per bucket, and the exact integer
+    * per-doc sum. Yields `d` (doc_id, n_features, score_micronats). */
+  private def classifierScoreCteSql: String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, t,
+       |         unnest(generate_series(1, len(t) - 1)) AS i FROM tk),
+       |f AS (
+       |  SELECT doc_id, unnest(t) AS f FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f FROM bg),
+       |hb AS (SELECT doc_id,
+       |         CAST(${md5SliceSql("f")} % 64 AS INT) AS b FROM f),
+       |wt AS (SELECT doc_id,
+       |         ${md5SliceSql("'qw42#' || CAST(b AS VARCHAR)")} % 2001 - 1000 AS w
+       |       FROM hb),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+       |        CAST(sum(w) AS BIGINT) AS score_micronats
+       |      FROM wt GROUP BY doc_id)""".stripMargin
+
   /** Mixing weights for the `sample_stratified` gate query (ListMap: the
     * CASE chain must fold in a stable order in both engines). */
   private val StratRates = scala.collection.immutable.ListMap(
@@ -1989,6 +2017,56 @@ object PipelineQueries {
              |    AS selected
              |FROM d CROSS JOIN sel ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("quality_classifier",
+      // fastText-style linear quality-filter INFERENCE (Joulin et al.
+      // 2016; the CCNet/FineWeb keep-or-drop pass): per-doc integer score
+      // over hashed unigram+bigram features, a pure narrow map — no
+      // explode, no join, no shuffle. The deterministic hash-derived
+      // weight table stands in for trained coefficients so the oracle can
+      // recompute every bucket, weight, and the exact integer fold
+      (s, dir) => graft.functions.Classifier.linearScore(
+          Tables.documents(s, dir), "doc_id", "text", dim = 64)
+        .orderBy("doc_id"),
+      Some(s"""WITH $classifierScoreCteSql
+              |SELECT doc_id, n_features, score_micronats,
+              |  score_micronats >= 0 AS accept
+              |FROM d ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("classifier_pr_curve",
+      // calibration sweep of the classifier against a weak label
+      // (lang = 'en') at five fixed micronat thresholds: exact long
+      // confusion counts per threshold (broadcast threshold table,
+      // map-side partial agg -> 5-row exchange), precision/recall as
+      // single guarded divisions — the table a pipeline reads before
+      // choosing its filter cutoff
+      (s, dir) => {
+        val scored = graft.functions.Classifier.linearScore(
+            Tables.documents(s, dir), "doc_id", "text", dim = 64,
+            keep = Seq("lang"))
+          .withColumn("y", col("lang") === "en")
+        graft.functions.Classifier.prCurve(scored, "score_micronats", "y",
+            Seq(-400000L, -200000L, 0L, 200000L, 400000L))
+          .orderBy("threshold")
+      },
+      Some(s"""WITH $classifierScoreCteSql,
+              |lab AS (SELECT d.doc_id, score_micronats AS s,
+              |          (lang = 'en') AS y
+              |        FROM d JOIN documents USING (doc_id)),
+              |th AS (SELECT CAST(unnest([-400000, -200000, 0, 200000,
+              |                           400000]) AS BIGINT) AS threshold),
+              |c AS (SELECT threshold,
+              |        CAST(sum(CASE WHEN s >= threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |        CAST(sum(CASE WHEN s >= threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |        CAST(sum(CASE WHEN s < threshold AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |        CAST(sum(CASE WHEN s < threshold AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |      FROM lab CROSS JOIN th GROUP BY threshold)
+              |SELECT threshold, tp, fp, fn, tn,
+              |  CASE WHEN tp + fp > 0
+              |       THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+              |  CASE WHEN tp + fn > 0
+              |       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
+              |FROM c ORDER BY threshold""".stripMargin)),
+
     QueryDef("bm25_topk",
       // BM25 ranked retrieval: top-10 docs for two term queries under the
       // Lucene/Okapi score; the oracle recomputes corpus stats (N, total
@@ -2662,6 +2740,128 @@ object PipelineQueries {
               |  ORDER BY cos DESC, vec_id LIMIT 10)
               |SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
               |FROM ann JOIN brute USING (vec_id)""".stripMargin)),
+
+    QueryDef("hard_negatives",
+      // contrastive-training hard-negative mining: per query vector, the
+      // top-5 most-cosine-similar vectors with a DIFFERENT label. Queries
+      // broadcast, corpus never shuffles its vectors, two-stage TopKPerKey
+      // moves only (qid, id, cos) partials; the oracle recomputes every
+      // cosine and the (cos desc, id) ranking from scratch
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 6),
+            "embedding", "vec_id", "label", k = 5)
+          .orderBy("qid", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+              |           FROM embeddings WHERE vec_id < 6),
+              |sc AS (
+              |  SELECT q.qid, e.vec_id AS neg_id,
+              |    ${dotSql("e.embedding", "q.qv")} /
+              |    (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})) AS cos
+              |  FROM embeddings e JOIN q ON e.label <> q.ql),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY qid ORDER BY cos DESC, neg_id) AS INT) AS rnk
+              |      FROM sc)
+              |SELECT qid, neg_id, cos, rnk FROM r WHERE rnk <= 5
+              |ORDER BY qid, rnk""".stripMargin)),
+
+    QueryDef("decontam_semantic",
+      // embedding-space decontamination: flag corpus vectors whose cosine
+      // to ANY bench/eval vector reaches 0.35 (paraphrased leakage that
+      // n-gram overlap misses). Bench side broadcast; partial max-agg
+      // collapses candidates map-side; the oracle recomputes every cosine
+      // and the per-vector max independently
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.semanticDecontam(e.filter(col("vec_id") >= 40),
+            e.filter(col("vec_id") < 40), "embedding", "vec_id",
+            threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 40),
+              |c AS (
+              |  SELECT vec_id,
+              |    max(${dotSql("embedding", "bv")} /
+              |      (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("bv", "bv")}))) AS max_bench_cos
+              |  FROM embeddings CROSS JOIN b WHERE vec_id >= 40
+              |  GROUP BY vec_id)
+              |SELECT vec_id, max_bench_cos, max_bench_cos >= 0.35 AS contaminated
+              |FROM c ORDER BY vec_id""".stripMargin)),
+
+    QueryDef("rp_project",
+      // Johnson–Lindenstrauss random projection 64 -> 8 dims (Achlioptas
+      // ±1 signs — exact doubles, plan literals): a pure narrow map fused
+      // into the scan; the oracle re-folds every output component from the
+      // same sign literals with the identical sequential dot product
+      (s, dir) => {
+        val signs = Similarity.rpSigns(8, 64)
+        Tables.embeddings(s, dir).select(
+          col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
+            Similarity.dot(col("embedding"),
+              array(row.map(lit): _*)).as(s"y$j")
+          }: _*).orderBy("vec_id")
+      },
+      Some {
+        val signs = Similarity.rpSigns(8, 64)
+        val lists = signs.zipWithIndex.map { case (row, j) =>
+          s"CAST([${row.map(fmtD).mkString(",")}] AS DOUBLE[]) AS s$j"
+        }.mkString(",\n              |  ").stripMargin
+        val ys = signs.indices.map(j =>
+          s"${dotSql("embedding", s"s$j")} AS y$j").mkString(",\n              |  ").stripMargin
+        s"""WITH sg AS (SELECT $lists)
+           |SELECT vec_id,
+           |  $ys
+           |FROM embeddings CROSS JOIN sg ORDER BY vec_id""".stripMargin
+      }),
+
+    QueryDef("rp_recall",
+      // recall@20 of brute-force top-k run in the 8-dim PROJECTED space vs
+      // the exact 64-dim ranking — the measured fidelity of the JL map
+      // (both rankings recomputed end-to-end by the oracle)
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val signs = Similarity.rpSigns(8, 64)
+        val proj = e.select(col("vec_id"),
+          Similarity.rpProject(col("embedding"), signs).as("p"))
+        val qp = proj.filter(col("vec_id") === 0).head().getSeq[Double](1)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val top = proj
+          .select(col("vec_id"),
+            Similarity.cosine(col("p"), array(qp.map(lit): _*)).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(20)
+          .select("vec_id")
+        val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q,
+          k = 20).select("vec_id")
+        top.join(brute, "vec_id")
+          .agg((count(lit(1)).cast("double") / 20.0).as("recall_at_20"))
+      },
+      Some {
+        val signs = Similarity.rpSigns(8, 64)
+        val lists = signs.zipWithIndex.map { case (row, j) =>
+          s"CAST([${row.map(fmtD).mkString(",")}] AS DOUBLE[]) AS s$j"
+        }.mkString(", ")
+        val proj = signs.indices.map(j =>
+          s"${dotSql("embedding", s"s$j")}").mkString(", ")
+        s"""WITH sg AS (SELECT $lists),
+           |pr AS (SELECT vec_id, [$proj] AS p FROM embeddings CROSS JOIN sg),
+           |qp AS (SELECT p AS qv FROM pr WHERE vec_id = 0),
+           |top AS (
+           |  SELECT pr.vec_id,
+           |    ${dotSql("pr.p", "qp.qv")} /
+           |    (sqrt(${dotSql("pr.p", "pr.p")}) * sqrt(${dotSql("qp.qv", "qp.qv")})) AS cos
+           |  FROM pr CROSS JOIN qp
+           |  ORDER BY cos DESC, vec_id LIMIT 20),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |brute AS (
+           |  SELECT e.vec_id,
+           |    ${dotSql("e.embedding", "q.qv")} /
+           |    (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})) AS cos
+           |  FROM embeddings e CROSS JOIN q
+           |  ORDER BY cos DESC, vec_id LIMIT 20)
+           |SELECT CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
+           |FROM top JOIN brute USING (vec_id)""".stripMargin
+      }),
 
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),

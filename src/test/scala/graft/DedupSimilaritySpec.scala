@@ -655,4 +655,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(bloom == exact) // no false negatives, exact verify join
     assert(exact.nonEmpty)
   }
+
+  test("hardNegatives: k per query, labels differ, top-1 is the different-label argmax") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" < 4)
+    val got = Similarity.hardNegatives(e, q, "embedding", "vec_id", "label", k = 3)
+      .collect()
+    assert(got.length == 12) // 4 queries x k=3
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { r =>
+      val (qid, neg) = (r.getLong(0), r.getLong(1))
+      assert(labels(neg) != labels(qid), s"negative $neg shares label with query $qid")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+    // top-1 for query 0 beats every other different-label candidate
+    val vecs = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.reduceLeft(_ + _)
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).reduceLeft(_ + _)) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).reduceLeft(_ + _)))
+    }
+    val best = got.filter(r => r.getLong(0) == 0L && r.getInt(3) == 1).head
+    val want = vecs.collect { case (id, v) if labels(id) != labels(0L) =>
+      cos(vecs(0L), v) }.max
+    assert(math.abs(best.getDouble(2) - want) < 1e-12)
+  }
+
+  test("semanticDecontam: flags exactly the vectors whose max bench cosine crosses the threshold") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val bench = e.filter($"vec_id" < 20)
+    val got = Similarity.semanticDecontam(e.filter($"vec_id" >= 20), bench,
+        "embedding", "vec_id", threshold = 0.35)
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.length == e.count() - 20)
+    got.foreach { case (_, mc, flag) => assert(flag == (mc >= 0.35)) }
+    // a bench member planted into the corpus side must flag at cos = 1
+    val planted = Similarity.semanticDecontam(e.filter($"vec_id" < 20), bench,
+        "embedding", "vec_id", threshold = 0.99)
+      .as[(Long, Double, Boolean)].collect()
+    assert(planted.forall(_._3), "self-match must always contaminate")
+  }
+
+  test("rpProject: ±1 signs, 8 dims out, norms preserved in expectation, self-match on top") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val signs = Similarity.rpSigns(8, 64)
+    assert(signs.size == 8 && signs.forall(_.size == 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    val proj = e.select($"vec_id",
+      Similarity.rpProject($"embedding", signs).as("p"))
+    assert(proj.head().getSeq[Double](1).size == 8)
+    // JL with ±1 signs: E[|y|²] = outDim·|v|² — the per-vector ratio is a
+    // chi-square_8/8 draw, but its MEAN over 500 vectors concentrates hard
+    val ratio = proj.join(e.select($"vec_id", $"embedding"), "vec_id")
+      .select((Similarity.dot($"p", $"p") /
+        (lit(8.0) * Similarity.dot($"embedding", $"embedding"))).as("r"))
+      .agg(avg($"r")).head().getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"norm ratio $ratio")
+    // the projected self-match is exact: cos(p0, p0) = 1 tops the ranking
+    val qp = proj.filter($"vec_id" === 0).head().getSeq[Double](1)
+    val top = proj.select($"vec_id",
+        Similarity.cosine($"p", array(qp.map(lit): _*)).as("cos"))
+      .orderBy($"cos".desc, $"vec_id").limit(1).select("vec_id")
+      .as[Long].head()
+    assert(top == 0L, "projection preserves the self-match")
+  }
 }

@@ -215,7 +215,10 @@ class PlanSpec extends AnyFunSuite {
     * CONDITIONED join — the filter becomes the join predicate — which is
     * exactly what this guard verifies. */
   private val BoundedCrossProductQueries = Set(
-    "text_perplexity", "text_perplexity_bigram")
+    "text_perplexity", "text_perplexity_bigram",
+    // broadcast of a metadata-sized side by construction: the bench/eval
+    // embedding set (decontam) and the fixed threshold list (pr curve)
+    "decontam_semantic", "classifier_pr_curve")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
