@@ -109,6 +109,17 @@ object PipelineQueries {
     s"target/tmp/$prefix-$safe-pid$jvmTag"
   }
 
+  /** PCA models (k=4 components over the 64-dim embeddings), trained once
+    * per dir — the [[ivfModel]] contract, though the integer moment
+    * aggregation makes PCA.train bit-stable across runs regardless. */
+  private val pcaModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.functions.PCA.Model]()
+  private[graft] def pcaModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.functions.PCA.Model =
+    pcaModels.computeIfAbsent(dir, _ =>
+      graft.functions.PCA.train(Tables.embeddings(s, dir), "embedding",
+        dim = 64, k = 4))
+
   /** PQ codebooks (m=8 subspaces, ks=16 codes), trained once per dir —
     * model-sized driver state, the [[ivfModel]] contract. */
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
@@ -2862,6 +2873,37 @@ object PipelineQueries {
            |SELECT CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
            |FROM top JOIN brute USING (vec_id)""".stripMargin
       }),
+
+    QueryDef("pca_project",
+      // PCA 64 -> 4 principal coordinates: fit is ONE integer-moment pass
+      // (VecMomentsAgg — a ~17 KB buffer per partition is the only
+      // shuffle), eigensolve is driver-side on the 64x64 covariance;
+      // projection is a narrow map over component literals. The oracle
+      // gets the trained components/mean offsets as literals (the
+      // ann_ivf_* contract) and re-folds every coordinate independently
+      (s, dir) => graft.functions.PCA.project(
+          Tables.embeddings(s, dir), "embedding", "vec_id", pcaModel(s, dir))
+        .orderBy("vec_id"),
+      None,
+      dynOracle = Some((s, dir) => {
+        val m = pcaModel(s, dir)
+        // components as QUOTED strings — the ivfAssignedCteSql round-trip
+        // trick: bare numeric list literals unify through DECIMAL and lose
+        // the last ulp; varchar -> double parses correctly rounded
+        val lists = m.components.zipWithIndex.map { case (c, j) =>
+          val arr = c.map(x => "'" + fmtD(x) + "'").mkString("[", ", ", "]")
+          s"CAST($arr AS DOUBLE[]) AS c$j"
+        }.mkString(", ")
+        val projs = m.components.zipWithIndex.map { case (c, j) =>
+          val off = c.zip(m.mean).map { case (a, b) => a * b }
+            .reduceLeft(_ + _)
+          s"${dotSql("embedding", s"c$j")} - CAST('${fmtD(off)}' AS DOUBLE) AS p$j"
+        }.mkString(",\n  ")
+        s"""WITH cg AS (SELECT $lists)
+           |SELECT vec_id,
+           |  $projs
+           |FROM embeddings CROSS JOIN cg ORDER BY vec_id""".stripMargin
+      })),
 
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
