@@ -59,7 +59,9 @@ object Bench {
     // round-6 fourth batch: DSIR importance scoring and BM25 retrieval
     "dsir_select", "bm25_topk",
     // round-6 fifth batch: embedding mining + classifier inference
-    "hard_negatives", "quality_classifier", "rp_project", "pca_project")
+    "hard_negatives", "quality_classifier", "rp_project", "pca_project",
+    // round-6 sixth batch: scale-safe percentiles, CCNet buckets, group split
+    "grouped_percentiles_scalable", "ccnet_lang_buckets", "split_leakage_safe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -611,6 +611,27 @@ object Dedup {
         max_by(col("id"), struct(col("_score"), (lit(0L) - col("id")))).as("keep_id"),
         count(lit(1)).as("n_members"))
 
+  /** Leakage-safe train/val/test assignment: hash-split by near-dup
+    * CLUSTER, not by document — a doc-keyed split puts two near-identical
+    * documents on opposite sides of the train/test fence, and the
+    * evaluation silently becomes a memorization test (the contamination
+    * mode group-k-fold exists for). Every member of a connected near-dup
+    * component shares its `cluster_id` (= min reachable id), so the whole
+    * clique lands in ONE split; singletons hash by their own id, which
+    * keeps the split fractions on the unclustered mass identical to
+    * [[Sampling.splitAssign]]'s. Appends that do not join a cluster never
+    * move existing assignments (same hash stability as the plain split).
+    * `pairs` is any near-dup pair frame (`id_a`, `id_b`). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val clusters = connectedComponents(df, idCol, pairs)
+    df.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol))
+      .withColumn("split",
+        Sampling.splitAssign(col("cluster_id"), splits))
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over whitespace tokens: bit j of the output is 1 iff the

@@ -132,4 +132,79 @@ object Stats {
       .select("column_name", "n_rows", "n_nulls", "n_distinct",
         "min_val", "max_val")
   }
+
+  /** EXACT per-group percentile cutoffs over an INTEGER value column,
+    * without ever sorting a group or funneling it through one task — the
+    * scale-safe replacement for `ntile`/per-group `sort` when the group
+    * count is small but the groups are huge (per-language corpus slices at
+    * 100 TB). Cutoff semantics: for fraction f over a group of n rows,
+    * the smallest value v with `count(value ≤ v) ≥ ceil(n·f)` — a VALUE
+    * threshold, so equal values never straddle a cut.
+    *
+    * Two bounded passes, both ending in metadata-sized collects:
+    *  1. counts per (group, value div `bucketWidth`) — the collect is
+    *     bounded by groups × value-RANGE/width, independent of row count;
+    *     the driver walks each group's cumulative histogram to the bucket
+    *     holding each target rank;
+    *  2. counts per exact value, FILTERED to the boundary buckets only —
+    *     at most `bucketWidth` distinct integers per target by
+    *     construction; the driver walks to the exact cutoff.
+    * All arithmetic is integer counts (plus one n·f double product both
+    * engines round identically) — deterministic at any parallelism.
+    * Output: (group, p, cutoff), one row per group × fraction. */
+  def groupedExactPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, fractions: Seq[Double],
+      bucketWidth: Long = 10000L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1))
+    require(bucketWidth > 0)
+    // floor division valid for negative values too: (v - pmod(v, W)) / W
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / lit(bucketWidth)).cast("long")
+    val base = df.select(col(groupCol).cast("string").as("_g"),
+      col(valueCol).cast("long").as("_v"))
+    val bucket = bucketOf(col("_v"))
+    val coarse = base.groupBy(col("_g"), bucket.as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGroup = coarse.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+    }
+    // walk a sorted (key, count) histogram to rank k: the key holding the
+    // k-th row plus the rank remaining within that key's rows
+    def walk(hist: Seq[(Long, Long)], k: Long): (Long, Long) = {
+      var cum = 0L
+      hist.foreach { case (key, c) =>
+        cum += c
+        if (cum >= k) return (key, k - (cum - c))
+      }
+      throw new IllegalStateException(s"rank $k beyond histogram")
+    }
+    // (group, fraction) -> boundary bucket + rank remaining within it
+    val targets = for {
+      (g, hist) <- byGroup.toSeq
+      n = hist.map(_._2).sum
+      f <- fractions
+    } yield {
+      val k = math.ceil(n * f).toLong
+      val (b, rem) = walk(hist, k)
+      (g, f, b, rem)
+    }
+    val boundary = targets.map(t => (t._1, t._3)).toSet
+    val fine = base
+      .filter(boundary.map { case (g, b) =>
+        col("_g") === lit(g) && bucket === lit(b)
+      }.reduce(_ || _))
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, (t._2 - math.floorMod(t._2, bucketWidth)) / bucketWidth))
+      .map { case (k, rows) => k -> rows.map(t => (t._2, t._3)).sortBy(_._1) }
+    val cutoffs = targets.map { case (g, f, b, rem) =>
+      (g, f, walk(fine((g, b)), rem)._1)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    cutoffs.toDF(groupCol, "p", "cutoff").orderBy(groupCol, "p")
+  }
 }

@@ -311,6 +311,40 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** CCNet's published bucketing (Wenzek et al. 2020 §4.3): rank each
+    * LANGUAGE's documents by LM surprisal-per-token and cut the slice into
+    * thirds — head (most-fluent), middle, tail. This is the RANK-based cut
+    * the paper trains its filters on, complementing [[perplexity]]'s
+    * corpus-mean-relative bucket. Per-doc score = integer floor division
+    * `(-logprob_micronats) div n_tokens` (micronats/token — both engines
+    * truncate positives identically); the per-language tercile cutoffs
+    * come from [[Stats.groupedExactPercentiles]] — no per-language sort or
+    * window, two bounded-histogram passes — and assignment is a VALUE
+    * threshold against the broadcast (lang, c1, c2) table, so equal-score
+    * documents never straddle a cut. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val ppl = perplexity(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("logprob_micronats"))
+    val scored = df.select(col(idCol), col(langCol))
+      .join(ppl.hint("shuffle_hash"), Seq(idCol))
+      .withColumn("surprisal_micronats",
+        expr(s"(-logprob_micronats) div n_tokens"))
+    val (f1, f2) = (1.0 / 3, 2.0 / 3)
+    val cuts = Stats.groupedExactPercentiles(scored, langCol,
+      "surprisal_micronats", Seq(f1, f2))
+    val wide = cuts.groupBy(col(langCol)).agg(
+      min(when(col("p") === f1, col("cutoff"))).as("_c1"),
+      min(when(col("p") === f2, col("cutoff"))).as("_c2"))
+    scored.join(broadcast(wide), Seq(langCol))
+      .withColumn("ccnet_bucket",
+        when(col("surprisal_micronats") <= col("_c1"), lit("head"))
+          .when(col("surprisal_micronats") <= col("_c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(langCol), col("surprisal_micronats"),
+        col("ccnet_bucket"))
+  }
+
   /** Per-group corpus summary — the curation dashboard numbers: document
     * count, char/token totals, distinct text count (exact-dup signal). All
     * integer aggregates (long sums, distinct count of a hash), so results

@@ -563,6 +563,76 @@ object PipelineQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("grouped_percentiles_scalable",
+      // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
+      // or window: two bounded-histogram passes + metadata collects
+      // (Stats.groupedExactPercentiles — the scale path where ntile would
+      // funnel each language through one task). Oracle: the textbook
+      // order-statistic (min value whose cumulative count reaches
+      // ceil(n*p)) per group, recomputed with a window over DISTINCT
+      // values — fine at gate scale, the very plan the engine avoids
+      (s, dir) => graft.functions.Stats.groupedExactPercentiles(
+        Tables.documents(s, dir), "lang", "n_chars",
+        Seq(0.5, 0.9, 0.99), bucketWidth = 100L),
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |cv AS (SELECT lang, n_chars AS v, count(*) AS c
+             |       FROM documents GROUP BY 1, 2),
+             |r AS (SELECT lang, v,
+             |        sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+             |      FROM cv),
+             |f AS (SELECT unnest([CAST('0.5' AS DOUBLE), CAST('0.9' AS DOUBLE),
+             |                     CAST('0.99' AS DOUBLE)]) AS p)
+             |SELECT n.lang AS lang, f.p AS p, min(r.v) AS cutoff
+             |FROM n CROSS JOIN f
+             |JOIN r ON r.lang = n.lang AND r.cum >= ceil(n.n * f.p)
+             |GROUP BY n.lang, f.p ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("ccnet_lang_buckets",
+      // CCNet §4.3: per-LANGUAGE thirds by LM surprisal-per-token (head /
+      // middle / tail). Engine: integer surprisal score, per-lang tercile
+      // cutoffs from the bounded-histogram percentile pass, broadcast
+      // threshold assignment. Oracle: retrains the LM, re-derives every
+      // score, both cutoffs per language, and the bucket of every doc
+      (s, dir) => TextAnalysis.ccnetBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id"),
+      Some {
+        val (f1, f2) = (fmtD(1.0 / 3), fmtD(2.0 / 3))
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           |            FROM documents),
+           |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+           |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM cnt),
+           |sc AS (SELECT doc_id,
+           |         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (n_total + v))
+           |              * 1000000 + 0.5) AS BIGINT) AS m
+           |       FROM tok JOIN cnt USING (t) CROSS JOIN tot),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens, sum(m) AS lp
+           |        FROM sc GROUP BY doc_id),
+           |s AS (SELECT d.doc_id, d.lang,
+           |        CAST((-lp) // n_tokens AS BIGINT) AS surprisal_micronats
+           |      FROM agg JOIN documents d USING (doc_id)),
+           |n AS (SELECT lang, count(*) AS n FROM s GROUP BY 1),
+           |cv AS (SELECT lang, surprisal_micronats AS v, count(*) AS c
+           |       FROM s GROUP BY 1, 2),
+           |r AS (SELECT lang, v,
+           |        sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+           |      FROM cv),
+           |c1 AS (SELECT n.lang, min(r.v) AS c FROM n
+           |       JOIN r ON r.lang = n.lang
+           |        AND r.cum >= ceil(n.n * CAST('$f1' AS DOUBLE))
+           |       GROUP BY n.lang),
+           |c2 AS (SELECT n.lang, min(r.v) AS c FROM n
+           |       JOIN r ON r.lang = n.lang
+           |        AND r.cum >= ceil(n.n * CAST('$f2' AS DOUBLE))
+           |       GROUP BY n.lang)
+           |SELECT s.doc_id, s.lang, s.surprisal_micronats,
+           |  CASE WHEN s.surprisal_micronats <= c1.c THEN 'head'
+           |       WHEN s.surprisal_micronats <= c2.c THEN 'middle'
+           |       ELSE 'tail' END AS ccnet_bucket
+           |FROM s JOIN c1 USING (lang) JOIN c2 USING (lang)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("token_count",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1853,6 +1923,54 @@ object PipelineQueries {
            |    regexp_extract_all(substr(md5(CAST(doc_id AS VARCHAR)), 25, 8), '.'),
            |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b) AS h
            |  FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("split_leakage_safe",
+      // group-k-fold for near-dups: split assignment hashes the near-dup
+      // CLUSTER id, so a whole clique lands in one split and eval can
+      // never score a near-copy of a training doc. Oracle: RECURSIVE-CTE
+      // clusters (exact Jaccard pairs) + the md5 split thresholds, both
+      // recomputed from scratch
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy("doc_id")
+      },
+      Some {
+        val th = graft.functions.Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, unnest($ShinglesSql) AS sh
+           |  FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |jp AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |good AS (
+           |  SELECT id_a, id_b FROM jp
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM good
+           |          UNION ALL SELECT id_b, id_a FROM good),
+           |reach(id, lbl) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           |clus AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+           |         FROM reach GROUP BY id)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN h < ${th(0)._2} THEN 'train'
+           |       WHEN h < ${th(1)._2} THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, cluster_id,
+           |        ${md5SliceSql("CAST(cluster_id AS VARCHAR)")} AS h
+           |      FROM clus)
            |ORDER BY doc_id""".stripMargin
       }),
 

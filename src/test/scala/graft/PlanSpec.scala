@@ -217,8 +217,9 @@ class PlanSpec extends AnyFunSuite {
   private val BoundedCrossProductQueries = Set(
     "text_perplexity", "text_perplexity_bigram",
     // broadcast of a metadata-sized side by construction: the bench/eval
-    // embedding set (decontam) and the fixed threshold list (pr curve)
-    "decontam_semantic", "classifier_pr_curve")
+    // embedding set (decontam) and the fixed threshold list (pr curve);
+    // ccnet_lang_buckets inherits text_perplexity's single-row totals join
+    "decontam_semantic", "classifier_pr_curve", "ccnet_lang_buckets")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}

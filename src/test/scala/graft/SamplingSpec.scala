@@ -430,4 +430,56 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons match the plain split") {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 16, threshold = 0.8)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Dedup.leakageSafeSplit(docs, "doc_id", pairs, splits)
+      .as[(Long, Long, String)].collect()
+    assert(got.length == docs.count())
+    // one split per cluster
+    got.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles")
+    }
+    // multi-member clusters exist in the fixture (planted near-dups)
+    assert(got.groupBy(_._2).exists(_._2.length > 1))
+    // a singleton's assignment is exactly splitAssign(doc_id)
+    val plain = docs.select($"doc_id",
+        Sampling.splitAssign($"doc_id", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    got.filter(r => r._1 == r._2).foreach { case (id, c, s) =>
+      val isSingleton = got.count(_._2 == c) == 1
+      if (isSingleton) assert(s == plain(id), s"singleton $id moved")
+    }
+  }
+
+  test("ccnetBuckets: per-language thirds by value threshold, ties never straddle") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .as[(Long, String, Long, String)].collect()
+    assert(got.length == docs.count())
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      val head = rows.count(_._4 == "head")
+      val mid = rows.count(_._4 == "middle")
+      // cutoff semantics: count(v <= c1) >= ceil(n/3), likewise 2n/3
+      assert(head >= math.ceil(n / 3.0).toInt - n / 10,
+        s"$lang head=$head n=$n")
+      assert(head + mid >= math.ceil(2 * n / 3.0).toInt - n / 10)
+      // equal surprisal => equal bucket
+      rows.groupBy(_._3).foreach { case (_, same) =>
+        assert(same.map(_._4).distinct.length == 1)
+      }
+      // buckets are ordered by score: max(head) < min(middle) < ... where present
+      val hMax = rows.filter(_._4 == "head").map(_._3)
+      val mAll = rows.filter(_._4 == "middle").map(_._3)
+      val tAll = rows.filter(_._4 == "tail").map(_._3)
+      if (hMax.nonEmpty && mAll.nonEmpty) assert(hMax.max < mAll.min)
+      if (mAll.nonEmpty && tAll.nonEmpty) assert(mAll.max < tAll.min)
+    }
+  }
 }

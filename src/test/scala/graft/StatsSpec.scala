@@ -85,4 +85,37 @@ class StatsSpec extends AnyFunSuite {
     assert(p("id") == (("id", 4L, 0L, 4L, "1", "4")))
     assert(p("v") == (("v", 4L, 1L, 2L, "a", "b")))
   }
+
+  test("groupedExactPercentiles matches the brute-force order statistic") {
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    val fracs = Seq(0.25, 0.5, 0.9, 1.0)
+    val got = Stats.groupedExactPercentiles(docs, "lang", "n_chars", fracs,
+        bucketWidth = 100L)
+      .as[(String, Double, Long)].collect().toSet
+    val byLang = docs.select($"lang", $"n_chars").as[(String, Long)]
+      .collect().groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    val want = (for {
+      (l, vs) <- byLang
+      f <- fracs
+    } yield (l, f, vs(math.ceil(vs.length * f).toInt - 1))).toSet
+    assert(got == want)
+  }
+
+  test("groupedExactPercentiles: width-independent, and exact on a jumbo skewed group") {
+    val skew = spark.range(100000).select(
+      when($"id" % 100 === 0, "small").otherwise("jumbo").as("g"),
+      ($"id" % 777).cast("long").as("v"))
+    val w1 = Stats.groupedExactPercentiles(skew, "g", "v", Seq(0.5, 0.95), 1L)
+      .as[(String, Double, Long)].collect().toSet
+    val w1000 = Stats.groupedExactPercentiles(skew, "g", "v", Seq(0.5, 0.95),
+        1000L)
+      .as[(String, Double, Long)].collect().toSet
+    assert(w1 == w1000, "cutoffs must not depend on the histogram width")
+    // negative values go through the same floor-division path
+    val neg = spark.range(1000).select(lit("g").as("g"),
+      ($"id" - 500).cast("long").as("v"))
+    val cut = Stats.groupedExactPercentiles(neg, "g", "v", Seq(0.5), 64L)
+      .as[(String, Double, Long)].head()
+    assert(cut._3 == -1L) // ceil(1000*0.5)=500 -> 500th smallest of -500..499
+  }
 }
