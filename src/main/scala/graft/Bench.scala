@@ -61,7 +61,9 @@ object Bench {
     // round-6 fifth batch: embedding mining + classifier inference
     "hard_negatives", "quality_classifier", "rp_project", "pca_project",
     // round-6 sixth batch: scale-safe percentiles, CCNet buckets, group split
-    "grouped_percentiles_scalable", "ccnet_lang_buckets", "split_leakage_safe")
+    "grouped_percentiles_scalable", "ccnet_lang_buckets", "split_leakage_safe",
+    // round-6 seventh batch: per-lang budgets, badwords, filter chain
+    "token_budget_per_lang", "blocklist_filter", "quality_filter_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,26 +39,38 @@ object Classifier {
   def hashWeight(b: Column): Column =
     Sampling.hashSlice32(concat(lit("qw42#"), b.cast("string"))) % 2001L - 1000L
 
+  /** Unigram + bigram feature array of a text column — pure expression,
+    * inlinable into any narrow select. */
+  def featuresExpr(toks: Column): Column = {
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** The linear score as a single column expression over a feature array —
+    * composable into filter chains without a separate pass. */
+  def scoreExpr(features: Column, dim: Int,
+      weightExpr: Column => Column = hashWeight): Column =
+    aggregate(transform(features, f => weightExpr(bucket(f, dim))),
+      lit(0L), (acc, w) => acc + w)
+
   /** Per-document linear score over hashed unigram+bigram features.
     * Output: (id, n_features, score_micronats, accept = score ≥ 0). */
   def linearScore(df: DataFrame, idCol: String, textCol: String,
       dim: Int, weightExpr: Column => Column = hashWeight,
       keep: Seq[String] = Nil): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val toks = split(col(textCol), " ")
     val keepCols = keep.map(col)
-    val withT = df.select(col(idCol) +: toks.as("_toks") +: keepCols: _*)
-    val bigrams = when(size(col("_toks")) >= 2,
-        transform(sequence(lit(1), size(col("_toks")) - 1),
-          i => concat_ws(" ", element_at(col("_toks"), i),
-            element_at(col("_toks"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    withT.select(col(idCol) +: concat(col("_toks"), bigrams).as("_f")
+    val withT = df.select(col(idCol) +: split(col(textCol), " ").as("_toks")
+      +: keepCols: _*)
+    withT.select(col(idCol) +: featuresExpr(col("_toks")).as("_f")
         +: keepCols: _*)
       .select(col(idCol) +:
         size(col("_f")).cast("long").as("n_features") +:
-        aggregate(transform(col("_f"), f => weightExpr(bucket(f, dim))),
-          lit(0L), (acc, w) => acc + w).as("score_micronats") +:
+        scoreExpr(col("_f"), dim, weightExpr).as("score_micronats") +:
         keepCols: _*)
       .withColumn("accept", col("score_micronats") >= 0L)
   }

@@ -235,6 +235,58 @@ object Sampling {
       .drop("_bkt")
   }
 
+  /** [[budgetTrim]] with a PER-STRATUM budget — the mixture builder's
+    * actual contract ("2B tokens of en, 500M of code, …"): within each
+    * stratum, keep the best-scoring rows whose running token total stays
+    * inside that stratum's budget. Same windowless discipline: one global
+    * approx-quantile pass fixes score-range buckets (a range partition is
+    * valid per stratum too — every row of a higher bucket outranks every
+    * row of a lower one within any stratum); per-(stratum, bucket) token
+    * sums collect as metadata (strata × buckets longs); the running sum is
+    * a window partitioned by (stratum, bucket) — fully parallel — plus the
+    * stratum's bucket offset from a broadcast table. Integer token sums
+    * keep the per-stratum global-window equivalence exact. */
+  def budgetTrimPerStratum(df: DataFrame, keyCol: String, scoreCol: String,
+      tokensCol: String, stratumCol: String, budgets: Map[String, Long],
+      defaultBudget: Long, buckets: Int = 32,
+      out: String = "cum_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(scoreCol, probs, 0.001).distinct.sorted
+    val bucketExpr = bounds
+      .map(b => when(col(scoreCol) > lit(b), 1).otherwise(0): Column)
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val withB = df.withColumn("_bkt", bucketExpr)
+    val sums = withB.groupBy(col(stratumCol).cast("string").as("_s"), col("_bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("_t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val maxB = bounds.length
+    val offRows = sums.keys.map(_._1).toSeq.distinct.sorted.flatMap { s =>
+      val offs = (maxB to 0 by -1).scanLeft(0L) { (acc, b) =>
+        acc + sums.getOrElse((s, b), 0L)
+      }.dropRight(1).reverse
+      (0 to maxB).map(b => (s, b, offs(b)))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offRows.toDF("_s", "_bkt", "_off"))
+    val budgetExpr = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget): Column) { case (acc, (s, b)) =>
+        when(col(stratumCol) === lit(s), lit(b)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col(scoreCol).desc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(offDf,
+        withB(stratumCol).cast("string") === offDf("_s")
+          && withB("_bkt") === offDf("_bkt"))
+      .drop(offDf("_bkt")).drop(offDf("_s"))
+      .withColumn(out,
+        sum(col(tokensCol).cast("long")).over(w) + col("_off"))
+      .filter(col(out) <= budgetExpr)
+      .drop("_bkt", "_off")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): score every RAW document by how much more likely
     * its hashed-n-gram features are under a TARGET corpus (the

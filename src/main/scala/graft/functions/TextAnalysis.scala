@@ -311,6 +311,39 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
+    * cheap structural rules first, model score last), evaluated in ONE
+    * narrow select — token bounds, repetition (type-token ratio),
+    * blocklist, then the hashed-feature linear classifier
+    * ([[Classifier.scoreExpr]]) — emitting the FIRST failing rule per
+    * document (`first_failed`, NULL when kept). Recording the verdict
+    * instead of silently dropping is what makes a 100 TB curation run
+    * auditable: per-rule loss rates are one groupBy over this output.
+    * Zero shuffle, zero joins — every rule is a row-local expression, so
+    * the whole chain fuses into the scan. */
+  def qualityFilterChain(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], minTokens: Int = 25, maxTokens: Int = 90,
+      minTtr: Double = 0.45, dim: Int = 64): DataFrame = {
+    val withT = df.select(col(idCol), tokens(col(textCol)).as("_toks"),
+      col(textCol).as("_text"))
+    val nTok = size(col("_toks"))
+    val ttr = size(array_distinct(col("_toks"))).cast("double") / nTok
+    val hits = TextClean.blocklistHits(col("_text"), blocklist)
+    val score = Classifier.scoreExpr(Classifier.featuresExpr(col("_toks")), dim)
+    withT.select(col(idCol),
+        nTok.as("n_tokens"),
+        ttr.as("type_token_ratio"),
+        hits.as("n_blocklist_hits"),
+        score.as("score_micronats"))
+      .withColumn("first_failed",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("n_tokens") > maxTokens, lit("too_long"))
+          .when(col("type_token_ratio") < minTtr, lit("repetitive"))
+          .when(col("n_blocklist_hits") > 0, lit("blocklisted"))
+          .when(col("score_micronats") < 0, lit("classifier")))
+      .withColumn("keep", col("first_failed").isNull)
+  }
+
   /** CCNet's published bucketing (Wenzek et al. 2020 §4.3): rank each
     * LANGUAGE's documents by LM surprisal-per-token and cut the slice into
     * thirds — head (most-fluent), middle, tail. This is the RANK-based cut

@@ -54,4 +54,20 @@ object TextClean {
     * HTML-to-text normalization step before tokenizing. */
   def stripMarkup(html: Column): Column =
     trim(regexp_replace(stripTags(html), " +", " "))
+
+  /** Whole-token blocklist OCCURRENCE count (C4's badwords filter, Raffel
+    * et al. 2020 §2.2 — pages containing any listed word are dropped):
+    * counts every occurrence, not distinct matches, so downstream policies
+    * can threshold on density too. Pure narrow expression — the blocklist
+    * ships as plan literals (these lists are hundreds to thousands of
+    * entries — metadata). */
+  def blocklistHits(text: Column, terms: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isin(terms: _*)))
+
+  /** Per-document blocklist verdict: (id, n_blocklist_hits, keep). */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        blocklistHits(col(textCol), terms).as("n_blocklist_hits"))
+      .withColumn("keep", col("n_blocklist_hits") === 0)
 }

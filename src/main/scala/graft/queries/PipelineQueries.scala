@@ -2196,6 +2196,50 @@ object PipelineQueries {
               |       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
               |FROM c ORDER BY threshold""".stripMargin)),
 
+    QueryDef("blocklist_filter",
+      // C4's badwords filter (Raffel et al. 2020 §2.2): whole-token
+      // blocklist occurrence count + keep verdict, a pure narrow map with
+      // the list as plan literals; oracle recounts every occurrence
+      (s, dir) => graft.functions.TextClean.blocklistFilter(
+          Tables.documents(s, dir), "doc_id", "text", Seq("dup", "spill"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    t -> t IN ('dup', 'spill'))) AS INT) AS n_blocklist_hits,
+             |  len(list_filter(string_split(text, ' '),
+             |    t -> t IN ('dup', 'spill'))) = 0 AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("quality_filter_chain",
+      // the C4/Gopher/FineWeb-shaped production chain — structural rules
+      // first, model score last — in ONE narrow select, emitting the FIRST
+      // failing rule per doc (the auditability contract: per-rule loss
+      // rates are one groupBy over this output). Oracle re-derives every
+      // metric, the classifier score, and the rule precedence
+      (s, dir) => TextAnalysis.qualityFilterChain(Tables.documents(s, dir),
+          "doc_id", "text", blocklist = Seq("dup", "spill"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $classifierScoreCteSql,
+              |m AS (SELECT doc_id,
+              |        len(string_split(text, ' ')) AS nt,
+              |        len(list_distinct(string_split(text, ' '))) AS nu,
+              |        len(list_filter(string_split(text, ' '),
+              |          t -> t IN ('dup', 'spill'))) AS nb
+              |      FROM documents),
+              |v AS (SELECT m.doc_id, nt, nu, nb, d.score_micronats,
+              |        CASE WHEN nt < 25 THEN 'too_short'
+              |             WHEN nt > 90 THEN 'too_long'
+              |             WHEN CAST(nu AS DOUBLE) / nt < 0.45 THEN 'repetitive'
+              |             WHEN nb > 0 THEN 'blocklisted'
+              |             WHEN d.score_micronats < 0 THEN 'classifier'
+              |        END AS first_failed
+              |      FROM m JOIN d USING (doc_id))
+              |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+              |  CAST(nu AS DOUBLE) / nt AS type_token_ratio,
+              |  CAST(nb AS INT) AS n_blocklist_hits, score_micronats,
+              |  first_failed, first_failed IS NULL AS keep
+              |FROM v ORDER BY doc_id""".stripMargin)),
+
     QueryDef("bm25_topk",
       // BM25 ranked retrieval: top-10 docs for two term queries under the
       // Lucene/Okapi score; the oracle recomputes corpus stats (N, total
@@ -2277,6 +2321,50 @@ object PipelineQueries {
            |  FROM m)
            |SELECT doc_id, quality_score, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
            |FROM r WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin
+      }),
+
+    QueryDef("token_budget_per_lang",
+      // the mixture builder's real contract — best-first selection under
+      // PER-LANGUAGE token budgets (en 4000 / zh 2500 / rest 1500): same
+      // windowless bucketed cumsum, per-(lang, bucket) offsets from a
+      // broadcast metadata table; oracle is the per-lang global window
+      (s, dir) => {
+        val scored = TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+          .withColumn("quality_score", TextAnalysis.qualityScore())
+        graft.functions.Sampling.budgetTrimPerStratum(scored, "doc_id",
+            "quality_score", "n_tokens", "lang",
+            budgets = Map("en" -> 4000L, "zh" -> 2500L),
+            defaultBudget = 1500L)
+          .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH q AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |    (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) * 0.5
+           |      + (CAST(n_stop AS DOUBLE) / n_uniq_tokens) * 0.2
+           |      + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3
+           |      AS quality_score
+           |  FROM q),
+           |r AS (
+           |  SELECT doc_id, lang, quality_score, n_tokens,
+           |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+           |      ORDER BY quality_score DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM m)
+           |SELECT doc_id, lang, quality_score, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+           |FROM r WHERE cum_tokens <= CASE lang WHEN 'en' THEN 4000
+           |                                     WHEN 'zh' THEN 2500
+           |                                     ELSE 1500 END
+           |ORDER BY doc_id""".stripMargin
       }),
 
     QueryDef("dedup_ngram_jaccard",

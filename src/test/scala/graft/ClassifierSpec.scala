@@ -37,6 +37,44 @@ class ClassifierSpec extends AnyFunSuite {
     assert(keep.columns.contains("text"), "passthrough columns survive")
   }
 
+  test("blocklistHits counts occurrences, not distinct matches") {
+    import graft.functions.TextClean
+    val docs = Seq((1L, "bad good bad bad"), (2L, "all clean here"))
+      .toDF("doc_id", "text")
+    val got = TextClean.blocklistFilter(docs, "doc_id", "text", Seq("bad"))
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3, false)))
+    assert(got(1) == ((2L, 0, true)))
+  }
+
+  test("qualityFilterChain: rule precedence, keep consistency, auditable verdicts") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val got = TextAnalysis.qualityFilterChain(docs, "doc_id", "text",
+        blocklist = Seq("dup", "spill"))
+      .collect()
+    assert(got.length == docs.count())
+    got.foreach { r =>
+      val (nt, ttr, nb, score) = (r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4))
+      val failed = Option(r.getString(5))
+      val keep = r.getBoolean(6)
+      assert(keep == failed.isEmpty)
+      val expect =
+        if (nt < 25) Some("too_short")
+        else if (nt > 90) Some("too_long")
+        else if (ttr < 0.45) Some("repetitive")
+        else if (nb > 0) Some("blocklisted")
+        else if (score < 0) Some("classifier")
+        else None
+      assert(failed == expect, s"doc ${r.getLong(0)}")
+    }
+    // the fixture exercises several rules and keeps a nonempty remainder
+    val verdicts = got.flatMap(r => Option(r.getString(5))).distinct
+    assert(verdicts.length >= 3, verdicts.mkString(","))
+    assert(got.exists(_.getBoolean(6)))
+  }
+
   test("prCurve: confusion counts partition the corpus at every threshold; monotone recall") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val scored = Classifier.linearScore(docs, "doc_id", "text", dim = 64,

@@ -431,6 +431,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("budgetTrimPerStratum: per-stratum best-first equivalence and budget respect") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val scored = TextAnalysis.qualityMetrics(docs)
+      .withColumn("q", TextAnalysis.qualityScore())
+    val budgets = Map("en" -> 3000L, "zh" -> 2000L)
+    val got = Sampling.budgetTrimPerStratum(scored, "doc_id", "q",
+        "n_tokens", "lang", budgets, defaultBudget = 1000L)
+      .select("doc_id", "lang", "cum_tokens")
+      .as[(Long, String, Long)].collect()
+    // brute-force per-stratum: sort by (q desc, id), cumsum, cut at budget
+    val all = scored.select($"doc_id", $"lang", $"q", $"n_tokens")
+      .as[(Long, String, Double, Int)].collect()
+    val want = all.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val budget = budgets.getOrElse(lang, 1000L)
+      var cum = 0L
+      rows.sortBy(r => (-r._3, r._1)).toSeq.flatMap { r =>
+        cum += r._4
+        if (cum <= budget) Some((r._1, lang, cum)) else None
+      }
+    }.toSet
+    assert(got.toSet == want)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).max <= budgets.getOrElse(lang, 1000L))
+    }
+    assert(got.map(_._2).toSet.size >= 3, "multiple strata survive")
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; singletons match the plain split") {
     import graft.functions.Dedup
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
