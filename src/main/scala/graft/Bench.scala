@@ -63,7 +63,9 @@ object Bench {
     // round-6 sixth batch: scale-safe percentiles, CCNet buckets, group split
     "grouped_percentiles_scalable", "ccnet_lang_buckets", "split_leakage_safe",
     // round-6 seventh batch: per-lang budgets, badwords, filter chain
-    "token_budget_per_lang", "blocklist_filter", "quality_filter_chain")
+    "token_budget_per_lang", "blocklist_filter", "quality_filter_chain",
+    // round-6 eighth batch: char-gram decontam, truncation sweep, audit
+    "decontam_chargrams", "matryoshka_recall", "split_contamination_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,6 +43,38 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Character-level n-gram decontamination — the GPT-3/PaLM-style check
+    * (Brown et al. 2020 Appendix C: 13-gram token overlap; char k-grams
+    * catch tokenization-insensitive matches): flag corpus docs sharing any
+    * long character substring with the benchmark. The corpus side samples
+    * gram START POSITIONS at `stride` while the bench side enumerates
+    * EVERY position — any shared region of length ≥ k + stride − 1 then
+    * contains a sampled corpus gram that exists verbatim in the bench set,
+    * so detection is guaranteed above that length while the corpus-side
+    * explode (the expensive side — it scales with the 100 TB) is cut by
+    * stride×. Bench grams are an eval set — broadcast; the corpus never
+    * shuffles. Output: (id, n_shared_chargrams) per flagged doc. */
+  def overlapsCharGrams(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int, stride: Int): DataFrame = {
+    require(k > 0 && stride > 0)
+    def grams(text: Column, step: Int): Column =
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1)), lit(step)),
+        i => text.substr(i, lit(k)))
+    val benchGrams = bench
+      .select(explode(grams(col(benchTextCol), 1)).as("gram"))
+      .distinct()
+    val benchIds = bench.select(col(benchIdCol).as(idCol)).distinct()
+    corpus
+      .join(benchIds, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        explode(array_distinct(grams(col(textCol), stride))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_chargrams"))
+  }
+
   /** [[overlaps]] with a Bloom-sketch prefilter — the 100 TB form. The
     * exact broadcast join above ships the benchmark's full distinct-gram
     * STRING set to every executor; at a large eval suite (10^9 grams) that

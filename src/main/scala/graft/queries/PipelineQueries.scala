@@ -1974,6 +1974,58 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("split_contamination_audit",
+      // the audit that motivates split_leakage_safe: count near-dup pairs
+      // whose members land in DIFFERENT splits under the plain doc-keyed
+      // 80/10/10 assignment (each off-diagonal row is leaked eval signal;
+      // the cluster-keyed split has zero by construction — spec-pinned).
+      // Oracle recomputes pairs, both hash splits, and the census
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          k = 3, numHashes = 16, threshold = 0.8)
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val sp = docs.select(col("doc_id"),
+          graft.functions.Sampling.splitAssign(col("doc_id"), splits)
+            .as("split"))
+        pairs
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("_sa")),
+            Seq("id_a"))
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("_sb")),
+            Seq("id_b"))
+          .groupBy(least(col("_sa"), col("_sb")).as("split_lo"),
+            greatest(col("_sa"), col("_sb")).as("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some {
+        val th = graft.functions.Sampling.splitThresholds(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |jp AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |good AS (
+           |  SELECT id_a, id_b FROM jp
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+           |sp AS (SELECT doc_id,
+           |    CASE WHEN $DocHashSql < ${th(0)._2} THEN 'train'
+           |         WHEN $DocHashSql < ${th(1)._2} THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT least(a.split, b.split) AS split_lo,
+           |  greatest(a.split, b.split) AS split_hi,
+           |  count(*) AS n_pairs
+           |FROM good JOIN sp a ON a.doc_id = good.id_a
+           |JOIN sp b ON b.doc_id = good.id_b
+           |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin
+      }),
+
     QueryDef("corpus_mix",
       // domain-mixing rebalance: target lang mixture en/es/de/fr =
       // .5/.25/.125/.125 (zh unweighted -> dropped); the oracle recomputes
@@ -2412,6 +2464,31 @@ object PipelineQueries {
               |FROM e JOIN bench USING (gram)
               |WHERE e.doc_id % 20 != 0
               |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("decontam_chargrams",
+      // char-level decontamination (the GPT-3/PaLM appendix check,
+      // tokenization-insensitive): 30-char grams, corpus START POSITIONS
+      // sampled at stride 7 (detection guaranteed for shared regions
+      // >= k + stride - 1 chars since the bench side enumerates every
+      // position), bench grams broadcast, corpus never shuffles
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        graft.functions.Decontam.overlapsCharGrams(docs, "doc_id", "text",
+            bench, "doc_id", "text", k = 30, stride = 7)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT DISTINCT unnest(list_transform(
+             |    generate_series(1, greatest(length(text) - 29, 1)),
+             |    i -> substr(text, CAST(i AS INT), 30))) AS gram
+             |  FROM documents WHERE doc_id % 20 = 0),
+             |c AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, greatest(length(text) - 29, 1), 7),
+             |    i -> substr(text, CAST(i AS INT), 30)))) AS gram
+             |  FROM documents WHERE doc_id % 20 <> 0)
+             |SELECT doc_id, count(*) AS n_shared_chargrams
+             |FROM c JOIN b USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     QueryDef("decontaminate_corpus",
       // the decontaminated corpus itself: drop every doc flagged above
@@ -3078,6 +3155,48 @@ object PipelineQueries {
            |  ORDER BY cos DESC, vec_id LIMIT 20)
            |SELECT CAST(count(*) AS DOUBLE) / 20.0 AS recall_at_20
            |FROM top JOIN brute USING (vec_id)""".stripMargin
+      }),
+
+    QueryDef("matryoshka_recall",
+      // Matryoshka-style truncation sweep (Kusupati et al. 2022): recall@10
+      // of cosine ranking over PREFIX dims 8/16/32/64 vs the full 64-dim
+      // ranking — the measured fidelity/cost curve for serving truncated
+      // embeddings; every ranking recomputed end-to-end by the oracle
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val full = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+          .select("vec_id")
+        Seq(8, 16, 32, 64).map { d =>
+          val qd = array(q.take(d).map(v => lit(v)): _*)
+          val top = e.select(col("vec_id"),
+              Similarity.cosine(slice(col("embedding"), 1, d), qd).as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10)
+            .select("vec_id")
+          top.join(full, "vec_id")
+            .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+            .select(lit(d).as("dim"), col("recall_at_10"))
+        }.reduce(_ unionAll _).orderBy("dim")
+      },
+      Some {
+        val per = Seq(8, 16, 32, 64).map { d =>
+          s"""SELECT $d AS dim, CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+             |FROM (SELECT e.vec_id,
+             |        ${dotSql(s"(e.embedding[1:$d])", s"(q.qv[1:$d])")} /
+             |        (sqrt(${dotSql(s"(e.embedding[1:$d])", s"(e.embedding[1:$d])")}) *
+             |         sqrt(${dotSql(s"(q.qv[1:$d])", s"(q.qv[1:$d])")})) AS cos
+             |      FROM embeddings e CROSS JOIN q
+             |      ORDER BY cos DESC, vec_id LIMIT 10) t
+             |JOIN brute USING (vec_id)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |brute AS (
+           |  SELECT e.vec_id,
+           |    ${dotSql("e.embedding", "q.qv")} /
+           |    (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})) AS cos
+           |  FROM embeddings e CROSS JOIN q
+           |  ORDER BY cos DESC, vec_id LIMIT 10)
+           |SELECT * FROM ($per) ORDER BY dim""".stripMargin
       }),
 
     QueryDef("pca_project",

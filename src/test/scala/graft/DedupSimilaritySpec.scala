@@ -697,6 +697,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.forall(_._3), "self-match must always contaminate")
   }
 
+  test("overlapsCharGrams: shared region >= k+stride-1 always detected, disjoint never") {
+    import graft.functions.Decontam
+    val shared = "x" * 12 + "SHARED SEGMENT THAT IS WELL OVER THIRTY SIX CHARS LONG" + "y" * 12
+    val corpus = Seq(
+      (1L, "prefix words here " + shared + " suffix words"),
+      (2L, "totally disjoint content with no common substring at all zzzz"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "other frame " + shared + " trailing")).toDF("doc_id", "text")
+    val got = Decontam.overlapsCharGrams(corpus, "doc_id", "text",
+        bench, "doc_id", "text", k = 30, stride = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) >= 1, s"planted overlap missed: $got")
+    assert(!got.contains(2L), "disjoint doc falsely flagged")
+    // bench members themselves are excluded from the report
+    val self = Decontam.overlapsCharGrams(bench, "doc_id", "text",
+        bench, "doc_id", "text", k = 30, stride = 7).count()
+    assert(self == 0)
+  }
+
+  test("matryoshka truncation: recall non-decreasing-ish and exactly 1.0 at full dim") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val q = e.filter($"vec_id" === 0).head().getSeq[Float](1)
+    val full = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recalls = Seq(8, 64).map { d =>
+      val qd = array(q.take(d).map(v => lit(v)): _*)
+      val top = e.select($"vec_id",
+          Similarity.cosine(slice($"embedding", 1, d), qd).as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(10).select("vec_id")
+        .as[Long].collect().toSet
+      (top & full).size / 10.0
+    }
+    assert(recalls.last == 1.0, "full-dim truncation must reproduce the exact ranking")
+    assert(recalls.head <= recalls.last)
+  }
+
   test("rpProject: ±1 signs, 8 dims out, norms preserved in expectation, self-match on top") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val signs = Similarity.rpSigns(8, 64)

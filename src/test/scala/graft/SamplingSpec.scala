@@ -484,6 +484,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination audit: plain split leaks near-dup pairs, cluster split leaks none") {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 16, threshold = 0.8).persist()
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def straddles(sp: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(sp.select($"doc_id".as("id_a"), $"split".as("_sa")), Seq("id_a"))
+      .join(sp.select($"doc_id".as("id_b"), $"split".as("_sb")), Seq("id_b"))
+      .filter($"_sa" =!= $"_sb").count()
+    val plain = docs.select($"doc_id",
+      Sampling.splitAssign($"doc_id", splits).as("split"))
+    val safe = Dedup.leakageSafeSplit(docs, "doc_id", pairs, splits)
+      .select($"doc_id", $"split")
+    assert(straddles(plain) > 0, "fixture must exhibit the leak the audit measures")
+    assert(straddles(safe) == 0, "cluster-keyed split must never straddle")
+    pairs.unpersist()
+  }
+
   test("ccnetBuckets: per-language thirds by value threshold, ties never straddle") {
     import graft.functions.TextAnalysis
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
