@@ -65,7 +65,8 @@ object Bench {
     // round-6 seventh batch: per-lang budgets, badwords, filter chain
     "token_budget_per_lang", "blocklist_filter", "quality_filter_chain",
     // round-6 eighth batch: char-gram decontam, truncation sweep, audit
-    "decontam_chargrams", "matryoshka_recall", "split_contamination_audit")
+    "decontam_chargrams", "matryoshka_recall", "split_contamination_audit",
+    "ann_rerank_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

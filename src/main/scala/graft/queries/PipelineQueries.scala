@@ -3157,6 +3157,42 @@ object PipelineQueries {
            |FROM top JOIN brute USING (vec_id)""".stripMargin
       }),
 
+    QueryDef("ann_rerank_topk",
+      // two-stage serving ANN (SCaNN/FAISS pattern): int8-quantized dot
+      // ranks everything, exact cosine re-ranks only the top-50 — both
+      // stages zero-shuffle TakeOrdered; the oracle recomputes the
+      // quantization, both rankings, and the candidate handoff
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        Similarity.rerankTopK(e, "embedding", "vec_id", q,
+          k = 10, candidates = 50)
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, embedding,
+              |         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS ma
+              |  FROM embeddings),
+              |qv AS (
+              |  SELECT vec_id, embedding,
+              |         CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale,
+              |         list_transform(embedding,
+              |           v -> floor(CAST(v AS DOUBLE) * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END) + 0.5)) AS q
+              |  FROM sc),
+              |qq AS (SELECT scale AS qs, q AS qvec FROM qv WHERE vec_id = 0),
+              |s1 AS (
+              |  SELECT v.vec_id, v.embedding
+              |  FROM qv v CROSS JOIN qq
+              |  ORDER BY CASE WHEN v.scale > 0 AND qq.qs > 0
+              |                THEN ${dotSql("v.q", "qq.qvec")} / (v.scale * qq.qs)
+              |                ELSE 0.0 END DESC, v.vec_id
+              |  LIMIT 50),
+              |q2 AS (SELECT embedding AS fq FROM embeddings WHERE vec_id = 0)
+              |SELECT s1.vec_id,
+              |  ${dotSql("s1.embedding", "fq")} /
+              |  (sqrt(${dotSql("s1.embedding", "s1.embedding")}) * sqrt(${dotSql("fq", "fq")})) AS cos
+              |FROM s1 CROSS JOIN q2
+              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
     QueryDef("matryoshka_recall",
       // Matryoshka-style truncation sweep (Kusupati et al. 2022): recall@10
       // of cosine ranking over PREFIX dims 8/16/32/64 vs the full 64-dim

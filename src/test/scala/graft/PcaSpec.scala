@@ -46,6 +46,19 @@ class PcaSpec extends AnyFunSuite {
     assert(n > 100)
   }
 
+  test("moment buffers merge associatively: fit(A ∪ B) == fit(A) ⊕ fit(B)") {
+    // the incremental-fit contract: nightly batches can extend the model
+    // by merging integer moment buffers — exact, order-independent
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    def moments(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.plans.VecMomentsAgg($"embedding", 64).as("m"))
+        .head().getSeq[Long](0)
+    val whole = moments(emb)
+    val merged = moments(a).zip(moments(b)).map { case (x, y) => x + y }
+    assert(whole == merged)
+  }
+
   test("topEigen agrees with a hand-checkable 2x2 and handles deflation") {
     // [[3,1],[1,3]] has eigenpairs (4, [1,1]/sqrt2), (2, [1,-1]/sqrt2)
     val eig = PCA.topEigen(Array(Array(3.0, 1.0), Array(1.0, 3.0)), 2)
