@@ -1974,6 +1974,35 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("source_v2_paged",
+      // the DataSource V2 paged connector (sources.v2.PagedSource): pages
+      // as InputPartitions, id-range filter pushdown narrowing the pages
+      // BEFORE planning, column pruning at the source. Rows are a pure
+      // function of (seed, index), so the oracle recomputes the ENTIRE
+      // scan — content included — from generate_series; min/max payload
+      // per bucket pin the generated strings byte-for-byte
+      (s, dir) => s.read.format("graft.sources.v2.PagedSource")
+        .option("rows", "100000").option("fetchSize", "8192")
+        .option("seed", "s42").load()
+        .filter(col("id") >= 25000 && col("id") < 50000)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          min(col("payload")).as("min_payload"),
+          max(col("payload")).as("max_payload"),
+          max(col("modified_ts")).as("max_ts"))
+        .orderBy("bucket"),
+      Some("""WITH g AS (SELECT unnest(generate_series(25000, 49999)) AS i),
+             |r AS (SELECT i, CAST(i % 32 AS INT) AS bucket,
+             |        md5('s42#' || CAST(i AS VARCHAR)) AS payload,
+             |        1700000000000 + i * 1000 AS modified_ts
+             |      FROM g)
+             |SELECT bucket, count(*) AS n,
+             |  min(i) AS min_id, max(i) AS max_id,
+             |  min(payload) AS min_payload, max(payload) AS max_payload,
+             |  CAST(max(modified_ts) AS BIGINT) AS max_ts
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     QueryDef("split_contamination_audit",
       // the audit that motivates split_leakage_safe: count near-dup pairs
       // whose members land in DIFFERENT splits under the plain doc-keyed

@@ -1,0 +1,168 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's paged Cassandra scan
+  * (`datacrawler.py:133-184`: CQL SELECT with fetch_size paging, column
+  * list, and token-range parallelism) as idiomatic Spark:
+  *
+  *  - **one `InputPartition` per page** (`fetch_size` rows) — the
+  *    reference's unit of dispatch becomes Spark's unit of parallelism,
+  *    so a 1000-executor cluster drains pages concurrently where the
+  *    reference round-robins them over a thread pool;
+  *  - **`SupportsPushDownRequiredColumns`** — the projected column list
+  *    reaches the source (the CQL `SELECT col1, col2` seat); unselected
+  *    columns are never materialized;
+  *  - **`SupportsPushDownFilters`** — id-range predicates narrow the page
+  *    range BEFORE partitions are planned (the token-range/primary-key
+  *    restriction seat): pages outside the range are never created, the
+  *    exact analogue of unprobed-partition pruning;
+  *  - **`SupportsPushDownLimit`** — `LIMIT n` caps the range (the
+  *    reference's `limit_fetch`).
+  *
+  * Rows are a PURE FUNCTION of the row index and the `seed` option
+  * (payload = md5 hex of `"$seed#$i"`), standing in for the remote table:
+  * deterministic generation is what lets the DuckDB oracle recompute the
+  * entire scan — content included — from `generate_series`, making this
+  * connector gate exact where mock-source gates are usually rows-only.
+  * A real Cassandra binding replaces [[PagedReader]]'s generator with a
+  * driver session; every pushdown hook stays as-is.
+  */
+class PagedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-paged"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PagedTable(
+      opts.getOrDefault("rows", "100000").toLong,
+      opts.getOrDefault("fetchsize", "8192").toInt,
+      opts.getOrDefault("seed", "s42"))
+  }
+}
+
+object PagedSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("payload", StringType, nullable = false),
+    StructField("modified_ts", LongType, nullable = false)))
+
+  val TsBase = 1700000000000L
+
+  def payload(seed: String, i: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seed#$i".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+}
+
+class PagedTable(rows: Long, fetchSize: Int, seed: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft_paged($rows)"
+  override def schema(): StructType = PagedSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(rows, fetchSize, seed)
+}
+
+class PagedScanBuilder(rows: Long, fetchSize: Int, seed: String)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var lo = 0L
+  private var hi = rows
+  private var pruned: StructType = PagedSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filterNot {
+      case GreaterThanOrEqual("id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, l); true }
+      case GreaterThan("id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, l + 1); true }
+      case LessThan("id", v) => asLong(v).exists { l =>
+        hi = math.min(hi, l); true }
+      case LessThanOrEqual("id", v) => asLong(v).exists { l =>
+        hi = math.min(hi, l + 1); true }
+      case EqualTo("id", v) => asLong(v).exists { l =>
+        lo = math.max(lo, l); hi = math.min(hi, l + 1); true }
+      case _ => false
+    }
+    pushed = filters.diff(residual)
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    // preserve source field order regardless of projection order
+    pruned = StructType(PagedSource.Schema.fields
+      .filter(f => required.fieldNames.contains(f.name)))
+
+  override def pushLimit(n: Int): Boolean = {
+    // exact only because every pushed filter is FULLY evaluated by the
+    // range (no residual semantics hide rows)
+    hi = math.min(hi, lo + n)
+    true
+  }
+
+  override def build(): Scan = new PagedScan(lo, math.max(lo, hi),
+    fetchSize, seed, pruned)
+}
+
+case class PageRange(start: Long, end: Long) extends InputPartition
+
+class PagedScan(val lo: Long, val hi: Long, val fetchSize: Int,
+    seed: String, prunedSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-paged range=[$lo,$hi) fetch=$fetchSize cols=${prunedSchema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    (lo until hi by fetchSize.toLong)
+      .map(s => PageRange(s, math.min(s + fetchSize, hi)): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(seed, prunedSchema.fieldNames)
+}
+
+class PagedReaderFactory(seed: String, fields: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[PageRange]
+    new PagedReader(r.start, r.end, seed, fields)
+  }
+}
+
+class PagedReader(start: Long, end: Long, seed: String,
+    fields: Array[String]) extends PartitionReader[InternalRow] {
+  private var i = start - 1
+  override def next(): Boolean = { i += 1; i < end }
+  override def get(): InternalRow = InternalRow.fromSeq(fields.toSeq.map {
+    case "id" => i
+    case "bucket" => (i % 32).toInt
+    case "payload" => UTF8String.fromString(PagedSource.payload(seed, i))
+    case "modified_ts" => PagedSource.TsBase + i * 1000L
+  })
+  override def close(): Unit = ()
+}
