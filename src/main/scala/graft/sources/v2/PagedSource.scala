@@ -72,7 +72,7 @@ class PagedTable(rows: Long, fetchSize: Int, seed: String)
   override def name(): String = s"graft_paged($rows)"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(rows, fetchSize, seed)
 }
@@ -142,6 +142,45 @@ class PagedScan(val lo: Long, val hi: Long, val fetchSize: Int,
     (lo until hi by fetchSize.toLong)
       .map(s => PageRange(s, math.min(s + fetchSize, hi)): InputPartition)
       .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(seed, prunedSchema.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String):
+      streaming.MicroBatchStream =
+    new PagedMicroBatchStream(lo, hi, fetchSize, seed, prunedSchema)
+}
+
+/** The reference's checkpoint_pages resume as NATIVE streaming offsets:
+  * the offset IS the next row index (= page boundary), so a restarted
+  * query resumes exactly where the checkpoint says — the Redis page-DONE
+  * set (`datacrawler.py:202-209`) replaced by Spark's offset log, with
+  * exactly-once delivery from the deterministic generator. Each
+  * micro-batch covers [start, end) and splits into fetch-size pages like
+  * the batch path. */
+class PagedMicroBatchStream(lo: Long, hi: Long, fetchSize: Int,
+    seed: String, prunedSchema: StructType)
+  extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class RowOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = RowOffset(lo)
+  override def latestOffset(): Offset = RowOffset(hi)
+  override def deserializeOffset(json: String): Offset =
+    RowOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset):
+      Array[InputPartition] = {
+    val s = start.asInstanceOf[RowOffset].v
+    val e = end.asInstanceOf[RowOffset].v
+    (s until e by fetchSize.toLong)
+      .map(p => PageRange(p, math.min(p + fetchSize, e)): InputPartition)
+      .toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(seed, prunedSchema.fieldNames)
 }

@@ -57,4 +57,29 @@ class SourceV2Spec extends AnyFunSuite {
     assert(scanOf(df).planInputPartitions().length == 10)
     assert(df.count() == 1000L)
   }
+
+  test("streaming read: offsets are row indices; a restart replays nothing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-paged-stream").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def runOnce(): Long = {
+      val stream = spark.readStream.format("graft.sources.v2.PagedSource")
+        .option("rows", "1000").option("fetchSize", "128")
+        .option("seed", "s42").load()
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(out).count()
+    }
+    assert(runOnce() == 1000L)
+    // content spot-check: generated payload survives the streaming path
+    val p7 = spark.read.parquet(out).filter($"id" === 7L)
+      .select("payload").head().getString(0)
+    assert(p7 == graft.sources.v2.PagedSource.payload("s42", 7L))
+    // restart against the same checkpoint: offset log says done -> the
+    // exactly-once contract means NO duplicate rows land
+    assert(runOnce() == 1000L)
+  }
 }
