@@ -2291,6 +2291,30 @@ object PipelineQueries {
              |    t -> t IN ('dup', 'spill'))) = 0 AS keep
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("blocklist_substring",
+      // substring blocklist via the native Aho-Corasick expression
+      // (plans.MultiSubstringCount): one automaton pass per row counts
+      // every occurrence of every pattern — overlaps included, cross-token
+      // phrases included — where whole-token isin cannot. Oracle
+      // recomputes each pattern's overlap-inclusive count positionally
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.plans.MultiSubstringCount(col("text"),
+            Seq("ow", "dup", "merge jo")).as("n_hits"))
+        .withColumn("flagged", col("n_hits") > 0)
+        .orderBy("doc_id"),
+      Some {
+        val per = Seq("ow", "dup", "merge jo").map { p =>
+          val esc = p.replace("'", "''")
+          s"""len(list_filter(generate_series(1, greatest(length(text) - ${p.length - 1}, 0)),
+             |    i -> substr(text, CAST(i AS INT), ${p.length}) = '$esc'))""".stripMargin
+        }.mkString("\n  + ")
+        s"""SELECT doc_id,
+           |  CAST($per AS INT) AS n_hits,
+           |  ($per) > 0 AS flagged
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("quality_filter_chain",
       // the C4/Gopher/FineWeb-shaped production chain — structural rules
       // first, model score last — in ONE narrow select, emitting the FIRST

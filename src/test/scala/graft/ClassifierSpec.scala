@@ -47,6 +47,34 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 0, true)))
   }
 
+  test("AhoCorasick counts every overlap-inclusive occurrence, matches brute force") {
+    import graft.plans.AhoCorasick
+    def brute(s: String, ps: Seq[String]): Int = ps.map { p =>
+      (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length))
+    }.sum
+    // classic suffix-sharing set + overlapping self-match
+    val ac1 = new AhoCorasick(Seq("he", "she", "his", "hers"))
+    for (s <- Seq("ushers", "shehehers", "", "xyz"))
+      assert(ac1.countAll(s) == brute(s, Seq("he", "she", "his", "hers")), s)
+    val ac2 = new AhoCorasick(Seq("aa"))
+    assert(ac2.countAll("aaaa") == 3) // overlaps count
+    // randomized cross-check over a small alphabet
+    val rnd = new scala.util.Random(7)
+    val pats = Seq("ab", "ba", "aab", "bb", "aba")
+    val ac3 = new AhoCorasick(pats)
+    (1 to 200).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(40))(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(ac3.countAll(s) == brute(s, pats), s)
+    }
+    // the Column form agrees inside codegen
+    import graft.plans.MultiSubstringCount
+    val df = Seq((1L, "ushers she"), (2L, "nothing")).toDF("id", "t")
+    val got = df.select($"id", MultiSubstringCount($"t", Seq("he", "she", "hers")))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == brute("ushers she", Seq("he", "she", "hers")))
+    assert(got(2L) == 0)
+  }
+
   test("qualityFilterChain: rule precedence, keep consistency, auditable verdicts") {
     import graft.functions.TextAnalysis
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
