@@ -66,7 +66,8 @@ object Bench {
     "token_budget_per_lang", "blocklist_filter", "quality_filter_chain",
     // round-6 eighth batch: char-gram decontam, truncation sweep, audit
     "decontam_chargrams", "matryoshka_recall", "split_contamination_audit",
-    "ann_rerank_topk", "source_v2_paged", "blocklist_substring")
+    "ann_rerank_topk", "source_v2_paged", "blocklist_substring",
+    "scd2_merge", "bootstrap_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -287,6 +287,48 @@ object Sampling {
       .drop("_bkt", "_off")
   }
 
+  /** Inverse-CDF thresholds for a DETERMINISTIC Poisson(1) draw from the
+    * uniform 32-bit hash: weight w is the smallest k with
+    * `hash < floor(P(X ≤ k)·2³²+0.5)` (capped at 6 — P(X>6) ≈ 8·10⁻⁵).
+    * Long literals, so the draw is an integer comparison chain both
+    * engines evaluate identically. */
+  private[graft] val PoissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val cdf = Iterator.iterate((e1, e1, 0)) { case (p, c, k) =>
+      val p2 = p / (k + 1); (p2, c + p2, k + 1)
+    }.take(7).map(_._2).toSeq
+    cdf.map(c => math.round(math.min(1.0, c) * 4294967296.0))
+  }
+
+  /** Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme that
+    * works in one distributed pass): each (row, replicate) gets an
+    * integer weight drawn Poisson(1) from the row's hash, so every
+    * bootstrap replicate is a WEIGHTED aggregate over the same single
+    * scan — no resampled copies, no per-replicate passes. Output: one row
+    * per replicate with the weighted doc count and weighted token total;
+    * the spread across replicates IS the bootstrap standard error of the
+    * corpus statistic. Deterministic: the draw is a pure hash function of
+    * (key, replicate), so re-runs and engines agree bit-for-bit. The
+    * explode is ×R on narrow (replicate, weight, tokens) rows and partial
+    * aggregation collapses to R rows per partition before the shuffle. */
+  def bootstrapStats(df: DataFrame, keyCol: String, tokensCol: String,
+      replicates: Int): DataFrame = {
+    require(replicates > 0)
+    val h = hashSlice32(concat(col(keyCol).cast("string"), lit("#boot"),
+      col("_rep").cast("string")))
+    val w = PoissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(7L): Column) { case (acc, (th, k)) =>
+        when(h < lit(th), lit(k.toLong)).otherwise(acc)
+      }
+    df.select(col(keyCol), col(tokensCol),
+        explode(sequence(lit(1), lit(replicates))).as("_rep"))
+      .select(col("_rep").as("replicate"),
+        w.as("_w"), col(tokensCol).as("_t"))
+      .groupBy(col("replicate"))
+      .agg(sum(col("_w")).as("boot_docs"),
+        sum(col("_w") * col("_t").cast("long")).as("boot_tokens"))
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
     * arXiv:2302.03169): score every RAW document by how much more likely
     * its hashed-n-gram features are under a TARGET corpus (the

@@ -1405,6 +1405,92 @@ object PipelineQueries {
              |FROM events
              |GROUP BY wk, event_type ORDER BY wk, event_type""".stripMargin)),
 
+    QueryDef("scd2_merge",
+      // type-2 dimension maintenance (the versioned sibling of
+      // snapshot_merge's type-1 overwrite): changed keys close their
+      // current version and append an open one, no-op change rows touch
+      // nothing, never-seen keys append. One id-keyed join + unions; the
+      // oracle reconstructs every branch
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val base = c.select(col("c_custkey").as("id"),
+          col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        val changes = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("id"),
+            concat(lit("MOVED-"), (col("c_custkey") % 3).cast("string"))
+              .as("segment"), lit(1000L).as("ts"))
+          .unionAll(c.filter(col("c_custkey") % 7 === 3)
+            .select(col("c_custkey").as("id"),
+              col("c_mktsegment").as("segment"), lit(1000L).as("ts")))
+          .unionAll(c.filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 1000000L).as("id"),
+              lit("NEWSEG").as("segment"), lit(1000L).as("ts")))
+        graft.functions.Scd.scd2Merge(base, changes, "id",
+            Seq("segment"), "ts")
+          .orderBy("id", "valid_from")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_mktsegment AS segment,
+             |         CAST(0 AS BIGINT) AS valid_from,
+             |         CAST(NULL AS BIGINT) AS valid_to
+             |       FROM customer),
+             |ch AS (
+             |  SELECT c_custkey AS id,
+             |    'MOVED-' || CAST(c_custkey % 3 AS VARCHAR) AS segment,
+             |    CAST(1000 AS BIGINT) AS ts
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL SELECT c_custkey, c_mktsegment, 1000
+             |  FROM customer WHERE c_custkey % 7 = 3
+             |  UNION ALL SELECT c_custkey + 1000000, 'NEWSEG', 1000
+             |  FROM customer WHERE c_custkey % 97 = 0),
+             |j AS (SELECT b.id, b.segment, b.valid_from,
+             |        ch.segment AS nseg, ch.ts
+             |      FROM base b LEFT JOIN ch USING (id)),
+             |closed AS (SELECT id, segment, valid_from,
+             |             CAST(ts AS BIGINT) AS valid_to
+             |           FROM j WHERE ts IS NOT NULL AND nseg <> segment),
+             |kept AS (SELECT id, segment, valid_from,
+             |           CAST(NULL AS BIGINT) AS valid_to
+             |         FROM j WHERE ts IS NULL OR nseg = segment),
+             |fresh AS (SELECT id, nseg AS segment, CAST(ts AS BIGINT),
+             |            CAST(NULL AS BIGINT)
+             |          FROM j WHERE ts IS NOT NULL AND nseg <> segment),
+             |brandnew AS (SELECT ch.id, ch.segment, CAST(ch.ts AS BIGINT),
+             |               CAST(NULL AS BIGINT)
+             |             FROM ch LEFT JOIN base USING (id)
+             |             WHERE base.id IS NULL)
+             |SELECT * FROM closed UNION ALL SELECT * FROM kept
+             |UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM brandnew
+             |ORDER BY id, valid_from""".stripMargin)),
+
+    QueryDef("bootstrap_stats",
+      // Poisson bootstrap (Chamandy et al. 2012): every replicate is a
+      // weighted aggregate over ONE scan — deterministic hash-drawn
+      // Poisson(1) weights via long inverse-CDF thresholds; the oracle
+      // re-derives every draw and both weighted sums
+      (s, dir) => graft.functions.Sampling.bootstrapStats(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens")),
+          "doc_id", "n_tokens", replicates = 16)
+        .orderBy("replicate"),
+      Some {
+        val th = graft.functions.Sampling.PoissonThresholds
+        val h = md5SliceSql("CAST(doc_id AS VARCHAR) || '#boot' || CAST(r AS VARCHAR)")
+        val w = th.zipWithIndex.reverse.foldLeft("CAST(7 AS BIGINT)") {
+          case (acc, (t, k)) => s"CASE WHEN h < $t THEN CAST($k AS BIGINT) ELSE $acc END"
+        }
+        s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS nt
+           |           FROM documents),
+           |x AS (SELECT doc_id, nt, unnest(generate_series(1, 16)) AS r
+           |      FROM d),
+           |hw AS (SELECT r, nt, $h AS h FROM x),
+           |wt AS (SELECT r, nt, $w AS w FROM hw)
+           |SELECT CAST(r AS INT) AS replicate,
+           |  CAST(sum(w) AS BIGINT) AS boot_docs,
+           |  CAST(sum(w * nt) AS BIGINT) AS boot_tokens
+           |FROM wt GROUP BY r ORDER BY replicate""".stripMargin
+      }),
+
     QueryDef("snapshot_merge",
       // CDC apply: a change batch (deletes, updates, inserts, and a delete
       // SHADOWED by a later upsert — latest seq wins) merged into the

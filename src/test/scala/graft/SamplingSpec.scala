@@ -431,6 +431,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("bootstrapStats: deterministic Poisson(1) weights — mean ~1, spread real") {
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+      .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
+    val n = docs.count()
+    val totalTokens = docs.agg(sum($"n_tokens".cast("long"))).head().getLong(0)
+    val got = Sampling.bootstrapStats(docs, "doc_id", "n_tokens", 16)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 16 && got.map(_._1).toSeq == (1 to 16))
+    // E[weight] = 1: every replicate's weighted doc count ~ n (±5 sd; sd ~ sqrt(n))
+    got.foreach { case (_, docsW, toksW) =>
+      assert(math.abs(docsW - n) < 5 * math.sqrt(n.toDouble), s"$docsW vs $n")
+      assert(math.abs(toksW - totalTokens).toDouble < 0.2 * totalTokens)
+    }
+    // replicates genuinely differ (the spread is the estimator)
+    assert(got.map(_._2).distinct.length > 1)
+    val again = Sampling.bootstrapStats(docs, "doc_id", "n_tokens", 16)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(again.sameElements(got))
+  }
+
   test("budgetTrimPerStratum: per-stratum best-first equivalence and budget respect") {
     import graft.functions.TextAnalysis
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)

@@ -132,4 +132,33 @@ class TransformsSpec extends AnyFunSuite {
       "%Y-%m-%dT%H:%M:%S%z").as("ms")).head.getLong(0)
     assert(ms == 1576751371000L)
   }
+
+  test("scd2Merge: history untouched, one open version per key, no-ops change nothing") {
+    import graft.functions.Scd
+    val base = Seq(
+      (1L, "A", 0L, Some(500L)), // closed history row
+      (1L, "B", 500L, None), // current for key 1
+      (2L, "A", 0L, None), // will receive a no-op change
+      (3L, "C", 0L, None)) // untouched
+      .toDF("id", "segment", "valid_from", "valid_to")
+      .withColumn("valid_to", $"valid_to".cast("long"))
+    val changes = Seq(
+      (1L, "Z", 1000L), // real change
+      (2L, "A", 1000L), // no-op: same attribute
+      (9L, "N", 1000L)) // brand-new key
+      .toDF("id", "segment", "ts")
+    val got = Scd.scd2Merge(base, changes, "id", Seq("segment"), "ts")
+      .as[(Long, String, Long, Option[Long])].collect()
+      .sortBy(r => (r._1, r._3))
+    assert(got.toSeq == Seq(
+      (1L, "A", 0L, Some(500L)), // history preserved verbatim
+      (1L, "B", 500L, Some(1000L)), // current closed at batch ts
+      (1L, "Z", 1000L, None), // new open version
+      (2L, "A", 0L, None), // no-op: still open, untouched
+      (3L, "C", 0L, None), // no change row: untouched
+      (9L, "N", 1000L, None))) // brand-new key appended open
+    // invariant: exactly one open version per key
+    val openPerKey = got.filter(_._4.isEmpty).groupBy(_._1).values.map(_.length)
+    assert(openPerKey.forall(_ == 1))
+  }
 }
