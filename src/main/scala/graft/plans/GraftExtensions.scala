@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       vecDotBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("multi_substring_count"),
+      new ExpressionInfo(classOf[MultiSubstringCount].getName,
+        "multi_substring_count"),
+      multiSubstringBuilder))
     // the custom-operator strategy rides the same extension entry point, so
     // a session built with spark.sql.extensions=graft.plans.GraftExtensions
     // plans TopKPerKey nodes without any runtime registration
@@ -67,11 +72,21 @@ object GraftExtensions {
     case _ => throw new IllegalArgumentException("vec_dot(arr, arr)")
   }
 
+  /** Patterns as string literals: `multi_substring_count(text, 'a', 'b')`. */
+  val multiSubstringBuilder: Seq[Expression] => Expression = {
+    case exprs if exprs.size >= 2 =>
+      MultiSubstringCount(exprs.head,
+        exprs.tail.map(_.eval().toString))
+    case _ => throw new IllegalArgumentException(
+      "multi_substring_count(str, pattern[, pattern...])")
+  }
+
   /** Runtime registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftSql.registerFunction(spark, "rolling_hash", rollingHashBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "word_shingles", wordShinglesBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "simhash64", simHashBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "vec_dot", vecDotBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "multi_substring_count", multiSubstringBuilder)
   }
 }

@@ -355,6 +355,9 @@ class PipelineJoinsSpec extends AnyFunSuite {
     val viaExpr = Seq("a b c").toDF("t")
       .select(graft.plans.SimHash64($"t")).head.getLong(0)
     assert(viaSql == viaExpr)
+    // Aho-Corasick blocklist counter, pattern list as SQL literals
+    assert(spark.sql("SELECT multi_substring_count('ushers', 'he', 'she', 'hers')")
+      .head.getInt(0) == 3)
   }
 
   test("TextAnalysis.chunk: windows cover every token at the right offsets") {
