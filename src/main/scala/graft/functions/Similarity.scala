@@ -295,6 +295,62 @@ object Similarity {
     Seq.fill(outDim)(Seq.fill(inDim)(next()))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix/
+    * LASER parallel-corpus step): a cross-side candidate pair scores by
+    * its cosine RELATIVE to each endpoint's average similarity to its own
+    * k nearest cross-side neighbors — `margin = cos(x,y) / ((avgNNk(x) +
+    * avgNNk(y)) / 2)` — which cancels the hubness that makes raw cosine
+    * thresholds useless across languages. Keep each x's best y when the
+    * margin clears `threshold`.
+    *
+    * Exactness: cosines quantize to micronat longs; each endpoint's
+    * denominator is the INTEGER sum of its top-k (desc, id tie-break)
+    * quantized cosines, so the margin is one exact-long ratio — engine-
+    * reproducible at any parallelism. Shape: side B broadcasts (one
+    * language shard of the mining batch); the only shuffles carry
+    * (id, long) partials; per-x and per-y top-k run through the two-stage
+    * [[graft.plans.TopKPerKey]]. At full CCMatrix scale the candidate
+    * generation blocks by IVF cell ([[semanticPairs]]) before this
+    * scoring — the margin arithmetic is unchanged. */
+  def bitextMarginMine(df: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, labelA: Int, labelB: Int, k: Int,
+      threshold: Double): DataFrame = {
+    import graft.plans.TopKPerKey
+    val a = df.filter(col(labelCol) === labelA)
+      .select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.filter(col(labelCol) === labelB)
+      .select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val pairs = a.join(broadcast(b))
+      .withColumn("c_micro",
+        floor(cosine(col("_va"), col("_vb")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .select("id_a", "id_b", "c_micro")
+    val order = Seq(("c_micro", false), ("id_b", true))
+    val denA = TopKPerKey.perKey(
+        TopKPerKey.perKeyPartial(pairs, Seq("id_a"), order, k),
+        Seq("id_a"), order, k)
+      .groupBy("id_a").agg(sum(col("c_micro")).as("_den_a"))
+    val orderB = Seq(("c_micro", false), ("id_a", true))
+    val denB = TopKPerKey.perKey(
+        TopKPerKey.perKeyPartial(pairs, Seq("id_b"), orderB, k),
+        Seq("id_b"), orderB, k)
+      .groupBy("id_b").agg(sum(col("c_micro")).as("_den_b"))
+    val scored = pairs
+      .join(denA.hint("shuffle_hash"), Seq("id_a"))
+      .join(denB.hint("shuffle_hash"), Seq("id_b"))
+      .filter(col("_den_a") + col("_den_b") > 0)
+      .withColumn("margin",
+        (col("c_micro") * lit(2L * k)).cast("double")
+          / (col("_den_a") + col("_den_b")))
+    scored
+      .groupBy(col("id_a"))
+      .agg(max_by(struct(col("id_b"), col("margin")),
+        struct(col("margin"), lit(0L) - col("id_b"))).as("_best"))
+      .select(col("id_a"), col("_best.id_b").as("id_b"),
+        col("_best.margin").as("margin"))
+      .filter(col("margin") >= threshold)
+  }
+
   /** Two-stage ANN: rank ALL vectors by the CHEAP int8-quantized dot
     * product, keep the top `candidates`, then re-rank only those by exact
     * cosine — the SCaNN/FAISS production pattern (quantized first pass

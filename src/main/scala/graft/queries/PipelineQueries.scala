@@ -3296,6 +3296,46 @@ object PipelineQueries {
            |FROM top JOIN brute USING (vec_id)""".stripMargin
       }),
 
+    QueryDef("bitext_margin_mine",
+      // Artetxe & Schwenk margin-based bitext mining (CCMatrix/LASER):
+      // label-0 vs label-1 embeddings as the two language sides, k=4
+      // cross-side neighbors in the denominator, best-per-x above 1.2.
+      // Micronat-quantized cosines make every denominator an exact long
+      // sum; the oracle recomputes all pairs, both top-k sums, the
+      // margins, and the per-x argmax
+      (s, dir) => Similarity.bitextMarginMine(Tables.embeddings(s, dir),
+          "embedding", "vec_id", "label", labelA = 0, labelB = 1,
+          k = 4, threshold = 1.2)
+        .orderBy("id_a"),
+      Some(s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va
+              |           FROM embeddings WHERE label = 0),
+              |b AS (SELECT vec_id AS id_b, embedding AS vb
+              |      FROM embeddings WHERE label = 1),
+              |p AS (SELECT id_a, id_b,
+              |        CAST(floor(${dotSql("va", "vb")} /
+              |          (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")}))
+              |          * 1000000 + 0.5) AS BIGINT) AS c
+              |      FROM a CROSS JOIN b),
+              |da AS (SELECT id_a, CAST(sum(c) AS BIGINT) AS den_a
+              |       FROM (SELECT id_a, c, row_number() OVER (
+              |               PARTITION BY id_a ORDER BY c DESC, id_b) rn
+              |             FROM p)
+              |       WHERE rn <= 4 GROUP BY 1),
+              |db AS (SELECT id_b, CAST(sum(c) AS BIGINT) AS den_b
+              |       FROM (SELECT id_b, c, row_number() OVER (
+              |               PARTITION BY id_b ORDER BY c DESC, id_a) rn
+              |             FROM p)
+              |       WHERE rn <= 4 GROUP BY 1),
+              |s AS (SELECT p.id_a, p.id_b,
+              |        CAST(c * 8 AS DOUBLE) / (den_a + den_b) AS margin
+              |      FROM p JOIN da USING (id_a) JOIN db USING (id_b)
+              |      WHERE den_a + den_b > 0),
+              |best AS (SELECT id_a, id_b, margin, row_number() OVER (
+              |           PARTITION BY id_a ORDER BY margin DESC, id_b) rn
+              |         FROM s)
+              |SELECT id_a, id_b, margin FROM best
+              |WHERE rn = 1 AND margin >= 1.2 ORDER BY id_a""".stripMargin)),
+
     QueryDef("ann_rerank_topk",
       // two-stage serving ANN (SCaNN/FAISS pattern): int8-quantized dot
       // ranks everything, exact cosine re-ranks only the top-50 — both

@@ -697,6 +697,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.forall(_._3), "self-match must always contaminate")
   }
 
+  test("bitextMarginMine: one best match per x, margin formula matches brute force") {
+    val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
+    val got = Similarity.bitextMarginMine(e, "embedding", "vec_id", "label",
+        labelA = 0, labelB = 1, k = 4, threshold = 1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length == got.length, "one row per x")
+    assert(got.forall(_._3 >= 1.0))
+    // brute-force the margin for the first mined x
+    val vecs = e.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.reduceLeft(_ + _)
+      val c = d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).reduceLeft(_ + _)) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).reduceLeft(_ + _)))
+      math.floor(c * 1e6 + 0.5).toLong
+    }
+    val (x, y, margin) = got.minBy(_._1)
+    val xa = vecs.find(_._1 == x).get._2
+    val bs = vecs.filter(_._3 == 1).map(v => (v._1, cosM(xa, v._2)))
+    val denA = bs.sortBy(t => (-t._2, t._1)).take(4).map(_._2).sum
+    val yb = vecs.find(_._1 == y).get._2
+    val as = vecs.filter(_._3 == 0).map(v => (v._1, cosM(v._2, yb)))
+    val denB = as.sortBy(t => (-t._2, t._1)).take(4).map(_._2).sum
+    val want = cosM(xa, yb) * 8.0 / (denA + denB)
+    assert(math.abs(margin - want) < 1e-12, s"$margin vs $want")
+  }
+
   test("overlapsCharGrams: shared region >= k+stride-1 always detected, disjoint never") {
     import graft.functions.Decontam
     val shared = "x" * 12 + "SHARED SEGMENT THAT IS WELL OVER THIRTY SIX CHARS LONG" + "y" * 12

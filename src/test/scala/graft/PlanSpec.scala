@@ -218,8 +218,11 @@ class PlanSpec extends AnyFunSuite {
     "text_perplexity", "text_perplexity_bigram",
     // broadcast of a metadata-sized side by construction: the bench/eval
     // embedding set (decontam) and the fixed threshold list (pr curve);
-    // ccnet_lang_buckets inherits text_perplexity's single-row totals join
-    "decontam_semantic", "classifier_pr_curve", "ccnet_lang_buckets")
+    // ccnet_lang_buckets inherits text_perplexity's single-row totals join;
+    // bitext mining broadcasts one language shard of the mining batch
+    // (IVF-cell blocking is the full-scale candidate path)
+    "decontam_semantic", "classifier_pr_curve", "ccnet_lang_buckets",
+    "bitext_margin_mine")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
