@@ -67,7 +67,8 @@ object Bench {
     // round-6 eighth batch: char-gram decontam, truncation sweep, audit
     "decontam_chargrams", "matryoshka_recall", "split_contamination_audit",
     "ann_rerank_topk", "source_v2_paged", "blocklist_substring",
-    "scd2_merge", "bootstrap_stats", "bitext_margin_mine")
+    "scd2_merge", "bootstrap_stats", "bitext_margin_mine",
+    "scd2_asof_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1491,6 +1491,67 @@ object PipelineQueries {
            |FROM wt GROUP BY r ORDER BY replicate""".stripMargin
       }),
 
+    QueryDef("scd2_asof_lookup",
+      // the point-in-time join SCD2 exists FOR: each order resolves the
+      // segment its customer had ON THE ORDER DATE — equi-join on the key
+      // with the validity window as join filter (broadcastable dim, never
+      // a range explosion). Orders before the day-10000 change batch see
+      // the original segment, later ones the moved segment; the oracle
+      // rebuilds the SCD2 table and the temporal resolution end-to-end
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val base = c.select(col("c_custkey").as("id"),
+          col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+        val changes = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey").as("id"),
+            concat(lit("MOVED-"), (col("c_custkey") % 3).cast("string"))
+              .as("segment"), lit(10000L).as("ts"))
+        val dim = graft.functions.Scd.scd2Merge(base, changes, "id",
+          Seq("segment"), "ts")
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+              .cast("long").as("_day"))
+        o.join(dim, o("o_custkey") === dim("id")
+            && o("_day") >= dim("valid_from")
+            && (dim("valid_to").isNull || o("_day") < dim("valid_to")))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_orderkey")).as("min_okey"),
+            max(col("o_orderkey")).as("max_okey"))
+          .orderBy("segment")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_mktsegment AS segment,
+             |         CAST(0 AS BIGINT) AS valid_from,
+             |         CAST(NULL AS BIGINT) AS valid_to
+             |       FROM customer),
+             |ch AS (SELECT c_custkey AS id,
+             |         'MOVED-' || CAST(c_custkey % 3 AS VARCHAR) AS segment,
+             |         CAST(10000 AS BIGINT) AS ts
+             |       FROM customer WHERE c_custkey % 7 = 0),
+             |closed AS (SELECT b.id, b.segment, b.valid_from, ch.ts AS valid_to
+             |           FROM base b JOIN ch USING (id)
+             |           WHERE ch.segment <> b.segment),
+             |fresh AS (SELECT ch.id, ch.segment, ch.ts, CAST(NULL AS BIGINT)
+             |          FROM base b JOIN ch USING (id)
+             |          WHERE ch.segment <> b.segment),
+             |kept AS (SELECT b.id, b.segment, b.valid_from, b.valid_to
+             |         FROM base b LEFT JOIN ch USING (id)
+             |         WHERE ch.id IS NULL OR ch.segment = b.segment),
+             |dim AS (SELECT * FROM closed UNION ALL SELECT * FROM fresh
+             |        UNION ALL SELECT * FROM kept),
+             |o AS (SELECT o_orderkey, o_custkey,
+             |        CAST(datediff('day', DATE '1970-01-01',
+             |          CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+             |      FROM orders)
+             |SELECT dim.segment, count(*) AS n_orders,
+             |  min(o.o_orderkey) AS min_okey, max(o.o_orderkey) AS max_okey
+             |FROM o JOIN dim ON o.o_custkey = dim.id
+             |  AND o.d >= dim.valid_from
+             |  AND (dim.valid_to IS NULL OR o.d < dim.valid_to)
+             |GROUP BY dim.segment ORDER BY segment""".stripMargin)),
+
     QueryDef("snapshot_merge",
       // CDC apply: a change batch (deletes, updates, inserts, and a delete
       // SHADOWED by a later upsert — latest seq wins) merged into the
