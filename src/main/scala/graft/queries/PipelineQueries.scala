@@ -2121,6 +2121,33 @@ object PipelineQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    QueryDef("sink_v2_manifest",
+      // the V2 sink's full two-phase protocol exercised END-TO-END under
+      // the hash gate: write documents through task-temp -> task-commit ->
+      // driver-rename -> manifest, read the committed TSVs back, and
+      // aggregate; the oracle computes the same census straight from the
+      // source table, so any torn/duplicated/missing write breaks the hash
+      (s, dir) => {
+        val path = scratchPath("v2sink", dir)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.format("graft.sources.v2.ManifestSink")
+          .option("path", path).mode("overwrite").save()
+        s.read.option("sep", "\t")
+          .schema("doc_id LONG, lang STRING, n_chars LONG")
+          .csv(path + "/part-*.tsv")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("source_v2_paged",
       // the DataSource V2 paged connector (sources.v2.PagedSource): pages
       // as InputPartitions, id-range filter pushdown narrowing the pages

@@ -58,6 +58,51 @@ class SourceV2Spec extends AnyFunSuite {
     assert(df.count() == 1000L)
   }
 
+  test("manifest sink: two-phase commit — manifest lists exactly the committed files") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-manifest-sink").toString
+    val df = spark.range(1000).select($"id",
+      concat(lit("payload-"), $"id").as("payload")).repartition(4)
+    df.write.format("graft.sources.v2.ManifestSink")
+      .option("path", path).mode("overwrite").save()
+    val manifest = scala.io.Source.fromFile(s"$path/_MANIFEST.tsv")
+      .getLines().map(_.split("\t")).map(a => (a(0), a(1).toLong)).toSeq
+    assert(manifest.map(_._2).sum == 1000L)
+    manifest.foreach { case (f, _) =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, f)), f)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_tmp")),
+      "temp dir must be swept after commit")
+    // read-back equals input
+    val back = spark.read.option("sep", "\t")
+      .schema("id LONG, payload STRING").csv(s"$path/part-*.tsv")
+    assert(back.count() == 1000L)
+    assert(back.as[(Long, String)].collect().toSet ==
+      (0L until 1000L).map(i => (i, s"payload-$i")).toSet)
+    // overwrite truncates: a second smaller write leaves no stale rows
+    spark.range(10).select($"id", lit("x").as("payload"))
+      .write.format("graft.sources.v2.ManifestSink")
+      .option("path", path).mode("overwrite").save()
+    val after = spark.read.option("sep", "\t")
+      .schema("id LONG, payload STRING").csv(s"$path/part-*.tsv")
+    assert(after.count() == 10L, "truncate must remove the old files")
+  }
+
+  test("manifest sink: task abort leaves no temp file behind") {
+    import graft.sources.v2.ManifestDataWriter
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-manifest-abort").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "_tmp"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val w = new ManifestDataWriter(path, schema, 0, 99L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(42L))
+    w.abort()
+    val tmp = java.nio.file.Files.list(
+      java.nio.file.Paths.get(path, "_tmp")).count()
+    assert(tmp == 0, "aborted attempt must delete its temp file")
+  }
+
   test("streaming read: offsets are row indices; a restart replays nothing") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-paged-stream").toString
