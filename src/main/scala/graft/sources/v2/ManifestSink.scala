@@ -48,7 +48,8 @@ class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"graft_manifest($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -57,8 +58,62 @@ class ManifestTable(path: String, writeSchema: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema(), doTruncate)
+        override def toStreaming: streaming.StreamingWrite =
+          new ManifestStreamingWrite(path, info.schema())
       }
     }
+}
+
+/** Streaming flavor of the manifest protocol: one manifest PER EPOCH
+  * (`_MANIFEST-<epoch>.tsv`), committed atomically after the epoch's
+  * files land. Replayed epochs (restart from checkpoint re-running the
+  * last uncommitted batch) are IDEMPOTENT: an existing epoch manifest
+  * short-circuits the commit and the replay's temps are swept — the
+  * batchId-keyed exactly-once discipline `idempotentBatchWriter` applies
+  * to foreachBatch, here at the native sink layer. */
+class ManifestStreamingWrite(path: String, schema: StructType)
+  extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path, "_tmp"))
+    new ManifestStreamingWriterFactory(path, schema)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val manifest = dir.resolve(s"_MANIFEST-$epochId.tsv")
+    if (Files.exists(manifest)) {
+      // replayed epoch: already committed once — drop the replay's temps
+      messages.map(_.asInstanceOf[FileCommit])
+        .foreach(m => Files.deleteIfExists(Paths.get(m.tempPath)))
+    } else {
+      val lines = messages.map(_.asInstanceOf[FileCommit])
+        .sortBy(_.finalName).map { m =>
+          Files.move(Paths.get(m.tempPath), dir.resolve(m.finalName),
+            StandardCopyOption.ATOMIC_MOVE)
+          s"${m.finalName}\t${m.rows}"
+        }
+      Files.write(manifest,
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: FileCommit => Files.deleteIfExists(Paths.get(m.tempPath))
+      case _ =>
+    }
+}
+
+class ManifestStreamingWriterFactory(path: String, schema: StructType)
+  extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema, partitionId, taskId,
+      epochPrefix = s"epoch-$epochId-")
 }
 
 case class FileCommit(tempPath: String, finalName: String, rows: Long)
@@ -113,10 +168,11 @@ class ManifestWriterFactory(path: String, schema: StructType)
 }
 
 class ManifestDataWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, epochPrefix: String = "")
+  extends DataWriter[InternalRow] {
 
-  private val tempPath =
-    Paths.get(path, "_tmp", s"part-$partitionId-attempt-$taskId.tsv")
+  private val tempPath = Paths.get(path, "_tmp",
+    s"${epochPrefix}part-$partitionId-attempt-$taskId.tsv")
   private val out = Files.newBufferedWriter(tempPath, StandardCharsets.UTF_8)
   private var rows = 0L
 
@@ -143,7 +199,8 @@ class ManifestDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    FileCommit(tempPath.toString, f"part-$partitionId%05d.tsv", rows)
+    FileCommit(tempPath.toString,
+      f"${epochPrefix}part-$partitionId%05d.tsv", rows)
   }
 
   override def abort(): Unit = {
