@@ -417,6 +417,42 @@ object TextAnalysis {
         coalesce(col("tok_id"), lit(0)).as("tok_id"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local-match scheme): hash every k-word gram, then keep the MINIMUM
+    * hash of each sliding window of `w` consecutive gram hashes (leftmost
+    * on ties), deduplicated. The published guarantee: any shared run of at
+    * least `w + k − 1` words between two documents contributes at least
+    * one IDENTICAL (hash) fingerprint to both — so local plagiarism/quote
+    * detection becomes an equi-join on fingerprints, with density ~2/(w+1)
+    * of the gram count instead of every gram. A document shorter than one
+    * full window winnows a single window over all its grams. Pure array
+    * expressions — narrow, fused into the scan; the md5-slice gram hash is
+    * the engine-wide standard so the oracle recomputes every selection.
+    * Output: one row per distinct (doc, pos, fp) fingerprint. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val toks = split(col(textCol), " ")
+    val withT = df.select(col(idCol), toks.as("_tk"))
+      .filter(size(col("_tk")) >= k)
+    val m = size(col("_tk")) - (k - 1)
+    val grams = transform(sequence(lit(1), m), i =>
+      Sampling.hashSlice32(concat_ws(" ",
+        (0 until k).map(o => element_at(col("_tk"), i + o)): _*)))
+    val withH = withT.select(col(idCol), grams.as("_hs"))
+    val mm = size(col("_hs"))
+    val nW = greatest(mm - (w - 1), lit(1))
+    // per window: argmin position (leftmost tie-break), then (pos, hash)
+    val sel = transform(sequence(lit(1), nW), j =>
+      aggregate(sequence(j, least(j + (w - 1), mm)),
+        struct(lit(0).as("p"), lit(Long.MaxValue).as("h")),
+        (acc, i) => when(element_at(col("_hs"), i) < acc.getField("h"),
+            struct(i.as("p"), element_at(col("_hs"), i).as("h")))
+          .otherwise(acc)))
+    withH.select(col(idCol), explode(array_distinct(sel)).as("_f"))
+      .select(col(idCol), col("_f.p").as("pos"), col("_f.h").as("fp"))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct k-word
     * shingles that occur in NO other document (corpus document frequency
     * 1). High novelty = unique content; low novelty = boilerplate — the

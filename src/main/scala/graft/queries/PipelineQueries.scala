@@ -655,6 +655,34 @@ object PipelineQueries {
              |            (a, b) -> (a * 31 + b) % 1000000007) END AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("winnow_fingerprints",
+      // winnowing (Schleimer et al. 2003, MOSS): min-hash of each sliding
+      // window of w=4 gram hashes over k=3-word grams, leftmost ties,
+      // deduped — shared runs >= w+k-1 words guarantee a shared
+      // fingerprint. Narrow array expressions; the oracle recomputes every
+      // gram hash and every window argmin
+      (s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos"),
+      Some {
+        val gramHash = md5SliceSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |h AS (SELECT doc_id,
+           |        list_transform(generate_series(1, len(tk) - 2),
+           |          i -> $gramHash) AS hs
+           |      FROM t),
+           |wj AS (SELECT doc_id, hs,
+           |         unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS j
+           |       FROM h),
+           |sel AS (SELECT doc_id, hs,
+           |          list_reduce(generate_series(j, least(j + 3, len(hs))),
+           |            (a, b) -> CASE WHEN hs[b] < hs[a] THEN b ELSE a END) AS pos
+           |        FROM wj)
+           |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, hs[pos] AS fp
+           |FROM sel ORDER BY doc_id, pos""".stripMargin
+      }),
+
     QueryDef("ngram_topk",
       // most frequent word bigrams across the corpus: explode -> count -> topk
       (s, dir) => Tables.documents(s, dir)

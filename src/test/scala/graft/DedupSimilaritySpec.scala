@@ -697,6 +697,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.forall(_._3), "self-match must always contaminate")
   }
 
+  test("winnowing: shared runs >= w+k-1 words share a fingerprint; density ~2/(w+1)") {
+    import graft.functions.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 words
+    val docs = Seq(
+      (1L, "one two three " + shared + " four five six"),
+      (2L, "seven eight " + shared + " nine ten eleven twelve"),
+      (3L, "totally different words with no common run at all here"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Int, Long)].collect()
+    def fps(id: Long) = fp.filter(_._1 == id).map(_._3).toSet
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missed")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: selected fingerprints are a small fraction of all grams
+    val corpus = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val nGrams = corpus.select(
+        greatest(size(split($"text", " ")) - 2, lit(0)).cast("long"))
+      .as[Long].collect().sum
+    val nSel = TextAnalysis.winnowFingerprints(corpus, "doc_id", "text").count()
+    assert(nSel < nGrams * 0.6 && nSel > nGrams * 0.2,
+      s"$nSel of $nGrams grams selected") // expected ~2/(w+1) = 0.4
+  }
+
   test("bitextMarginMine: one best match per x, margin formula matches brute force") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val got = Similarity.bitextMarginMine(e, "embedding", "vec_id", "label",
