@@ -683,6 +683,74 @@ object PipelineQueries {
            |FROM sel ORDER BY doc_id, pos""".stripMargin
       }),
 
+    QueryDef("winnow_overlap_pairs",
+      // local-overlap candidates from the winnowing index: doc pairs
+      // sharing >= 2 selected fingerprints (MOSS's match step) — an
+      // inverted-index equi-join on fp at winnowed density, never doc x doc
+      (s, dir) => {
+        val fp = TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+            "doc_id", "text", k = 3, w = 4)
+          .select(col("doc_id"), col("fp")).distinct()
+        val a = fp.select(col("doc_id").as("id_a"), col("fp"))
+        val b = fp.select(col("doc_id").as("id_b"), col("fp"))
+        a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_shared_fps"))
+          .filter(col("n_shared_fps") >= 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val gramHash = md5SliceSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |h AS (SELECT doc_id,
+           |        list_transform(generate_series(1, len(tk) - 2),
+           |          i -> $gramHash) AS hs
+           |      FROM t),
+           |wj AS (SELECT doc_id, hs,
+           |         unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS j
+           |       FROM h),
+           |sel AS (SELECT DISTINCT doc_id,
+           |          hs[list_reduce(generate_series(j, least(j + 3, len(hs))),
+           |            (a, b) -> CASE WHEN hs[b] < hs[a] THEN b ELSE a END)] AS fp
+           |        FROM wj)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  count(*) AS n_shared_fps
+           |FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    QueryDef("oov_rate_by_lang",
+      // tokenizer-coverage dashboard: out-of-vocabulary rate per language
+      // under the top-500 corpus vocabulary — the number a tokenizer/vocab
+      // decision is made on; vocabulary + ranking + every id recomputed
+      (s, dir) => {
+        val ids = TextAnalysis.tokenizeIds(Tables.documents(s, dir),
+          "doc_id", "text", vocabSize = 500)
+        val langs = Tables.documents(s, dir).select("doc_id", "lang")
+        ids.join(langs.hint("shuffle_hash"), Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("tok_id") === 0, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |            FROM documents),
+             |v AS (SELECT tok FROM (
+             |        SELECT tok, count(*) AS c FROM tok GROUP BY tok
+             |        ORDER BY c DESC, tok LIMIT 500)),
+             |j AS (SELECT t.doc_id, (v.tok IS NOT NULL) AS inv
+             |      FROM tok t LEFT JOIN v ON t.tok = v.tok)
+             |SELECT d.lang, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST(sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS oov_rate
+             |FROM j JOIN documents d USING (doc_id)
+             |GROUP BY d.lang ORDER BY lang""".stripMargin)),
+
     QueryDef("ngram_topk",
       // most frequent word bigrams across the corpus: explode -> count -> topk
       (s, dir) => Tables.documents(s, dir)
