@@ -417,6 +417,58 @@ object TextAnalysis {
         coalesce(col("tok_id"), lit(0)).as("tok_id"))
   }
 
+  /** Vocabulary coverage curve — what fraction of all token OCCURRENCES a
+    * top-N vocabulary covers, for a list of candidate Ns (the number a
+    * vocab-size/tokenizer decision is made on; Zipf makes the curve
+    * saturate fast). Scale shape: one token-keyed count aggregate, then a
+    * COUNT-OF-COUNTS histogram (c -> how many tokens occur exactly c
+    * times) whose size is bounded by the distinct count VALUES — metadata
+    * at any corpus size — collected and walked on the driver. Coverage of
+    * a top-N cut depends only on counts (any N tokens at the tie level
+    * sum identically), so no global token ranking is ever materialized.
+    * Output: (n, covered_occurrences, total_occurrences, coverage). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      ns: Seq[Long]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0))
+    val cnt = df.select(explode(split(col(textCol), " ")).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+    // count-of-counts: (c, k tokens at c) — metadata-sized
+    val hist = cnt.groupBy("_c").agg(count(lit(1)).as("_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val total = hist.map { case (c, k) => c * k }.sum
+    val rows = ns.sorted.map { n =>
+      var remaining = n
+      var covered = 0L
+      hist.foreach { case (c, k) =>
+        if (remaining > 0) {
+          val take = math.min(remaining, k)
+          covered += take * c
+          remaining -= take
+        }
+      }
+      (n, covered, total, covered.toDouble / total)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("n", "covered_occurrences", "total_occurrences", "coverage")
+  }
+
+  /** Per-document language-ID confidence margin: the gap between the best
+    * and second-best marker scores (integer token-intersection counts) —
+    * CCNet-style pipelines keep only confident language calls; margin 0
+    * means the call is a coin flip. Narrow map, engine-exact integers. */
+  def langIdMargin(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val scores = array(Langs.map { case (_, m) =>
+      langScore(col(textCol), m) }: _*)
+    df.select(col(idCol), langId(col(textCol)).as("lang_pred"),
+        reverse(array_sort(scores)).as("_s"))
+      .select(col(idCol), col("lang_pred"),
+        (element_at(col("_s"), 1) - element_at(col("_s"), 2))
+          .as("margin"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
     * local-match scheme): hash every k-word gram, then keep the MINIMUM
     * hash of each sliding window of `w` consecutive gram hashes (leftmost

@@ -721,6 +721,48 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    QueryDef("vocab_coverage_curve",
+      // vocab-size decision curve: occurrence coverage of top-N
+      // vocabularies, computed from the COUNT-OF-COUNTS histogram (driver
+      // sees count VALUES, never a token ranking); the oracle ranks the
+      // whole vocabulary with a window — the very plan the engine avoids —
+      // and must agree because tie levels sum identically
+      (s, dir) => TextAnalysis.vocabCoverage(Tables.documents(s, dir),
+          "text", Seq(100L, 500L, 2000L))
+        .orderBy("n"),
+      Some("""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+             |            FROM documents),
+             |c AS (SELECT t, count(*) AS c FROM tk GROUP BY t),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn
+             |      FROM c),
+             |n AS (SELECT CAST(unnest([100, 500, 2000]) AS BIGINT) AS n)
+             |SELECT n.n,
+             |  CAST(sum(CASE WHEN r.rn <= n.n THEN r.c ELSE 0 END) AS BIGINT)
+             |    AS covered_occurrences,
+             |  tot.total AS total_occurrences,
+             |  CAST(sum(CASE WHEN r.rn <= n.n THEN r.c ELSE 0 END) AS DOUBLE)
+             |    / tot.total AS coverage
+             |FROM r CROSS JOIN n CROSS JOIN tot
+             |GROUP BY n.n, tot.total ORDER BY n""".stripMargin)),
+
+    QueryDef("langid_margin",
+      // language-call confidence: best minus second-best marker score per
+      // doc (integer intersection counts — engine-exact); the oracle
+      // recomputes every per-language score and the sorted gap
+      (s, dir) => TextAnalysis.langIdMargin(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val sList = TextAnalysis.Langs.map(l => s"s_${l._1}").mkString(", ")
+        s"""WITH m AS (SELECT doc_id, $langScoreSql
+           |           FROM documents)
+           |SELECT doc_id, $langCaseSql AS lang_pred,
+           |  CAST(list_sort([$sList], 'DESC')[1]
+           |     - list_sort([$sList], 'DESC')[2] AS INT) AS margin
+           |FROM m ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("oov_rate_by_lang",
       // tokenizer-coverage dashboard: out-of-vocabulary rate per language
       // under the top-500 corpus vocabulary — the number a tokenizer/vocab
