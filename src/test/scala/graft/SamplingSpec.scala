@@ -431,6 +431,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("vocabCoverage: matches a brute-force ranking; monotone and bounded") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
+    val got = TextAnalysis.vocabCoverage(docs, "text", Seq(50L, 500L, 100000L))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val counts = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().map(_._2).sortBy(-_)
+    val total = counts.sum
+    got.foreach { case (n, covered, tot, cov) =>
+      assert(tot == total)
+      assert(covered == counts.take(n.toInt).sum, s"n=$n")
+      assert(math.abs(cov - covered.toDouble / total) < 1e-15)
+    }
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted, "monotone in n")
+    assert(got.last._4 == 1.0, "N >= vocab covers everything")
+  }
+
+  test("langIdMargin: margin is the top-two score gap and 0 exactly on ties") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "the of and is in it a to"), // strongly en
+      (2L, "el the")) // en and es tie at 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langIdMargin(docs, "doc_id", "text")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(got(0)._2 == "en" && got(0)._3 > 0)
+    assert(got(1)._3 == 0, "tied call must have zero margin")
+  }
+
   test("bootstrapStats: deterministic Poisson(1) weights — mean ~1, spread real") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
