@@ -133,6 +133,23 @@ object Stats {
         "min_val", "max_val")
   }
 
+  /** Exponentially time-decayed counts per group — the freshness/trending
+    * score (each event contributes `exp(−Δt/τ)` at the corpus horizon):
+    * the per-event weight quantizes to MICRO-units immediately after the
+    * exp, so the per-group total is an associative long sum — engine- and
+    * merge-order-exact where a raw double sum would drift. One partial-
+    * aggregable pass; the horizon (max ts) is a single driver scalar. */
+  def decayedCounts(events: DataFrame, tsCol: String, groupCol: String,
+      tauSeconds: Long): DataFrame = {
+    require(tauSeconds > 0)
+    val secs = unix_timestamp(col(tsCol))
+    val tMax = events.agg(max(secs)).head().getLong(0)
+    events.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(exp((secs - lit(tMax)) / lit(tauSeconds.toDouble))
+          * lit(1e6) + lit(0.5)).cast("long")).as("decayed_micro"))
+  }
+
   /** EXACT per-group percentile cutoffs over an INTEGER value column,
     * without ever sorting a group or funneling it through one task — the
     * scale-safe replacement for `ntile`/per-group `sort` when the group

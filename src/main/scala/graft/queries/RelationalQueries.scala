@@ -238,6 +238,25 @@ object RelationalQueries {
              |FROM d JOIN t ON d.event_type = t.event_type
              |ORDER BY day, d.event_type""".stripMargin)),
 
+    QueryDef("events_decayed_counts",
+      // exponentially time-decayed event counts per type (tau = 7 days at
+      // the corpus horizon): per-event weights micronat-quantized right
+      // after the exp, so totals are associative long sums; the oracle
+      // re-derives the horizon and every weight
+      (s, dir) => graft.functions.Stats.decayedCounts(
+          Tables.events(s, dir), "ts", "event_type",
+          tauSeconds = 604800L)
+        .orderBy("event_type"),
+      Some("""WITH e AS (SELECT event_type,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s
+             |       FROM events),
+             |t AS (SELECT max(s) AS tm FROM e)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(exp((s - tm) / 604800.0) * 1000000 + 0.5)
+             |    AS BIGINT)) AS BIGINT) AS decayed_micro
+             |FROM e CROSS JOIN t GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     QueryDef("events_psi_drift",
       // population stability index: value distribution of the first half-
       // month vs the second, 10 fixed-width bins with edge clamping and
