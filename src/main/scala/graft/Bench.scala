@@ -70,7 +70,8 @@ object Bench {
     "scd2_merge", "bootstrap_stats", "bitext_margin_mine",
     "scd2_asof_lookup", "sink_v2_manifest", "winnow_fingerprints",
     "winnow_overlap_pairs", "oov_rate_by_lang",
-    "vocab_coverage_curve", "langid_margin", "events_decayed_counts")
+    "vocab_coverage_curve", "langid_margin", "events_decayed_counts",
+    "pca_whiten")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

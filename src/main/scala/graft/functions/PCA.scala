@@ -146,4 +146,19 @@ object PCA {
   def project(df: DataFrame, vecCol: String, idCol: String,
       model: Model): DataFrame =
     df.select(col(idCol) +: projections(col(vecCol), model): _*)
+
+  /** Whitened projection: each coordinate scaled by 1/√λ_j so every output
+    * dimension has unit variance — the form distance-based consumers
+    * (k-means, OPQ, SemDeDup's clustering) actually want, since unwhitened
+    * PCA lets the top component dominate every distance. The scales are
+    * driver-folded literals (`fmtD`-round-trippable like the components);
+    * still a pure narrow map. */
+  def projectWhitened(df: DataFrame, vecCol: String, idCol: String,
+      model: Model): DataFrame = {
+    val cols = projections(col(vecCol), model).zip(model.variances)
+      .zipWithIndex.map { case ((p, v), j) =>
+        (p / lit(math.sqrt(v))).as(s"w$j")
+      }
+    df.select(col(idCol) +: cols: _*)
+  }
 }

@@ -3671,6 +3671,34 @@ object PipelineQueries {
            |FROM embeddings CROSS JOIN cg ORDER BY vec_id""".stripMargin
       })),
 
+    QueryDef("pca_whiten",
+      // whitened PCA coordinates (unit variance per output dim — what
+      // k-means/OPQ/SemDeDup consume): same literal-folded narrow map,
+      // each coordinate divided by the driver-computed sqrt(lambda_j);
+      // oracle re-folds everything from quoted literals
+      (s, dir) => graft.functions.PCA.projectWhitened(
+          Tables.embeddings(s, dir), "embedding", "vec_id", pcaModel(s, dir))
+        .orderBy("vec_id"),
+      None,
+      dynOracle = Some((s, dir) => {
+        val m = pcaModel(s, dir)
+        val lists = m.components.zipWithIndex.map { case (c, j) =>
+          val arr = c.map(x => "'" + fmtD(x) + "'").mkString("[", ", ", "]")
+          s"CAST($arr AS DOUBLE[]) AS c$j"
+        }.mkString(", ")
+        val projs = m.components.zip(m.variances).zipWithIndex.map {
+          case ((c, v), j) =>
+            val off = c.zip(m.mean).map { case (a, b) => a * b }
+              .reduceLeft(_ + _)
+            s"(${dotSql("embedding", s"c$j")} - CAST('${fmtD(off)}' AS DOUBLE))" +
+              s" / CAST('${fmtD(math.sqrt(v))}' AS DOUBLE) AS w$j"
+        }.mkString(",\n  ")
+        s"""WITH cg AS (SELECT $lists)
+           |SELECT vec_id,
+           |  $projs
+           |FROM embeddings CROSS JOIN cg ORDER BY vec_id""".stripMargin
+      })),
+
     QueryDef("embedding_near_dup_lsh",
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "embedding", "vec_id", threshold = 0.4, nPlanes = 4)
