@@ -153,10 +153,25 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // stdout line is tail-captured by the driver with a bounded buffer; at
+    // 115+ queries full-precision doubles overflowed it (round-6 BENCH was
+    // unparseable). Millisecond precision keeps the line ~40% shorter, and
+    // the full-precision copy always lands in a file next to the repo.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

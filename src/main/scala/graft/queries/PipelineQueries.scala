@@ -2983,7 +2983,7 @@ object PipelineQueries {
               |  JOIN sizes sb ON sb.doc_id = id_b
               |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
               |${Graphs.pageRankOracleSql("documents", "doc_id", "good", iterations = 3)}
-              |SELECT id AS doc_id, rank AS rank_nano FROM r3 ORDER BY doc_id""".stripMargin)),
+              |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_nano FROM r3 ORDER BY doc_id""".stripMargin)),
 
     QueryDef("dedup_simhash",
       // md5-u64 token hash on purpose: DuckDB recomputes every signature
@@ -3282,7 +3282,7 @@ object PipelineQueries {
              |    unnest(generate_series(1, len(embedding))) AS i
              |  FROM embeddings)
              |SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
-             |  sum(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS sum_micro
+             |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
              |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin)),
 
     QueryDef("text_hash_embed",
@@ -3303,7 +3303,7 @@ object PipelineQueries {
              |w AS (SELECT doc_id, CAST((hv // 2) % 16 AS INT) AS dim,
              |    CASE WHEN hv % 2 = 1 THEN 1 ELSE -1 END AS s
              |  FROM h)
-             |SELECT doc_id, dim, sum(s) AS weight FROM w
+             |SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS weight FROM w
              |GROUP BY doc_id, dim HAVING sum(s) <> 0
              |ORDER BY doc_id, dim""".stripMargin)),
 

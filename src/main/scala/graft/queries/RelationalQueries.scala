@@ -800,8 +800,8 @@ object RelationalQueries {
           .orderBy("l_linestatus")
       },
       Some("""SELECT l_linestatus,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),

@@ -27,13 +27,23 @@ object Tables {
   val Dims: Set[String] = Set("region", "nation", "supplier", "part", "customer")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read nanos as long and normalize to a microsecond TimestampType column
-    // (integer `div` — a double division would lose precision above 2^53 ns).
+    // events.ts layout varies by generator vintage: TIMESTAMP(NANOS) (read
+    // as long via nanosAsLong, normalized by integer `div` — a double
+    // division would lose precision above 2^53 ns), plain parquet TIMESTAMP
+    // (micros, isAdjustedToUTC=false → TimestampNTZType), or already-LTZ.
+    // All normalize to session-UTC TimestampType so every downstream
+    // comparison against `lit(...).cast("timestamp")` resolves identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
