@@ -501,15 +501,64 @@ object Dedup {
     *  - convergence is detected by the label SUM: labels start at the node
     *    id and are strictly non-increasing, so an unchanged sum is exactly
     *    "no label changed" — one aggregate on the already-persisted frame
-    *    instead of a join against the previous round. */
+    *    instead of a join against the previous round.
+    *
+    * When the active edge list fits the bounded-metadata budget
+    * (`driverMaxEdges`, default 10⁶ edges ≈ 16 MB), a driver-side min-label
+    * union-find replaces the loop — identical fixpoint, one job instead of
+    * per-round shuffle overhead. Larger graphs take the loop unchanged. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // undirected edge list, both directions
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(lvl)
+    // Small-active-subgraph fast path: after blocking, the EDGE list is
+    // usually tiny relative to the corpus (near-dup endpoints only). An
+    // edge is two longs = 16 bytes, so `driverMaxEdges` bounds the collect
+    // at ~16 MB — the same bounded-metadata contract as broadcasting a dim
+    // table or collecting IVF centroids. Min-label union-find computes the
+    // identical fixpoint (min id per component) in one pass instead of
+    // Θ(log d) join rounds, each of which costs 3 shuffles + 2 actions of
+    // fixed overhead (measured: 287 edges spent 2.2 s in round overhead).
+    // Graphs over the threshold take the distributed loop below — the
+    // 100 TB path is unchanged.
+    val integralId = {
+      val dt = nodes.schema(idCol).dataType
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType
+    }
+    val nDirectedEdges = edges.count()
+    if (integralId && nDirectedEdges <= 2L * driverMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min id: the root IS the component's min label
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      edges.unpersist()
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = parent.keysIterator.map(id => (id, find(id))).toSeq
+        .toDF("id", "_cc")
+        .select(col("id").cast(nodes.schema(idCol).dataType),
+          col("_cc").cast(nodes.schema(idCol).dataType))
+      return nodes.select(col(idCol).as("id"))
+        .join(labelDf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_cc"), col("id")).as("cluster_id"))
+    }
     // active subgraph: both directions are present, so `src` alone covers
     // every node incident to an edge
     var labels = edges.select(col("src").as("id")).distinct()

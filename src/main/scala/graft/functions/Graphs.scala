@@ -42,16 +42,21 @@ object Graphs {
     require(n > 0, "pageRank over an empty node set")
     val base = scale / n
     val teleport = ((100L - dampingPct) * base) / 100L
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    // pairs feeds both direction legs of the union — persist so an
+    // expensive upstream pair graph (e.g. the jaccard rebuild) runs once
+    val p = pairs.persist()
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(p.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) is loop-invariant — join it ONCE outside the
+    // iteration instead of re-joining deg every round (one join + one
+    // aggregate per round instead of two joins + one aggregate)
+    val edgesDeg = edges.join(deg, Seq("src")).persist()
     var ranks = ids.select(col("id"), lit(base).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(deg, col("id") === col("src"))
-        .select(col("src"), expr("rank div deg").as("c"))
-      val inSums = edges.join(contribs, Seq("src"))
+    for (i <- 1 to iterations) {
+      val inSums = edgesDeg
+        .join(ranks, col("id") === col("src"))
+        .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
       val next = ids
@@ -59,12 +64,14 @@ object Graphs {
         .select(col("id"),
           (lit(teleport) +
             expr(s"($dampingPct * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .persist()
-      next.count() // materialize: lineage stays one round deep
-      ranks.unpersist()
-      ranks = next
+      // each round's frame is referenced exactly ONCE by the next round, so
+      // the chain evaluates once at the consumer's action — no per-round
+      // materialization needed. Lineage grows linearly (one join + one agg
+      // per round); truncate it every 4th round so a long power iteration
+      // never accretes an unplannable tree.
+      ranks = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true)
+              else next
     }
-    edges.unpersist(); deg.unpersist()
     ranks.select(col("id").as(idCol), col("rank").as("rank_nano"))
   }
 

@@ -359,10 +359,14 @@ object TextAnalysis {
       langCol: String): DataFrame = {
     val ppl = perplexity(df, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("logprob_micronats"))
+    // persisted: consumed twice (tercile-cutoff pass + bucket assignment);
+    // without it the whole LM train + exploded-token score join runs twice.
+    // Per-doc metadata rows only (id, lang, two longs) — spill-safe.
     val scored = df.select(col(idCol), col(langCol))
       .join(ppl.hint("shuffle_hash"), Seq(idCol))
       .withColumn("surprisal_micronats",
         expr(s"(-logprob_micronats) div n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (f1, f2) = (1.0 / 3, 2.0 / 3)
     val cuts = Stats.groupedExactPercentiles(scored, langCol,
       "surprisal_micronats", Seq(f1, f2))

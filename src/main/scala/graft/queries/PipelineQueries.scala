@@ -688,9 +688,13 @@ object PipelineQueries {
       // sharing >= 2 selected fingerprints (MOSS's match step) — an
       // inverted-index equi-join on fp at winnowed density, never doc x doc
       (s, dir) => {
+        // persisted: the fingerprint frame feeds BOTH sides of the
+        // self-join — without it the full winnowing expression tree (the
+        // query's dominant cost) evaluates twice
         val fp = TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
             "doc_id", "text", k = 3, w = 4)
           .select(col("doc_id"), col("fp")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val a = fp.select(col("doc_id").as("id_a"), col("fp"))
         val b = fp.select(col("doc_id").as("id_b"), col("fp"))
         a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))

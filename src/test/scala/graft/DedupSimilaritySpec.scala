@@ -301,9 +301,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // non-converged run leaves labels != 0 so the assertion catches it
     val nodes = (0L until 100L).toDF("id")
     val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(nodes, "id", pairs, maxIters = 15)
+    // driverMaxEdges = 0 forces the distributed loop — the driver fast
+    // path would otherwise absorb every test-sized graph
+    val labels = Dedup.connectedComponents(nodes, "id", pairs,
+      maxIters = 15, driverMaxEdges = 0L)
     assert(labels.count() == 100)
     assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("connected components: driver union-find fast path == distributed loop") {
+    // adversarial-ish graph: chains, a triangle merged into a chain, dup
+    // edges, self-contained cliques, and isolated nodes
+    val nodes = (0L until 60L).toDF("id")
+    val rnd = new scala.util.Random(7)
+    val pairs = ((0L until 25L).map(i => (i, i + 1)) ++ // long chain
+      Seq((30L, 31L), (31L, 32L), (30L, 32L), (32L, 25L)) ++ // triangle joins chain
+      Seq((40L, 41L), (41L, 40L), (40L, 41L)) ++ // dup/reversed edges
+      (0 until 30).map(_ => { val a = 45 + rnd.nextInt(10); (a.toLong, (45 + rnd.nextInt(10)).toLong) })
+      ).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.connectedComponents(nodes, "id", pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop)
+    assert(fast(25L) == 0L && fast(32L) == 0L) // triangle merged into the chain
   }
 
   test("incremental near-dup against persisted band index == batch pipeline cross-set pairs") {
