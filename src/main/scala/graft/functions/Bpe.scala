@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary LEARNING (Sennrich, Haddow & Birch, ACL
+  * 2016 — the `learn_bpe` half every subword tokenizer ships): iteratively
+  * merge the most frequent adjacent symbol pair. The training-data engine
+  * needs the learner itself, not just a fixed tokenizer: vocabularies are
+  * (re)fit on each new corpus mix.
+  *
+  * Scale shape (the reason this is corpus-feasible at all, and the same
+  * trick the original implementation uses): after ONE corpus-sized shuffle
+  * (the word histogram), every merge round runs over the WORD HISTOGRAM —
+  * model-sized (distinct words), not corpus-sized. Per round: one pair-count
+  * aggregate over the exploded adjacent pairs of the histogram's symbol
+  * arrays, one `LIMIT 1` argmax to the driver (a single row — bounded
+  * metadata, the IVF-centroid contract), one narrow map applying the merge.
+  * The corpus itself is never touched again. The learned merge list is
+  * model metadata: k rows.
+  *
+  * Exactness contract with the DuckDB oracle ([[learnOracleSql]]):
+  *  - pair counting follows the reference implementation: every adjacent
+  *    position counts, including self-overlapping runs ('aaa' counts (a,a)
+  *    twice);
+  *  - the winning pair is the total order (count DESC, lhs ASC, rhs ASC) —
+  *    binary string comparison in both engines (ASCII corpus);
+  *  - merge application is greedy leftmost non-overlapping. The engine's
+  *    fold ([[applyMerge]]) equals the greedy scan: after a merge the
+  *    accumulator's last element is `lhs||rhs`, which can never equal `lhs`
+  *    (rhs is non-empty), so a just-merged element is never merged again
+  *    within the round. The oracle's parity-kept-starts formulation equals
+  *    the same scan: starts at consecutive positions only happen when
+  *    lhs == rhs (an overlap at j, j+1 forces syms[j+1] = lhs = rhs), and
+  *    within such a run the greedy scan keeps exactly the 1st, 3rd, ...
+  *    start.
+  */
+object Bpe {
+
+  /** (word, freq) histogram — the single corpus-sized aggregation. */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Character symbols of a word; robust to the regex-split trailing "". */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => s =!= "")
+
+  private def pairsOf(syms: Column): Column =
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("lhs"),
+          element_at(syms, i + 1).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+
+  /** Greedy leftmost non-overlapping replacement of (a,b) -> a+b as a fold
+    * over the symbol array (see the equality argument in the object doc). */
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Learn `steps` merges over `df.textCol`. Output: one row per merge,
+    * (step, lhs, rhs, merged, pair_count), ordered by step. */
+  def learn(df: DataFrame, textCol: String, steps: Int): DataFrame = {
+    require(steps >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // localCheckpoint: the histogram is reused every round, and each round
+    // rewrites `syms` — checkpointing keeps the plan one round deep
+    var words = wordHistogram(df, textCol)
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val top = words
+        .select(explode(pairsOf(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((step, a, b, a + b, c))
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The final segmentation after [[learn]]'s merges: (word, freq, syms)
+    * with the k merges applied in order — the vocabulary's working form
+    * (subword inventory = distinct symbols of this frame). */
+  def segment(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      wordHistogram(df, textCol).withColumn("syms", charSyms(col("word")))) {
+      case (acc, (a, b)) => acc.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB SQL replicating [[learn]] exactly, `steps` rounds unrolled
+    * (same generated-oracle pattern as
+    * [[graft.functions.Graphs.pageRankOracleSql]]). `tableName.textCol`
+    * supplies the corpus. */
+  def learnOracleSql(tableName: String, textCol: String, steps: Int): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         string_split(word, '') AS syms
+         |  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
+         |        FROM $tableName)
+         |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val rounds = (1 to steps).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT w.syms[u.j] AS lhs, w.syms[u.j + 1] AS rhs,
+         |         CAST(sum(w.freq) AS BIGINT) AS c
+         |  FROM $prev w, unnest(generate_series(1, len(w.syms) - 1)) AS u(j)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |k$i AS MATERIALIZED (
+         |  SELECT word, j FROM (
+         |    SELECT word, j,
+         |           row_number() OVER (PARTITION BY word, j - rn ORDER BY j) AS rr
+         |    FROM (
+         |      SELECT w.word AS word, u.j AS j,
+         |             row_number() OVER (PARTITION BY w.word ORDER BY u.j) AS rn
+         |      FROM $prev w,
+         |           unnest(generate_series(1, len(w.syms) - 1)) AS u(j)
+         |      WHERE w.syms[u.j] = (SELECT lhs FROM b$i)
+         |        AND w.syms[u.j + 1] = (SELECT rhs FROM b$i)))
+         |  WHERE rr % 2 = 1),
+         |e$i AS MATERIALIZED (
+         |  SELECT w.word, w.freq, w.syms, u.pos
+         |  FROM $prev w, unnest(generate_series(1, len(w.syms))) AS u(pos)),
+         |w$i AS MATERIALIZED (
+         |  SELECT word, freq, list(sym ORDER BY pos) AS syms FROM (
+         |    SELECT e.word, e.freq, e.pos AS pos,
+         |           CASE WHEN k.j IS NOT NULL
+         |                THEN e.syms[e.pos] || e.syms[e.pos + 1]
+         |                ELSE e.syms[e.pos] END AS sym,
+         |           kp.j AS consumed
+         |    FROM e$i e
+         |    LEFT JOIN k$i k  ON k.word = e.word AND k.j = e.pos
+         |    LEFT JOIN k$i kp ON kp.word = e.word AND kp.j = e.pos - 1) t
+         |  WHERE consumed IS NULL GROUP BY word, freq)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps).map { i =>
+      s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"WITH $w0,\n$rounds\n$out\nORDER BY step"
+  }
+}

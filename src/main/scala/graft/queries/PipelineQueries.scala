@@ -811,6 +811,17 @@ object PipelineQueries {
              |  FROM documents)
              |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)),
 
+    QueryDef("bpe_learn",
+      // BPE vocabulary learning (Sennrich 2016): 8 merge rounds over the
+      // word histogram — after one corpus-sized shuffle every round is
+      // model-sized. The oracle unrolls all 8 rounds (pair census, total-
+      // order argmax, greedy leftmost non-overlapping merge via
+      // parity-kept starts) and must reproduce the exact merge table
+      (s, dir) => graft.functions.Bpe.learn(
+          Tables.documents(s, dir), "text", steps = 8)
+        .orderBy("step"),
+      Some(graft.functions.Bpe.learnOracleSql("documents", "text", steps = 8))),
+
     QueryDef("tokenize_ids",
       // vocabulary-indexed tokenization: top-1000 vocab by (freq desc,
       // token asc), ids 1..N, OOV -> 0, one row per token position; the
