@@ -104,6 +104,91 @@ object Similarity {
       .otherwise(lit(0.0))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998) — the diverse-exemplar curation step: greedily pick k items
+    * maximizing `rel(x) − λ · max_{s∈selected} cos(s, x)`, so each pick is
+    * relevant to the query but far from everything already chosen (few-shot
+    * exemplar sets, eval-suite dedup, diverse seed corpora).
+    *
+    * MMR is inherently sequential in k — but k is model-sized (tens), and
+    * each round is one distributed scan: an argmax (TakeOrdered of ONE row)
+    * and a narrow `greatest(ms, cos(v, picked))` rewrite. No shuffle ever
+    * touches the candidates; the driver sees one (id, vector) row per round
+    * (the IVF-centroid metadata contract). At 100 TB the candidate set is a
+    * relevance shortlist (e.g. [[bruteForceTopK]]'s top-N) rather than the
+    * raw corpus; the loop itself is unchanged.
+    *
+    * Engine-exact vs the oracle: every cosine is the same sequential
+    * [[dot]] fold both engines compute bit-identically (the ann gate
+    * family's contract), λ=0.5 is exactly representable, and ties break by
+    * (score DESC, id ASC). `ms` starts at 0 (empty-set diversity term).
+    * Output: (rank, id, rel, maxsim, score) per selected item. */
+  def mmrSelect(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = array(query.map(v => lit(v)): _*)
+    // localCheckpoint per round: each round's collect() re-evaluates the
+    // frame, so an unmaterialized chain would recompute every prior
+    // round's cosines (O(k²) dots); checkpointing keeps it O(k)
+    var cand = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("rel", cosine(col("v"), q))
+      .withColumn("ms", lit(0.0))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = cand
+        .withColumn("score", col("rel") - lit(lambda) * col("ms"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(1)
+        .select("id", "rel", "ms", "score", "v").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        picks += ((round, r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)))
+        val pv = array(r.getSeq[Float](4).map(v => lit(v)): _*)
+        cand = cand.filter(col("id") =!= lit(r.getLong(0)))
+          .withColumn("ms", greatest(col("ms"), cosine(col("v"), pv)))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    picks.toSeq.toDF("rank", "vec_id", "rel", "maxsim", "score")
+  }
+
+  /** DuckDB SQL replicating [[mmrSelect]] with the rounds unrolled —
+    * `candCte` must yield (vec_id, v, rel); λ and k are inlined. Same
+    * generated-oracle pattern as [[graft.functions.Bpe.learnOracleSql]]. */
+  def mmrOracleSql(candCte: String, k: Int, lambda: Double): String = {
+    def cosSql(a: String, b: String): String = {
+      def d(x: String, y: String) =
+        s"list_reduce(list_transform(generate_series(1, len($x)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (x,y) -> x+y)"
+      s"${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)}))"
+    }
+    val lam = lambda.toString
+    val c0 =
+      s"""c0 AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, CAST(0 AS DOUBLE) AS ms FROM $candCte)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, ms, rel - $lam * ms AS score FROM $prev
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.rel,
+         |         greatest(c.ms, ${cosSql("c.v", "s.v")}) AS ms
+         |  FROM $prev c, s$i s WHERE c.vec_id <> s.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, vec_id, rel, ms AS maxsim, score FROM s$i"
+    }.mkString("\nUNION ALL ")
+    s"$c0,\n$rounds\n$out\nORDER BY rank"
+  }
+
   /** Embedding near-dup pairs: bucket-equi-join then exact cosine filter.
     * Only same-bucket pairs are materialized (the LSH blocks the O(n²)). */
   def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,

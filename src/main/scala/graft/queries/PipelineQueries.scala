@@ -3050,6 +3050,25 @@ object PipelineQueries {
               |FROM embeddings CROSS JOIN q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin)),
 
+    QueryDef("diverse_topk_mmr",
+      // maximal-marginal-relevance selection: 10 greedy rounds of
+      // (rel − 0.5·maxsim) argmax; oracle unrolls every round and must
+      // reproduce rank, ids, and all three doubles bit-exactly
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+          .head().getSeq[Float](1)
+        Similarity.mmrSelect(Tables.embeddings(s, dir), "embedding",
+          "vec_id", q, k = 10, lambda = 0.5)
+          .orderBy("rank")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |cand AS MATERIALIZED (
+              |  SELECT vec_id, embedding AS v,
+              |    ${dotSql("embedding", "qv")} /
+              |    (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})) AS rel
+              |  FROM embeddings CROSS JOIN q),
+              |${Similarity.mmrOracleSql("cand", k = 10, lambda = 0.5)}""".stripMargin)),
+
     QueryDef("cosine_topk_quantized",
       // int8-quantized similarity (4x smaller vectors): top-k by rescaled
       // integer dot product; oracle recomputes quantization + MAC in SQL

@@ -385,6 +385,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top == Seq(0L, 1L, 4L))
   }
 
+  test("MMR: diversity outranks redundancy from round 3 on") {
+    // After round 1 picks the query-parallel vector, maxsim == rel for
+    // everything (diversity can't separate yet — ties break by id, so
+    // round 2 picks id 1). Round 3 is the discriminating round: id 2 is an
+    // EXACT duplicate of the just-picked id 1 (ms = 1, score = 0.6 − 0.5),
+    // while id 3 mirrors it away from the selected set (ms = 0.6,
+    // score = 0.6 − 0.3) — the duplicate must lose.
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f)),
+      (3L, Array(0.6f, -0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(dup, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), k = 4, lambda = 0.5)
+      .orderBy("rank")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 3L, 2L))
+  }
+
+  test("MMR: lambda = 0 degenerates to pure relevance ranking") {
+    val got = Similarity.mmrSelect(vecs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), k = 3, lambda = 0.0)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 4L)) // == bruteForceTopK order
+  }
+
+  test("MMR: k beyond the candidate count stops when exhausted") {
+    val got = Similarity.mmrSelect(vecs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), k = 99)
+    assert(got.count() == 5)
+  }
+
   test("ANN via LSH bucket returns a subset of brute-force ranking, topped by the query itself") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
