@@ -117,6 +117,17 @@ object Bpe {
     * [[graft.functions.Graphs.pageRankOracleSql]]). `tableName.textCol`
     * supplies the corpus. */
   def learnOracleSql(tableName: String, textCol: String, steps: Int): String = {
+    val out = (1 to steps).map { i =>
+      s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"${learnSegmentedCteSql(tableName, textCol, steps)}\n$out\nORDER BY step"
+  }
+
+  /** Just the CTE chain (`WITH w0 ..., wN`): callers compose a final SELECT
+    * over `w$steps` (the fully-segmented histogram) or the `b$i` merge
+    * rows. */
+  def learnSegmentedCteSql(tableName: String, textCol: String,
+      steps: Int): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -159,9 +170,6 @@ object Bpe {
          |    LEFT JOIN k$i kp ON kp.word = e.word AND kp.j = e.pos - 1) t
          |  WHERE consumed IS NULL GROUP BY word, freq)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to steps).map { i =>
-      s"SELECT CAST($i AS INT) AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL ")
-    s"WITH $w0,\n$rounds\n$out\nORDER BY step"
+    s"WITH $w0,\n$rounds"
   }
 }

@@ -822,6 +822,26 @@ object PipelineQueries {
         .orderBy("step"),
       Some(graft.functions.Bpe.learnOracleSql("documents", "text", steps = 8))),
 
+    QueryDef("bpe_token_census",
+      // the consumer half of BPE learning: segment the corpus under the 8
+      // learned merges and census the resulting symbol inventory (token
+      // frequency table under the learned vocabulary). The oracle re-learns
+      // all 8 merges AND re-segments every word
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.functions.Bpe.learn(docs, "text", steps = 8)
+          .orderBy("step").select("lhs", "rhs")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.functions.Bpe.segment(docs, "text", merges)
+          .select(explode(col("syms")).as("sym"), col("freq"))
+          .groupBy("sym").agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("sym"))
+      },
+      Some(s"""${graft.functions.Bpe.learnSegmentedCteSql("documents", "text", steps = 8)}
+              |SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+              |FROM (SELECT unnest(syms) AS sym, freq FROM w8)
+              |GROUP BY sym ORDER BY n DESC, sym""".stripMargin)),
+
     QueryDef("tokenize_ids",
       // vocabulary-indexed tokenization: top-1000 vocab by (freq desc,
       // token asc), ids 1..N, OOV -> 0, one row per token position; the
