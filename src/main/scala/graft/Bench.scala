@@ -71,7 +71,10 @@ object Bench {
     "scd2_asof_lookup", "sink_v2_manifest", "winnow_fingerprints",
     "winnow_overlap_pairs", "oov_rate_by_lang",
     "vocab_coverage_curve", "langid_margin", "events_decayed_counts",
-    "pca_whiten")
+    "pca_whiten",
+    // round-7 additions: distributed BPE vocabulary learning (+ the
+    // segmentation census) and greedy MMR diverse selection
+    "bpe_learn", "bpe_token_census", "diverse_topk_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

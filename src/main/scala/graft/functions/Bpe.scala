@@ -105,9 +105,16 @@ object Bpe {
     * (subword inventory = distinct symbols of this frame). */
   def segment(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame =
+    // checkpoint between merges: k CHAINED applyMerge folds in one select
+    // nest k aggregate() HOFs into a single enormous expression whose
+    // codegen compile alone costs seconds (measured ~10 s at k=8) —
+    // materializing per merge keeps each plan one shallow fold deep, same
+    // as [[learn]]'s round discipline
     merges.foldLeft(
       wordHistogram(df, textCol).withColumn("syms", charSyms(col("word")))) {
-      case (acc, (a, b)) => acc.withColumn("syms", applyMerge(col("syms"), a, b))
+      case (acc, (a, b)) =>
+        acc.withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(true)
     }
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
