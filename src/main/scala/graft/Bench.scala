@@ -74,7 +74,8 @@ object Bench {
     "pca_whiten",
     // round-7 additions: distributed BPE vocabulary learning (+ the
     // segmentation census) and greedy MMR diverse selection
-    "bpe_learn", "bpe_token_census", "diverse_topk_mmr")
+    "bpe_learn", "bpe_token_census", "diverse_topk_mmr",
+    "bpe_fertility_by_lang")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -842,6 +842,45 @@ object PipelineQueries {
               |FROM (SELECT unnest(syms) AS sym, freq FROM w8)
               |GROUP BY sym ORDER BY n DESC, sym""".stripMargin)),
 
+    QueryDef("bpe_fertility_by_lang",
+      // tokenizer-fertility dashboard: chars per subword token by language
+      // under the LEARNED 8-merge vocabulary — the number vocab-size and
+      // language-mix decisions are made on. The segmented histogram is
+      // model-sized, so the word -> n_subtokens map BROADCASTS; the corpus
+      // side is one explode + one shuffle-free broadcast join + one
+      // lang-keyed aggregate. Integer everything; fertility in micro-units
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.functions.Bpe.learn(docs, "text", steps = 8)
+          .orderBy("step").select("lhs", "rhs")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        val seg = graft.functions.Bpe.segment(docs, "text", merges)
+          .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+        val words = docs.select(col("lang"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+        words.join(broadcast(seg), Seq("word"))
+          .groupBy("lang")
+          .agg(sum(length(col("word")).cast("long")).as("n_chars"),
+            sum(col("n_sub")).as("n_subtokens"))
+          .withColumn("fertility_micro",
+            expr("(1000000 * n_chars) div n_subtokens"))
+          .orderBy("lang")
+      },
+      Some(s"""${graft.functions.Bpe.learnSegmentedCteSql("documents", "text", steps = 8)},
+              |seg AS MATERIALIZED (
+              |  SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM w8),
+              |wrd AS (
+              |  SELECT lang, unnest(string_split(text, ' ')) AS word
+              |  FROM documents)
+              |SELECT lang, CAST(sum(len(word)) AS BIGINT) AS n_chars,
+              |       CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+              |       CAST((1000000 * CAST(sum(len(word)) AS BIGINT))
+              |            // CAST(sum(n_sub) AS BIGINT) AS BIGINT) AS fertility_micro
+              |FROM wrd JOIN seg USING (word)
+              |WHERE word <> ''
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("tokenize_ids",
       // vocabulary-indexed tokenization: top-1000 vocab by (freq desc,
       // token asc), ids 1..N, OOV -> 0, one row per token position; the
