@@ -443,6 +443,50 @@ object RelationalQueries {
              |  coalesce(lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id), '(none)') AS next_type
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
+    QueryDef("window_ntile_pct",
+      // the remaining rank-family windows: ntile / percent_rank /
+      // cume_dist over a TOTAL order ((value, event_id) — ties broken by
+      // the unique id, so every rank is distinct and the double divisions
+      // are the same integer ratios in both engines
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id,
+             |  CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INT) AS quartile,
+             |  percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr,
+             |  cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd
+             |FROM events ORDER BY event_type, event_id""".stripMargin)),
+
+    QueryDef("unpivot_long",
+      // wide -> long reshape (the inverse of pivot_agg): per-type metric
+      // columns melted to (event_type, metric, value) rows via the native
+      // unpivot operator; integer cents keep every value exact
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(Money.cents(col("value"))).as("sum_cents"),
+          max(Money.cents(col("value"))).as("max_cents"))
+        .unpivot(Array(col("event_type")),
+          Array(col("n_events"), col("sum_cents"), col("max_cents")),
+          "metric", "value")
+        .orderBy("event_type", "metric"),
+      Some("""WITH w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM events GROUP BY event_type)
+             |SELECT event_type, metric, value FROM (
+             |  SELECT event_type, 'n_events' AS metric, n_events AS value FROM w
+             |  UNION ALL SELECT event_type, 'sum_cents', sum_cents FROM w
+             |  UNION ALL SELECT event_type, 'max_cents', max_cents FROM w)
+             |ORDER BY event_type, metric""".stripMargin)),
+
     // Set operations.
     QueryDef("set_union",
       (s, dir) => {
