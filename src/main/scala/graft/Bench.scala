@@ -75,7 +75,11 @@ object Bench {
     // round-7 additions: distributed BPE vocabulary learning (+ the
     // segmentation census) and greedy MMR diverse selection
     "bpe_learn", "bpe_token_census", "diverse_topk_mmr",
-    "bpe_fertility_by_lang")
+    "bpe_fertility_by_lang",
+    // round-7 second batch: Markov transitions, bounded sliding frame,
+    // edit-distance candidate verification, percentile winsorization
+    "event_transitions", "window_moving_avg", "dedup_edit_verify",
+    "winsorize_by_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

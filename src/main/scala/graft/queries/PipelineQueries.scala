@@ -738,6 +738,100 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    QueryDef("dedup_edit_verify",
+      // edit-distance verification of the winnowing candidates: the MOSS
+      // match step's survivors re-checked with exact Levenshtein over the
+      // 80-char prefixes — candidates only (the fp-keyed inverted index
+      // blocks the O(n²)), never doc × doc. Both engines implement the
+      // classic unit-cost DP, so the distance is engine-exact
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+            k = 3, w = 4)
+          .select(col("doc_id"), col("fp")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = fp.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_shared_fps"))
+          .filter(col("n_shared_fps") >= 2)
+        pairs
+          .join(docs.select(col("doc_id").as("id_a"),
+            substring(col("text"), 1, 80).as("_ta")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"),
+            substring(col("text"), 1, 80).as("_tb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("n_shared_fps"),
+            levenshtein(col("_ta"), col("_tb")).cast("long").as("edit_dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val gramHash = md5SliceSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |           FROM documents WHERE len(string_split(text, ' ')) >= 3),
+           |h AS (SELECT doc_id,
+           |        list_transform(generate_series(1, len(tk) - 2),
+           |          i -> $gramHash) AS hs
+           |      FROM t),
+           |wj AS (SELECT doc_id, hs,
+           |         unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS j
+           |       FROM h),
+           |sel AS (SELECT DISTINCT doc_id,
+           |          hs[list_reduce(generate_series(j, least(j + 3, len(hs))),
+           |            (a, b) -> CASE WHEN hs[b] < hs[a] THEN b ELSE a END)] AS fp
+           |        FROM wj),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |         CAST(count(*) AS BIGINT) AS n_shared_fps
+           |       FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT pr.id_a, pr.id_b, pr.n_shared_fps,
+           |  CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS BIGINT) AS edit_dist
+           |FROM pr
+           |JOIN documents da ON da.doc_id = pr.id_a
+           |JOIN documents db ON db.doc_id = pr.id_b
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    QueryDef("winsorize_by_group",
+      // robust outlier capping: clip each event's value to its TYPE's
+      // exact [p05, p95] order statistics — cutoffs from the bounded-
+      // histogram percentile pass (no per-group sort), clip as a broadcast
+      // join + narrow map. Integer cents end-to-end
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          col("event_type"), graft.functions.Money.cents(col("value")).as("cents"))
+        val cuts = graft.functions.Stats.groupedExactPercentiles(
+          ev, "event_type", "cents", Seq(0.05, 0.95), bucketWidth = 100L)
+        val wide = cuts.groupBy(col("event_type")).agg(
+          min(when(col("p") === 0.05, col("cutoff"))).as("_lo"),
+          min(when(col("p") === 0.95, col("cutoff"))).as("_hi"))
+        ev.join(broadcast(wide), Seq("event_type"))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            greatest(col("_lo"), least(col("_hi"), col("cents")))
+              .as("winsorized_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+             |              CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+             |cv AS (SELECT event_type, cents AS v, count(*) AS c FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, v,
+             |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+             |      FROM cv),
+             |f AS (SELECT unnest([CAST('0.05' AS DOUBLE), CAST('0.95' AS DOUBLE)]) AS p),
+             |cuts AS (SELECT n.event_type, f.p, min(r.v) AS cutoff
+             |         FROM n CROSS JOIN f
+             |         JOIN r ON r.event_type = n.event_type AND r.cum >= ceil(n.n * f.p)
+             |         GROUP BY n.event_type, f.p),
+             |wide AS (SELECT event_type,
+             |           min(CASE WHEN p = 0.05 THEN cutoff END) AS lo,
+             |           min(CASE WHEN p = 0.95 THEN cutoff END) AS hi
+             |         FROM cuts GROUP BY 1)
+             |SELECT ev.event_id, ev.event_type, ev.cents,
+             |       greatest(wide.lo, least(wide.hi, ev.cents)) AS winsorized_cents
+             |FROM ev JOIN wide USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
     QueryDef("vocab_coverage_curve",
       // vocab-size decision curve: occurrence coverage of top-N
       // vocabularies, computed from the COUNT-OF-COUNTS histogram (driver

@@ -443,6 +443,55 @@ object RelationalQueries {
              |  coalesce(lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id), '(none)') AS next_type
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
+    QueryDef("event_transitions",
+      // first-order Markov transition census over each user's event
+      // stream (session-flow analysis): lag over (user, event_id), then
+      // one (from, to)-keyed aggregate — partial-aggregable, one shuffle
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+             |FROM events)
+             |SELECT prev_type AS from_type, event_type AS to_type,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM t WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+
+    QueryDef("window_moving_avg",
+      // bounded sliding-frame aggregate (ROWS BETWEEN 4 PRECEDING AND
+      // CURRENT): per-user 5-event moving totals in integer cents — the
+      // frame is row-bounded so state per key is O(frame), never the
+      // whole partition
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-4, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            Money.cents(col("value")).as("cents"))
+          .select(col("user_id"), col("event_id"), col("cents"),
+            sum(col("cents")).over(w).as("mov_sum_cents"),
+            count(lit(1)).over(w).as("n_win"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(round(value * 100) AS BIGINT) AS cents,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+             |    (PARTITION BY user_id ORDER BY event_id
+             |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents,
+             |  CAST(count(*) OVER
+             |    (PARTITION BY user_id ORDER BY event_id
+             |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win
+             |FROM events ORDER BY user_id, event_id""".stripMargin)),
+
     QueryDef("window_ntile_pct",
       // the remaining rank-family windows: ntile / percent_rank /
       // cume_dist over a TOTAL order ((value, event_id) — ties broken by
