@@ -117,6 +117,24 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
   }
 
+  test("bpe_fertility_by_lang: model-sized segment map broadcasts, corpus never shuffles pre-agg") {
+    val p = planOf("bpe_fertility_by_lang")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("winsorize_by_group: broadcast cutoffs + narrow clip, no window over the events") {
+    val p = planOf("winsorize_by_group")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p) // cutoffs come from the histogram pass
+  }
+
+  test("event_transitions: partial aggregation above the lag window, single pair shuffle") {
+    val p = planOf("event_transitions")
+    assert(p.contains("partial_count"), p) // map-side combine on (from, to)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 2, p)
+  }
+
   test("join_bloom_reduce: the sketch probe sits below the join") {
     val p = planOf("join_bloom_reduce")
     val probe = p.indexOf("UDF")
