@@ -496,16 +496,12 @@ object TextAnalysis {
       Sampling.hashSlice32(concat_ws(" ",
         (0 until k).map(o => element_at(col("_tk"), i + o)): _*)))
     val withH = withT.select(col(idCol), grams.as("_hs"))
-    val mm = size(col("_hs"))
-    val nW = greatest(mm - (w - 1), lit(1))
-    // per window: argmin position (leftmost tie-break), then (pos, hash)
-    val sel = transform(sequence(lit(1), nW), j =>
-      aggregate(sequence(j, least(j + (w - 1), mm)),
-        struct(lit(0).as("p"), lit(Long.MaxValue).as("h")),
-        (acc, i) => when(element_at(col("_hs"), i) < acc.getField("h"),
-            struct(i.as("p"), element_at(col("_hs"), i).as("h")))
-          .otherwise(acc)))
-    withH.select(col(idCol), explode(array_distinct(sel)).as("_f"))
+    // per window: argmin position (leftmost tie-break), then (pos, hash) —
+    // the O(m) monotonic-deque native expression, element-for-element
+    // equal to the previous transform+aggregate HOF chain (which was
+    // O(m·w) AND interpreted); see graft.plans.WinnowSelect
+    withH.select(col(idCol),
+        explode(graft.plans.WinnowSelect(col("_hs"), w)).as("_f"))
       .select(col(idCol), col("_f.p").as("pos"), col("_f.h").as("fp"))
   }
 

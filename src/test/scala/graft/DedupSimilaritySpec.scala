@@ -385,6 +385,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top == Seq(0L, 1L, 4L))
   }
 
+  test("WinnowSelect: windows, leftmost ties, clipped short arrays, global dedupe") {
+    def sel(hs: Seq[Long], w: Int): Seq[(Int, Long)] =
+      Seq(hs).toDF("hs")
+        .select(explode(graft.plans.WinnowSelect(col("hs"), w)).as("f"))
+        .select(col("f.p"), col("f.h")).as[(Int, Long)].collect().toSeq
+    // m < w: one clipped window over the whole array
+    assert(sel(Seq(7L, 3L), 4) == Seq((2, 3L)))
+    // leftmost tie: the [3,3] window picks position 2 (already selected);
+    // the [3,9] window picks position 3
+    assert(sel(Seq(5L, 3L, 3L, 9L), 2) == Seq((2, 3L), (3, 3L)))
+    // sliding windows + global dedupe (first occurrence order)
+    // windows of [9,1,8,2] w=2: [9,1]->p2, [1,8]->p2, [8,2]->p4
+    assert(sel(Seq(9L, 1L, 8L, 2L), 2) == Seq((2, 1L), (4, 2L)))
+    // strictly decreasing: every window selects its right edge
+    assert(sel(Seq(4L, 3L, 2L, 1L), 2) == Seq((2, 3L), (3, 2L), (4, 1L)))
+  }
+
   test("MMR: diversity outranks redundancy from round 3 on") {
     // After round 1 picks the query-parallel vector, maxsim == rel for
     // everything (diversity can't separate yet — ties break by id, so
