@@ -25,6 +25,11 @@ object Layout {
   def writePartitionedByDay(df: DataFrame, path: String,
       tsCol: String = "ts"): Unit =
     df.withColumn("event_date", to_date(col(tsCol)))
+      // repartition by the partition column BEFORE a partitionBy write:
+      // otherwise every upstream task opens a writer per day it touches
+      // (tasks x days tiny files — the classic dynamic-partition
+      // anti-pattern); keyed repartition lands one file per day
+      .repartition(col("event_date"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(path)
@@ -109,6 +114,8 @@ object Layout {
       .groupBy("event_date", groupCol)
       .agg(count(lit(1)).as("n_events"),
         sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+      // one writer (and so one file) per day — see writePartitionedByDay
+      .repartition(col("event_date"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(path)
