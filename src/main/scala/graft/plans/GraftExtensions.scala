@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MultiSubstringCount].getName,
         "multi_substring_count"),
       multiSubstringBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      winnowSelectBuilder))
     // the custom-operator strategy rides the same extension entry point, so
     // a session built with spark.sql.extensions=graft.plans.GraftExtensions
     // plans TopKPerKey nodes without any runtime registration
@@ -81,6 +85,13 @@ object GraftExtensions {
       "multi_substring_count(str, pattern[, pattern...])")
   }
 
+  val winnowSelectBuilder: Seq[Expression] => Expression = {
+    case Seq(c, w) => WinnowSelect(c,
+      w.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "winnow_select(array<long>, window)")
+  }
+
   /** Runtime registration on an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftSql.registerFunction(spark, "rolling_hash", rollingHashBuilder)
@@ -88,5 +99,6 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSql.registerFunction(spark, "simhash64", simHashBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "vec_dot", vecDotBuilder)
     org.apache.spark.sql.GraftSql.registerFunction(spark, "multi_substring_count", multiSubstringBuilder)
+    org.apache.spark.sql.GraftSql.registerFunction(spark, "winnow_select", winnowSelectBuilder)
   }
 }

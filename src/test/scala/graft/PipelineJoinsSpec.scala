@@ -358,6 +358,12 @@ class PipelineJoinsSpec extends AnyFunSuite {
     // Aho-Corasick blocklist counter, pattern list as SQL literals
     assert(spark.sql("SELECT multi_substring_count('ushers', 'he', 'she', 'hers')")
       .head.getInt(0) == 3)
+    // winnowing selection: [9,1,8,2] w=2 -> positions 2 and 4
+    val wn = spark.sql(
+      "SELECT winnow_select(array(9L, 1L, 8L, 2L), 2)")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(wn == Seq((2, 1L), (4, 2L)))
   }
 
   test("TextAnalysis.chunk: windows cover every token at the right offsets") {
