@@ -222,9 +222,12 @@ object Similarity {
     * candidate pair costs exactly one dot product. */
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
       model: IVF.Model, threshold: Double): DataFrame = {
+    // persisted: both sides of the within-cell self-join read this frame,
+    // and without caching the scan + k-centroid assignment runs twice
     val celled = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_cell", IVF.assign(col("v"), model))
       .withColumn("_nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = celled.select(col("_cell"), col("id").as("id_a"),
       col("v").as("v_a"), col("_nrm").as("nrm_a"))
     val b = celled.select(col("_cell"), col("id").as("id_b"),
