@@ -387,6 +387,29 @@ object TextAnalysis {
     * integer aggregates (long sums, distinct count of a hash), so results
     * are partial/merge-order independent and engine-comparable — no double
     * accumulation anywhere. One uniform group-keyed shuffle at any scale. */
+  /** Per-document character-level Shannon entropy in micronats — the
+    * cheap gibberish/boilerplate signal (near-zero entropy = repeated
+    * filler, unusually high = binary junk in text). Quantize-then-sum
+    * discipline (shared with the perplexity family): each ln(count) is
+    * floor-quantized to micronats BEFORE the weighted integer sum, so the
+    * aggregation is associative long addition and engine-exact at any
+    * parallelism. entropy = ln(N) − (Σ n_c·ln(n_c))/N over char counts.
+    * Two partial-aggregable shuffles: (doc, char) then doc; the second
+    * stage carries one row per distinct char per doc (alphabet-bounded). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    df.select(col(idCol), explode(split(col(textCol), "")).as("_c"))
+      .filter(col("_c") =!= "")
+      .groupBy(col(idCol), col("_c")).agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol)).agg(
+        sum(col("_n")).as("n_chars_total"),
+        sum(col("_n") * qln(col("_n"))).as("_s"))
+      .select(col(idCol), col("n_chars_total"),
+        (qln(col("n_chars_total")) - expr("_s div n_chars_total"))
+          .as("entropy_micronats"))
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

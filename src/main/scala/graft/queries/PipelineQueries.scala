@@ -832,6 +832,25 @@ object PipelineQueries {
              |FROM ev JOIN wide USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
+    QueryDef("text_char_entropy",
+      // character-entropy quality signal (quantize-then-sum micronats —
+      // the perplexity family's exactness discipline); oracle recomputes
+      // every per-char count, every quantized log, and both divisions
+      (s, dir) => TextAnalysis.charEntropy(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ex AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |            FROM documents),
+             |cnt AS (SELECT doc_id, c, count(*) AS n FROM ex
+             |        WHERE c <> '' GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars_total,
+             |          CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+             |        FROM cnt GROUP BY 1)
+             |SELECT doc_id, n_chars_total,
+             |  CAST(CAST(floor(ln(CAST(n_chars_total AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |       - (s // n_chars_total) AS BIGINT) AS entropy_micronats
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
     QueryDef("vocab_coverage_curve",
       // vocab-size decision curve: occurrence coverage of top-N
       // vocabularies, computed from the COUNT-OF-COUNTS histogram (driver

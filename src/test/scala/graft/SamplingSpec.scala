@@ -461,6 +461,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(1)._3 == 0, "tied call must have zero margin")
   }
 
+  test("charEntropy: zero for single-char filler, ln(k) micronats for uniform text") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (1L, "aaaaaaaa"), // one symbol -> entropy exactly 0
+      (2L, "abcd"), // uniform over 4 -> ln(4) = 1386294 micronats (n_c=1 terms are 0)
+      (3L, "aabb")) // uniform over 2 -> ln(2)-ish via quantized ln(2) terms
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 8L, 0L)))
+    assert(got(1)._3 == math.floor(math.log(4.0) * 1e6 + 0.5).toLong)
+    // ln(4) quantized minus (4 * q(ln 2)) / 4 = q(ln 4) - q(ln 2)
+    val q = (x: Double) => math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(got(2)._3 == q(4.0) - q(2.0))
+  }
+
   test("bootstrapStats: deterministic Poisson(1) weights — mean ~1, spread real") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
       .select($"doc_id", size(split($"text", " ")).as("n_tokens"))
