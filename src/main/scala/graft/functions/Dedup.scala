@@ -146,9 +146,12 @@ object Dedup {
     * distinct counts. All integers plus one exact division. */
   def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
       k: Int): DataFrame = {
+    // persisted: the distinct (group, gram) frame feeds the size aggregate
+    // AND both sides of the overlap self-join — four evaluations uncached
     val sg = df.select(col(groupCol).as("grp"),
         explode(shingles(col(textCol), k)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sg.groupBy("grp").agg(count(lit(1)).as("n"))
     val a = sg.select(col("grp").as("grp_a"), col("g"))
     val b = sg.select(col("grp").as("grp_b"), col("g"))

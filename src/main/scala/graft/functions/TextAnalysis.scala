@@ -226,7 +226,10 @@ object TextAnalysis {
     * groupBy doc. */
   def perplexity(df: DataFrame, idCol: String, textCol: String,
       headPct: Int = 100, tailPct: Int = 102): DataFrame = {
+    // persisted: toks feeds the LM count aggregate AND the score join;
+    // uncached the corpus explode runs twice
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum(col("c")).cast("long").as("n_total"),
       count(lit(1)).as("v"))
@@ -235,9 +238,13 @@ object TextAnalysis {
       .withColumn("m",
         floor(log((col("c") + 1).cast("double") / (col("n_total") + col("v")))
           * 1e6 + 0.5).cast("long"))
+    // persisted: the cutoff computation below materializes agg with an
+    // action, and the returned frame re-reads it — uncached, the whole LM
+    // pipeline (train + score join) would run twice end-to-end
     val agg = scored.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         sum(col("m")).as("logprob_micronats"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus mean surprisal: a single two-long aggregate (metadata-sized);
     // exact integer floor division keeps the cutoffs engine-reproducible
     val row = agg.agg(
@@ -278,6 +285,9 @@ object TextAnalysis {
         col("_toks"))
       .select(col(idCol), element_at(col("_toks"), col("_i")).as("prev"),
         element_at(col("_toks"), col("_i") + 1).as("cur"))
+      // persisted: trans feeds the bigram counts, the context counts, AND
+      // the score join — three corpus-explode evaluations uncached
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bcnt = trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc"))
     val ccnt = trans.groupBy(col("prev")).agg(count(lit(1)).as("cc"))
     val vocab = withT.select(explode(col("_toks")).as("t"))
@@ -297,6 +307,8 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
         coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
+      // persisted: materialized for the cutoffs, re-read by the caller
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val row = agg.agg(
       sum(lit(0L) - col("logprob_micronats")).as("slp"),
       sum(col("n_transitions").cast("long")).as("sn")).head()
@@ -539,8 +551,10 @@ object TextAnalysis {
     * or one exact division, so the gate is engine-exact. */
   def noveltyScores(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // persisted: ex feeds the document-frequency aggregate and the join
     val ex = df.select(col(idCol),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("_df"))
     ex.join(dfreq, Seq("g"))
       .groupBy(col(idCol))
