@@ -362,7 +362,10 @@ object Dedup {
     * join shuffles (band, key) only. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, bandRows: Int = 2): DataFrame = {
+    // persisted: both sides of the band-key self-join read the index, and
+    // uncached the one-pass signature aggregation runs twice per doc
     val bands = bandIndex(df, idCol, textCol, k, numHashes, bandRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("band"), col("bkey"), col("id").as("id_a"))
     val b = bands.select(col("band"), col("bkey"), col("id").as("id_b"))
     a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
@@ -443,8 +446,20 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 16, threshold: Double = 0.5,
       bandRows: Int = 2): DataFrame = {
+    // persisted: consumed by the candidate-id reduction AND the verify
+    // join chain
     val cands = minhashCandidates(df, idCol, textCol, k, numHashes, bandRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify-side shingles are computed ONLY for docs that appear in some
+    // candidate pair (semi-join reduction) — at corpus scale candidates
+    // are a sliver of the corpus, so the expensive shingle arrays never
+    // materialize for the uncontested majority. Persisted because both
+    // endpoint joins read it.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
