@@ -105,7 +105,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, k: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "inverted-index jaccard needs threshold > 0")
+    // persisted: both posting-list sides of the self-join read the index
     val ex = shingleIndex(df, idCol, textCol, blockCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("blk"), col("_gid").as("id_a"), col("n_sh").as("n_a"), col("g"))
     val b = ex.select(col("blk"), col("_gid").as("id_b"), col("n_sh").as("n_b"), col("g"))
     a.join(b, Seq("blk", "g")).filter(col("id_a") < col("id_b"))
@@ -126,7 +128,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, k: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "inverted-index containment needs threshold > 0")
+    // persisted: both posting-list sides of the self-join read the index
     val ex = shingleIndex(df, idCol, textCol, blockCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("blk"), col("_gid").as("id_a"), col("n_sh").as("n_a"), col("g"))
     val b = ex.select(col("blk"), col("_gid").as("id_b"), col("g"))
     a.join(b, Seq("blk", "g")).filter(col("id_a") =!= col("id_b"))

@@ -37,10 +37,15 @@ object Entity {
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     import org.apache.spark.sql.expressions.Window
+    // persisted: each side's exploded gram frame is read five times (the
+    // df union, the prefix computation, the size aggregate, and the verify
+    // join) — uncached that is five scans + explodes per side
     val ag = a.select(col(aId).as("id_a"),
         explode(charGrams(aName, k)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bg = b.select(col(bId).as("id_b"),
         explode(charGrams(bName, k)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global gram document frequency across BOTH sides — the prefix order
     val df = ag.select(col("g")).unionAll(bg.select(col("g")))
       .groupBy("g").agg(count(lit(1)).as("_df"))
