@@ -776,8 +776,12 @@ object Dedup {
     * [[exactGroups]] semantics instead. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    // persisted: the signature frame (a full token-explode aggregate) is
+    // read five times — both hamming-0 sides, the distinct, and both
+    // member-expansion joins
     val sigs = simhash(df, idCol, textCol)
       .select(col(idCol).as("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hamming-0 pairs: equi-join keyed by the full 64-bit signature
     val zero = sigs.select(col("simhash"), col("id").as("id_a"))
       .join(sigs.select(col("simhash"), col("id").as("id_b")), Seq("simhash"))

@@ -718,6 +718,9 @@ object TextAnalysis {
       .filter(col("term").isin(vocab: _*))
       .groupBy(col(idCol), col("_dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // persisted: feeds the document-frequency aggregate AND the scoring
+      // join; query-vocab-filtered, so the cached frame is tiny
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     val spark = df.sparkSession
     val qterms = spark.createDataFrame(
