@@ -79,7 +79,7 @@ object Bench {
     // round-7 second batch: Markov transitions, bounded sliding frame,
     // edit-distance candidate verification, percentile winsorization
     "event_transitions", "window_moving_avg", "dedup_edit_verify",
-    "winsorize_by_group", "text_char_entropy")
+    "winsorize_by_group", "text_char_entropy", "score_quantile_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

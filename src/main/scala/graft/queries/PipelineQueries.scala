@@ -832,6 +832,52 @@ object PipelineQueries {
              |FROM ev JOIN wide USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
+    QueryDef("score_quantile_normalize",
+      // cross-source score calibration: replace each doc's quality score
+      // with its within-source quantile rank (permille), so a threshold
+      // means the same thing in every source regardless of the sources'
+      // raw score distributions — the standard fix when one crawl's
+      // scorer runs hot. Integer everything: scores quantized to nanos
+      // (the established discipline), rank over the (score, id) total
+      // order, permille = 1000*(rank-1) div (n-1). Window is SOURCE-keyed
+      // (like window_rank's type key), never global
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("q_nano", "doc_id")
+        val n = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        TextAnalysis.qualityMetrics(Tables.documents(s, dir))
+          .withColumn("q_nano",
+            floor(TextAnalysis.qualityScore() * lit(1e9) + lit(0.5)).cast("long"))
+          .select(col("doc_id"), col("source"), col("q_nano"))
+          .withColumn("_rk", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(n))
+          .withColumn("pr_permille",
+            when(col("_n") === 1, lit(0L))
+              .otherwise(expr("(1000 * (_rk - 1)) div (_n - 1)")))
+          .select("doc_id", "source", "q_nano", "pr_permille")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (SELECT doc_id, source,
+             |  len(string_split(text,' ')) AS nt,
+             |  len(list_distinct(string_split(text,' '))) AS nu,
+             |  len(list_intersect(string_split(text,' '), [$en])) AS ns,
+             |  length(text) AS nc FROM documents),
+             |q AS (SELECT doc_id, source,
+             |  CAST(floor(((CAST(nu AS DOUBLE) / nt) * 0.5
+             |    + (CAST(ns AS DOUBLE) / nu) * 0.2
+             |    + least((CAST(nc - (nt - 1) AS DOUBLE) / nt) / 10.0, 1.0) * 0.3)
+             |    * 1000000000 + 0.5) AS BIGINT) AS q_nano FROM m),
+             |r AS (SELECT doc_id, source, q_nano,
+             |  CAST(row_number() OVER (PARTITION BY source ORDER BY q_nano, doc_id) AS BIGINT) AS rk,
+             |  count(*) OVER (PARTITION BY source) AS n FROM q)
+             |SELECT doc_id, source, q_nano,
+             |  CAST(CASE WHEN n = 1 THEN 0
+             |       ELSE (1000 * (rk - 1)) // (n - 1) END AS BIGINT) AS pr_permille
+             |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     QueryDef("text_char_entropy",
       // character-entropy quality signal (quantize-then-sum micronats —
       // the perplexity family's exactness discipline); oracle recomputes
