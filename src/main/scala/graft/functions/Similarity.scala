@@ -111,12 +111,16 @@ object Similarity {
     * exemplar sets, eval-suite dedup, diverse seed corpora).
     *
     * MMR is inherently sequential in k — but k is model-sized (tens), and
-    * each round is one distributed scan: an argmax (TakeOrdered of ONE row)
-    * and a narrow `greatest(ms, cos(v, picked))` rewrite. No shuffle ever
-    * touches the candidates; the driver sees one (id, vector) row per round
-    * (the IVF-centroid metadata contract). At 100 TB the candidate set is a
-    * relevance shortlist (e.g. [[bruteForceTopK]]'s top-N) rather than the
-    * raw corpus; the loop itself is unchanged.
+    * the loop runs over a BOUNDED candidate pool, never the raw corpus:
+    * one distributed pass computes `rel` and a TakeOrdered keeps the top
+    * `pool` (default 100·k) by (rel DESC, id ASC) — the standard
+    * MMR-over-retrieval contract (Carbonell & Goldstein apply MMR to "the
+    * retrieved set", not the collection). Each greedy round is then an
+    * argmax + a narrow `greatest(ms, cos(v, picked))` rewrite over the
+    * pool-sized checkpoint — at 100 TB the corpus is touched exactly once
+    * (the rel scan); everything after is O(pool·k) work on ~1000 rows. The
+    * driver sees one (id, vector) row per round (the IVF-centroid metadata
+    * contract).
     *
     * Engine-exact vs the oracle: every cosine is the same sequential
     * [[dot]] fold both engines compute bit-identically (the ann gate
@@ -124,16 +128,23 @@ object Similarity {
     * (score DESC, id ASC). `ms` starts at 0 (empty-set diversity term).
     * Output: (rank, id, rel, maxsim, score) per selected item. */
   def mmrSelect(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, lambda: Double = 0.5): DataFrame = {
+      query: Seq[Float], k: Int, lambda: Double = 0.5,
+      pool: Int = 0): DataFrame = {
     require(k >= 1)
     val spark = df.sparkSession
     import spark.implicits._
     val q = array(query.map(v => lit(v)): _*)
-    // localCheckpoint per round: each round's collect() re-evaluates the
-    // frame, so an unmaterialized chain would recompute every prior
-    // round's cosines (O(k²) dots); checkpointing keeps it O(k)
+    val poolC = if (pool > 0) pool else 100 * k
+    // one corpus pass: rel scan + TakeOrdered down to the pool. From here
+    // on every frame is pool-sized — the greedy loop never re-touches the
+    // input. localCheckpoint per round: each round's collect() re-evaluates
+    // the frame, so an unmaterialized chain would recompute every prior
+    // round's cosines (O(k²) dots); checkpointing keeps it O(k), and each
+    // checkpoint is pool-sized, not corpus-sized.
     var cand = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("rel", cosine(col("v"), q))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolC)
       .withColumn("ms", lit(0.0))
       .localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
@@ -161,8 +172,11 @@ object Similarity {
   }
 
   /** DuckDB SQL replicating [[mmrSelect]] with the rounds unrolled —
-    * `candCte` must yield (vec_id, v, rel); λ and k are inlined. Same
-    * generated-oracle pattern as [[graft.functions.Bpe.learnOracleSql]]. */
+    * `candCte` must yield (vec_id, v, rel) and must ALREADY be bounded to
+    * the same candidate pool the engine keeps (`ORDER BY rel DESC, vec_id
+    * LIMIT pool` — bit-exact on both sides because rel is the same
+    * sequential fold); λ and k are inlined. Same generated-oracle pattern
+    * as [[graft.functions.Bpe.learnOracleSql]]. */
   def mmrOracleSql(candCte: String, k: Int, lambda: Double): String = {
     def cosSql(a: String, b: String): String = {
       def d(x: String, y: String) =

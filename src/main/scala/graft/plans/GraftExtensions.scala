@@ -86,8 +86,21 @@ object GraftExtensions {
   }
 
   val winnowSelectBuilder: Seq[Expression] => Expression = {
-    case Seq(c, w) => WinnowSelect(c,
-      w.eval().asInstanceOf[Number].intValue())
+    case Seq(c, w) =>
+      // the window must be a literal: it parameterizes the expression, it
+      // is not a per-row input. Validate here for a clear analysis-time
+      // error instead of an opaque eval()-on-unbound failure
+      val integral = w.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      if (!w.foldable || !integral)
+        throw new IllegalArgumentException(
+          "winnow_select: window must be an integral literal")
+      WinnowSelect(c, w.eval().asInstanceOf[Number].intValue())
     case _ => throw new IllegalArgumentException(
       "winnow_select(array<long>, window)")
   }

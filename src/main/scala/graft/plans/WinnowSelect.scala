@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -32,16 +31,56 @@ import org.apache.spark.sql.types._
   * Output: array<struct<p int, h long>> (1-based position, selected hash).
   */
 case class WinnowSelect(child: Expression, w: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(w >= 1, "window must be >= 1")
+
+  // analysis-time input check: array<long> only (array<int> would reach
+  // ArrayData.getLong and die with an opaque ClassCastException mid-task)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_select expects array<bigint>, got ${other.sql}")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("p", IntegerType, nullable = false),
       StructField("h", LongType, nullable = false))), containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    WinnowSelect.select(input.asInstanceOf[ArrayData], w)
+
+  /** Codegen via static invoke (the StaticInvoke pattern): the generated
+    * call keeps this expression INSIDE the whole-stage-codegen span — no
+    * interpreted-eval boundary, no per-row InternalRow materialization —
+    * while the deque loop itself runs as JIT-compiled Scala in
+    * [[WinnowSelect.select]] (the same body nullSafeEval uses, so the
+    * CodegenFallback-era semantics are preserved by construction). */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WinnowSelect$$.MODULE$$.select($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_select"
+}
+
+object WinnowSelect {
+  def apply(c: Column, w: Int): Column =
+    GraftSql.column(WinnowSelect(GraftSql.expression(c), w))
+
+  /** One O(m) monotonic-deque pass; see the class doc for the
+    * window/tie-break/dedupe contract. Called from both the interpreted
+    * path and the generated code. */
+  def select(hs: ArrayData, w: Int): ArrayData = {
     val m = hs.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val nW = math.max(m - w + 1, 1)
@@ -74,14 +113,4 @@ case class WinnowSelect(child: Expression, w: Int)
     }
     new GenericArrayData(out.toArray)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
-    copy(child = newChild)
-
-  override def prettyName: String = "winnow_select"
-}
-
-object WinnowSelect {
-  def apply(c: Column, w: Int): Column =
-    GraftSql.column(WinnowSelect(GraftSql.expression(c), w))
 }

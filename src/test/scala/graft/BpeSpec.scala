@@ -57,6 +57,48 @@ class BpeSpec extends AnyFunSuite {
     assert(got == (("a", "a", 2L)))
   }
 
+  test("applyMergeBatch: disjoint pairs in one pass == sequential application") {
+    def batchOn(syms: Seq[String], ps: Seq[(String, String)]): Seq[String] =
+      Seq(syms).toDF("s")
+        .select(Bpe.applyMergeBatch(col("s"), ps).as("m"))
+        .as[Seq[String]].head()
+    assert(batchOn(Seq("a", "b", "c", "d"), Seq(("a", "b"), ("c", "d")))
+      == Seq("ab", "cd"))
+    // self-overlapping run inside a batch keeps greedy-leftmost parity
+    assert(batchOn(Seq("a", "a", "a", "c", "d"), Seq(("a", "a"), ("c", "d")))
+      == Seq("aa", "a", "cd"))
+    // adjacent disjoint occurrences don't interfere
+    assert(batchOn(Seq("x", "a", "b", "c", "d", "y"), Seq(("a", "b"), ("c", "d")))
+      == Seq("x", "ab", "cd", "y"))
+  }
+
+  test("learnBatched == learn: bit-identical merge tables, all batch sizes") {
+    val corpora = Seq(
+      // Zipf-ish: batching fires
+      Seq("low low low lower lowest", "west wider wide", "new newer newest"),
+      // flat counts + shared symbols everywhere: batch degenerates to ~1
+      Seq("ab bc cd de", "ab bc cd de", "ba cb dc ed"),
+      // ties on count, tie-break order must survive batching
+      Seq("ab cd", "ab cd", "ef gh", "ef gh"))
+    for (c <- corpora; mb <- Seq(1, 2, 4, 8)) {
+      val docs = c.toDF("text")
+      val seqM = Bpe.learn(docs, "text", steps = 6)
+        .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+      val batM = Bpe.learnBatched(docs, "text", steps = 6, maxBatch = mb)
+        .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+      assert(batM == seqM, s"corpus=$c maxBatch=$mb")
+    }
+  }
+
+  test("learnBatched: sf0.001 documents corpus matches sequential") {
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    val seqM = Bpe.learn(docs, "text", steps = 8)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    val batM = Bpe.learnBatched(docs, "text", steps = 8, maxBatch = 4)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(batM == seqM)
+  }
+
   test("segment: applies the learned merges in order") {
     val docs = Seq("low low low", "west").toDF("text")
     val merges = Bpe.learn(docs, "text", steps = 2)

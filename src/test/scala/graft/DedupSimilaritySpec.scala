@@ -434,6 +434,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.count() == 5)
   }
 
+  test("MMR: candidate pool bounds the greedy loop to top-pool by relevance") {
+    // pool = 2 keeps only the two most query-relevant vectors: the loop
+    // must never consider (or return) anything outside that shortlist,
+    // and must equal MMR run over the manually prefiltered pool
+    val q = Seq(1.0f, 0.0f, 0.0f)
+    val pooled = Similarity.mmrSelect(vecs, "embedding", "vec_id",
+      q, k = 5, lambda = 0.5, pool = 2)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    val topIds = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 2)
+      .select("vec_id").as[Long].collect().toSet
+    val manual = Similarity.mmrSelect(
+      vecs.filter($"vec_id".isin(topIds.toSeq: _*)), "embedding", "vec_id",
+      q, k = 5, lambda = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(pooled.size == 2 && pooled.toSet.subsetOf(topIds))
+    assert(pooled == manual)
+  }
+
   test("ANN via LSH bucket returns a subset of brute-force ranking, topped by the query itself") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val q = e.filter($"vec_id" === 0).head.getSeq[Float](1)
