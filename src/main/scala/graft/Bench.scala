@@ -79,7 +79,10 @@ object Bench {
     // round-7 second batch: Markov transitions, bounded sliding frame,
     // edit-distance candidate verification, percentile winsorization
     "event_transitions", "window_moving_avg", "dedup_edit_verify",
-    "winsorize_by_group", "text_char_entropy", "score_quantile_normalize")
+    "winsorize_by_group", "text_char_entropy", "score_quantile_normalize",
+    // round-8: batched-merge BPE (same oracle as bpe_learn — the timing
+    // delta IS the batching win)
+    "bpe_learn_batched")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

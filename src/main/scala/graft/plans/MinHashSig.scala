@@ -3,7 +3,6 @@ package graft.plans
 import graft.functions.Dedup
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * pmod-prime affine family ([[Dedup.minhashCoeffs]]). Pinned by test.
   */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(k >= 1 && numHashes >= 1)
 
@@ -33,8 +32,23 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Reference-object codegen (the stateful sibling of [[WinnowSelect]]'s
+    * static invoke — the coefficient arrays live on this instance): the
+    * generated call stays inside the whole-stage span and dispatches to
+    * [[compute]], the same body nullSafeEval uses. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(str: UTF8String): GenericArrayData = {
+    val s = str.toString
     val mins = Array.fill(numHashes)(Long.MaxValue)
     def update(shingle: String): Unit = {
       val raw = XxHash64Function.hash(

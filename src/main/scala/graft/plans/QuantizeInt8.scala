@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -22,7 +21,7 @@ import org.apache.spark.sql.types._
   * malformed embedding should not silently quantize).
   */
 case class QuantizeInt8(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
@@ -33,8 +32,24 @@ case class QuantizeInt8(child: Expression)
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Reference-object codegen (the result can be NULL mid-eval — empty or
+    * null-element arrays — so the generated code re-checks isNull after
+    * the call): stays inside the whole-stage span, dispatches to
+    * [[compute]], the same body nullSafeEval uses. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeInt8", this, classOf[QuantizeInt8].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.compute($c);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     if (n == 0) return null
     val isFloat = elemType == FloatType

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,17 +27,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression is that map.
   */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  /** Static-invoke codegen (same pattern as [[WinnowSelect]]): the call
+    * stays inside the whole-stage span; the loop runs as JIT-compiled
+    * Scala shared with the interpreted path. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash64$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(c: Column): Column =
+    GraftSql.column(SimHash64(GraftSql.expression(c)))
+
+  /** MessageDigest is stateful and not thread-safe — one per task thread. */
+  private[plans] val localMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** One pass over the document; called from both eval paths. */
+  def compute(input: UTF8String): Long = {
     // tokenize on the raw UTF-8 bytes: 0x20 can only be the space character
     // (multibyte sequences are all >= 0x80), so byte-splitting == the
     // string split, with zero per-token String/substring allocation; token
     // dedup keys on ByteBuffer views (content-based equals/hashCode)
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    val md = SimHash64.localMd5.get()
+    val bytes = input.getBytes
+    val md = localMd5.get()
     val counts = new Array[Int](64)
     val seen = new java.util.HashSet[java.nio.ByteBuffer]()
     var start = 0
@@ -70,16 +96,4 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  def apply(c: Column): Column =
-    GraftSql.column(SimHash64(GraftSql.expression(c)))
-
-  /** MessageDigest is stateful and not thread-safe — one per task thread. */
-  private[plans] val localMd5: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,14 +23,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * k words contribute their full text as the single shingle.
   */
 case class WordShingles(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Static-invoke codegen (same pattern as [[WinnowSelect]]): k is a
+    * plan-time constant, inlined into the generated call. */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingles$$.MODULE$$.compute($c, $k);")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(c: Column, k: Int): Column =
+    GraftSql.column(WordShingles(GraftSql.expression(c), k))
+
+  /** One tokenize + distinct-set pass; called from both eval paths. */
+  def compute(input: UTF8String, k: Int): GenericArrayData = {
+    val s = input.toString
     val words = s.split(" ", -1)
     if (words.length < k) {
       new GenericArrayData(Array[Any](UTF8String.fromString(s)))
@@ -57,12 +77,4 @@ case class WordShingles(child: Expression, k: Int)
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-object WordShingles {
-  def apply(c: Column, k: Int): Column =
-    GraftSql.column(WordShingles(GraftSql.expression(c), k))
 }
