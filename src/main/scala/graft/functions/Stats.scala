@@ -224,4 +224,31 @@ object Stats {
     import spark.implicits._
     cutoffs.toDF(groupCol, "p", "cutoff").orderBy(groupCol, "p")
   }
+
+  /** Bounded-lag EWMA (alpha = 1/2) over each key's event series, in EXACT
+    * integer arithmetic: values quantize to centi-units (the repo-wide
+    * `round(v*100)` idiom), and the smoothed value is
+    * sum_{k=0..lags} x_{t-k} * 2^(lags-k) — i.e. the EWMA scaled by
+    * 2^lags*100, truncated at `lags` steps with zero-init. With alpha=1/2
+    * every weight is an exact power of two, so the whole feature is
+    * order-independent BIGINT math any engine reproduces bit-for-bit
+    * (an unbounded float recurrence is neither — it is inherently
+    * sequential AND rounding-order-dependent).
+    *
+    * Scale shape: one window per key (a single hash partition by keyCol,
+    * sort within), no self-join — lag(k) terms all come from the same
+    * sorted run. Truncation at 20 lags loses weight 2^-21 ≈ 5e-7 of the
+    * signal — far below the centi-unit quantization floor. */
+  def ewmaDecay(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, lags: Int = 20): DataFrame = {
+    require(lags >= 0 && lags <= 40, "lags must fit the exact-BIGINT budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(tsCol, tieCol)
+    val xq = round(col(valCol) * 100).cast("long")
+    val terms = (0 to lags).map { k =>
+      coalesce(lag(xq, k).over(w), lit(0L)) * lit(1L << (lags - k))
+    }
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+      terms.reduce(_ + _).as("ewma_scaled"))
+  }
 }

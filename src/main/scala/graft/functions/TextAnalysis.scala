@@ -769,4 +769,35 @@ object TextAnalysis {
       .agg(sum(col("_sign")).as("weight"))
       .filter(col("weight") =!= 0)
   }
+
+  /** Positional inverted index: one (id, pos, token) posting per token
+    * occurrence, pos 0-based. THE search-serving layout — materialized
+    * once, partitioned by token, it answers every phrase/proximity query
+    * without re-reading text. */
+  def positionalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+
+  /** Exact phrase search over the positional index: doc + start offset of
+    * every occurrence of the consecutive-token phrase.
+    *
+    * Scale shape: each phrase term SEMI-REDUCES the index to its own
+    * postings list before anything shuffles (a filter pushed to the scan —
+    * on a token-partitioned index that is partition pruning), then the k
+    * lists hash-join on (id, aligned start). Work is proportional to the
+    * phrase terms' posting lists, never to the corpus — the standard
+    * inverted-index phrase plan (Manning et al., IR, ch. 2) as a Catalyst
+    * join tree. Duplicate phrase terms are handled by position arithmetic
+    * (each occurrence must align at its own offset). */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch over an empty phrase")
+    val idx = positionalIndex(df, idCol, textCol)
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      idx.filter(col("token") === t)
+        .select(col(idCol), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .select(col(idCol), col("start"))
+  }
 }

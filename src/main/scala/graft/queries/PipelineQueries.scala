@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, Graphs, Multimodal, Packing, Similarity, TextAnalysis, TextClean}
+import graft.functions.{Dedup, Graphs, Multimodal, Packing, Similarity, Sketches, TextAnalysis, TextClean}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -4243,5 +4243,75 @@ object PipelineQueries {
            |SELECT doc_id,
            |  $feats
            |FROM d ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- round 8: sketches, time-decay features, phrase search ----
+
+    QueryDef("approx_distinct_hll",
+      // HyperLogLog distinct-users-per-event-type: the 100 TB cardinality
+      // dashboard — at most m=4096 (bucket, max_rho) longs per group cross
+      // the shuffle (partial-max map-side) instead of every distinct key.
+      // Deterministic md5-u64 hashing + exact-integer denominator + an
+      // IEEE-pinned final division make the ESTIMATE itself hash-exact
+      // against the oracle's from-scratch replay (see functions/Sketches).
+      (s, dir) => Sketches.hllDistinct(Tables.events(s, dir),
+          Seq("event_type"), col("user_id"))
+        .orderBy("event_type"),
+      Some(Sketches.hllOracleSql("events", "event_type",
+        "CAST(user_id AS VARCHAR)"))),
+
+    QueryDef("hll_merge_parity",
+      // The merge law under the gate: per-source sketches built from TWO
+      // disjoint corpus halves (doc_id parity), merged by bucket-wise max,
+      // must equal the single-pass sketch — which is exactly what the
+      // oracle computes (it never sees the split). This is the property
+      // that lets 100 TB deployments sketch per ingest-batch and fold
+      // nightly without re-reading data.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val subs = Seq(0, 1).map(r =>
+          Sketches.hllSketch(docs.filter(col("doc_id") % 2 === r),
+            Seq("source"), col("text")))
+        Sketches.hllEstimate(Sketches.hllMerge(subs, Seq("source")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some(Sketches.hllOracleSql("documents", "source", "text"))),
+
+    QueryDef("events_ewma_decay",
+      // bounded-lag exact-integer EWMA per user (alpha=1/2, 20 lags): the
+      // streaming-feature shape (one window per key, no self-join), with
+      // power-of-two weights so the smoothed value is order-independent
+      // BIGINT math the oracle replays bit-for-bit
+      (s, dir) => graft.functions.Stats.ewmaDecay(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value")
+        .select("event_id", "user_id", "ewma_scaled")
+        .orderBy("event_id"),
+      Some {
+        val terms = (0 to 20).map { k =>
+          s"COALESCE(lag(xq, $k) OVER w, 0) * ${1L << (20 - k)}"
+        }.mkString("\n         + ")
+        s"""WITH q AS (SELECT event_id, user_id, ts,
+           |    CAST(round(value * 100) AS BIGINT) AS xq FROM events)
+           |SELECT event_id, user_id,
+           |  CAST($terms AS BIGINT) AS ewma_scaled
+           |FROM q
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY event_id""".stripMargin
+      }),
+
+    QueryDef("phrase_search_positional",
+      // exact phrase search as an inverted-index join: each term's
+      // postings are pruned BEFORE the shuffle, the k lists hash-join on
+      // (doc, aligned start) — work scales with the phrase's posting
+      // lists, never the corpus
+      (s, dir) => TextAnalysis.phraseSearch(Tables.documents(s, dir),
+          "doc_id", "text", Seq("table", "scan"))
+        .orderBy("doc_id", "start"),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |p AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM s)
+             |SELECT doc_id, CAST(i - 1 AS INT) AS start
+             |FROM p
+             |WHERE tk[i] = 'table' AND i + 1 <= len(tk) AND tk[i + 1] = 'scan'
+             |ORDER BY doc_id, start""".stripMargin)))
 }

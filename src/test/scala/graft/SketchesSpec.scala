@@ -1,0 +1,124 @@
+package graft
+
+import graft.functions.{Sketches, Stats, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** JVM-side mirror of the sketch's (bucket, rho) contract, computed
+    * independently from MessageDigest — pins the Spark column expressions
+    * to the spec, not to themselves. */
+  private def expectedBucketRho(v: String): (Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(hex.substring(0, 3), 16)
+    val tail = hex.substring(3, 13) // 10 hex chars = 40 bits
+    val z = tail.takeWhile(_ == '0').length
+    val rho =
+      if (z >= 10) Sketches.RhoCap
+      else {
+        val nv = Integer.parseInt(tail(z).toString, 16)
+        val nlz = if (nv >= 8) 0 else if (nv >= 4) 1 else if (nv >= 2) 2 else 3
+        math.min(4 * z + nlz + 1, Sketches.RhoCap)
+      }
+    (bucket, rho)
+  }
+
+  test("hllSketch bucket/rho match an independent MessageDigest replay") {
+    val vals = (0 until 200).map(i => s"value_$i")
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val got = Sketches.hllSketch(df, Seq("g"), col("v"))
+      .select("bucket", "max_rho").as[(Int, Int)].collect().toMap
+    // independently aggregate max rho per bucket
+    val want = vals.map(expectedBucketRho).groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got == want)
+  }
+
+  test("hll estimate is within 5% of exact distinct at n >> m buckets used") {
+    val n = 20000
+    val df = (0 until n).map(i => ("g", s"user_$i")).toDF("g", "v")
+    val est = Sketches.hllDistinct(df, Seq("g"), col("v"))
+      .select("hll_est").as[Double].head()
+    assert(math.abs(est - n) / n < 0.05, s"est $est vs exact $n")
+  }
+
+  test("duplicates do not move the sketch: distinct of multiset == of set") {
+    val uniq = (0 until 500).map(i => ("g", s"u$i"))
+    val dup = uniq ++ uniq ++ uniq
+    val a = Sketches.hllDistinct(uniq.toDF("g", "v"), Seq("g"), col("v"))
+      .select("s_scaled").as[Long].head()
+    val b = Sketches.hllDistinct(dup.toDF("g", "v"), Seq("g"), col("v"))
+      .select("s_scaled").as[Long].head()
+    assert(a == b)
+  }
+
+  test("merge law: sketch(A union B) == merge(sketch(A), sketch(B)) exactly") {
+    val df = (0 until 2000).map(i => (s"src${i % 3}", s"doc_$i")).toDF("g", "v")
+    val direct = Sketches.hllDistinct(df, Seq("g"), col("v"))
+      .select("g", "v_empty", "s_scaled", "hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val subs = Seq(
+      Sketches.hllSketch(df.filter(xxhash64(col("v")) % 2 === 0), Seq("g"), col("v")),
+      Sketches.hllSketch(df.filter(xxhash64(col("v")) % 2 =!= 0), Seq("g"), col("v")))
+    val merged = Sketches.hllEstimate(Sketches.hllMerge(subs, Seq("g")), Seq("g"))
+      .select("g", "v_empty", "s_scaled", "hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(direct == merged)
+  }
+
+  test("ewmaDecay: exact scaled integer recurrence on a hand-computed series") {
+    // one key, values 1.00, 2.00, 3.00 -> xq = 100, 200, 300; lags=2:
+    // t0: 100<<2              = 400
+    // t1: 200<<2 + 100<<1     = 1000
+    // t2: 300<<2 + 200<<1 + 100 = 1700
+    val ev = Seq((1L, "2024-01-01 00:00:01", 1.0),
+        (2L, "2024-01-01 00:00:02", 2.0),
+        (3L, "2024-01-01 00:00:03", 3.0))
+      .toDF("event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("user_id", lit(7L))
+    val out = Stats.ewmaDecay(ev, "user_id", "ts", "event_id", "value", lags = 2)
+      .orderBy("event_id").select("ewma_scaled").as[Long].collect()
+    assert(out.toSeq == Seq(400L, 1000L, 1700L))
+  }
+
+  test("ewmaDecay: series are independent per key and zero-initialized") {
+    val ev = Seq((1L, 10L, 5.0), (2L, 20L, 5.0))
+      .toDF("event_id", "user_id", "value")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val out = Stats.ewmaDecay(ev, "user_id", "ts", "event_id", "value", lags = 3)
+      .select("ewma_scaled").as[Long].collect()
+    // both are series starts: 500 << 3 = 4000, no cross-key bleed
+    assert(out.toSeq == Seq(4000L, 4000L))
+  }
+
+  test("phraseSearch finds every aligned occurrence, including overlaps") {
+    val docs = Seq(
+      (1L, "a b a b a"), // "a b a" at 0 and 2 (overlapping)
+      (2L, "a b"), // prefix only
+      (3L, "x a b a y"), // at 1
+      (4L, "b a b a")) // at 1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (1L, 2), (3L, 1), (4L, 1)))
+  }
+
+  test("phraseSearch with repeated terms aligns each occurrence at its own offset") {
+    val docs = Seq((1L, "w w w"), (2L, "w x w")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("w", "w"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (1L, 1)))
+  }
+
+  test("single-term phrase degrades to the postings list") {
+    val docs = Seq((1L, "q r q")).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("q"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 0), (1L, 2)))
+  }
+}
