@@ -82,7 +82,11 @@ object Bench {
     "winsorize_by_group", "text_char_entropy", "score_quantile_normalize",
     // round-8: batched-merge BPE (same oracle as bpe_learn — the timing
     // delta IS the batching win)
-    "bpe_learn_batched")
+    "bpe_learn_batched",
+    // round-8 second batch: HLL cardinality sketches, exact-integer EWMA,
+    // inverted-index phrase search, and the end-to-end recipe funnel
+    "approx_distinct_hll", "hll_merge_parity", "events_ewma_decay",
+    "phrase_search_positional", "recipe_pretrain_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end pretraining-data recipe, composed from the engine's own
+  * stages — the query a user of this library actually runs nightly:
+  *
+  *   raw -> language gate -> quality gate (Gopher rules) -> exact dedup
+  *       -> benchmark decontamination -> deterministic sample -> tokens
+  *
+  * (the FineWeb/RefinedWeb/Gopher pipeline shape). The output is the
+  * per-source FUNNEL — doc counts surviving each stage plus the final
+  * token budget — which is the artifact data teams review before a run.
+  *
+  * Plan shape at 100 TB, deliberately:
+  *  - every gate flag (lang, Gopher rules) is a NARROW column fused into
+  *    the one scan — no per-stage passes over the corpus;
+  *  - exact dedup is one digest-keyed window (min survivor id per
+  *    md5(text) — uniform hash partitioning, no skew);
+  *  - decontamination explodes 5-gram shingles for SURVIVORS ONLY and
+  *    probes the broadcast bench-gram set (bench suites are MB-sized);
+  *  - the sample gate is a pure hash predicate ([[Sampling.hashSlice32]]),
+  *    no shuffle;
+  *  - one final groupBy(source) aggregate moves eight longs per source.
+  *
+  * So: one corpus scan + one digest shuffle + one survivors-only gram
+  * explode + one group-sized aggregate. Stages stay individually
+  * auditable as the standalone catalog queries they came from
+  * (ccnet_lang_buckets, text_quality_gopher, dedup_exact, decontaminate,
+  * sample_stratified).
+  */
+object Recipe {
+
+  /** Per-source funnel counts. `benchMod`: docs with id % benchMod == 0
+    * form the held-out benchmark slice (the repo-wide decontam fixture
+    * convention); `sampleMod`: keep survivors with hash % sampleMod == 0. */
+  def pretrainFunnel(docs: DataFrame, lang: String = "en",
+      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
+    // stage 1+2: language + Gopher flags, all narrow columns in one pass
+    val flagged0 = TextAnalysis.gopherFlags(docs)
+      .withColumn("_lang_ok", TextAnalysis.langId(col("text")) === lit(lang))
+      .withColumn("_surv_q", col("_lang_ok") && col("keep"))
+    // stage 3: exact dedup among quality survivors — min survivor id per
+    // content digest, one uniform digest-keyed window
+    val wDigest = Window.partitionBy(md5(col("text")))
+    val flagged = flagged0
+      .withColumn("_min_surv",
+        min(when(col("_surv_q"), col("doc_id"))).over(wDigest))
+      .withColumn("_surv_d",
+        col("_surv_q") && col("doc_id") === col("_min_surv"))
+      .persist() // read twice: contamination probe + final aggregate
+    // stage 4: drop survivors sharing any 5-gram with the bench slice;
+    // grams explode for survivors only, bench set is broadcast
+    val benchGrams = docs.filter(col("doc_id") % benchMod === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .distinct()
+    val contaminated = flagged.filter(col("_surv_d"))
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select("doc_id").distinct()
+      .withColumn("_contam", lit(1))
+    // stage 5: deterministic hash sample; stage 6: token budget
+    val staged = flagged.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("_surv_c", col("_surv_d") && col("_contam").isNull)
+      .withColumn("_surv_s", col("_surv_c") &&
+        Sampling.hashSlice32(col("doc_id")) % sampleMod === 0)
+    staged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+      sum(when(col("_surv_q"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("_surv_d"), 1L).otherwise(0L)).as("n_dedup"),
+      sum(when(col("_surv_c"), 1L).otherwise(0L)).as("n_decontam"),
+      sum(when(col("_surv_s"), 1L).otherwise(0L)).as("n_sampled"),
+      sum(when(col("_surv_s"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long"))
+        .otherwise(0L)).as("tokens_final"))
+  }
+}

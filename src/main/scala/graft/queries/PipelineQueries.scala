@@ -4313,5 +4313,66 @@ object PipelineQueries {
              |SELECT doc_id, CAST(i - 1 AS INT) AS start
              |FROM p
              |WHERE tk[i] = 'table' AND i + 1 <= len(tk) AND tk[i + 1] = 'scan'
-             |ORDER BY doc_id, start""".stripMargin)))
+             |ORDER BY doc_id, start""".stripMargin)),
+
+    QueryDef("recipe_pretrain_funnel",
+      // the flagship composition: lang gate -> Gopher quality -> exact
+      // dedup -> benchmark decontam -> deterministic sample -> token
+      // budget, all stage flags fused into ONE corpus scan + one digest
+      // window + a survivors-only gram probe; output is the per-source
+      // funnel a data team reviews before a training run. The oracle
+      // replays every stage from raw text.
+      (s, dir) => graft.functions.Recipe.pretrainFunnel(
+          Tables.documents(s, dir))
+        .orderBy("source"),
+      Some {
+        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH m AS (
+           |  SELECT doc_id, source, text,
+           |    len(string_split(text,' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text,' '))) AS n_uniq,
+           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+           |    length(text) AS n_chars,
+           |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
+           |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
+           |                / (len(string_split(text,' ')) - 2) END AS rep3,
+           |    $langScoreSql
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, source, text, n_tokens,
+           |    ($langCaseSql) = 'en' AS lang_ok,
+           |    ((n_tokens >= 8 AND n_tokens <= 100000)
+           |     AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
+           |          AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0)
+           |     AND (rep3 <= 0.5)
+           |     AND (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02)) AS gopher_ok
+           |  FROM m),
+           |s2 AS (
+           |  SELECT *, (lang_ok AND gopher_ok) AS surv_q,
+           |    ((lang_ok AND gopher_ok) AND doc_id = min(CASE
+           |        WHEN lang_ok AND gopher_ok THEN doc_id END)
+           |      OVER (PARTITION BY md5(text))) AS surv_d
+           |  FROM f),
+           |bg AS (
+           |  SELECT DISTINCT unnest($Shingles5Sql) AS gram
+           |  FROM documents WHERE doc_id % 20 = 0),
+           |contam AS (
+           |  SELECT DISTINCT e.doc_id AS cid
+           |  FROM (SELECT doc_id, unnest($Shingles5Sql) AS gram
+           |        FROM s2 WHERE surv_d) e
+           |  JOIN bg USING (gram)),
+           |s4 AS (
+           |  SELECT s2.source, s2.n_tokens, s2.lang_ok, s2.surv_q, s2.surv_d,
+           |    (s2.surv_d AND c.cid IS NULL) AS surv_c,
+           |    (s2.surv_d AND c.cid IS NULL AND ($DocHashSql) % 2 = 0) AS surv_s
+           |  FROM s2 LEFT JOIN contam c ON s2.doc_id = c.cid)
+           |SELECT source, count(*) AS n_raw,
+           |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           |  CAST(sum(CASE WHEN surv_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(sum(CASE WHEN surv_d THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+           |  CAST(sum(CASE WHEN surv_c THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+           |  CAST(sum(CASE WHEN surv_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           |  CAST(sum(CASE WHEN surv_s THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+           |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+      }))
 }
