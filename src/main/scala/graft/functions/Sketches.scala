@@ -156,4 +156,114 @@ object Sketches {
        |    * CAST($twoP40 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS hll_est
        |FROM est ORDER BY $groupCol""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values / bottom-k) sketch — Bar-Yossef et al. 2002,
+  // Beyer et al. 2007. Where HLL answers only |A| and |A ∪ B|, the KMV
+  // sketch supports SET-OPERATION cardinalities: the k smallest hashes of
+  // A ∪ B are computable from the two sketches alone, and the fraction of
+  // them present in both sketches estimates the Jaccard — hence
+  // |A ∩ B| ≈ J · |A ∪ B| without touching raw data. Same determinism
+  // stance as HLL: a 52-bit md5 slice (13 hex chars — exact in BIGINT and
+  // DOUBLE), integer counts/mins, and IEEE-pinned final arithmetic.
+  // --------------------------------------------------------------------
+
+  /** k for the bottom-k sketches: ~1/sqrt(k) ≈ 6% relative error. */
+  val KmvK = 256
+  /** 2^52 — the hash-space size of the 52-bit md5 slice. */
+  val KmvSpace = 4503599627370496L
+
+  /** 52-bit md5 slice: first 13 hex chars as a BIGINT (exact in DOUBLE
+    * too, which the estimators' final division relies on). */
+  def hashSlice52(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 13), 16, 10).cast("long")
+
+  /** Bottom-k sketch: the k smallest DISTINCT hash values per group,
+    * via the two-stage top-k (map-side partial prune, then exact final) —
+    * the shuffle moves k×partitions rows per group, never the group. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int = KmvK): DataFrame = {
+    import graft.plans.TopKPerKey
+    val hashed = df
+      .select(groupCols.map(col) :+ hashSlice52(value).as("h"): _*)
+      .distinct()
+    val partial = TopKPerKey.perKeyPartial(hashed, groupCols, Seq(("h", true)), k)
+    TopKPerKey.perKey(partial, groupCols, Seq(("h", true)), k, "rank")
+  }
+
+  /** Distinct-cardinality estimate per group from a KMV sketch:
+    * (k-1) · 2^52 / h_(k) when the sketch is full, the EXACT distinct
+    * count (= sketch size) when the group has fewer than k values —
+    * the standard KMV small-set rule, and why bottom-k degrades
+    * gracefully where fixed-width sketches only estimate. */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+      k: Int = KmvK): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("sketch_max"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(expr(s"CAST(${k - 1} AS DOUBLE) " +
+            s"* CAST($KmvSpace AS DOUBLE) / CAST(sketch_max AS DOUBLE)")))
+
+  /** Pairwise set-operation estimates between every two groups, computed
+    * ENTIRELY from the sketches (k rows per group): for each pair, the k
+    * smallest of the sketch union X, n_common = |X ∩ skA ∩ skB|,
+    * J ≈ n_common/|X|, |A ∪ B| from X's kth min, |A ∩ B| ≈ J·|A ∪ B|.
+    * Output: (g_a, g_b, n_common, jaccard_est, union_est, inter_est). */
+  def kmvPairEstimates(sketch: DataFrame, groupCol: String,
+      k: Int = KmvK): DataFrame = {
+    // the sketch is <= k rows per group — KB-sized state. Collapse it to
+    // one partition BEFORE the pair machinery so the ~10 downstream ops
+    // (pair join, union-distinct, window, membership joins) are
+    // single-task instead of 32 mostly-empty tasks each; at 1000
+    // executors the pair stage is driver-adjacent metadata work by
+    // design, the corpus-sized work all happened upstream in the
+    // two-stage top-k.
+    val sk = sketch.select(col(groupCol).as("g"), col("h"))
+      .coalesce(1).persist()
+    val pairs = sk.select(col("g").as("g_a")).distinct()
+      .crossJoin(broadcast(sk.select(col("g").as("g_b")).distinct()))
+      .filter(col("g_a") < col("g_b"))
+    // union of the two sketches, re-pruned to bottom-k per pair: pair
+    // count × 2k rows total — sketch-sized, never corpus-sized. Two
+    // equi-joins (broadcastable), not one OR-join (nested-loop).
+    val ua = pairs.join(sk, col("g") === col("g_a"))
+      .select(col("g_a"), col("g_b"), col("h"))
+    val ub = pairs.join(sk, col("g") === col("g_b"))
+      .select(col("g_a"), col("g_b"), col("h"))
+    val u = ua.union(ub).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g_a", "g_b").orderBy("h")
+    val x = u.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+    val inA = sk.select(col("g").as("g_a"), col("h"), lit(1).as("_a"))
+    val inB = sk.select(col("g").as("g_b"), col("h"), lit(1).as("_b"))
+    x.join(inA, Seq("g_a", "h"), "left").join(inB, Seq("g_b", "h"), "left")
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_x"), max("h").as("x_max"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("union_est",
+        when(col("n_x") < k, col("n_x").cast("double"))
+          .otherwise(expr(s"CAST(${k - 1} AS DOUBLE) " +
+            s"* CAST($KmvSpace AS DOUBLE) / CAST(x_max AS DOUBLE)")))
+      .withColumn("jaccard_est",
+        expr("CAST(n_common AS DOUBLE) / CAST(n_x AS DOUBLE)"))
+      .withColumn("inter_est", expr("jaccard_est * union_est"))
+      .select("g_a", "g_b", "n_common", "jaccard_est", "union_est", "inter_est")
+  }
+
+  /** DuckDB rendering of [[hashSlice52]] on a VARCHAR expression. */
+  def hash52Sql(valueExpr: String): String =
+    s"""list_reduce(list_transform(
+       |      regexp_extract_all(substr(md5($valueExpr), 1, 13), '.'),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
+  /** DuckDB CTE prefix `sk(g, h)`: the bottom-k sketch over a
+    * (group, value) relation given by `relSql` (must select `g` and `v`). */
+  def kmvSketchSql(relSql: String, k: Int = KmvK): String =
+    s"""h0 AS (SELECT DISTINCT g, ${hash52Sql("v")} AS h FROM ($relSql)),
+       |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       |       FROM h0),
+       |sk AS (SELECT g, h FROM rk WHERE rn <= $k)""".stripMargin
 }

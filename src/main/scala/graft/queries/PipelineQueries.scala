@@ -4374,5 +4374,77 @@ object PipelineQueries {
            |  CAST(sum(CASE WHEN surv_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            |  CAST(sum(CASE WHEN surv_s THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
            |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    QueryDef("kmv_distinct_grams",
+      // bottom-k (KMV) sketch of each source's distinct-3-gram vocabulary:
+      // the k smallest 52-bit md5 slices per source (two-stage top-k — the
+      // shuffle moves k×partitions rows per source, never the gram
+      // census), with the (k-1)·2^52/h_(k) estimator and the exact
+      // small-set rule. The oracle rebuilds the sketch hash-for-hash.
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        Sketches.kmvEstimate(
+            Sketches.kmvSketch(grams, Seq("source"), col("gram")),
+            Seq("source"))
+          .orderBy("source")
+      },
+      Some {
+        val rel = s"SELECT source AS g, gram AS v FROM (SELECT source, unnest($ShinglesSql) AS gram FROM documents)"
+        s"""WITH ${Sketches.kmvSketchSql(rel)}
+           |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_sketch,
+           |  max(h) AS sketch_max,
+           |  CASE WHEN count(*) < ${Sketches.KmvK} THEN CAST(count(*) AS DOUBLE)
+           |       ELSE CAST(${Sketches.KmvK - 1} AS DOUBLE)
+           |            * CAST(${Sketches.KmvSpace} AS DOUBLE)
+           |            / CAST(max(h) AS DOUBLE) END AS est_distinct
+           |FROM sk GROUP BY g ORDER BY source""".stripMargin
+      }),
+
+    QueryDef("kmv_source_setops",
+      // the KMV payoff HLL cannot deliver: pairwise |A ∩ B| and Jaccard
+      // between sources' gram vocabularies, computed ENTIRELY from the
+      // k-row sketches (bottom-k of the sketch union + membership flags)
+      // — cross-source vocabulary overlap at 100 TB from KB-sized state
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("gram"))
+        Sketches.kmvPairEstimates(
+            Sketches.kmvSketch(grams, Seq("source"), col("gram"))
+              .select("source", "h"),
+            "source")
+          .orderBy("g_a", "g_b")
+      },
+      Some {
+        val rel = s"SELECT source AS g, gram AS v FROM (SELECT source, unnest($ShinglesSql) AS gram FROM documents)"
+        s"""WITH ${Sketches.kmvSketchSql(rel)},
+           |gs AS (SELECT DISTINCT g FROM sk),
+           |pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM gs a JOIN gs b ON a.g < b.g),
+           |u AS (SELECT DISTINCT p.g_a, p.g_b, s.h
+           |      FROM pairs p JOIN sk s ON s.g = p.g_a OR s.g = p.g_b),
+           |x AS (SELECT g_a, g_b, h,
+           |        row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn
+           |      FROM u),
+           |xk AS (SELECT g_a, g_b, h FROM x WHERE rn <= ${Sketches.KmvK}),
+           |j AS (SELECT xk.g_a, xk.g_b, xk.h,
+           |        CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+           |             THEN 1 ELSE 0 END AS c
+           |      FROM xk
+           |      LEFT JOIN sk sa ON sa.g = xk.g_a AND sa.h = xk.h
+           |      LEFT JOIN sk sb ON sb.g = xk.g_b AND sb.h = xk.h),
+           |agg AS (SELECT g_a, g_b, count(*) AS n_x, max(h) AS x_max,
+           |          CAST(sum(c) AS BIGINT) AS n_common
+           |        FROM j GROUP BY g_a, g_b),
+           |est AS (SELECT g_a, g_b, n_common,
+           |          CAST(n_common AS DOUBLE) / CAST(n_x AS DOUBLE) AS jaccard_est,
+           |          CASE WHEN n_x < ${Sketches.KmvK} THEN CAST(n_x AS DOUBLE)
+           |               ELSE CAST(${Sketches.KmvK - 1} AS DOUBLE)
+           |                    * CAST(${Sketches.KmvSpace} AS DOUBLE)
+           |                    / CAST(x_max AS DOUBLE) END AS union_est
+           |        FROM agg)
+           |SELECT g_a, g_b, n_common, jaccard_est, union_est,
+           |  jaccard_est * union_est AS inter_est
+           |FROM est ORDER BY g_a, g_b""".stripMargin
       }))
 }

@@ -121,4 +121,54 @@ class SketchesSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toSet
     assert(got == Set((1L, 0), (1L, 2)))
   }
+
+  test("kmv small-set rule: under k values the estimate IS the exact count") {
+    val df = (0 until 100).map(i => ("g", s"v$i")).toDF("g", "v")
+    val out = Sketches.kmvEstimate(
+        Sketches.kmvSketch(df, Seq("g"), col("v"), k = 256), Seq("g"))
+      .select("n_sketch", "est_distinct").as[(Long, Double)].head()
+    assert(out == ((100L, 100.0)))
+  }
+
+  test("kmv estimate within 15% of exact at n >> k") {
+    val n = 30000
+    val df = (0 until n).map(i => ("g", s"item_$i")).toDF("g", "v")
+    val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(df, Seq("g"), col("v")), Seq("g"))
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - n) / n < 0.15, s"est $est vs exact $n")
+  }
+
+  test("kmv sketch holds the k smallest hashes, deduplicated") {
+    val vals = (0 until 1000).map(i => s"x$i")
+    val df = (vals ++ vals).map(("g", _)).toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, Seq("g"), col("v"), k = 50)
+      .select("h").as[Long].collect().sorted.toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = vals.map { v =>
+      val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }.distinct.sorted.take(50)
+    assert(sk == expected)
+  }
+
+  test("kmv pair estimates: disjoint sets have zero intersection, " +
+    "heavily overlapping sets track true jaccard") {
+    // A and B share 900 of 1000 values; C is disjoint from both
+    val shared = (0 until 900).map(i => s"s$i")
+    val a = shared ++ (0 until 100).map(i => s"a$i")
+    val b = shared ++ (0 until 100).map(i => s"b$i")
+    val c = (0 until 1000).map(i => s"c$i")
+    val df = (a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)))
+      .toDF("g", "v")
+    val sk = Sketches.kmvSketch(df, Seq("g"), col("v")).select("g", "h")
+    val out = Sketches.kmvPairEstimates(sk, "g")
+      .select("g_a", "g_b", "jaccard_est", "inter_est")
+      .as[(String, String, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val (jAb, iAb) = out(("a", "b"))
+    assert(math.abs(jAb - 900.0 / 1100.0) < 0.12, s"jaccard $jAb")
+    assert(math.abs(iAb - 900.0) / 900.0 < 0.25, s"intersection $iAb")
+    assert(out(("a", "c"))._1 == 0.0 && out(("b", "c"))._1 == 0.0)
+  }
 }
