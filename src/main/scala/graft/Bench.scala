@@ -86,7 +86,8 @@ object Bench {
     // round-8 second batch: HLL cardinality sketches, exact-integer EWMA,
     // inverted-index phrase search, and the end-to-end recipe funnel
     "approx_distinct_hll", "hll_merge_parity", "events_ewma_decay",
-    "phrase_search_positional", "recipe_pretrain_funnel")
+    "phrase_search_positional", "recipe_pretrain_funnel",
+    "kmv_distinct_grams", "kmv_source_setops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

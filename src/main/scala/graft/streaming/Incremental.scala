@@ -126,6 +126,21 @@ object Incremental {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming seat of [[graft.functions.Sketches.hllSketch]] — the live
+    * distinct-cardinality dashboard. The HLL sketch IS a (group, bucket)
+    * max aggregate, so Structured Streaming's state store holds exactly
+    * the sketch: at most groups × 4096 small rows, BOUNDED regardless of
+    * stream length — where a streaming COUNT(DISTINCT) would have to keep
+    * every key ever seen. No watermark is needed or wanted: max is
+    * monotone and idempotent, so late or replayed data can only confirm
+    * or refine the sketch, never corrupt it, and the converged state is
+    * bit-identical to the batch sketch over the same rows (pinned by
+    * test). Feed [[graft.functions.Sketches.hllEstimate]] with any
+    * snapshot of the output for the estimate. */
+  def streamingHllSketch(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame =
+    graft.functions.Sketches.hllSketch(df, groupCols, value)
+
   /** Streaming NEAR-dup gate — the streaming seat of
     * [[graft.functions.Dedup.nearDupAgainstCorpus]]: each micro-batch
     * (1) near-dedups within itself, (2) probes the PERSISTED band index of

@@ -453,4 +453,36 @@ class StreamingSpec extends AnyFunSuite {
       .filter(p => !p.getFileName.toString.endsWith("._done")).count()
     assert(batches2 == batches.length)
   }
+
+  test("streaming HLL sketch converges to the batch sketch, bit-identical, " +
+    "with bounded state and replay immunity") {
+    import org.apache.spark.sql.functions._
+    val srcDir = tmp("hll-src")
+    val all = (0 until 600)
+      .map(i => (i.toLong, 1000L + i % 137, s"t${i % 3}"))
+      .toDF("event_id", "user_id", "event_type")
+    // three chunk files -> three micro-batches; chunk 3 REPLAYS chunk 1
+    // (max is idempotent: replays must not move the sketch)
+    all.filter($"event_id" < 300).coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    all.filter($"event_id" >= 300).coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    all.filter($"event_id" < 300).coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = Incremental.readEventsStream(spark, srcDir.toString, schema, 1)
+    val sk = Incremental.streamingHllSketch(stream,
+      Seq("event_type"), $"user_id")
+    val q = sk.writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_stream_out")
+      .as[(String, Int, Int)].collect().toSet
+    val want = graft.functions.Sketches
+      .hllSketch(all, Seq("event_type"), $"user_id")
+      .as[(String, Int, Int)].collect().toSet
+    assert(got == want)
+    // state bound: <= 4096 buckets per group
+    assert(got.groupBy(_._1).values.forall(_.size <= 4096))
+  }
 }
