@@ -87,7 +87,8 @@ object Bench {
     // inverted-index phrase search, and the end-to-end recipe funnel
     "approx_distinct_hll", "hll_merge_parity", "events_ewma_decay",
     "phrase_search_positional", "recipe_pretrain_funnel",
-    "kmv_distinct_grams", "kmv_source_setops")
+    "kmv_distinct_grams", "kmv_source_setops",
+    "events_funnel_steps", "join_size_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence funnel analysis over an event stream — "how many
+  * users did A, then B strictly after, then C strictly after that,
+  * (optionally) completing each step within a bound" — the classic
+  * product-analytics operator (ClickHouse `windowFunnel`, Amplitude
+  * funnels), absent from Spark's built-ins.
+  *
+  * Semantics: t_1 = min ts of step 1 per user; t_k = min ts of step k
+  * STRICTLY after t_{k-1} (and within `window` of t_{k-1} when bounded).
+  * Greedy-earliest is the standard funnel definition and makes the whole
+  * computation k chained (filter -> join -> min) stages, each shuffling
+  * only (user, ts) pairs on the user key — after the first shuffle every
+  * stage is co-partitioned, and the event table itself is scanned once
+  * per step with the step predicate pushed down. No per-user event-list
+  * materialization, no session state: at 100 TB the state per stage is
+  * one timestamp per surviving user.
+  */
+object Funnel {
+
+  /** Per-step reach counts + step-over-step conversion.
+    * Output: (step, event_type, n_users, conv_from_prev) — k rows. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      window: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    val stages = scala.collection.mutable.Buffer((1, steps.head, cur))
+    for ((st, i) <- steps.zipWithIndex.drop(1)) {
+      val afterPrev = col(tsCol) > col("_prev")
+      val inWindow = window
+        .map(w => col(tsCol) <= col("_prev") + expr(s"INTERVAL $w"))
+        .getOrElse(lit(true))
+      cur = events.filter(col(typeCol) === st)
+        .join(cur.select(col(userCol), col("_t").as("_prev")), Seq(userCol))
+        .filter(afterPrev && inWindow)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      stages += ((i + 1, st, cur))
+    }
+    val counts = stages.map { case (i, st, f) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(st).as(typeCol), col("n_users"))
+    }.reduce(_ unionByName _)
+    // k-row frame: the single-partition window is by construction tiny
+    val w = Window.orderBy("step")
+    counts.withColumn("conv_from_prev",
+      when(col("step") === 1, lit(1.0))
+        .otherwise(col("n_users").cast("double")
+          / lag(col("n_users"), 1).over(w).cast("double")))
+  }
+}

@@ -266,4 +266,47 @@ object Sketches {
        |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
        |       FROM h0),
        |sk AS (SELECT g, h FROM rk WHERE rn <= $k)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Join-size estimation from per-key bucket histograms — the AQE-style
+  // planning sketch: |A ⋈ B| on an equi-key is estimated as
+  // Σ_b cntA(b)·cntB(b) over m hash buckets, WITHOUT running the join.
+  // Exact integer arithmetic end to end (deterministic, mergeable — the
+  // histograms sum across partitions/days), an overestimate by exactly
+  // the cross-collision mass (expected n_a·n_b/m for unrelated keys).
+  // At 100 TB this is how a pipeline decides broadcast-vs-shuffle or
+  // pre-checks a suspected key explosion before paying for it.
+  // --------------------------------------------------------------------
+
+  /** m-bucket key histogram: (bucket, cnt) per side. */
+  def keyHistogram(df: DataFrame, key: Column, m: Int = HllM): DataFrame =
+    df.select((hashSlice52(key) % m).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** One-row estimate: Σ cntA·cntB over shared buckets, plus the two
+    * sides' row/bucket tallies (all exact BIGINTs). */
+  def joinSizeSketch(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      m: Int = HllM): DataFrame = {
+    val ca = keyHistogram(a, aKey, m)
+      .select(col("bucket"), col("cnt").as("ca"))
+    val cb = keyHistogram(b, bKey, m)
+      .select(col("bucket"), col("cnt").as("cb"))
+    ca.join(cb, Seq("bucket"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est_join_size"),
+        count(lit(1)).as("n_shared_buckets"))
+  }
+
+  /** DuckDB replay of [[joinSizeSketch]] over two (table, keyExpr) sides.
+    * keyExprs must be VARCHAR-typed SQL expressions. */
+  def joinSizeOracleSql(tableA: String, keyA: String,
+      tableB: String, keyB: String, m: Int = HllM): String =
+    s"""WITH ca AS (
+       |  SELECT ${hash52Sql(keyA)} % $m AS bucket, count(*) AS cnt
+       |  FROM $tableA GROUP BY 1),
+       |cb AS (
+       |  SELECT ${hash52Sql(keyB)} % $m AS bucket, count(*) AS cnt
+       |  FROM $tableB GROUP BY 1)
+       |SELECT CAST(COALESCE(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS est_join_size,
+       |  CAST(count(*) AS BIGINT) AS n_shared_buckets
+       |FROM ca JOIN cb USING (bucket)""".stripMargin
 }

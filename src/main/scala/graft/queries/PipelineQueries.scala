@@ -4446,5 +4446,55 @@ object PipelineQueries {
            |SELECT g_a, g_b, n_common, jaccard_est, union_est,
            |  jaccard_est * union_est AS inter_est
            |FROM est ORDER BY g_a, g_b""".stripMargin
-      }))
+      }),
+
+    QueryDef("events_funnel_steps",
+      // ordered-sequence funnel (view -> click -> purchase, each step
+      // strictly after the previous and within 30 days of it): k chained
+      // (filter -> join -> min) stages shuffling one timestamp per
+      // surviving user — the ClickHouse-windowFunnel operator as a
+      // Catalyst join chain, no per-user event lists, no session state
+      (s, dir) => graft.functions.Funnel.funnelSteps(Tables.events(s, dir),
+          "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          window = Some("30 DAYS"))
+        .orderBy("step"),
+      Some("""WITH g1 AS (
+             |  SELECT user_id, min(ts) AS t FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |g2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN g1 ON e.user_id = g1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > g1.t
+             |    AND e.ts <= g1.t + INTERVAL 30 DAY
+             |  GROUP BY e.user_id),
+             |g3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t FROM events e
+             |  JOIN g2 ON e.user_id = g2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > g2.t
+             |    AND e.ts <= g2.t + INTERVAL 30 DAY
+             |  GROUP BY e.user_id),
+             |c AS (
+             |  SELECT 1 AS step, 'view' AS event_type,
+             |         CAST(count(*) AS BIGINT) AS n_users FROM g1
+             |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM g2
+             |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM g3)
+             |SELECT step, event_type, n_users,
+             |  CASE WHEN step = 1 THEN CAST(1 AS DOUBLE)
+             |       ELSE CAST(n_users AS DOUBLE)
+             |            / CAST(lag(n_users, 1) OVER (ORDER BY step) AS DOUBLE)
+             |  END AS conv_from_prev
+             |FROM c ORDER BY step""".stripMargin)),
+
+    QueryDef("join_size_sketch",
+      // AQE-style join-cardinality estimate WITHOUT running the join:
+      // m-bucket key histograms per side (mergeable integer counts), then
+      // sum of per-bucket products — how a 100 TB pipeline decides
+      // broadcast-vs-shuffle or pre-checks a key explosion before paying
+      // for it. Accuracy vs the true join size is pinned by ScalaTest.
+      (s, dir) => graft.functions.Sketches.joinSizeSketch(
+        Tables.orders(s, dir), col("o_orderkey"),
+        Tables.lineitem(s, dir), col("l_orderkey")),
+      Some(graft.functions.Sketches.joinSizeOracleSql(
+        "orders", "CAST(o_orderkey AS VARCHAR)",
+        "lineitem", "CAST(l_orderkey AS VARCHAR)"))))
 }

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.{Funnel, Sketches}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+
+  test("funnel: strict order required — later steps before earlier don't count") {
+    val df = ev(
+      // user 1 completes A -> B -> C in order
+      (1L, "A", "2024-01-01 10:00:00"),
+      (1L, "B", "2024-01-02 10:00:00"),
+      (1L, "C", "2024-01-03 10:00:00"),
+      // user 2 does B before A: reaches step 1 only
+      (2L, "B", "2024-01-01 09:00:00"),
+      (2L, "A", "2024-01-01 10:00:00"),
+      // user 3 never does A
+      (3L, "B", "2024-01-01 10:00:00"),
+      (3L, "C", "2024-01-02 10:00:00"))
+    val out = Funnel.funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(out == Seq(2L, 1L, 1L))
+  }
+
+  test("funnel: greedy-earliest anchor — a later A cannot resurrect the funnel") {
+    // B exists only BEFORE the first A; a second A after B must not help,
+    // because the anchor is min(ts of A) (standard funnel semantics)
+    val df = ev(
+      (1L, "B", "2024-01-01 09:00:00"),
+      (1L, "A", "2024-01-01 10:00:00"),
+      (1L, "A", "2024-01-01 08:00:00"))
+    val out = Funnel.funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("A", "B"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L)) // first A at 08:00, B at 09:00 follows it
+  }
+
+  test("funnel: window bound drops conversions outside the step deadline") {
+    val df = ev(
+      (1L, "A", "2024-01-01 10:00:00"),
+      (1L, "B", "2024-01-05 10:00:00"), // 4 days after A
+      (2L, "A", "2024-01-01 10:00:00"),
+      (2L, "B", "2024-01-01 11:00:00"))
+    val bounded = Funnel.funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("A", "B"), window = Some("1 DAYS"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(bounded == Seq(2L, 1L))
+    val unbounded = Funnel.funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("A", "B"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(unbounded == Seq(2L, 2L))
+  }
+
+  test("funnel: conversion rates are step-over-step") {
+    val df = ev(
+      (1L, "A", "2024-01-01 10:00:00"), (1L, "B", "2024-01-01 11:00:00"),
+      (2L, "A", "2024-01-01 10:00:00"), (2L, "B", "2024-01-01 11:00:00"),
+      (3L, "A", "2024-01-01 10:00:00"), (4L, "A", "2024-01-01 10:00:00"))
+    val out = Funnel.funnelSteps(df, "user_id", "event_type", "ts",
+        Seq("A", "B"))
+      .orderBy("step").select("conv_from_prev").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 0.5))
+  }
+
+  test("joinSizeSketch: exact when buckets never collide, upper bound otherwise") {
+    // keys 0..99 on side A (1 row each), side B has key k repeated k%3+1
+    // times; true join size = sum over k of (k%3+1) = 200
+    val a = (0 until 100).map(i => i.toLong).toDF("k")
+    val b = (0 until 100).flatMap(i => Seq.fill(i % 3 + 1)(i.toLong)).toDF("k")
+    val trueSize = a.join(b, Seq("k")).count()
+    val est = Sketches.joinSizeSketch(a, col("k"), b, col("k"))
+      .select("est_join_size").as[Long].head()
+    assert(est >= trueSize) // collisions only ADD phantom pairs
+    // expected collision mass for 100 keys in 4096 buckets is ~1 pair;
+    // 10% slack bounds the phantom contribution
+    assert(est <= trueSize * 1.10, s"est $est vs true $trueSize")
+  }
+
+  test("joinSizeSketch: histograms merge — sketch of union == sum of sketches") {
+    val a1 = (0 until 50).map(i => i.toLong).toDF("k")
+    val a2 = (50 until 100).map(i => i.toLong).toDF("k")
+    val b = (0 until 100).map(i => (i % 10).toLong).toDF("k")
+    val whole = Sketches.joinSizeSketch(a1.union(a2), col("k"), b, col("k"))
+      .select("est_join_size").as[Long].head()
+    val part1 = Sketches.joinSizeSketch(a1, col("k"), b, col("k"))
+      .select("est_join_size").as[Long].head()
+    val part2 = Sketches.joinSizeSketch(a2, col("k"), b, col("k"))
+      .select("est_join_size").as[Long].head()
+    assert(whole == part1 + part2)
+  }
+}
