@@ -88,7 +88,7 @@ object Bench {
     "approx_distinct_hll", "hll_merge_parity", "events_ewma_decay",
     "phrase_search_positional", "recipe_pretrain_funnel",
     "kmv_distinct_grams", "kmv_source_setops",
-    "events_funnel_steps", "join_size_sketch")
+    "events_funnel_steps", "join_size_sketch", "hll_rollup_range")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -146,6 +146,9 @@ object Bench {
       // append job, not query work — the timed rollup entries measure the
       // pruned partial-state merge over the landed partials
       graft.queries.PipelineQueries.rollupPath(spark, sfDir)
+      // HLL sub-sketch layout: same nightly-append stance; the timed
+      // hll_rollup_range entry measures the pruned sketch merge
+      graft.queries.PipelineQueries.hllRollupPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -254,6 +254,20 @@ object PipelineQueries {
       path
     })
 
+  /** Day-partitioned HLL sub-sketch layout, landed once per dir — the
+    * distinct-cardinality analogue of [[rollupPath]], same offline-warmup
+    * stance. */
+  private val hllRollupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def hllRollupPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hllRollupDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("hll-rollup", dir)
+      graft.sources.Layout.writeDailyHllSketch(Tables.events(s, dir), path,
+        col("user_id"))
+      path
+    })
+
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def ivfIndexedPath(s: org.apache.spark.sql.SparkSession,
@@ -4484,6 +4498,22 @@ object PipelineQueries {
              |            / CAST(lag(n_users, 1) OVER (ORDER BY step) AS DOUBLE)
              |  END AS conv_from_prev
              |FROM c ORDER BY step""".stripMargin)),
+
+    QueryDef("hll_rollup_range",
+      // incremental view maintenance for DISTINCT counts: day-partitioned
+      // HLL sub-sketches land once (offline, like the additive rollup);
+      // a two-week distinct-users-per-type estimate then merges the
+      // touched days' sketches (partition-pruned, <= days x 4096 longs
+      // per group) — the oracle sketches the raw range directly, so the
+      // gate hash-proves the merge law over the layout
+      (s, dir) => graft.sources.Layout.readHllRangeEstimate(s,
+          hllRollupPath(s, dir), "2024-01-08", "2024-01-21")
+        .orderBy("event_type"),
+      Some(Sketches.hllOracleSql(
+        """(SELECT event_type, user_id FROM events
+          |   WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |         BETWEEN DATE '2024-01-08' AND DATE '2024-01-21')""".stripMargin,
+        "event_type", "CAST(user_id AS VARCHAR)"))),
 
     QueryDef("join_size_sketch",
       // AQE-style join-cardinality estimate WITHOUT running the join:

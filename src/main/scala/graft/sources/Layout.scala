@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout policies for the 100 TB deployment — how extracted data
@@ -133,6 +133,40 @@ object Layout {
       .groupBy(groupCol)
       .agg(sum(col("n_events")).as("n_events"),
         (sum(col("value_cents")).cast("double") / 100.0).as("value_sum"))
+
+  /** Day-partitioned HLL SUB-SKETCH rollup — incremental view maintenance
+    * for DISTINCT-cardinality dashboards, where [[writeDailyRollup]]'s
+    * additive states cannot help (distinct counts don't add across days).
+    * Per (day, group, bucket) one max-rho row: at most 4096 small rows per
+    * (day, group) regardless of raw volume. Each new day lands its own
+    * partition; any date-range distinct estimate then MERGES the touched
+    * days' sketches by bucket-wise max (associative + idempotent — a
+    * re-landed day is harmless) and never re-reads raw events. */
+  def writeDailyHllSketch(events: DataFrame, path: String, value: Column,
+      tsCol: String = "ts", groupCol: String = "event_type"): Unit =
+    graft.functions.Sketches.hllSketch(
+        events.withColumn("event_date", to_date(col(tsCol))),
+        Seq("event_date", groupCol), value)
+      .repartition(col("event_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Distinct-cardinality estimate for a date range FROM the sketch
+    * rollup: partition pruning keeps IO to the touched days, the merge
+    * moves <= days x 4096 longs per group, and the result is bit-identical
+    * to sketching the raw range directly (the HLL merge law — pinned by
+    * the gate oracle, which does exactly that). */
+  def readHllRangeEstimate(spark: SparkSession, path: String,
+      fromDay: String, toDay: String,
+      groupCol: String = "event_type"): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .filter(col("event_date") >= lit(fromDay) &&
+        col("event_date") <= lit(toDay))
+      .groupBy(groupCol, "bucket")
+      .agg(max("max_rho").as("max_rho"))
+    graft.functions.Sketches.hllEstimate(merged, Seq(groupCol))
+  }
 
   /** Coarser-granularity view FROM the daily partials — the cascade that
     * makes rollup maintenance compose: weekly (epoch-week) totals are a

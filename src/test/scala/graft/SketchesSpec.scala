@@ -152,6 +152,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(sk == expected)
   }
 
+  test("daily HLL sketch rollup: pruned range merge == direct sketch of the range") {
+    val dir = java.nio.file.Files.createTempDirectory("hllroll").toString
+    val ev = (0 until 400).map { i =>
+      (i.toLong, f"2024-01-${1 + i % 20}%02d 12:00:00", 100L + i % 77, s"t${i % 2}")
+    }.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    graft.sources.Layout.writeDailyHllSketch(ev, dir, col("user_id"))
+    val got = graft.sources.Layout
+      .readHllRangeEstimate(spark, dir, "2024-01-05", "2024-01-12")
+      .select("event_type", "v_empty", "s_scaled", "hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val want = Sketches.hllDistinct(
+        ev.filter(to_date(col("ts")).between("2024-01-05", "2024-01-12")),
+        Seq("event_type"), col("user_id"))
+      .select("event_type", "v_empty", "s_scaled", "hll_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("kmv pair estimates: disjoint sets have zero intersection, " +
     "heavily overlapping sets track true jaccard") {
     // A and B share 900 of 1000 values; C is disjoint from both
