@@ -881,4 +881,50 @@ object Dedup {
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** LSH quality report — the evaluation a team runs before trusting a
+    * banding configuration at 100 TB: candidate pairs from md5-family
+    * MinHash banding vs the EXACT inverted-index Jaccard pairs at
+    * `threshold`, reduced to (n_exact, n_candidates, n_true_pos,
+    * recall_permille, precision_permille). Theory says
+    * P[candidate | jaccard s] = 1-(1-s^r)^b; this measures it on the
+    * actual corpus, where shingle correlation (shared boilerplate) makes
+    * theory optimistic on precision. Integer permille keeps the report
+    * engine-exact. The md5 family (not production xxhash64) is used so an
+    * external engine can replay every minimum — same shingles, same
+    * affine family, structurally identical banding. Band keys join on the
+    * r raw minima (no key hashing) — collision-free by construction. */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8, bandRows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0, "bands must tile the signature")
+    val exactPairs = jaccardPairs(df.withColumn("_blk", lit(1)),
+        idCol, textCol, "_blk", k, threshold)
+      .select("id_a", "id_b").persist()
+    val keyed0 = minhashSignaturesMd5(df, idCol, textCol, k, numHashes)
+      .withColumn("band", (col("hash_idx") / bandRows).cast("int"))
+      .withColumn("slot", pmod(col("hash_idx"), lit(bandRows)))
+    val slotCols = (0 until bandRows).map(r =>
+      max(when(col("slot") === r, col("sig"))).as(s"s$r"))
+    val keyed = keyed0.groupBy(col(idCol), col("band"))
+      .agg(slotCols.head, slotCols.tail: _*)
+    val slotNames = (0 until bandRows).map(r => s"s$r")
+    val a = keyed.select(col(idCol).as("id_a") +: col("band") +:
+      slotNames.map(col): _*)
+    val b = keyed.select(col(idCol).as("id_b") +: col("band") +:
+      slotNames.map(col): _*)
+    val cands = a.join(b, "band" +: slotNames)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().persist()
+    val tp = cands.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
+    exactPairs.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_true_pos"))))
+      .select(col("n_exact"), col("n_candidates"), col("n_true_pos"),
+        expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_true_pos * 1000 div n_exact END").as("recall_permille"),
+        expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_true_pos * 1000 div n_candidates END")
+          .as("precision_permille"))
+  }
 }

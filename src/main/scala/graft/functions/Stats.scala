@@ -70,6 +70,28 @@ object Stats {
       .filter(col("n") >= minCount)
   }
 
+  /** Skew diagnosis + salting advisor: the heavy keys (sketch-then-verify
+    * via [[heavyHitters]] — the raw table never shuffles on the key), each
+    * with its exact count, integer-permille share of the table, and the
+    * SALT FACTOR a skew-safe repartition needs: ceil(n / targetPerTask)
+    * sub-keys so no single task holds more than ~targetPerTask rows of
+    * that key. This is the pre-flight check a 100 TB join/groupBy runs
+    * BEFORE paying for a straggler: AQE can split skewed shuffle
+    * partitions after the fact, but explicit salting needs the factor up
+    * front, and the advisor derives it from a CMS probe + one
+    * heavy-keys-only aggregate. All-integer arithmetic. */
+  def skewAdvisor(df: DataFrame, keyCol: String, minCount: Long,
+      targetPerTask: Long): DataFrame = {
+    require(targetPerTask > 0, "targetPerTask must be positive")
+    val heavy = heavyHitters(df, keyCol, minCount)
+    val total = df.agg(count(lit(1)).as("_total"))
+    heavy.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        expr("n * 1000 div _total").as("share_permille"),
+        expr(s"(n + ${targetPerTask - 1}) div $targetPerTask")
+          .as("salt_factor"))
+  }
+
   /** Population stability index between two snapshots of a continuous
     * column — the standard drift monitor for feature/score distributions
     * (PSI > 0.2 conventionally flags a shift). Values bin into

@@ -4515,6 +4515,85 @@ object PipelineQueries {
           |         BETWEEN DATE '2024-01-08' AND DATE '2024-01-21')""".stripMargin,
         "event_type", "CAST(user_id AS VARCHAR)"))),
 
+    QueryDef("lsh_recall_report",
+      // measured (not theoretical) LSH quality: candidate pairs from
+      // md5-family MinHash banding vs exact inverted-index Jaccard pairs
+      // at 0.8, as integer-permille recall/precision — the evaluation
+      // that justifies a banding config before a 100 TB dedup run. The
+      // oracle replays shingles, every signature minimum, the banding,
+      // the exact pair set, and both ratios.
+      (s, dir) => Dedup.lshRecallReport(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, numHashes = 8, bandRows = 2,
+          threshold = 0.8),
+      Some {
+        val coeffs = Dedup.minhashCoeffs(8)
+        val h32 = """list_reduce(list_transform(
+          |      regexp_extract_all(substr(md5(s), 25, 8), '.'),
+          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)"""
+          .stripMargin
+        val perIdx = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT doc_id, $i AS hash_idx, min(($a * h + $b) % 2147483647) AS sig FROM h GROUP BY doc_id"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH sh AS MATERIALIZED (
+           |  SELECT doc_id, unnest($ShinglesSql) AS sh FROM documents),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |ip AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |ex AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM ip
+           |  JOIN sizes sa ON sa.doc_id = id_a
+           |  JOIN sizes sb ON sb.doc_id = id_b
+           |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+           |h AS MATERIALIZED (
+           |  SELECT doc_id, ($h32 % 2147483647) AS h
+           |  FROM (SELECT doc_id, sh AS s FROM sh)),
+           |sig AS (SELECT doc_id, hash_idx, sig FROM (
+           |  $perIdx)),
+           |band AS MATERIALIZED (
+           |  SELECT doc_id, hash_idx // 2 AS band,
+           |    max(CASE WHEN hash_idx % 2 = 0 THEN sig END) AS s0,
+           |    max(CASE WHEN hash_idx % 2 = 1 THEN sig END) AS s1
+           |  FROM sig GROUP BY doc_id, hash_idx // 2),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM band a JOIN band b
+           |    ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
+           |  WHERE a.doc_id < b.doc_id),
+           |tp AS (SELECT c.id_a, c.id_b FROM cand c
+           |       JOIN ex ON ex.id_a = c.id_a AND ex.id_b = c.id_b),
+           |cnt AS (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true_pos)
+           |SELECT n_exact, n_candidates, n_true_pos,
+           |  CAST(CASE WHEN n_exact = 0 THEN 0
+           |       ELSE n_true_pos * 1000 // n_exact END AS BIGINT)
+           |    AS recall_permille,
+           |  CAST(CASE WHEN n_candidates = 0 THEN 0
+           |       ELSE n_true_pos * 1000 // n_candidates END AS BIGINT)
+           |    AS precision_permille
+           |FROM cnt""".stripMargin
+      }),
+
+    QueryDef("skew_salting_advisor",
+      // pre-flight skew check for a 100 TB join/groupBy: heavy keys via
+      // CMS sketch-then-verify (raw rows never shuffle on the key), exact
+      // counts, permille share, and the ceil(n/target) salt factor an
+      // explicit salted repartition needs — all integer arithmetic
+      (s, dir) => graft.functions.Stats.skewAdvisor(Tables.events(s, dir),
+          "event_type", minCount = 1000L, targetPerTask = 500L)
+        .orderBy("event_type"),
+      Some("""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+             |h AS (SELECT CAST(event_type AS VARCHAR) AS event_type,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1 HAVING count(*) >= 1000)
+             |SELECT h.event_type, h.n,
+             |  CAST(h.n * 1000 // t.total AS BIGINT) AS share_permille,
+             |  CAST((h.n + 499) // 500 AS BIGINT) AS salt_factor
+             |FROM h CROSS JOIN t ORDER BY event_type""".stripMargin)),
+
     QueryDef("join_size_sketch",
       // AQE-style join-cardinality estimate WITHOUT running the join:
       // m-bucket key histograms per side (mergeable integer counts), then

@@ -895,4 +895,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[Long].head()
     assert(top == 0L, "projection preserves the self-match")
   }
+
+  test("lshRecallReport: identical duplicates are always recalled; " +
+    "disjoint docs are never candidates") {
+    // three exact-dup pairs (jaccard 1.0 -> identical signatures -> every
+    // band matches -> guaranteed candidates) + disjoint filler docs
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "red orange yellow green blue indigo"),
+      (6L, "red orange yellow green blue indigo")) ++
+      (7L to 20L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e")))
+      .toDF("doc_id", "text")
+    val r = graft.functions.Dedup.lshRecallReport(docs, "doc_id", "text",
+        k = 3, numHashes = 8, bandRows = 2, threshold = 0.8)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nExact, nCand, nTp, recall, precision) = r
+    assert(nExact == 3L)
+    assert(nTp == 3L && recall == 1000L,
+      s"identical dups must all be recalled: $r")
+    assert(nCand >= 3L && precision <= 1000L)
+  }
+
+  test("skewAdvisor: heavy keys get exact counts, shares, and salt factors") {
+    val rows = Seq.fill(1000)("hot") ++ Seq.fill(500)("warm") ++
+      (0 until 100).map(i => s"cold_$i")
+    val out = graft.functions.Stats.skewAdvisor(rows.toDF("k"), "k",
+        minCount = 400L, targetPerTask = 300L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // total = 1600: hot 1000 -> 625 permille, salt ceil(1000/300)=4
+    assert(out == Map(
+      "hot" -> ((1000L, 625L, 4L)),
+      "warm" -> ((500L, 312L, 2L))))
+  }
 }
