@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object Recipe {
 
-  /** Per-source funnel counts. `benchMod`: docs with id % benchMod == 0
-    * form the held-out benchmark slice (the repo-wide decontam fixture
-    * convention); `sampleMod`: keep survivors with hash % sampleMod == 0. */
-  def pretrainFunnel(docs: DataFrame, lang: String = "en",
+  /** Per-doc stage flags — the funnel's working frame, exposed so the
+    * aggregate views (funnel counts, rejection samples) share one plan:
+    * (_lang_ok, _surv_q, _surv_d, _surv_c, _surv_s) per doc plus the
+    * original columns. See [[pretrainFunnel]] for the plan-shape notes. */
+  def stageFlags(docs: DataFrame, lang: String = "en",
       benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
     // stage 1+2: language + Gopher flags, all narrow columns in one pass
     val flagged0 = TextAnalysis.gopherFlags(docs)
@@ -62,10 +63,18 @@ object Recipe {
       .select("doc_id").distinct()
       .withColumn("_contam", lit(1))
     // stage 5: deterministic hash sample; stage 6: token budget
-    val staged = flagged.join(contaminated, Seq("doc_id"), "left")
+    flagged.join(contaminated, Seq("doc_id"), "left")
       .withColumn("_surv_c", col("_surv_d") && col("_contam").isNull)
       .withColumn("_surv_s", col("_surv_c") &&
         Sampling.hashSlice32(col("doc_id")) % sampleMod === 0)
+  }
+
+  /** Per-source funnel counts. `benchMod`: docs with id % benchMod == 0
+    * form the held-out benchmark slice (the repo-wide decontam fixture
+    * convention); `sampleMod`: keep survivors with hash % sampleMod == 0. */
+  def pretrainFunnel(docs: DataFrame, lang: String = "en",
+      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
+    val staged = stageFlags(docs, lang, benchMod, sampleMod)
     staged.groupBy(col("source")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n_lang"),
@@ -76,5 +85,26 @@ object Recipe {
       sum(when(col("_surv_s"),
         TextAnalysis.tokenCountWs(col("text")).cast("long"))
         .otherwise(0L)).as("tokens_final"))
+  }
+
+  /** Rejection census with examples — the debugging view a data team
+    * opens when a funnel stage eats more than expected: per
+    * (source, first-failed-stage) the doc count and the smallest doc id
+    * as a reproducible example. First-failure attribution follows the
+    * stage order (lang, quality, duplicate, contaminated, sampled_out,
+    * kept), so every doc lands in exactly one reason bucket and the
+    * counts reconcile with [[pretrainFunnel]]'s stage deltas. Same
+    * single-scan flag plan + one (source, reason) aggregate. */
+  def rejectionSamples(docs: DataFrame, lang: String = "en",
+      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
+    val staged = stageFlags(docs, lang, benchMod, sampleMod)
+    val reason = when(!col("_lang_ok"), "lang")
+      .when(!col("keep"), "quality")
+      .when(!col("_surv_d"), "duplicate")
+      .when(!col("_surv_c"), "contaminated")
+      .when(!col("_surv_s"), "sampled_out")
+      .otherwise("kept")
+    staged.groupBy(col("source"), reason.as("reason"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("example_id"))
   }
 }

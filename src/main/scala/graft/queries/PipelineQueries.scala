@@ -254,6 +254,54 @@ object PipelineQueries {
       path
     })
 
+  /** Shared DuckDB CTE chain for the pretraining-recipe gates
+    * ([[graft.functions.Recipe.stageFlags]] replayed from raw text):
+    * yields `s4` with one row per doc carrying doc_id, source, n_tokens
+    * and the five stage flags. Final SELECTs differ per gate. */
+  private def recipeStageCtes: String = {
+    val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
+    s"""m AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text,' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text,' '))) AS n_uniq,
+       |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
+       |    length(text) AS n_chars,
+       |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
+       |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
+       |                / (len(string_split(text,' ')) - 2) END AS rep3,
+       |    $langScoreSql
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, text, n_tokens,
+       |    ($langCaseSql) = 'en' AS lang_ok,
+       |    ((n_tokens >= 8 AND n_tokens <= 100000)
+       |     AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
+       |          AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0)
+       |     AND (rep3 <= 0.5)
+       |     AND (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02)) AS gopher_ok
+       |  FROM m),
+       |s2 AS (
+       |  SELECT *, (lang_ok AND gopher_ok) AS surv_q,
+       |    ((lang_ok AND gopher_ok) AND doc_id = min(CASE
+       |        WHEN lang_ok AND gopher_ok THEN doc_id END)
+       |      OVER (PARTITION BY md5(text))) AS surv_d
+       |  FROM f),
+       |bg AS (
+       |  SELECT DISTINCT unnest($Shingles5Sql) AS gram
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |contam AS (
+       |  SELECT DISTINCT e.doc_id AS cid
+       |  FROM (SELECT doc_id, unnest($Shingles5Sql) AS gram
+       |        FROM s2 WHERE surv_d) e
+       |  JOIN bg USING (gram)),
+       |s4 AS (
+       |  SELECT s2.doc_id, s2.source, s2.n_tokens, s2.lang_ok, s2.gopher_ok,
+       |    s2.surv_q, s2.surv_d,
+       |    (s2.surv_d AND c.cid IS NULL) AS surv_c,
+       |    (s2.surv_d AND c.cid IS NULL AND ($DocHashSql) % 2 = 0) AS surv_s
+       |  FROM s2 LEFT JOIN contam c ON s2.doc_id = c.cid)""".stripMargin
+  }
+
   /** Day-partitioned HLL sub-sketch layout, landed once per dir — the
     * distinct-cardinality analogue of [[rollupPath]], same offline-warmup
     * stance. */
@@ -4340,46 +4388,7 @@ object PipelineQueries {
           Tables.documents(s, dir))
         .orderBy("source"),
       Some {
-        val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
-        s"""WITH m AS (
-           |  SELECT doc_id, source, text,
-           |    len(string_split(text,' ')) AS n_tokens,
-           |    len(list_distinct(string_split(text,' '))) AS n_uniq,
-           |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
-           |    length(text) AS n_chars,
-           |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
-           |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
-           |                / (len(string_split(text,' ')) - 2) END AS rep3,
-           |    $langScoreSql
-           |  FROM documents),
-           |f AS (
-           |  SELECT doc_id, source, text, n_tokens,
-           |    ($langCaseSql) = 'en' AS lang_ok,
-           |    ((n_tokens >= 8 AND n_tokens <= 100000)
-           |     AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
-           |          AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0)
-           |     AND (rep3 <= 0.5)
-           |     AND (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02)) AS gopher_ok
-           |  FROM m),
-           |s2 AS (
-           |  SELECT *, (lang_ok AND gopher_ok) AS surv_q,
-           |    ((lang_ok AND gopher_ok) AND doc_id = min(CASE
-           |        WHEN lang_ok AND gopher_ok THEN doc_id END)
-           |      OVER (PARTITION BY md5(text))) AS surv_d
-           |  FROM f),
-           |bg AS (
-           |  SELECT DISTINCT unnest($Shingles5Sql) AS gram
-           |  FROM documents WHERE doc_id % 20 = 0),
-           |contam AS (
-           |  SELECT DISTINCT e.doc_id AS cid
-           |  FROM (SELECT doc_id, unnest($Shingles5Sql) AS gram
-           |        FROM s2 WHERE surv_d) e
-           |  JOIN bg USING (gram)),
-           |s4 AS (
-           |  SELECT s2.source, s2.n_tokens, s2.lang_ok, s2.surv_q, s2.surv_d,
-           |    (s2.surv_d AND c.cid IS NULL) AS surv_c,
-           |    (s2.surv_d AND c.cid IS NULL AND ($DocHashSql) % 2 = 0) AS surv_s
-           |  FROM s2 LEFT JOIN contam c ON s2.doc_id = c.cid)
+        s"""WITH $recipeStageCtes
            |SELECT source, count(*) AS n_raw,
            |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
            |  CAST(sum(CASE WHEN surv_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -4388,6 +4397,31 @@ object PipelineQueries {
            |  CAST(sum(CASE WHEN surv_s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            |  CAST(sum(CASE WHEN surv_s THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
            |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    QueryDef("recipe_rejection_samples",
+      // the funnel's debugging view: per (source, FIRST failed stage) the
+      // doc count and the smallest doc id as a reproducible example —
+      // every doc lands in exactly one reason bucket, so the census
+      // reconciles with the funnel's stage deltas; same single-scan flag
+      // plan, one (source, reason) aggregate
+      (s, dir) => graft.functions.Recipe.rejectionSamples(
+          Tables.documents(s, dir))
+        .orderBy("source", "reason"),
+      Some {
+        s"""WITH $recipeStageCtes,
+           |r AS (
+           |  SELECT source, doc_id,
+           |    CASE WHEN NOT lang_ok THEN 'lang'
+           |         WHEN NOT gopher_ok THEN 'quality'
+           |         WHEN NOT surv_d THEN 'duplicate'
+           |         WHEN NOT surv_c THEN 'contaminated'
+           |         WHEN NOT surv_s THEN 'sampled_out'
+           |         ELSE 'kept' END AS reason
+           |  FROM s4)
+           |SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs,
+           |  min(doc_id) AS example_id
+           |FROM r GROUP BY source, reason ORDER BY source, reason""".stripMargin
       }),
 
     QueryDef("kmv_distinct_grams",

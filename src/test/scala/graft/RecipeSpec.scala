@@ -54,6 +54,23 @@ class RecipeSpec extends AnyFunSuite {
     assert(out == ((2L, 1L)))
   }
 
+  test("rejectionSamples: one reason per doc, reconciling with the funnel") {
+    val docs = Seq(
+      (10L, goodText(1), "src0"), // kept
+      (11L, goodText(1), "src0"), // duplicate of 10
+      (12L, "el la los las de y en un una que por del", "src0"), // lang
+      (14L, "tiny doc", "src0")) // quality (lang-id says en, too short)
+      .toDF("doc_id", "text", "source")
+    val out = Recipe.rejectionSamples(docs, benchMod = 1000L, sampleMod = 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map(t => t._2 -> (t._3, t._4)).toMap
+    assert(out == Map(
+      "kept" -> ((1L, 10L)),
+      "duplicate" -> ((1L, 11L)),
+      "lang" -> ((1L, 12L)),
+      "quality" -> ((1L, 14L))))
+  }
+
   test("funnel: sample gate applies the repo-standard md5-slice predicate") {
     val docs = (0 until 40).map(i =>
       (1000L + i, goodText(i), "s")).toDF("doc_id", "text", "source")
