@@ -89,7 +89,11 @@ object Bench {
     "phrase_search_positional", "recipe_pretrain_funnel",
     "kmv_distinct_grams", "kmv_source_setops",
     "events_funnel_steps", "join_size_sketch", "hll_rollup_range",
-    "lsh_recall_report", "skew_salting_advisor", "recipe_rejection_samples")
+    "lsh_recall_report", "skew_salting_advisor", "recipe_rejection_samples",
+    // round-8 third batch: mergeable log-histogram quantile sketch —
+    // tail percentiles in one partial-aggregable pass + the additive
+    // day-slice merge law
+    "quantile_sketch_prices", "quantile_sketch_merge_parity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -309,4 +309,124 @@ object Sketches {
        |SELECT CAST(COALESCE(sum(ca.cnt * cb.cnt), 0) AS BIGINT) AS est_join_size,
        |  CAST(count(*) AS BIGINT) AS n_shared_buckets
        |FROM ca JOIN cb USING (bucket)""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Mergeable log-histogram quantile sketch (the DDSketch idea — Masson
+  // et al. 2019 — rebuilt on EXACT INTEGER bucketing so any SQL engine
+  // reproduces it bit-for-bit). Exact per-group percentiles need either a
+  // per-group sort or the repo's two-pass bounded-histogram walk
+  // (Stats.groupedExactPercentiles) — both touch raw values twice or
+  // shuffle value-keyed rows. The log-histogram needs ONE partial-
+  // aggregable pass: bucket = (octave e = floor(log2(v)), sub-bucket
+  // within the octave), count per bucket. State per group is <= 64
+  // octaves x QsSub buckets (~1 KB of longs), buckets MERGE by addition
+  // (days/partitions/ingest batches sum without re-reading data), and the
+  // reported bucket lower bound is within a 1/QsSub RELATIVE error of the
+  // true order statistic at every quantile simultaneously.
+  //
+  // Determinism: log2 via the length of the value's binary string —
+  // `bin()` exists in both Spark and DuckDB and yields the minimal-length
+  // binary rendering of a positive BIGINT, so e = length(bin(v)) - 1 is
+  // exact integer arithmetic, no libm log anywhere. Sub-bucket and lower
+  // bound are shifts + integer division. Domain: v in [0, 2^50) — the
+  // sub-bucket product (v - 2^e) * QsSub must not overflow; counts,
+  // cents, latencies, and token tallies all fit with 13 bits to spare.
+  // --------------------------------------------------------------------
+
+  /** Sub-buckets per octave: relative error of a reported quantile lower
+    * bound is < 1/QsSub = 6.25% (bucket width 2^e/16 <= lb/16). */
+  val QsSub = 16
+
+  /** Per-group log-histogram sketch: (groupCols*, e, sub, cnt).
+    * v < 1 (zeros) lands in the sentinel bucket (e = -1, sub = 0) whose
+    * lower bound is 0. One group-keyed shuffle of <= ~1K rows per group,
+    * partial count map-side. */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+      .withColumn("e",
+        when(col("_v") >= 1, length(bin(col("_v"))) - 1).otherwise(-1).cast("int"))
+      .withColumn("sub",
+        when(col("_v") >= 1, expr(
+          s"((_v - shiftleft(CAST(1 AS BIGINT), e)) * $QsSub) " +
+            "div shiftleft(CAST(1 AS BIGINT), e)"))
+          .otherwise(0L).cast("int"))
+      .groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sub-sketches (same schema as [[logHistSketch]] output, possibly
+    * carrying extra slice columns like a day key): bucket-wise SUM. The
+    * 100 TB path mirrors [[hllMerge]]: per-slice sketches land as tiny
+    * tables; any range/rollup re-aggregates them without raw data. */
+  def logHistMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    sketches.map(_.select((groupCols :+ "e" :+ "sub" :+ "cnt").map(col): _*))
+      .reduce(_ unionByName _)
+      .groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates per group from a sketch frame, one row per
+    * requested permille: (groupCols*, q_permille, n_rows, qtile_lb).
+    * Rank convention: target rank r = ceil(n * q / 1000); the estimate is
+    * the LOWER BOUND of the first bucket whose cumulative count reaches r
+    * — lb = ((QsSub + sub) * 2^e) div QsSub, monotone in (e, sub), so the
+    * min over qualifying buckets IS the crossing bucket. All stages run
+    * over bucket-sized frames; the window partitions by group. */
+  def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      permilles: Seq[Int]): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val qs = broadcast(permilles.toDF("q_permille"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("e"), col("sub"))
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("lb", expr(
+        s"CASE WHEN e >= 0 THEN (($QsSub + sub) * " +
+          s"shiftleft(CAST(1 AS BIGINT), e)) div $QsSub " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    val tgt = sketch.groupBy(groupCols.map(col): _*)
+      .agg(sum("cnt").as("n_rows"))
+      .crossJoin(qs)
+      .withColumn("r", expr("(n_rows * q_permille + 999) div 1000"))
+    cum.join(tgt, groupCols)
+      .filter(col("cum") >= col("r"))
+      .groupBy((groupCols :+ "q_permille").map(col): _*)
+      .agg(max("n_rows").as("n_rows"), min("lb").as("qtile_lb"))
+  }
+
+  /** One-call convenience: sketch + quantiles. */
+  def logHistDistribution(df: DataFrame, groupCols: Seq[String], value: Column,
+      permilles: Seq[Int]): DataFrame =
+    logHistQuantiles(logHistSketch(df, groupCols, value), groupCols, permilles)
+
+  /** DuckDB replay of sketch + quantile walk over a (group, value)
+    * relation given by `relSql` (must select `g` VARCHAR-ish and `v`
+    * BIGINT), emitting (outName, q_permille, n_rows, qtile_lb). */
+  def logHistOracleSql(relSql: String, permilles: Seq[Int],
+      outName: String): String = {
+    val qlist = permilles.mkString(", ")
+    s"""WITH v0 AS ($relSql),
+       |b AS (SELECT g,
+       |    CASE WHEN v >= 1 THEN length(bin(v)) - 1 ELSE -1 END AS e,
+       |    CASE WHEN v >= 1 THEN
+       |      ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * $QsSub)
+       |        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+       |    ELSE 0 END AS sub
+       |  FROM v0),
+       |sk AS (SELECT g, e, sub, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+       |c AS (SELECT g, e, sub, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY e, sub) AS cum,
+       |    CASE WHEN e >= 0 THEN
+       |      (($QsSub + sub) * (CAST(1 AS BIGINT) << e)) // $QsSub
+       |    ELSE 0 END AS lb
+       |  FROM sk),
+       |n AS (SELECT g, sum(cnt) AS n_rows FROM sk GROUP BY 1),
+       |t AS (SELECT n.g, q.q_permille, n.n_rows,
+       |    (n.n_rows * q.q_permille + 999) // 1000 AS r
+       |  FROM n CROSS JOIN (SELECT unnest([$qlist]) AS q_permille) q)
+       |SELECT t.g AS $outName, CAST(t.q_permille AS INT) AS q_permille,
+       |  CAST(max(t.n_rows) AS BIGINT) AS n_rows,
+       |  CAST(min(c.lb) AS BIGINT) AS qtile_lb
+       |FROM t JOIN c ON c.g = t.g AND c.cum >= t.r
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

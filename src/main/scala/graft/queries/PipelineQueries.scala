@@ -4639,5 +4639,46 @@ object PipelineQueries {
         Tables.lineitem(s, dir), col("l_orderkey")),
       Some(graft.functions.Sketches.joinSizeOracleSql(
         "orders", "CAST(o_orderkey AS VARCHAR)",
-        "lineitem", "CAST(l_orderkey AS VARCHAR)"))))
+        "lineitem", "CAST(l_orderkey AS VARCHAR)"))),
+
+    QueryDef("quantile_sketch_prices",
+      // tail latencies/prices at 100 TB without a sort: the DDSketch-style
+      // log-histogram — ONE partial-aggregable pass, <= ~1 KB of bucket
+      // counts per group across the shuffle, every quantile read off the
+      // same sketch with < 1/16 relative error. Exact integer bucketing
+      // (bin-length log2, shifts, integer division) makes the estimate
+      // bit-reproducible: the oracle replays bucket assignment, the
+      // cumulative walk, and the ceil-rank convention
+      (s, dir) => graft.functions.Sketches.logHistDistribution(
+          Tables.lineitem(s, dir).select(col("l_returnflag"),
+            graft.functions.Money.cents(col("l_extendedprice")).as("cents")),
+          Seq("l_returnflag"), col("cents"), Seq(500, 900, 990, 999))
+        .orderBy("l_returnflag", "q_permille"),
+      Some(graft.functions.Sketches.logHistOracleSql(
+        """SELECT l_returnflag AS g,
+          |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |FROM lineitem""".stripMargin,
+        Seq(500, 900, 990, 999), "l_returnflag"))),
+
+    QueryDef("quantile_sketch_merge_parity",
+      // the incremental seat of the quantile sketch: per-DAY sub-sketches
+      // (the shape a 100 TB pipeline lands once per ingest slice) merged
+      // by bucket-wise SUM, then quantiled — the oracle sketches the raw
+      // stream directly, so the gate hash-proves the additive merge law
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          graft.functions.Money.cents(col("value")).as("cents"))
+        val daily = graft.functions.Sketches.logHistSketch(
+          ev, Seq("event_type", "day"), col("cents"))
+        graft.functions.Sketches.logHistQuantiles(
+            graft.functions.Sketches.logHistMerge(Seq(daily), Seq("event_type")),
+            Seq("event_type"), Seq(250, 500, 750, 950))
+          .orderBy("event_type", "q_permille")
+      },
+      Some(graft.functions.Sketches.logHistOracleSql(
+        """SELECT event_type AS g,
+          |  CAST(round(value * 100) AS BIGINT) AS v
+          |FROM events""".stripMargin,
+        Seq(250, 500, 750, 950), "event_type"))))
 }

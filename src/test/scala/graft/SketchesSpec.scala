@@ -190,4 +190,85 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(iAb - 900.0) / 900.0 < 0.25, s"intersection $iAb")
     assert(out(("a", "c"))._1 == 0.0 && out(("b", "c"))._1 == 0.0)
   }
+
+  /** JVM-side mirror of the log-histogram bucket contract: octave from
+    * leading zeros, sub-bucket, lower bound — independent of the Spark
+    * column expressions. */
+  private def expectedLogBucket(v: Long): (Int, Int, Long) =
+    if (v < 1) (-1, 0, 0L)
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val p = 1L << e
+      val sub = (((v - p) * Sketches.QsSub) / p).toInt
+      val lb = ((Sketches.QsSub + sub) * p) / Sketches.QsSub
+      (e, sub, lb)
+    }
+
+  test("logHistSketch bucket assignment matches an independent JVM replay") {
+    val vals = Seq(0L, 1L, 2L, 3L, 15L, 16L, 17L, 31L, 32L, 100L, 1023L,
+      1024L, 49002L, 104997L, 1L << 40, (1L << 41) - 1)
+    val got = Sketches.logHistSketch(
+        vals.toDF("v").withColumn("g", lit("all")), Seq("g"), col("v"))
+      .select("e", "sub", "cnt").as[(Int, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val want = vals.map(expectedLogBucket).groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> vs.size.toLong }
+    assert(got == want)
+  }
+
+  test("logHist quantiles: lower bound <= exact order statistic, " +
+    "relative error < 1/QsSub at every quantile") {
+    val rnd = new scala.util.Random(7)
+    val vals = (0 until 5000).map(_ => 1L + rnd.nextInt(2000000).toLong)
+    val df = vals.toDF("v").withColumn("g", lit("all"))
+    val perm = Seq(100, 250, 500, 900, 990, 999)
+    val got = Sketches.logHistDistribution(df, Seq("g"), col("v"), perm)
+      .select("q_permille", "qtile_lb").as[(Int, Long)].collect().toMap
+    val sorted = vals.sorted
+    perm.foreach { q =>
+      val r = (vals.size.toLong * q + 999) / 1000 // ceil rank, 1-based
+      val exact = sorted((r - 1).toInt)
+      val lb = got(q)
+      assert(lb <= exact, s"q=$q lb=$lb exact=$exact")
+      assert(exact - lb <= exact / Sketches.QsSub + 1,
+        s"q=$q lb=$lb exact=$exact outside 1/${Sketches.QsSub} bound")
+    }
+  }
+
+  test("logHist merge law: sum-merged slice sketches == direct sketch exactly") {
+    val df = (0 until 3000)
+      .map(i => (s"g${i % 2}", s"d${i % 5}", 1L + (i * 37) % 10000))
+      .toDF("g", "day", "v")
+    val direct = Sketches.logHistSketch(df, Seq("g"), col("v"))
+      .select("g", "e", "sub", "cnt").as[(String, Int, Int, Long)]
+      .collect().toSet
+    val daily = Sketches.logHistSketch(df, Seq("g", "day"), col("v"))
+    val merged = Sketches.logHistMerge(Seq(daily), Seq("g"))
+      .select("g", "e", "sub", "cnt").as[(String, Int, Int, Long)]
+      .collect().toSet
+    assert(merged == direct)
+    // and the quantile read off the merged sketch is identical too
+    val qd = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(df, Seq("g"), col("v")), Seq("g"), Seq(500))
+      .select("g", "qtile_lb").as[(String, Long)].collect().toSet
+    val qm = Sketches.logHistQuantiles(
+        Sketches.logHistMerge(Seq(daily), Seq("g")), Seq("g"), Seq(500))
+      .select("g", "qtile_lb").as[(String, Long)].collect().toSet
+    assert(qd == qm)
+  }
+
+  test("logHist rank convention: ceil(n*q/1000) on a hand-built fixture") {
+    // values 1..100 in one group: q=500 -> rank 50 -> value 50 whose
+    // bucket is (e=5, sub=9), lb = (16+9)*32/16 = 50 (exact here)
+    val df = (1L to 100L).toDF("v").withColumn("g", lit("x"))
+    val got = Sketches.logHistDistribution(df, Seq("g"), col("v"),
+        Seq(500, 1000))
+      .select("q_permille", "n_rows", "qtile_lb")
+      .as[(Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(500) == ((100L, 50L)))
+    // q=1000 -> rank 100 -> value 100: e=6, sub=(100-64)*16/64=9,
+    // lb = (16+9)*64/16 = 100
+    assert(got(1000) == ((100L, 100L)))
+  }
 }
