@@ -93,7 +93,8 @@ object Bench {
     // round-8 third batch: mergeable log-histogram quantile sketch —
     // tail percentiles in one partial-aggregable pass + the additive
     // day-slice merge law
-    "quantile_sketch_prices", "quantile_sketch_merge_parity")
+    "quantile_sketch_prices", "quantile_sketch_merge_parity",
+    "hybrid_search_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

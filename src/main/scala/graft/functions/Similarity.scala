@@ -39,6 +39,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse any
+    * number of rankers' top-K lists by summing 1/(k0 + rank) per document
+    * — the standard hybrid-retrieval combiner (sparse BM25 + dense
+    * cosine), robust to incomparable score scales because only RANKS
+    * enter the fusion. Integer-exact: the contribution is
+    * scale div (k0 + rank), so the fused score is a BIGINT any SQL
+    * engine reproduces.
+    *
+    * Scale: each input is already a top-K shortlist (lists x K rows
+    * total), so the union/aggregate/final rank all run over a bounded
+    * pool — the corpus-sized work happened inside the upstream rankers.
+    * Every ranking must carry `idCol` and a 1-based `rankCol`.
+    * Output: (idCol, rrf_score_ppm, n_lists, rank), top `topK` by
+    * (fused score DESC, id ASC). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k0: Int = 60, topK: Int = 10, scale: Long = 1000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings
+      .map(_.select(col(idCol), expr(
+        s"CAST($scale AS BIGINT) div (CAST($k0 AS BIGINT) + CAST($rankCol AS BIGINT))")
+        .as("_c")))
+      .reduce(_ unionByName _)
+    val f = u.groupBy(col(idCol))
+      .agg(sum("_c").as("rrf_score_ppm"), count(lit(1)).as("n_lists"))
+    // single-task window over the shortlist-sized fused pool — by design
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score_ppm").desc, col(idCol))
+    f.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
   /** Deterministic pseudo-random hyperplanes: nPlanes x dim, components in
     * [-1, 1), from a fixed LCG — plan literals, identical across runs. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {

@@ -4680,5 +4680,71 @@ object PipelineQueries {
         """SELECT event_type AS g,
           |  CAST(round(value * 100) AS BIGINT) AS v
           |FROM events""".stripMargin,
-        Seq(250, 500, 750, 950), "event_type"))))
+        Seq(250, 500, 750, 950), "event_type"))),
+
+    QueryDef("hybrid_search_rrf",
+      // hybrid retrieval: BM25 top-50 (sparse/lexical) and brute-force
+      // cosine top-50 over the aligned embedding table (dense/semantic)
+      // fused by reciprocal-rank fusion — integer 1e6 div (60 + rank)
+      // contributions, so incomparable score scales never mix. The fused
+      // pool is 2x50 rows; the corpus-sized work lives in the two
+      // rankers, both of which have their own scale paths (inverted
+      // postings / IVF). Oracle replays BOTH rankings and the fusion.
+      (s, dir) => {
+        val sparse = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+            "doc_id", "text", Seq("q_scan" -> Seq("scan", "table", "column")),
+            k1 = 1.2, b = 0.75, topK = 50)
+          .select(col("doc_id"), col("rnk").as("rank"))
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter(col("vec_id") === 0).head().getSeq[Float](1)
+        val dense = Similarity.bruteForceTopK(emb, "embedding", "vec_id", qv, 50)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        Similarity.rrfFuse(Seq(sparse, dense), "doc_id", "rank",
+            k0 = 60, topK = 10)
+          .orderBy("rank")
+      },
+      Some {
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           |           FROM documents),
+           |st AS (SELECT count(*) AS n, sum(len(t)) AS tot FROM d),
+           |tf AS (SELECT doc_id, dl, tok AS term, count(*) AS tf
+           |       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM d)
+           |       WHERE tok IN ('scan','table','column')
+           |       GROUP BY 1, 2, 3),
+           |dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+           |sc AS (SELECT tf.doc_id,
+           |    CAST(floor(ln(1.0 + (st.n - dft.dft + 0.5) / (dft.dft + 0.5))
+           |      * (tf.tf * 2.2)
+           |      / (tf.tf + 1.2 * (0.25 + 0.75 * ((tf.dl * st.n) / st.tot)))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS s
+           |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+           |pd AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS sm
+           |       FROM sc GROUP BY 1),
+           |sparse AS (SELECT doc_id, rnk FROM (
+           |    SELECT doc_id, row_number() OVER (ORDER BY sm DESC, doc_id)
+           |      AS rnk FROM pd)
+           |  WHERE rnk <= 50),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT vec_id,
+           |    ${dotSql("embedding", "qv")} /
+           |    (sqrt(${dotSql("embedding", "embedding")}) * sqrt(${dotSql("qv", "qv")})) AS cos
+           |  FROM embeddings CROSS JOIN q),
+           |dense AS (SELECT doc_id, rnk FROM (
+           |    SELECT vec_id AS doc_id,
+           |      row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk FROM cs)
+           |  WHERE rnk <= 50),
+           |u AS (SELECT doc_id, 1000000 // (60 + rnk) AS c FROM sparse
+           |      UNION ALL SELECT doc_id, 1000000 // (60 + rnk) FROM dense),
+           |f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score_ppm,
+           |      CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1)
+           |SELECT doc_id, rrf_score_ppm, n_lists, rank FROM (
+           |  SELECT doc_id, rrf_score_ppm, n_lists,
+           |    CAST(row_number() OVER (ORDER BY rrf_score_ppm DESC, doc_id)
+           |      AS INT) AS rank
+           |  FROM f)
+           |WHERE rank <= 10 ORDER BY rank""".stripMargin
+      }))
 }

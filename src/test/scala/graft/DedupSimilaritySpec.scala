@@ -931,4 +931,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "hot" -> ((1000L, 625L, 4L)),
       "warm" -> ((500L, 312L, 2L))))
   }
+
+  test("rrfFuse: hand-computed fixture — docs in both lists outrank " +
+    "docs in one, integer contributions exact") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "id", "rank", k0 = 60, topK = 10)
+      .select("id", "rrf_score_ppm", "n_lists", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    // 1e6 div 61 = 16393, div 62 = 16129, div 63 = 15873
+    assert(got(2L) == ((16393L + 16129L, 2L, 1)))
+    assert(got(3L) == ((15873L + 16129L, 2L, 2)))
+    assert(got(1L) == ((16393L, 1L, 3)))
+    assert(got(4L) == ((15873L, 1L, 4)))
+  }
+
+  test("rrfFuse: topK truncates by fused score with id tie-break") {
+    val a = Seq((10L, 1), (20L, 1)).toDF("id", "rank") // same contribution
+    val got = Similarity.rrfFuse(Seq(a), "id", "rank", topK = 1)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(10L)) // tie -> smaller id first
+  }
 }
