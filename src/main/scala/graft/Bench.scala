@@ -94,7 +94,7 @@ object Bench {
     // tail percentiles in one partial-aggregable pass + the additive
     // day-slice merge law
     "quantile_sketch_prices", "quantile_sketch_merge_parity",
-    "hybrid_search_rrf")
+    "hybrid_search_rrf", "quantile_rollup_range", "k_anonymity_census")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,6 +155,9 @@ object Bench {
       // HLL sub-sketch layout: same nightly-append stance; the timed
       // hll_rollup_range entry measures the pruned sketch merge
       graft.queries.PipelineQueries.hllRollupPath(spark, sfDir)
+      // log-histogram sub-sketch layout: same stance; the timed
+      // quantile_rollup_range entry measures the pruned bucket-sum merge
+      graft.queries.PipelineQueries.logHistRollupPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -273,4 +273,24 @@ object Stats {
     df.select(col(keyCol), col(tsCol), col(tieCol),
       terms.reduce(_ + _).as("ewma_scaled"))
   }
+
+  /** k-anonymity census (Sweeney 2002) over a quasi-identifier column
+    * set: group the table by the QI columns into equivalence classes,
+    * then census the CLASS SIZES — for each size, how many classes and
+    * rows sit at it, and whether that size is below the anonymity
+    * threshold k (`at_risk`). Rows in classes of size 1 are uniquely
+    * re-identifiable from the QIs alone; the census is the
+    * release-readiness check a training-data pipeline runs before
+    * publishing extracted records.
+    *
+    * Scale: two partial-aggregable shuffles — (QI cols) then
+    * (class_size) — the same count-of-counts funnel as the vocabulary
+    * coverage curve; nothing row-sized ever reaches the driver. */
+  def kAnonymityCensus(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
+      .withColumn("at_risk",
+        when(col("class_size") < k, 1).otherwise(0).cast("int"))
 }

@@ -316,6 +316,19 @@ object PipelineQueries {
       path
     })
 
+  /** Day-partitioned log-histogram sub-sketch layout — the distribution
+    * analogue of [[hllRollupPath]], same offline-warmup stance. */
+  private val logHistRollupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def logHistRollupPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    logHistRollupDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("loghist-rollup", dir)
+      graft.sources.Layout.writeDailyLogHistSketch(Tables.events(s, dir), path,
+        graft.functions.Money.cents(col("value")))
+      path
+    })
+
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def ivfIndexedPath(s: org.apache.spark.sql.SparkSession,
@@ -4746,5 +4759,43 @@ object PipelineQueries {
            |      AS INT) AS rank
            |  FROM f)
            |WHERE rank <= 10 ORDER BY rank""".stripMargin
-      }))
+      }),
+
+    QueryDef("quantile_rollup_range",
+      // incremental view maintenance for DISTRIBUTIONS: day-partitioned
+      // log-histogram sub-sketches land once (offline layout, like the
+      // HLL rollup); a two-week per-type p50/p95/p99 then merges the
+      // touched days' bucket counts (partition-pruned, <= days x ~1K
+      // longs per group) — the oracle sketches the raw range directly,
+      // so the gate hash-proves the additive merge law over the layout
+      (s, dir) => graft.sources.Layout.readLogHistRangeQuantiles(s,
+          logHistRollupPath(s, dir), "2024-01-08", "2024-01-21",
+          Seq(500, 950, 990))
+        .orderBy("event_type", "q_permille"),
+      Some(graft.functions.Sketches.logHistOracleSql(
+        """SELECT event_type AS g,
+          |  CAST(round(value * 100) AS BIGINT) AS v
+          |FROM events
+          |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          |      BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'""".stripMargin,
+        Seq(500, 950, 990), "event_type"))),
+
+    QueryDef("k_anonymity_census",
+      // release-readiness privacy check: equivalence classes of the
+      // quasi-identifier set (nation, market segment), then a census of
+      // CLASS SIZES with the at-risk flag (size < k=10 — rows
+      // re-identifiable from the QIs alone). Two partial-aggregable
+      // shuffles, count-of-counts shape — nothing row-sized anywhere
+      (s, dir) => graft.functions.Stats.kAnonymityCensus(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("class_size"),
+      Some("""WITH c AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(class_size AS BIGINT) AS class_size,
+             |  CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN class_size < 10 THEN 1 ELSE 0 END AS INT)
+             |    AS at_risk
+             |FROM c GROUP BY class_size ORDER BY class_size""".stripMargin)))
 }

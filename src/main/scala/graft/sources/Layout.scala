@@ -168,6 +168,37 @@ object Layout {
     graft.functions.Sketches.hllEstimate(merged, Seq(groupCol))
   }
 
+  /** Day-partitioned log-histogram quantile sub-sketches — the same
+    * incremental-maintenance layout as [[writeDailyHllSketch]] for the
+    * DISTRIBUTION instead of the cardinality: each ingest slice lands its
+    * bucket counts once; any later range/rollup question re-aggregates
+    * the tiny states, never raw events. */
+  def writeDailyLogHistSketch(events: DataFrame, path: String, value: Column,
+      tsCol: String = "ts", groupCol: String = "event_type"): Unit =
+    graft.functions.Sketches.logHistSketch(
+        events.withColumn("event_date", to_date(col(tsCol))),
+        Seq("event_date", groupCol), value)
+      .repartition(col("event_date"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Quantile estimates for a date range FROM the sketch rollup:
+    * partition pruning keeps IO to the touched days, the merge moves
+    * <= days x ~1K bucket counts per group, and the result is
+    * bit-identical to sketching the raw range directly (bucket counts
+    * are additive — pinned by the gate oracle, which does exactly that). */
+  def readLogHistRangeQuantiles(spark: SparkSession, path: String,
+      fromDay: String, toDay: String, permilles: Seq[Int],
+      groupCol: String = "event_type"): DataFrame = {
+    val merged = spark.read.parquet(path)
+      .filter(col("event_date") >= lit(fromDay) &&
+        col("event_date") <= lit(toDay))
+      .groupBy(groupCol, "e", "sub")
+      .agg(sum("cnt").as("cnt"))
+    graft.functions.Sketches.logHistQuantiles(merged, Seq(groupCol), permilles)
+  }
+
   /** Coarser-granularity view FROM the daily partials — the cascade that
     * makes rollup maintenance compose: weekly (epoch-week) totals are a
     * re-aggregation of the day states, never of raw events, because the

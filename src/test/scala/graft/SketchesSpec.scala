@@ -171,6 +171,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("daily logHist sketch rollup: pruned range merge == direct sketch " +
+    "of the range") {
+    val dir = java.nio.file.Files.createTempDirectory("lhroll").toString
+    val ev = (0 until 400).map { i =>
+      (i.toLong, f"2024-01-${1 + i % 20}%02d 12:00:00",
+        (1.0 + (i * 13) % 5000) / 100.0, s"t${i % 2}")
+    }.toDF("event_id", "ts_s", "value", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    graft.sources.Layout.writeDailyLogHistSketch(ev, dir,
+      graft.functions.Money.cents(col("value")))
+    val got = graft.sources.Layout
+      .readLogHistRangeQuantiles(spark, dir, "2024-01-05", "2024-01-12",
+        Seq(500, 950))
+      .select("event_type", "q_permille", "n_rows", "qtile_lb")
+      .as[(String, Int, Long, Long)].collect().toSet
+    val want = Sketches.logHistDistribution(
+        ev.filter(to_date(col("ts")).between("2024-01-05", "2024-01-12")),
+        Seq("event_type"), graft.functions.Money.cents(col("value")),
+        Seq(500, 950))
+      .select("event_type", "q_permille", "n_rows", "qtile_lb")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("kmv pair estimates: disjoint sets have zero intersection, " +
     "heavily overlapping sets track true jaccard") {
     // A and B share 900 of 1000 values; C is disjoint from both

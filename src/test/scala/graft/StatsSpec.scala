@@ -118,4 +118,17 @@ class StatsSpec extends AnyFunSuite {
       .as[(String, Double, Long)].head()
     assert(cut._3 == -1L) // ceil(1000*0.5)=500 -> 500th smallest of -500..499
   }
+
+  test("kAnonymityCensus: class sizes, counts, and at-risk flag on a " +
+    "hand-built fixture") {
+    // QI (a, b): class (1,x) has 1 row, (1,y) has 3, (2,x) has 3, (2,y) has 5
+    val rows = Seq((1, "x")) ++ Seq.fill(3)((1, "y")) ++
+      Seq.fill(3)((2, "x")) ++ Seq.fill(5)((2, "y"))
+    val got = Stats.kAnonymityCensus(rows.toDF("a", "b"), Seq("a", "b"), k = 4)
+      .select("class_size", "n_classes", "n_rows", "at_risk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 1L, 1), (3L, 2L, 6L, 1), (5L, 1L, 5L, 0)))
+    // row conservation: n_rows sums to the table size
+    assert(got.toSeq.map(_._3).sum == rows.size)
+  }
 }
