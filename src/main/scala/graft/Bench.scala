@@ -94,7 +94,8 @@ object Bench {
     // tail percentiles in one partial-aggregable pass + the additive
     // day-slice merge law
     "quantile_sketch_prices", "quantile_sketch_merge_parity",
-    "hybrid_search_rrf", "quantile_rollup_range", "k_anonymity_census")
+    "hybrid_search_rrf", "quantile_rollup_range", "k_anonymity_census",
+    "quantile_rank_sketch", "range_partition_advisor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -342,7 +342,15 @@ object Sketches {
     * lower bound is 0. One group-keyed shuffle of <= ~1K rows per group,
     * partial count map-side. */
   def logHistSketch(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
-    df.select(groupCols.map(col) :+ value.cast("long").as("_v"): _*)
+    withLogBuckets(df.select(groupCols.map(col) :+ value.as("_in"): _*),
+        col("_in"))
+      .groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Append the (e, sub) bucket columns for `value` — the single bucket-
+    * assignment definition shared by the sketch and the per-row ranker. */
+  private def withLogBuckets(df: DataFrame, value: Column): DataFrame =
+    df.withColumn("_v", value.cast("long"))
       .withColumn("e",
         when(col("_v") >= 1, length(bin(col("_v"))) - 1).otherwise(-1).cast("int"))
       .withColumn("sub",
@@ -350,8 +358,7 @@ object Sketches {
           s"((_v - shiftleft(CAST(1 AS BIGINT), e)) * $QsSub) " +
             "div shiftleft(CAST(1 AS BIGINT), e)"))
           .otherwise(0L).cast("int"))
-      .groupBy((groupCols :+ "e" :+ "sub").map(col): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .drop("_v")
 
   /** Merge sub-sketches (same schema as [[logHistSketch]] output, possibly
     * carrying extra slice columns like a day key): bucket-wise SUM. The
@@ -397,6 +404,64 @@ object Sketches {
   def logHistDistribution(df: DataFrame, groupCols: Seq[String], value: Column,
       permilles: Seq[Int]): DataFrame =
     logHistQuantiles(logHistSketch(df, groupCols, value), groupCols, permilles)
+
+  /** Per-ROW within-group quantile rank from the sketch: permille of
+    * values strictly below the row's bucket — the scale path for
+    * cross-source score normalization. The exact form
+    * (score_quantile_normalize) windows over the (group, score) total
+    * order, i.e. a per-group global sort; this form is one sketch pass +
+    * a BROADCAST join of the model-sized cumulative bucket table + a
+    * narrow map, so the corpus never sorts and never shuffles on the
+    * value. Rows sharing a bucket share the rank (the <= 1/QsSub
+    * granularity trade the sketch makes everywhere).
+    * Output: input columns + (e, sub, rank_permille). */
+  def logHistRankPermille(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val sketch = logHistSketch(df, groupCols, value)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("e"), col("sub"))
+    val cumTable = sketch
+      .withColumn("_below", sum(col("cnt")).over(w) - col("cnt"))
+      .withColumn("_n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+      .select((groupCols.map(col) :+ col("e") :+ col("sub") :+
+        expr("(_below * 1000) div _n").as("rank_permille")): _*)
+    withLogBuckets(df, value)
+      .join(broadcast(cumTable), groupCols :+ "e" :+ "sub")
+  }
+
+  /** Range-partitioner boundary advisor: B-1 split points at the even
+    * permilles of the value distribution, from the log-histogram sketch —
+    * what Spark's RangePartitioner derives by sampling, but exact-
+    * deterministic and mergeable (the sketch can come from yesterday's
+    * rollup without touching data). The boundary list is MODEL-sized
+    * (B-1 longs — the same offline-artifact stance as IVF centroids), so
+    * collecting it to build the assignment expression is metadata
+    * movement, and the assignment itself is a narrow map: range_id =
+    * #boundaries <= v, no join, no shuffle of the corpus on the value.
+    * Output census: (range_id, lo_cents, n_rows) — the balance evidence
+    * a 100 TB sort/repartition wants BEFORE it runs. */
+  def rangePartitionAdvisor(df: DataFrame, value: Column,
+      numRanges: Int): DataFrame = {
+    require(numRanges >= 2, "need at least two ranges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val permilles = (1 until numRanges).map(i => i * 1000 / numRanges)
+    val g = df.select(value.cast("long").as("_val")).withColumn("_g", lit("all"))
+    val bounds = logHistDistribution(g, Seq("_g"), col("_val"), permilles)
+      .select("q_permille", "qtile_lb").collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    val rid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("_val") >= lit(b), 1).otherwise(0)
+    }
+    val ranges = ((0, 0L) +: bounds.zipWithIndex.map { case (b, i) => (i + 1, b) })
+      .toSeq.toDF("range_id", "lo_cents")
+    g.withColumn("range_id", rid)
+      .groupBy("range_id").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(ranges), Seq("range_id"))
+      .select("range_id", "lo_cents", "n_rows")
+  }
 
   /** DuckDB replay of sketch + quantile walk over a (group, value)
     * relation given by `relSql` (must select `g` VARCHAR-ish and `v`

@@ -4797,5 +4797,94 @@ object PipelineQueries {
              |  CAST(sum(class_size) AS BIGINT) AS n_rows,
              |  CAST(CASE WHEN class_size < 10 THEN 1 ELSE 0 END AS INT)
              |    AS at_risk
-             |FROM c GROUP BY class_size ORDER BY class_size""".stripMargin)))
+             |FROM c GROUP BY class_size ORDER BY class_size""".stripMargin)),
+
+    QueryDef("quantile_rank_sketch",
+      // per-ROW within-group score normalization, the 100 TB path: where
+      // score_quantile_normalize windows over the (source, score) total
+      // order (a per-group global sort), this runs ONE sketch pass, then
+      // broadcasts the model-sized cumulative bucket table and assigns
+      // each row its strictly-below permille in a narrow map — the corpus
+      // never sorts and never shuffles on the value. The oracle replays
+      // buckets, the cumulative walk, and every row's join
+      (s, dir) => graft.functions.Sketches.logHistRankPermille(
+          Tables.events(s, dir).select(col("event_id"), col("event_type"),
+            graft.functions.Money.cents(col("value")).as("cents")),
+          Seq("event_type"), col("cents"))
+        .select("event_id", "event_type", "cents", "rank_permille")
+        .orderBy("event_id"),
+      Some(s"""WITH v0 AS (SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |b AS (SELECT event_id, event_type, cents,
+             |    CASE WHEN cents >= 1 THEN length(bin(cents)) - 1
+             |         ELSE -1 END AS e,
+             |    CASE WHEN cents >= 1 THEN
+             |      ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)))
+             |        * ${Sketches.QsSub})
+             |        // (CAST(1 AS BIGINT) << (length(bin(cents)) - 1))
+             |    ELSE 0 END AS sub
+             |  FROM v0),
+             |sk AS (SELECT event_type, e, sub, count(*) AS cnt
+             |       FROM b GROUP BY 1, 2, 3),
+             |c AS (SELECT event_type, e, sub,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY e, sub)
+             |      - cnt AS below,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM sk)
+             |SELECT b.event_id, b.event_type, b.cents,
+             |  CAST((c.below * 1000) // c.n AS BIGINT) AS rank_permille
+             |FROM b JOIN c ON b.event_type = c.event_type
+             |  AND b.e = c.e AND b.sub = c.sub
+             |ORDER BY b.event_id""".stripMargin)),
+
+    QueryDef("range_partition_advisor",
+      // balanced range-partitioning boundaries WITHOUT sampling: B-1
+      // split points read off the log-histogram sketch (what Spark's
+      // RangePartitioner samples for, but deterministic and rollup-
+      // mergeable); the boundary list is model-sized so the assignment
+      // is a narrow CASE map, and the output census is the balance
+      // evidence. Oracle re-derives the boundaries and every assignment
+      (s, dir) => graft.functions.Sketches.rangePartitionAdvisor(
+          Tables.events(s, dir),
+          graft.functions.Money.cents(col("value")), numRanges = 8)
+        .orderBy("range_id"),
+      Some {
+        val qlist = (1 until 8).map(i => i * 1000 / 8).mkString(", ")
+        s"""WITH v0 AS (SELECT event_id,
+           |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+           |b AS (SELECT v,
+           |    CASE WHEN v >= 1 THEN length(bin(v)) - 1 ELSE -1 END AS e,
+           |    CASE WHEN v >= 1 THEN
+           |      ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+           |        * ${Sketches.QsSub})
+           |        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+           |    ELSE 0 END AS sub
+           |  FROM v0),
+           |sk AS (SELECT e, sub, count(*) AS cnt FROM b GROUP BY 1, 2),
+           |c AS (SELECT e, sub, cnt,
+           |    sum(cnt) OVER (ORDER BY e, sub) AS cum,
+           |    CASE WHEN e >= 0 THEN
+           |      ((${Sketches.QsSub} + sub) * (CAST(1 AS BIGINT) << e))
+           |        // ${Sketches.QsSub}
+           |    ELSE 0 END AS lb
+           |  FROM sk),
+           |n AS (SELECT sum(cnt) AS n_rows FROM sk),
+           |t AS (SELECT q.q_permille,
+           |    (n.n_rows * q.q_permille + 999) // 1000 AS r
+           |  FROM n CROSS JOIN (SELECT unnest([$qlist]) AS q_permille) q),
+           |bounds AS (SELECT t.q_permille, min(c.lb) AS bnd
+           |  FROM t JOIN c ON c.cum >= t.r GROUP BY 1),
+           |bn AS (SELECT bnd,
+           |    row_number() OVER (ORDER BY q_permille) AS i FROM bounds),
+           |asg AS (SELECT v0.event_id,
+           |    COALESCE(sum(CASE WHEN bn.bnd <= v0.v THEN 1 ELSE 0 END), 0)
+           |      AS range_id
+           |  FROM v0 CROSS JOIN bn GROUP BY 1),
+           |cen AS (SELECT range_id, count(*) AS n_rows FROM asg GROUP BY 1),
+           |lo AS (SELECT 0 AS range_id, CAST(0 AS BIGINT) AS lo_cents
+           |       UNION ALL SELECT CAST(i AS INT), bnd FROM bn)
+           |SELECT CAST(cen.range_id AS INT) AS range_id, lo.lo_cents,
+           |  CAST(cen.n_rows AS BIGINT) AS n_rows
+           |FROM cen JOIN lo USING (range_id) ORDER BY range_id""".stripMargin
+      }))
 }

@@ -141,6 +141,36 @@ object Incremental {
       value: Column): DataFrame =
     graft.functions.Sketches.hllSketch(df, groupCols, value)
 
+  /** Streaming seat of the log-histogram quantile sketch
+    * ([[graft.functions.Sketches.logHistSketch]]). Bucket COUNTS are
+    * additive, not idempotent — a replayed micro-batch would double-count
+    * if the state lived in a streaming aggregation. So cross-batch state
+    * lives as per-BATCH sub-sketch partitions in parquet (the
+    * ManifestSink epoch-idempotence stance): each micro-batch writes its
+    * own bucket counts under `batch_id=<epoch>` with DYNAMIC partition
+    * overwrite, so a re-delivered batch overwrites ITS OWN partition and
+    * can never double-count (pinned by test). Per-batch state is
+    * bucket-count-sized (~KB); any snapshot quantile read merges the
+    * partitions by bucket-wise sum, bit-identical to the batch sketch
+    * over the same rows. */
+  def logHistSketchSink(path: String, groupCols: Seq[String],
+      value: Column): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.functions.Sketches.logHistSketch(batch, groupCols, value)
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+
+  /** Snapshot read of the [[logHistSketchSink]] state: merged sketch,
+    * ready for [[graft.functions.Sketches.logHistQuantiles]]. */
+  def readLogHistSketchState(spark: SparkSession, path: String,
+      groupCols: Seq[String]): DataFrame =
+    graft.functions.Sketches.logHistMerge(
+      Seq(spark.read.parquet(path)), groupCols)
+
   /** Streaming NEAR-dup gate — the streaming seat of
     * [[graft.functions.Dedup.nearDupAgainstCorpus]]: each micro-batch
     * (1) near-dedups within itself, (2) probes the PERSISTED band index of

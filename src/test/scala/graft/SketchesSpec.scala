@@ -281,6 +281,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(qd == qm)
   }
 
+  test("logHistRankPermille: lower-bounds the exact strict rank, equal " +
+    "values share it, bounded gap on a uniform fixture") {
+    val df = (1L to 1000L).toDF("v").withColumn("g", lit("x"))
+    val got = Sketches.logHistRankPermille(df, Seq("g"), col("v"))
+      .select("v", "rank_permille").as[(Long, Long)].collect().toMap
+    (1L to 1000L).foreach { v =>
+      val exact = (v - 1) * 1000 / 1000 // strictly-below permille
+      assert(got(v) <= exact, s"v=$v got=${got(v)} exact=$exact")
+      // uniform ints: rows below in the same bucket <= bucket width
+      // <= v/16, i.e. <= 64 permille here (+1 for integer truncation)
+      assert(exact - got(v) <= 64 + 1, s"v=$v got=${got(v)} exact=$exact")
+    }
+    // all-equal group: everything is in the first (and only) bucket
+    val eq = Seq.fill(50)(7L).toDF("v").withColumn("g", lit("y"))
+    val eqRanks = Sketches.logHistRankPermille(eq, Seq("g"), col("v"))
+      .select("rank_permille").as[Long].collect().toSet
+    assert(eqRanks == Set(0L))
+  }
+
+  test("rangePartitionAdvisor: boundaries increase, census conserves rows, " +
+    "uniform data lands near-balanced ranges") {
+    val df = (1L to 8000L).toDF("v")
+    val out = Sketches.rangePartitionAdvisor(df, col("v"), numRanges = 8)
+      .select("range_id", "lo_cents", "n_rows")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).sum == 8000L)
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted)
+    assert(out.head._2 == 0L)
+    // each range within the sketch's 1/16 granularity of the even split
+    out.foreach { case (rid, _, n) =>
+      assert(n >= 400 && n <= 1700, s"range $rid size $n not near 1000")
+    }
+  }
+
   test("logHist rank convention: ceil(n*q/1000) on a hand-built fixture") {
     // values 1..100 in one group: q=500 -> rank 50 -> value 50 whose
     // bucket is (e=5, sub=9), lb = (16+9)*32/16 = 50 (exact here)

@@ -485,4 +485,38 @@ class StreamingSpec extends AnyFunSuite {
     // state bound: <= 4096 buckets per group
     assert(got.groupBy(_._1).values.forall(_.size <= 4096))
   }
+
+  test("streaming logHist sketch sink: per-batch partitions merge to the " +
+    "batch sketch; same-epoch redelivery cannot double-count") {
+    import org.apache.spark.sql.functions._
+    val srcDir = tmp("lh-src")
+    val stateDir = tmp("lh-state").toString
+    val all = (0 until 600)
+      .map(i => (i.toLong, 1L + (i * 13) % 5000, s"t${i % 3}"))
+      .toDF("event_id", "cents", "event_type")
+    val c1 = all.filter($"event_id" < 300)
+    val c2 = all.filter($"event_id" >= 300)
+    c1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    c2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val sink = Incremental.logHistSketchSink(stateDir,
+      Seq("event_type"), $"cents")
+    val q = Incremental.readEventsStream(spark, srcDir.toString, schema, 1)
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", tmp("lh-ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    // redeliver batch 0's data under its ORIGINAL epoch id: the dynamic
+    // partition overwrite replaces batch_id=0, so counts cannot double
+    sink(c1, 0L)
+    val merged = Incremental.readLogHistSketchState(spark, stateDir,
+      Seq("event_type"))
+    val got = graft.functions.Sketches.logHistQuantiles(merged,
+        Seq("event_type"), Seq(500, 950))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val want = graft.functions.Sketches.logHistDistribution(all,
+        Seq("event_type"), $"cents", Seq(500, 950))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want)
+  }
 }
