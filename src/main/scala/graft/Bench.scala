@@ -95,7 +95,14 @@ object Bench {
     // day-slice merge law
     "quantile_sketch_prices", "quantile_sketch_merge_parity",
     "hybrid_search_rrf", "quantile_rollup_range", "k_anonymity_census",
-    "quantile_rank_sketch", "range_partition_advisor")
+    "quantile_rank_sketch", "range_partition_advisor",
+    // round-8 fourth batch: non-additive rolling distinct (exact +
+    // sketch-merge twin) and CUSUM ingestion-drift detection
+    "events_rolling_distinct", "events_rolling_distinct_hll",
+    "events_cusum_changepoint",
+    // round-8 fifth batch: perceptual-hash image dedup over real decoded
+    // PNGs and session-opening path mining
+    "image_dhash_near_dup", "session_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

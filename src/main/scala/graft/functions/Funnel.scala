@@ -53,4 +53,38 @@ object Funnel {
         .otherwise(col("n_users").cast("double")
           / lag(col("n_users"), 1).over(w).cast("double")))
   }
+
+  /** Census of session-opening behavior paths: sessionize each user's
+    * stream by inactivity gap (new session when >= `gapMinutes` since the
+    * previous event), take each session's first `prefixLen` event types in
+    * (ts, tie) order, and count sessions per path string ("a>b>c") — the
+    * sequence-mining companion to [[funnelSteps]]: the funnel counts a
+    * KNOWN sequence, the path census discovers which sequences happen.
+    *
+    * Scale shape: two per-user windows (boundary mark + in-session rank)
+    * over the user-partitioned stream — no self-join — then the bounded
+    * session-prefix rows (<= prefixLen per session) aggregate twice,
+    * both partial-aggregable; path cardinality is |event types|^prefixLen,
+    * a metadata-sized census. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapMinutes: Int = 30,
+      prefixLen: Int = 3): DataFrame = {
+    val wOrd = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val marked = events.withColumn("_new",
+      when(col(tsCol).cast("long") -
+        lag(col(tsCol).cast("long"), 1).over(wOrd) >= gapMinutes * 60L, 1)
+        .when(lag(col(tsCol), 1).over(wOrd).isNull, 1)
+        .otherwise(0))
+    val sid = marked.withColumn("_sid", sum(col("_new")).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy(col(userCol), col("_sid"))
+      .orderBy(col(tsCol), col(tieCol))
+    sid.withColumn("_rn", row_number().over(wS))
+      .filter(col("_rn") <= prefixLen)
+      .groupBy(col(userCol), col("_sid"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("_rn"),
+          col(typeCol).as("t")))), e => e.getField("t")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
 }

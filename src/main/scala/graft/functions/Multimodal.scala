@@ -256,6 +256,76 @@ object Multimodal {
     out.toDF(idCol, "n_samples", "sample_sum", "sample_rate")
   }
 
+  /** Perceptual difference hash (dHash) of each decoded image: the
+    * image-dedup primitive of multimodal training pipelines. Each payload
+    * is REALLY decoded (ImageIO), sampled on a fixed 8×8 grid by
+    * integer-floor nearest sampling (sx = i·w div 8 — deterministic,
+    * unlike area-average resize whose rounding is library-specific), and
+    * each row's 7 left-to-right brightness comparisons become one bit:
+    * a 56-bit signature that survives re-encoding and small edits.
+    * Output: (idCol, dhash BIGINT). Per-partition work, no shuffle. */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"payload of id=$id is not a decodable image")
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          var hash = 0L
+          var j = 0
+          while (j < 8) {
+            val sy = j * h / 8
+            var i = 0
+            while (i < 7) {
+              val a = raster.getSample(i * w / 8, sy, 0)
+              val b = raster.getSample((i + 1) * w / 8, sy, 0)
+              if (b > a) hash |= 1L << (j * 7 + i)
+              i += 1
+            }
+            j += 1
+          }
+          (id, hash)
+        }
+      }
+    out.toDF(idCol, "dhash")
+  }
+
+  /** Near-duplicate image pairs from dHash signatures, WITHOUT the n²
+    * cross join: the 56-bit hash splits into four disjoint 14-bit blocks;
+    * two hashes within hamming distance `maxHamming` ≤ 3 must agree on at
+    * least one whole block (pigeonhole — 3 differing bits cannot touch
+    * all 4 blocks), so candidates come from four block-keyed equi-joins
+    * (the Manku 2007 multi-block scheme [[graft.plans.SimHash64]] uses
+    * for text, here in relational form) and only candidates pay the
+    * exact `bit_count(xor)` verify. Recall is EXACT at maxHamming ≤ 3.
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 blocks guarantee exact recall only up to hamming 3")
+    val blocks = hashes
+      .select(col(idCol).as("id"), col("dhash"),
+        posexplode(array((0 to 3).map(t =>
+          shiftright(col("dhash"), 14 * t).bitwiseAND(lit(16383L))): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "blockv")
+    val cands = blocks.as("a").join(blocks.as("b"),
+        col("a.t") === col("b.t") && col("a.blockv") === col("b.blockv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** REAL image decode through the partition-wise seam: the JDK's
     * `javax.imageio` codecs (PNG/JPEG) parse each payload and emit
     * (width, height, pix_sum = sum of band-0 samples) — the decode-verify

@@ -112,6 +112,89 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
     hllEstimate(hllSketch(df, groupCols, value), groupCols)
 
+  /** Rolling `windowDays`-day distinct-count dashboard from per-day HLL
+    * sub-sketches: the classic "7-day active users per day" metric, which
+    * is NOT additive (a user active on two days must count once), so the
+    * naive exact form re-distincts a 7-day slice of the corpus for every
+    * day. The sketch form touches raw data once — one per-day sketch pass
+    * — then every day's window is a bucket-wise max over the <= 7
+    * day-sketches that overlap it: the day×window merge runs over frames
+    * of at most days × m rows (KB-sized METADATA), broadcast-joined
+    * against the day list, while the corpus never moves again. At 100 TB
+    * this composes with the [[graft.sources.Layout.writeDailyHllSketch]]
+    * rollup: yesterday's landed sub-sketches answer today's rolling curve
+    * without any raw read. Max is idempotent, so overlapping windows need
+    * no inclusion-exclusion. Output: (day STRING, v_empty, s_scaled,
+    * hll_est) per day, hash-exact against a from-scratch oracle replay. */
+  def hllRollingDistinct(events: DataFrame, tsCol: String, value: Column,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val withDay = events.select(to_date(col(tsCol)).as("day"), value.as("_v"))
+    val sk = hllSketch(withDay, Seq("day"), col("_v"))
+    val days = sk.select(col("day").as("w_day")).distinct()
+    val merged = sk.join(broadcast(days),
+        col("day") >= date_sub(col("w_day"), windowDays - 1) &&
+          col("day") <= col("w_day"))
+      .groupBy(col("w_day"), col("bucket"))
+      .agg(max("max_rho").as("max_rho"))
+      .withColumnRenamed("w_day", "day")
+    hllEstimate(merged, Seq("day"))
+      .withColumn("day", col("day").cast("string"))
+  }
+
+  /** DuckDB replay of [[hllRollingDistinct]]: the same bucket/rho chain as
+    * [[hllOracleSql]] keyed by day, then the day-range bucket-max merge and
+    * the identical IEEE-pinned estimate. */
+  def hllRollingOracleSql(table: String, tsCol: String, valueExpr: String,
+      windowDays: Int): String = {
+    val twoP40 = 1L << RhoCap
+    s"""WITH h AS (
+       |  SELECT CAST($tsCol AS DATE) AS day,
+       |    substr(md5($valueExpr), 1, 13) AS hx FROM $table),
+       |b AS (
+       |  SELECT day,
+       |    CAST(list_reduce(list_transform(
+       |      regexp_extract_all(substr(hx, 1, 3), '.'),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b) AS INT) AS bucket,
+       |    substr(hx, 4, 10) AS tail
+       |  FROM h),
+       |r AS (
+       |  SELECT day, bucket,
+       |    length(regexp_extract(tail, '^0*')) AS z,
+       |    substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1) AS fc
+       |  FROM b),
+       |rho AS (
+       |  SELECT day, bucket,
+       |    LEAST(z * 4 + (CASE
+       |      WHEN fc IN ('8','9','a','b','c','d','e','f') THEN 0
+       |      WHEN fc IN ('4','5','6','7') THEN 1
+       |      WHEN fc IN ('2','3') THEN 2
+       |      WHEN fc = '1' THEN 3 ELSE 0 END) + 1, $RhoCap) AS rho
+       |  FROM r),
+       |sk AS (
+       |  SELECT day, bucket, max(rho) AS max_rho
+       |  FROM rho GROUP BY day, bucket),
+       |days AS (SELECT DISTINCT day FROM sk),
+       |m AS (
+       |  SELECT d.day, s.bucket, max(s.max_rho) AS max_rho
+       |  FROM days d JOIN sk s
+       |    ON s.day BETWEEN d.day - ${windowDays - 1} AND d.day
+       |  GROUP BY d.day, s.bucket),
+       |est AS (
+       |  SELECT day,
+       |    CAST($HllM - count(*) AS BIGINT) AS v_empty,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($RhoCap - max_rho))
+       |         + ($HllM - count(*)) * $twoP40 AS BIGINT) AS s_scaled
+       |  FROM m GROUP BY day)
+       |SELECT CAST(day AS VARCHAR) AS day, v_empty, s_scaled,
+       |  (CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |     + CAST('1.079' AS DOUBLE) / CAST($HllM AS DOUBLE)))
+       |    * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE)
+       |    * CAST($twoP40 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS hll_est
+       |FROM est ORDER BY day""".stripMargin
+  }
+
   /** DuckDB CTE chain recomputing the identical sketch + estimate over
     * `table`, grouped by `groupCol`, counting distinct `valueExpr` (a
     * VARCHAR-typed SQL expression). Yields a final SELECT — the oracle. */

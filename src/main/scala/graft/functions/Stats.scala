@@ -44,6 +44,85 @@ object Stats {
         (col("_lhs") > col("_rhs")).cast("int").as("is_anomaly"))
   }
 
+  /** Exact rolling `windowDays`-day distinct count per day ("7-day active
+    * users"): dedupe to (day, id) once, then broadcast-join the day list
+    * against the deduped frame on the day range and count distinct per
+    * window day. Distinct-over-a-window is NOT additive, so some
+    * replication is unavoidable in the exact form — but it is bounded:
+    * the corpus collapses to the (day, id) frame in ONE shuffle, and only
+    * that deduped frame is replicated (at most `windowDays`×) into the
+    * per-day distinct. The day list is metadata (broadcast). At 100 TB
+    * the sketch form ([[Sketches.hllRollingDistinct]]) replaces the
+    * replicated re-distinct with a bucket-max over per-day sub-sketches;
+    * this exact form is the oracle-grade reference and the right tool
+    * when the deduped (day, id) frame is itself modest. */
+  def rollingDistinct(events: DataFrame, tsCol: String, idCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val du = events
+      .select(to_date(col(tsCol)).as("_day"), col(idCol).as("_id"))
+      .distinct()
+    val days = du.select(col("_day").as("day")).distinct()
+    du.join(broadcast(days),
+        col("_day") >= date_sub(col("day"), windowDays - 1) &&
+          col("_day") <= col("day"))
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(countDistinct(col("_id")).as("n_active"))
+  }
+
+  /** CUSUM changepoint detection over a group's daily volume (Page 1954):
+    * the sequential statistic S_i = max(0, S_{i-1} + (x_i − mean)) peaks
+    * where the level shifts — the ingestion-drift monitor that catches
+    * sustained small shifts a per-day z-test ([[anomalousDays]]) misses.
+    * Exactness: deviations are cross-multiplied into integers
+    * (d_i = n·x_i − Σx, so S is in n·events units), and the decision
+    * rule C > h·n·σ is squared into C² > h²·(n·Q − S²) in DECIMAL(38,0)
+    * — no mean, sqrt, or float division anywhere, so both engines flag
+    * identical groups and days.
+    *
+    * Scale shape: the corpus collapses to (group, day) counts in one
+    * partial-aggregable shuffle; the sequential fold then runs per group
+    * over a DAY-COUNT-sized array (`aggregate` HOF over the sorted day
+    * series — bounded metadata per group, groups in parallel), never over
+    * events. Output: (group, n_days, cusum_peak, peak_day, is_change). */
+  def cusumChangepoint(events: DataFrame, tsCol: String, groupCol: String,
+      h: Int = 4): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol), to_date(col(tsCol)).cast("string").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    daily
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("s"), sum(col("x") * col("x")).as("q"),
+        sort_array(collect_list(struct(col("day"), col("x")))).as("_series"))
+      // fold the sorted day series: acc = (s_run, peak, peak_day); a new
+      // peak only on STRICT improvement, so ties keep the earliest day
+      .withColumn("_cusum", expr(
+        """aggregate(_series,
+          |  named_struct('s', CAST(0 AS BIGINT),
+          |               'peak', CAST(-1 AS BIGINT), 'day', ''),
+          |  (acc, e) -> named_struct(
+          |    's', greatest(CAST(0 AS BIGINT),
+          |                  acc.s + (e.x * n_days - s)),
+          |    'peak', CASE
+          |      WHEN greatest(CAST(0 AS BIGINT),
+          |                    acc.s + (e.x * n_days - s)) > acc.peak
+          |      THEN greatest(CAST(0 AS BIGINT),
+          |                    acc.s + (e.x * n_days - s))
+          |      ELSE acc.peak END,
+          |    'day', CASE
+          |      WHEN greatest(CAST(0 AS BIGINT),
+          |                    acc.s + (e.x * n_days - s)) > acc.peak
+          |      THEN e.day ELSE acc.day END))""".stripMargin))
+      .select(col(groupCol), col("n_days"),
+        col("_cusum.peak").as("cusum_peak"),
+        col("_cusum.day").as("peak_day"),
+        (dec(col("_cusum.peak")) * dec(col("_cusum.peak")) >
+          lit(h.toLong * h) * (dec(col("n_days")) * dec(col("q")) -
+            dec(col("s")) * dec(col("s")))).cast("int").as("is_change"))
+  }
+
   /** Exact heavy hitters by sketch-then-verify: pass 1 builds a
     * Count-Min sketch (merged tree-wise, sketch bytes only cross
     * executors) and keeps the keys whose ESTIMATE reaches `minCount` —

@@ -4886,5 +4886,168 @@ object PipelineQueries {
            |SELECT CAST(cen.range_id AS INT) AS range_id, lo.lo_cents,
            |  CAST(cen.n_rows AS BIGINT) AS n_rows
            |FROM cen JOIN lo USING (range_id) ORDER BY range_id""".stripMargin
-      }))
+      }),
+
+    QueryDef("events_rolling_distinct",
+      // exact 7-day rolling active users per day: the corpus collapses to
+      // the deduped (day, user) frame in ONE shuffle; only that frame is
+      // replicated (<= 7x, against the broadcast day list) into the
+      // per-window re-distinct. The sketch twin below removes even that
+      // replication at 100 TB; this exact form is the oracle-grade
+      // reference for it
+      (s, dir) => graft.functions.Stats.rollingDistinct(
+          Tables.events(s, dir), "ts", "user_id", windowDays = 7)
+        .orderBy("day"),
+      Some("""WITH du AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM du)
+             |SELECT CAST(days.day AS VARCHAR) AS day,
+             |  CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_active
+             |FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
+             |GROUP BY days.day ORDER BY day""".stripMargin)),
+
+    QueryDef("events_rolling_distinct_hll",
+      // the 100 TB path for the same dashboard: rolling distinct is not
+      // additive, but HLL sub-sketches merge by idempotent bucket-max —
+      // one per-day sketch pass over the corpus, then every day's window
+      // is a max over <= 7 KB-sized day-sketches (metadata joined against
+      // the broadcast day list; the raw events never move twice). The
+      // oracle rebuilds sketches and the range merge hash-for-hash
+      (s, dir) => graft.functions.Sketches.hllRollingDistinct(
+          Tables.events(s, dir), "ts", col("user_id"), windowDays = 7)
+        .orderBy("day"),
+      Some(Sketches.hllRollingOracleSql("events", "ts",
+        "CAST(user_id AS VARCHAR)", windowDays = 7))),
+
+    QueryDef("events_cusum_changepoint",
+      // CUSUM level-shift detection per event type (Page 1954): the
+      // sustained-drift monitor a per-day z-test misses. One partial-
+      // aggregable shuffle to daily counts, then a day-count-sized
+      // sequential fold per group (aggregate HOF over the sorted series)
+      // in cross-multiplied integer units, with the threshold squared
+      // into exact DECIMAL arithmetic. The oracle replays the recurrence
+      // via a recursive CTE and the same integer decision rule
+      (s, dir) => graft.functions.Stats.cusumChangepoint(
+          Tables.events(s, dir), "ts", "event_type", h = 4)
+        .orderBy("event_type"),
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS BIGINT) AS q
+             |  FROM daily GROUP BY 1),
+             |idx AS (
+             |  SELECT d.event_type, d.day, d.x, m.n_days, m.s,
+             |    row_number() OVER (PARTITION BY d.event_type
+             |                       ORDER BY d.day) AS i
+             |  FROM daily d JOIN m USING (event_type)),
+             |walk AS (
+             |  SELECT event_type, i, day,
+             |    GREATEST(CAST(0 AS BIGINT), x * n_days - s) AS srun
+             |  FROM idx WHERE i = 1
+             |  UNION ALL
+             |  SELECT idx.event_type, idx.i, idx.day,
+             |    GREATEST(CAST(0 AS BIGINT),
+             |             walk.srun + (idx.x * idx.n_days - idx.s))
+             |  FROM walk JOIN idx ON idx.event_type = walk.event_type
+             |    AND idx.i = walk.i + 1),
+             |peaks AS (
+             |  SELECT event_type, max(srun) AS cusum_peak
+             |  FROM walk GROUP BY 1),
+             |pick AS (
+             |  SELECT w.event_type, p.cusum_peak, min(w.day) AS peak_day
+             |  FROM walk w JOIN peaks p ON p.event_type = w.event_type
+             |    AND w.srun = p.cusum_peak
+             |  GROUP BY 1, 2)
+             |SELECT m.event_type, m.n_days,
+             |  CAST(p.cusum_peak AS BIGINT) AS cusum_peak, p.peak_day,
+             |  CAST(CASE WHEN CAST(p.cusum_peak AS HUGEINT) * p.cusum_peak
+             |    > 16 * (CAST(m.n_days AS HUGEINT) * m.q
+             |            - CAST(m.s AS HUGEINT) * m.s)
+             |  THEN 1 ELSE 0 END AS INT) AS is_change
+             |FROM m JOIN pick p USING (event_type)
+             |ORDER BY m.event_type""".stripMargin)),
+
+    QueryDef("image_dhash_near_dup",
+      // image near-duplicate detection via perceptual hash: every PNG is
+      // REALLY decoded (ImageIO), dHash'd on a deterministic 8x8
+      // integer-floor grid (56 bits of row-wise brightness gradients),
+      // and pairs come from four 14-bit block-keyed equi-joins — the
+      // Manku pigeonhole in relational form: hamming <= 3 pairs MUST
+      // share a block, so recall is exact and the n^2 cross join never
+      // happens. Only candidates pay bit_count(xor). The fixture's PNGs
+      // are lossless and id-predictable, so the oracle recomputes hash,
+      // blocks, candidates, and hamming without seeing a byte
+      (s, dir) => Multimodal.dhashNearDupPairs(
+          Multimodal.imageDHash(
+            s.read.parquet(pngFixturePath(s, dir)), "doc_id", "png"),
+          "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 7 AS h
+             |           FROM documents),
+             |g AS (SELECT doc_id, w, h,
+             |        unnest(generate_series(0, 55)) AS b FROM d),
+             |bits AS (SELECT doc_id,
+             |    CASE WHEN
+             |      (doc_id*31 + (((b % 7) + 1) * w // 8) * 7
+             |        + ((b // 7) * h // 8) * 13) % 256
+             |      > (doc_id*31 + ((b % 7) * w // 8) * 7
+             |        + ((b // 7) * h // 8) * 13) % 256
+             |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END AS bit
+             |  FROM g),
+             |hs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+             |       FROM bits GROUP BY 1),
+             |blk AS (SELECT doc_id, dhash,
+             |          unnest(generate_series(0, 3)) AS t FROM hs),
+             |b2 AS (SELECT doc_id, dhash, t,
+             |         (dhash >> (14 * t)) & 16383 AS blockv FROM blk),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |           a.dhash AS ha, b.dhash AS hb
+             |  FROM b2 a JOIN b2 b ON a.t = b.t AND a.blockv = b.blockv
+             |    AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("session_paths",
+      // which opening sequences actually happen: sessionize by 30-min
+      // inactivity gap, take each session's first 3 event types, census
+      // sessions per path — the discovery companion to the funnel's
+      // known-sequence count. Two per-user windows, no self-join; the
+      // path space is |event types|^3 metadata
+      (s, dir) => graft.functions.Funnel.sessionPaths(
+          Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+          gapMinutes = 30, prefixLen = 3)
+        .orderBy("path"),
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN CAST(ts AS TIMESTAMP)
+             |        - lag(CAST(ts AS TIMESTAMP)) OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id)
+             |        >= INTERVAL 30 MINUTE THEN 1
+             |      WHEN lag(ts) OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |        THEN 1
+             |      ELSE 0 END AS new_session
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, event_id, event_type, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked),
+             |r AS (
+             |  SELECT user_id, sid, event_type,
+             |    row_number() OVER (PARTITION BY user_id, sid
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM s),
+             |p AS (
+             |  SELECT user_id, sid,
+             |    string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY path ORDER BY path""".stripMargin)))
 }

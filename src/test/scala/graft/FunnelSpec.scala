@@ -96,4 +96,36 @@ class FunnelSpec extends AnyFunSuite {
       .select("est_join_size").as[Long].head()
     assert(whole == part1 + part2)
   }
+
+  test("sessionPaths: gap splits sessions, prefix caps at 3, census counts " +
+    "sessions per path") {
+    // user 1: a,b,c,d within gaps < 30min -> ONE session, path a>b>c
+    // (d beyond the prefix); then a 40-min silence -> second session e,f
+    // user 2: lone g -> path g; user 3: a,b close together -> a>b
+    val rows = Seq(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:05:00"),
+      (1L, "c", "2024-01-01 10:10:00"), (1L, "d", "2024-01-01 10:20:00"),
+      (1L, "e", "2024-01-01 11:00:00"), (1L, "f", "2024-01-01 11:05:00"),
+      (2L, "g", "2024-01-01 09:00:00"),
+      (3L, "a", "2024-01-01 09:00:00"), (3L, "b", "2024-01-01 09:01:00"))
+    val df = rows.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Funnel.sessionPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, prefixLen = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b>c" -> 1L, "e>f" -> 1L, "g" -> 1L, "a>b" -> 1L))
+  }
+
+  test("sessionPaths: a gap of exactly the threshold starts a new session") {
+    val rows = Seq(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:30:00"))
+    val df = rows.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Funnel.sessionPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapMinutes = 30, prefixLen = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L))
+  }
 }

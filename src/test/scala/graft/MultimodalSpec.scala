@@ -88,4 +88,42 @@ class MultimodalSpec extends AnyFunSuite {
     def toMap2: Map[Long, (Long, Int)] =
       rows.map { case (a, b, c) => a -> (b, c) }.toMap
   }
+
+  test("imageDHash matches an arithmetic replay of the fixture formula " +
+    "(decode really round-trips the grid)") {
+    val ids = Seq(0L, 3L, 17L, 42L, 123L)
+    val in = Multimodal.synthesizePng(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.imageDHash(in, "doc_id", "png")
+      .as[(Long, Long)].collect().toMap
+    // independent replay: pixel(x, y) = (id*31 + x*7 + y*13) % 256 on the
+    // same integer-floor 8x8 grid — never touches the engine's decoder
+    def expected(id: Long): Long = {
+      val w = (4 + id % 5).toInt; val h = (4 + id % 7).toInt
+      def px(x: Int, y: Int): Long =
+        java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L)
+      (for { j <- 0 until 8; i <- 0 until 7
+             if px((i + 1) * w / 8, j * h / 8) > px(i * w / 8, j * h / 8) }
+        yield 1L << (j * 7 + i)).sum
+    }
+    ids.foreach(id => assert(got(id) == expected(id), s"id $id"))
+  }
+
+  test("dhashNearDupPairs: exact recall at hamming <= 3, block-disjoint " +
+    "hashes never pair") {
+    val h0 = 0x00ABCDEF012345L
+    val h2 = h0 ^ 0x03L // 2 bits flipped, same low block candidate
+    val h3 = h0 ^ (1L << 2) ^ (1L << 20) ^ (1L << 40) // 3 bits, 3 blocks
+    // 4 bits across all 4 blocks: beyond the guarantee AND over threshold
+    val hFar = h0 ^ (1L << 2) ^ (1L << 20) ^ (1L << 34) ^ (1L << 50)
+    val df = Seq((1L, h0), (2L, h2), (3L, h3), (4L, hFar))
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.dhashNearDupPairs(df, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 2)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 3)
+    assert(!got.contains((1L, 4L)), "no shared block -> not a candidate")
+    // h2 vs h3: differ in bits {0,1} vs {2,20,40} -> hamming 5, dropped
+    assert(!got.contains((2L, 3L)))
+  }
 }

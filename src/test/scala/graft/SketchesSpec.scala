@@ -329,4 +329,42 @@ class SketchesSpec extends AnyFunSuite {
     // lb = (16+9)*64/16 = 100
     assert(got(1000) == ((100L, 100L)))
   }
+
+  test("hllRollingDistinct: every day's window sketch == direct sketch of " +
+    "that window's slice, bit-exact") {
+    // 10 days, overlapping user populations that shift over time
+    val rows = (1 to 10).flatMap { d =>
+      (d * 50 until d * 50 + 300).map(u => (f"2024-06-$d%02d 08:00:00", u.toLong))
+    }
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val rolling = Sketches.hllRollingDistinct(ev, "ts", col("user_id"),
+        windowDays = 3)
+      .select("day", "s_scaled").as[(String, Long)].collect().toMap
+    assert(rolling.size == 10)
+    (1 to 10).foreach { d =>
+      val lo = math.max(1, d - 2)
+      val slice = ev.filter(col("ts_s").substr(1, 10)
+        .between(f"2024-06-$lo%02d", f"2024-06-$d%02d"))
+      val direct = Sketches.hllDistinct(
+          slice.withColumn("g", lit("w")), Seq("g"), col("user_id"))
+        .select("s_scaled").as[Long].head()
+      assert(rolling(f"2024-06-$d%02d") == direct, s"day $d")
+    }
+  }
+
+  test("hllRollingDistinct: windowDays=1 matches the per-day sketch") {
+    val rows = Seq(("2024-06-01 01:00:00", 1L), ("2024-06-01 02:00:00", 2L),
+      ("2024-06-02 01:00:00", 2L))
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Sketches.hllRollingDistinct(ev, "ts", col("user_id"),
+        windowDays = 1)
+      .select("day", "s_scaled").as[(String, Long)].collect().toMap
+    val perDay = Sketches.hllDistinct(
+        ev.withColumn("day", to_date(col("ts")).cast("string")),
+        Seq("day"), col("user_id"))
+      .select("day", "s_scaled").as[(String, Long)].collect().toMap
+    assert(got == perDay)
+  }
 }

@@ -131,4 +131,70 @@ class StatsSpec extends AnyFunSuite {
     // row conservation: n_rows sums to the table size
     assert(got.toSeq.map(_._3).sum == rows.size)
   }
+
+  test("rollingDistinct: window unions users; duplicates within and across " +
+    "days count once") {
+    // day 1: users {1,2}; day 2: {2,3} (2 repeats); day 4: {9}
+    val rows = Seq(
+      ("2024-03-01 01:00:00", 1L), ("2024-03-01 02:00:00", 2L),
+      ("2024-03-01 03:00:00", 2L), ("2024-03-02 01:00:00", 2L),
+      ("2024-03-02 02:00:00", 3L), ("2024-03-04 01:00:00", 9L))
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got3 = Stats.rollingDistinct(ev, "ts", "user_id", windowDays = 3)
+      .as[(String, Long)].collect().toMap
+    // 3-day windows ending on each observed day
+    assert(got3 == Map(
+      "2024-03-01" -> 2L, // {1,2}
+      "2024-03-02" -> 3L, // {1,2,3}
+      "2024-03-04" -> 3L)) // day1 aged out: {2,3} from day2 + {9}
+  }
+
+  test("rollingDistinct: windowDays=1 degenerates to per-day distinct") {
+    val rows = Seq(
+      ("2024-03-01 01:00:00", 1L), ("2024-03-01 02:00:00", 1L),
+      ("2024-03-02 01:00:00", 1L), ("2024-03-02 02:00:00", 2L))
+    val ev = rows.toDF("ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.rollingDistinct(ev, "ts", "user_id", windowDays = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("2024-03-01" -> 1L, "2024-03-02" -> 2L))
+  }
+
+  test("cusumChangepoint: a sustained level shift flags with the peak at " +
+    "the shift; steady volume does not") {
+    // 'shift': 10 days at 10/day then 10 days at 14/day — each day is
+    // well under 2 sigma, but the drift accumulates; 'flat': 20 x 12/day
+    val rows =
+      (0 until 10).flatMap(d => (0 until 10).map(_ =>
+        (f"2024-04-${d + 1}%02d 12:00:00", "shift"))) ++
+      (10 until 20).flatMap(d => (0 until 14).map(_ =>
+        (f"2024-04-${d + 1}%02d 12:00:00", "shift"))) ++
+      (0 until 20).flatMap(d => (0 until 12).map(_ =>
+        (f"2024-04-${d + 1}%02d 12:00:00", "flat")))
+    val ev = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.cusumChangepoint(ev, "ts", "event_type", h = 4)
+      .select("event_type", "cusum_peak", "peak_day", "is_change")
+      .as[(String, Long, String, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // shift series: mean 12, dev scaled by n=20: pre-shift days drift at
+    // -40/day to a trough, then +40/day; the CUSUM peak lands on the LAST
+    // day (sum of positives never dips), value 10*40 = 400
+    assert(got("shift")._4 == 1)
+    assert(got("shift")._2 == 400L && got("shift")._3 == "2024-04-20")
+    assert(got("flat")._4 == 0 && got("flat")._2 == 0L)
+  }
+
+  test("cusumChangepoint: peak-day tie keeps the earliest day") {
+    // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
+    // S = 4,0,4,0 — the peak 4 is hit on day 1 first
+    val rows = Seq((1, 3), (2, 1), (3, 3), (4, 1)).flatMap { case (d, n) =>
+      (0 until n).map(_ => (f"2024-05-$d%02d 12:00:00", "e")) }
+    val ev = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.cusumChangepoint(ev, "ts", "event_type", h = 4)
+      .select("cusum_peak", "peak_day").as[(Long, String)].head()
+    assert(got == ((4L, "2024-05-01")))
+  }
 }
