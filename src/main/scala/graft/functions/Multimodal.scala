@@ -308,22 +308,42 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 blocks guarantee exact recall only up to hamming 3")
-    val blocks = hashes
-      .select(col(idCol).as("id"), col("dhash"),
+    // Signature collapse (the same clique-taming move Dedup's simhash
+    // path makes): re-encodes and exact duplicates share ONE dhash, so
+    // block-keying runs over DISTINCT signatures — clique-quadratic
+    // blowup never reaches the candidate join, only the final pair
+    // expansion (which IS the answer). The hash frame is (id, long) —
+    // persisted because four consumers would otherwise re-decode every
+    // image per consumer.
+    val h = hashes.select(col(idCol).as("id"), col("dhash")).persist()
+    val sigs = h.select("dhash").distinct()
+    val blocks = sigs
+      .select(col("dhash"),
         posexplode(array((0 to 3).map(t =>
           shiftright(col("dhash"), 14 * t).bitwiseAND(lit(16383L))): _*)))
       .withColumnRenamed("pos", "t").withColumnRenamed("col", "blockv")
-    val cands = blocks.as("a").join(blocks.as("b"),
+    val sigPairs = blocks.as("a").join(blocks.as("b"),
         col("a.t") === col("b.t") && col("a.blockv") === col("b.blockv") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          col("a.dhash") < col("b.dhash"))
+      .select(col("a.dhash").as("ha"), col("b.dhash").as("hb"))
       .distinct()
-    cands
-      .withColumn("hamming",
-        expr("bit_count(ha ^ hb)").cast("int"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    // distinct-signature pairs are candidate metadata — broadcast them
+    // into the two expansion joins; (ha < hb) already makes each id pair
+    // unique, so no distinct runs over the expanded output
+    val cross = h.as("x")
+      .join(broadcast(sigPairs), col("x.dhash") === col("ha"))
+      .join(h.as("y"), col("y.dhash") === col("hb"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"), col("hamming"))
+    // identical signatures: the clique expansion is the answer itself —
+    // one equi-join on the hash, no candidate stage at all
+    val same = h.as("x").join(h.as("y"),
+        col("x.dhash") === col("y.dhash") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        lit(0).as("hamming"))
+    same.unionByName(cross)
   }
 
   /** REAL image decode through the partition-wise seam: the JDK's
