@@ -393,6 +393,46 @@ object Similarity {
       Seq("qid"), order, k, "rnk")
   }
 
+  /** Retrieval-quality evaluation: mean reciprocal rank at `k` (MRR@k)
+    * per label, treating same-label corpus vectors as the relevant set —
+    * the metric that grades the whole ANN family (brute/LSH/IVF/PQ return
+    * rankings; recall@k says how many relevant arrived, MRR says how
+    * HIGH the first one landed). Ranking is exact brute cosine with the
+    * (cos desc, id) total order; per-query top-k moves through the same
+    * two-stage [[graft.plans.TopKPerKey]] partial prune as
+    * [[hardNegatives]] — the shuffle carries k×partitions rows per
+    * query, never the corpus. Exactness: reciprocal ranks are integer
+    * ppm (1e6 div rank; 0 when no relevant vector reaches the top k),
+    * and the per-label mean is an integer division — no float sums, so
+    * the gate hash-matches. Output: (label, n_queries, mean_rr_ppm). */
+  def retrievalMrr(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("_qv"), col(labelCol).as("_qlabel")))
+    val scored = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("_v"),
+        col(labelCol).as("_clabel"))
+      .join(q, col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(col("_v"), col("_qv")))
+      .select(col("qid"), col("_qlabel"), col("cid"), col("_clabel"),
+        col("cos"))
+    import graft.plans.TopKPerKey
+    val order = Seq(("cos", false), ("cid", true))
+    val topk = TopKPerKey.perKey(
+      TopKPerKey.perKeyPartial(scored, Seq("qid"), order, k),
+      Seq("qid"), order, k, "rnk")
+    val firstRel = topk.filter(col("_clabel") === col("_qlabel"))
+      .groupBy("qid").agg(min(col("rnk")).as("first_rank"))
+    q.select("qid", "_qlabel")
+      .join(firstRel, Seq("qid"), "left")
+      .withColumn("rr_ppm",
+        coalesce(expr("CAST(1000000 AS BIGINT) div first_rank"), lit(0L)))
+      .groupBy(col("_qlabel").as("label"))
+      .agg(count(lit(1)).as("n_queries"), sum("rr_ppm").as("_sum"))
+      .withColumn("mean_rr_ppm", expr("_sum div n_queries"))
+      .select("label", "n_queries", "mean_rr_ppm")
+  }
+
   /** Semantic (embedding-space) decontamination: flag every corpus vector
     * whose cosine to ANY benchmark/eval vector reaches `threshold` — the
     * embedding analogue of [[Decontam]]'s n-gram overlap, catching

@@ -5049,5 +5049,39 @@ object PipelineQueries {
              |    string_agg(event_type, '>' ORDER BY rn) AS path
              |  FROM r WHERE rn <= 3 GROUP BY user_id, sid)
              |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-             |FROM p GROUP BY path ORDER BY path""".stripMargin)))
+             |FROM p GROUP BY path ORDER BY path""".stripMargin)),
+
+    QueryDef("retrieval_mrr",
+      // the eval harness for the ANN family: MRR@10 per label over exact
+      // brute-cosine rankings (same-label = relevant), reciprocal ranks
+      // in integer ppm so the mean is exact. Queries broadcast; the
+      // per-query top-10 moves through the two-stage TopKPerKey prune —
+      // the corpus never shuffles its vectors. Oracle replays every
+      // cosine, the (cos desc, id) ranking, and the integer means
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.functions.Similarity.retrievalMrr(
+            e, e.filter(col("vec_id") < 32), "embedding", "vec_id",
+            "label", k = 10)
+          .orderBy("label")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+              |           FROM embeddings WHERE vec_id < 32),
+              |sc AS (
+              |  SELECT q.qid, q.ql, e.vec_id AS cid, e.label AS cl,
+              |    ${dotSql("e.embedding", "q.qv")} /
+              |    (sqrt(${dotSql("e.embedding", "e.embedding")})
+              |     * sqrt(${dotSql("q.qv", "q.qv")})) AS cos
+              |  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+              |r AS (SELECT *, row_number() OVER (
+              |        PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+              |      FROM sc),
+              |fr AS (SELECT qid, min(rnk) AS first_rank
+              |       FROM r WHERE rnk <= 10 AND cl = ql GROUP BY qid),
+              |per AS (SELECT q.qid, q.ql,
+              |          COALESCE(1000000 // fr.first_rank, 0) AS rr_ppm
+              |        FROM q LEFT JOIN fr USING (qid))
+              |SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+              |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mean_rr_ppm
+              |FROM per GROUP BY ql ORDER BY label""".stripMargin)))
 }

@@ -953,4 +953,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select("id").as[Long].collect()
     assert(got.toSeq == Seq(10L)) // tie -> smaller id first
   }
+
+  test("retrievalMrr: hand-built ranks — first relevant at 1, 3, and " +
+    "absent give ppm 1000000, 333333, 0") {
+    // query 0 (label 0): nearest is 10 (label 0) -> rank 1, rr 1e6
+    // query 1 (label 1): ranking is 10 (l0), 0 (l0), 11 (l1)
+    //   -> first relevant rank 3, rr 1e6 div 3
+    // query 2 (label 2): no label-2 vector in the corpus -> rr 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(-1.0f, 0.5f), 2),
+      (10L, Array(0.95f, 0.05f), 0),
+      (11L, Array(0.8f, 0.2f), 1),
+      (12L, Array(0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalMrr(vecs,
+        vecs.filter($"vec_id" < 3), "embedding", "vec_id", "label", k = 10)
+      .as[(Int, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(0) == ((1L, 1000000L)))
+    assert(got(1) == ((1L, 333333L)))
+    assert(got(2) == ((1L, 0L)))
+  }
+
+  test("retrievalMrr: a relevant vector beyond k scores 0") {
+    // corpus: 3 wrong-label vectors closer than the right-label one; k=3
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 9),
+      (2L, Array(0.98f, 0.02f), 9),
+      (3L, Array(0.97f, 0.03f), 9),
+      (4L, Array(0.9f, 0.1f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.retrievalMrr(vecs,
+        vecs.filter($"vec_id" === 0), "embedding", "vec_id", "label", k = 3)
+      .select("mean_rr_ppm").as[Long].head()
+    assert(got == 0L)
+  }
 }
