@@ -70,9 +70,13 @@ object Funnel {
       tieCol: String, typeCol: String, gapMinutes: Int = 30,
       prefixLen: Int = 3): DataFrame = {
     val wOrd = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    // microsecond precision: casting to long would truncate sub-second
+    // parts and flip gap decisions right at the threshold (caught by the
+    // 10x replay, whose timestamps carry micros)
     val marked = events.withColumn("_new",
-      when(col(tsCol).cast("long") -
-        lag(col(tsCol).cast("long"), 1).over(wOrd) >= gapMinutes * 60L, 1)
+      when(unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(wOrd) >=
+          gapMinutes * 60L * 1000000L, 1)
         .when(lag(col(tsCol), 1).over(wOrd).isNull, 1)
         .otherwise(0))
     val sid = marked.withColumn("_sid", sum(col("_new")).over(
