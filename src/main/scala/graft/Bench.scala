@@ -102,7 +102,8 @@ object Bench {
     "events_cusum_changepoint",
     // round-8 fifth batch: perceptual-hash image dedup over real decoded
     // PNGs and session-opening path mining
-    "image_dhash_near_dup", "session_paths", "retrieval_mrr")
+    "image_dhash_near_dup", "session_paths", "retrieval_mrr",
+    "mad_outliers", "corr_value_hour")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -326,6 +326,75 @@ object Stats {
     cutoffs.toDF(groupCol, "p", "cutoff").orderBy(groupCol, "p")
   }
 
+  /** Robust outlier census per group via MAD (median absolute deviation):
+    * flag values with |x − median| > k·MAD — the robust cousin of the
+    * z-test ([[anomalousDays]]) that a heavy-tailed value column needs
+    * (mean and stddev are themselves dragged by the outliers; order
+    * statistics are not). Both the median and the MAD are EXACT order
+    * statistics from the two-pass bounded-histogram walk
+    * ([[groupedExactPercentiles]] — driver state is (group × bucket)
+    * counts, never data), cutoffs broadcast back, and the flag count is
+    * one integer aggregate. Output: (group, median, mad, n_rows,
+    * n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3, bucketWidth: Long = 100L): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as(groupCol),
+      col(valueCol).cast("long").as("_v"))
+    val med = groupedExactPercentiles(base, groupCol, "_v", Seq(0.5),
+        bucketWidth)
+      .select(col(groupCol), col("cutoff").as("_med"))
+    // the deviation frame feeds TWO consumers (the MAD percentile pass's
+    // internal actions + the flag aggregate) — persist or the join and
+    // upstream scan re-run per consumer
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col("_v") - col("_med")))
+      .persist()
+    val mad = groupedExactPercentiles(dev, groupCol, "_dev", Seq(0.5),
+        bucketWidth)
+      .select(col(groupCol), col("cutoff").as("_mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(min("_med").as("median"), min("_mad").as("mad"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_dev") > lit(k.toLong) * col("_mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** Exact-integer Pearson correlation census per group: one partial-
+    * aggregable pass collects the integer cross-moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²), then r² lands in ppm via the cross-multiplied identity
+    * r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — DECIMAL(38,0)
+    * products, integer division, sign reported separately — so no float
+    * sum or sqrt ever runs and both engines agree bit-for-bit. Domain:
+    * exact while (n·Σxy)²·10⁶ fits 38 digits — comfortably true for
+    * quantized metrics at any per-group cardinality below ~10⁹ rows;
+    * beyond that, shard groups or accept float moments. `defined` = 0
+    * when either variance is zero (constant column). */
+  def groupedCorr(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.select(col(groupCol), xCol.cast("long").as("_x"),
+        yCol.cast("long").as("_y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("_x").as("_sx"), sum("_y").as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .withColumn("_num",
+        dec(col("n_rows")) * dec(col("_sxy")) - dec(col("_sx")) * dec(col("_sy")))
+      .withColumn("_dx",
+        dec(col("n_rows")) * dec(col("_sxx")) - dec(col("_sx")) * dec(col("_sx")))
+      .withColumn("_dy",
+        dec(col("n_rows")) * dec(col("_syy")) - dec(col("_sy")) * dec(col("_sy")))
+      .select(col(groupCol), col("n_rows"),
+        signum(col("_num")).cast("int").as("r_sign"),
+        when(col("_dx") === 0 || col("_dy") === 0, lit(0L))
+          .otherwise(expr("(_num * _num * 1000000) div (_dx * _dy)"))
+          .as("r2_ppm"),
+        (col("_dx") =!= 0 && col("_dy") =!= 0).cast("int").as("defined"))
+  }
+
   /** Bounded-lag EWMA (alpha = 1/2) over each key's event series, in EXACT
     * integer arithmetic: values quantize to centi-units (the repo-wide
     * `round(v*100)` idiom), and the smoothed value is

@@ -5083,5 +5083,82 @@ object PipelineQueries {
               |        FROM q LEFT JOIN fr USING (qid))
               |SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
               |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mean_rr_ppm
-              |FROM per GROUP BY ql ORDER BY label""".stripMargin)))
+              |FROM per GROUP BY ql ORDER BY label""".stripMargin)),
+
+    QueryDef("mad_outliers",
+      // robust outlier census per event type: |x - median| > 3*MAD in
+      // exact integer cents — the heavy-tail-safe cousin of the z-test
+      // (order statistics don't get dragged by the outliers they hunt).
+      // Median and MAD from the two-pass bounded-histogram walk (driver
+      // state is (group x bucket) counts); the oracle replays both rank
+      // walks and every flag
+      (s, dir) => graft.functions.Stats.madOutliers(
+          Tables.events(s, dir).select(col("event_type"),
+            graft.functions.Money.cents(col("value")).as("cents")),
+          "event_type", "cents", k = 3, bucketWidth = 100L)
+        .orderBy("event_type"),
+      Some("""WITH ev AS (SELECT event_type,
+             |              CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+             |cv AS (SELECT event_type, v, count(*) AS c FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, v,
+             |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+             |      FROM cv),
+             |med AS (SELECT n.event_type, min(r.v) AS med
+             |        FROM n JOIN r ON r.event_type = n.event_type
+             |          AND r.cum >= ceil(n.n * 0.5)
+             |        GROUP BY 1),
+             |dev AS (SELECT ev.event_type, ev.v, abs(ev.v - med.med) AS d,
+             |          med.med
+             |        FROM ev JOIN med USING (event_type)),
+             |dc AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+             |dr AS (SELECT event_type, d,
+             |         sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum
+             |       FROM dc),
+             |mad AS (SELECT n.event_type, min(dr.d) AS mad
+             |        FROM n JOIN dr ON dr.event_type = n.event_type
+             |          AND dr.cum >= ceil(n.n * 0.5)
+             |        GROUP BY 1)
+             |SELECT dev.event_type, min(dev.med) AS median,
+             |  min(mad.mad) AS mad, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad USING (event_type)
+             |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin)),
+
+    QueryDef("corr_value_hour",
+      // profiling: does the value metric move with hour of day, per event
+      // type? One partial-aggregable cross-moment pass; r^2 in ppm via
+      // the cross-multiplied integer identity (no float sum, no sqrt),
+      // sign separate, zero-variance groups flagged undefined. The
+      // oracle recomputes every moment and the integer division
+      (s, dir) => graft.functions.Stats.groupedCorr(
+          Tables.events(s, dir).select(col("event_type"), col("value"),
+            col("ts")),
+          "event_type", graft.functions.Money.cents(col("value")),
+          hour(col("ts")))
+        .orderBy("event_type"),
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS x,
+             |    CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+             |  FROM events),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+             |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+             |    CAST(sum(y * y) AS HUGEINT) AS syy
+             |  FROM ev GROUP BY 1),
+             |d AS (SELECT event_type, n_rows,
+             |    n_rows * sxy - sx * sy AS num,
+             |    n_rows * sxx - sx * sx AS dx,
+             |    n_rows * syy - sy * sy AS dy
+             |  FROM m)
+             |SELECT event_type, n_rows,
+             |  CAST(sign(num) AS INT) AS r_sign,
+             |  CAST(CASE WHEN dx = 0 OR dy = 0 THEN 0
+             |       ELSE (num * num * 1000000) // (dx * dy) END AS BIGINT)
+             |    AS r2_ppm,
+             |  CAST(CASE WHEN dx <> 0 AND dy <> 0 THEN 1 ELSE 0 END AS INT)
+             |    AS defined
+             |FROM d ORDER BY event_type""".stripMargin)))
 }

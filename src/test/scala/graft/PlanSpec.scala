@@ -245,7 +245,11 @@ class PlanSpec extends AnyFunSuite {
     // is persisted, so the inherited single-row totals join now hides
     // behind the InMemoryRelation and the optimized plan is clean
     "decontam_semantic", "classifier_pr_curve",
-    "bitext_margin_mine")
+    "bitext_margin_mine",
+    // ONE-ROW broadcast totals: the recall report joins its two count
+    // aggregates (Dedup.scala:921-922) and the salting advisor joins the
+    // table-total count (Stats skewAdvisor) into sketch-sized frames
+    "lsh_recall_report", "skew_salting_advisor")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
@@ -265,7 +269,34 @@ class PlanSpec extends AnyFunSuite {
     * single-partition window. */
   private val GlobalWindowParityQueries = Set(
     "scan_resume", "sink_kafka_shape",
-    "partition_rr_basic", "partition_rr_smooth", "partition_rr_weighted")
+    "partition_rr_basic", "partition_rr_smooth", "partition_rr_weighted",
+    // bounded-by-construction single-partition windows over METADATA:
+    // the funnel's step-over-step rate runs over k funnel steps
+    // (Funnel.scala "k-row frame"), and RRF's final rank runs over the
+    // fused pool of lists x K rows — both sketch-sized, never the corpus
+    "events_funnel_steps", "hybrid_search_rrf")
+
+  test("events_rolling_distinct: day list broadcasts; the deduped frame " +
+    "never cartesians") {
+    val p = planOf("events_rolling_distinct")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_rolling_distinct_hll: sketch merge joins against a " +
+    "broadcast day list, no cartesian") {
+    val p = planOf("events_rolling_distinct_hll")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("image_dhash_near_dup: block-keyed equi-joins only — no cartesian, " +
+    "no broadcast of the corpus side") {
+    val p = planOf("image_dhash_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 
   test("no single-partition WindowExec outside the documented parity set") {
     // collected from the optimized logical plan: AQE wraps the physical one

@@ -186,6 +186,51 @@ class StatsSpec extends AnyFunSuite {
     assert(got("flat")._4 == 0 && got("flat")._2 == 0L)
   }
 
+  test("madOutliers: hand fixture — median/MAD exact, only the planted " +
+    "spike flags") {
+    // group g: values 10,12,14,16,18 and one wild 1000
+    // sorted: 10,12,14,16,18,1000; n=6, rank ceil(3)=3 -> median 14
+    // devs: 4,2,0,2,4,986 sorted 0,2,2,4,4,986 -> MAD (rank 3) = 2
+    // outliers: dev > 3*2=6 -> only 986
+    val df = Seq(10L, 12L, 14L, 16L, 18L, 1000L).map(("g", _))
+      .toDF("grp", "v")
+    val got = Stats.madOutliers(df, "grp", "v", k = 3, bucketWidth = 10L)
+      .select("median", "mad", "n_rows", "n_outliers")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((14L, 2L, 6L, 1L)))
+  }
+
+  test("madOutliers: constant column has MAD 0 and every unequal value " +
+    "flags") {
+    val df = (Seq.fill(5)(7L) :+ 8L).map(("g", _)).toDF("grp", "v")
+    val got = Stats.madOutliers(df, "grp", "v", k = 3, bucketWidth = 10L)
+      .select("median", "mad", "n_outliers").as[(Long, Long, Long)].head()
+    assert(got == ((7L, 0L, 1L))) // dev 1 > 3*0
+  }
+
+  test("groupedCorr: perfect line gives r2_ppm 1000000 with the right " +
+    "sign; constant y is undefined") {
+    val pos = (1L to 10L).map(i => ("pos", i, 3 * i + 5))
+    val neg = (1L to 10L).map(i => ("neg", i, 100 - 2 * i))
+    val flat = (1L to 10L).map(i => ("flat", i, 42L))
+    val df = (pos ++ neg ++ flat).toDF("grp", "x", "y")
+    val got = Stats.groupedCorr(df, "grp", col("x"), col("y"))
+      .select("grp", "r_sign", "r2_ppm", "defined")
+      .as[(String, Int, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("pos") == ((1, 1000000L, 1)))
+    assert(got("neg") == ((-1, 1000000L, 1)))
+    assert(got("flat") == ((0, 0L, 0)))
+  }
+
+  test("groupedCorr: independent-ish pairing scores far from 1") {
+    // y cycles 0,1,2 against increasing x: near-zero correlation
+    val df = (0L until 30L).map(i => ("g", i, i % 3)).toDF("grp", "x", "y")
+    val r2 = Stats.groupedCorr(df, "grp", col("x"), col("y"))
+      .select("r2_ppm").as[Long].head()
+    assert(r2 < 100000L, s"r2_ppm $r2") // < 0.1
+  }
+
   test("cusumChangepoint: peak-day tie keeps the earliest day") {
     // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
     // S = 4,0,4,0 — the peak 4 is hit on day 1 first
