@@ -71,6 +71,7 @@ object Bpe {
     require(steps >= 1)
     val spark = df.sparkSession
     import spark.implicits._
+    Caches.releasingShortLivedCaches(spark) {
     // localCheckpoint: the histogram is reused every round, and each round
     // rewrites `syms` — checkpointing keeps the plan one round deep
     var words = wordHistogram(df, textCol)
@@ -98,6 +99,7 @@ object Bpe {
       }
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    }
   }
 
   /** One fold applying a BATCH of pairwise-non-interacting merges in a
@@ -158,6 +160,7 @@ object Bpe {
     require(steps >= 1 && maxBatch >= 1)
     val spark = df.sparkSession
     import spark.implicits._
+    Caches.releasingShortLivedCaches(spark) {
     var words = wordHistogram(df, textCol)
       .withColumn("syms", charSyms(col("word")))
       .localCheckpoint(true)
@@ -209,6 +212,7 @@ object Bpe {
       }
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+    }
   }
 
   /** The final segmentation after [[learn]]'s merges: (word, freq, syms)

@@ -163,6 +163,7 @@ object Similarity {
     require(k >= 1)
     val spark = df.sparkSession
     import spark.implicits._
+    Caches.releasingShortLivedCaches(spark) {
     val q = array(query.map(v => lit(v)): _*)
     val poolC = if (pool > 0) pool else 100 * k
     // one corpus pass: rel scan + TakeOrdered down to the pool. From here
@@ -199,6 +200,7 @@ object Similarity {
       }
     }
     picks.toSeq.toDF("rank", "vec_id", "rel", "maxsim", "score")
+    }
   }
 
   /** DuckDB SQL replicating [[mmrSelect]] with the rounds unrolled —
