@@ -103,7 +103,7 @@ object Bench {
     // round-8 fifth batch: perceptual-hash image dedup over real decoded
     // PNGs and session-opening path mining
     "image_dhash_near_dup", "session_paths", "retrieval_mrr",
-    "mad_outliers", "corr_value_hour")
+    "mad_outliers", "corr_value_hour", "image_dhash_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,6 +144,9 @@ object Bench {
       // measure the codec passes over stored bytes
       graft.queries.PipelineQueries.pngFixturePath(spark, sfDir)
       graft.queries.PipelineQueries.wavFixturePath(spark, sfDir)
+      // corpus dHash signature index: offline decode+hash build; the
+      // timed image_dhash_incremental entry measures the batch probe
+      graft.queries.PipelineQueries.dhashIndexPath(spark, sfDir)
       // PQ codebooks (raw + residual): trained once offline, like the
       // IVF quantizer
       graft.queries.PipelineQueries.pqModel(spark, sfDir)

@@ -190,6 +190,39 @@ object Multimodal {
       .toDF(idCol, payloadCol)
   }
 
+  /** Incremental image near-dup: probe a NEW batch's dHash signatures
+    * against a PERSISTED corpus signature index ((id, dhash) parquet —
+    * 16 bytes a row; the expensive decode+hash of the corpus is the
+    * offline index build, so the nightly ingest decodes ONLY its own
+    * batch). Same four-block pigeonhole as [[dhashNearDupPairs]]
+    * (exact recall at hamming <= 3) with the signature collapse on both
+    * sides; cross-set pairs keep same-signature hits (hamming 0 — the
+    * re-encode case an image ingest mostly sees). Output:
+    * (id_new, id_corp, hamming). */
+  def dhashAgainstIndex(newHashes: DataFrame, index: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 blocks guarantee exact recall only up to hamming 3")
+    // persisted: the new batch's hashes feed the block pass AND the
+    // expansion join — without this the batch re-decodes per consumer
+    val nh = newHashes.select(col(idCol).as("id_new"),
+      col("dhash").as("_hn")).persist()
+    val ih = index.select(col(idCol).as("id_corp"), col("dhash").as("_hc"))
+    def blocksOf(df: DataFrame, h: String): DataFrame = df.select(col(h))
+      .distinct()
+      .select(col(h), posexplode(array((0 to 3).map(t =>
+        shiftright(col(h), 14 * t).bitwiseAND(lit(16383L))): _*)))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "blockv")
+    val sigPairs = blocksOf(nh, "_hn")
+      .join(blocksOf(ih, "_hc"), Seq("t", "blockv"))
+      .select("_hn", "_hc").distinct()
+      .withColumn("hamming", expr("bit_count(_hn ^ _hc)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+    nh.join(broadcast(sigPairs), Seq("_hn"))
+      .join(ih, Seq("_hc"))
+      .select("id_new", "id_corp", "hamming")
+  }
+
   // ---- real audio decode (JDK javax.sound.sampled — no external deps) ----
 
   /** Deterministic 16-bit mono PCM WAV bytes for an id: n = 8 + id%5

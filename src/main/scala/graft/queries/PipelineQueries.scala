@@ -395,6 +395,24 @@ object PipelineQueries {
       path
     })
 
+  /** Corpus dHash signature index (doc_id % 7 != 0 — the accepted set the
+    * incremental splits share), written once per dir: the offline
+    * decode+hash build `Multimodal.dhashAgainstIndex` probes without ever
+    * re-decoding the corpus. 16 bytes a row. */
+  private val dhashIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def dhashIndexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dhashIndexDirs.computeIfAbsent(dir, _ => {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = s"target/tmp/dhash-index-$safe"
+      Multimodal.imageDHash(
+          s.read.parquet(pngFixturePath(s, dir))
+            .filter(col("doc_id") % 7 =!= 0), "doc_id", "png")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Real-WAV payload table, written once per dir — the audio counterpart
     * of [[pngFixturePath]]. */
   private val wavFixtureDirs =
@@ -5160,5 +5178,39 @@ object PipelineQueries {
              |    AS r2_ppm,
              |  CAST(CASE WHEN dx <> 0 AND dy <> 0 THEN 1 ELSE 0 END AS INT)
              |    AS defined
-             |FROM d ORDER BY event_type""".stripMargin)))
+             |FROM d ORDER BY event_type""".stripMargin)),
+
+    QueryDef("image_dhash_incremental",
+      // the nightly-ingest seat of image dedup: the new batch
+      // (doc_id % 7 = 0) is the ONLY thing decoded — its signatures probe
+      // the persisted corpus signature index (built offline, 16 bytes a
+      // row) through the same exact-recall block pigeonhole. The oracle
+      // can brute the cross set precisely BECAUSE recall is exact: block
+      // candidates == all hamming <= 3 pairs by construction
+      (s, dir) => Multimodal.dhashAgainstIndex(
+          Multimodal.imageDHash(
+            s.read.parquet(pngFixturePath(s, dir))
+              .filter(col("doc_id") % 7 === 0), "doc_id", "png"),
+          s.read.parquet(dhashIndexPath(s, dir)), "doc_id", maxHamming = 3)
+        .orderBy("id_new", "id_corp"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 7 AS h
+             |           FROM documents),
+             |g AS (SELECT doc_id, w, h,
+             |        unnest(generate_series(0, 55)) AS b FROM d),
+             |bits AS (SELECT doc_id,
+             |    CASE WHEN
+             |      (doc_id*31 + (((b % 7) + 1) * w // 8) * 7
+             |        + ((b // 7) * h // 8) * 13) % 256
+             |      > (doc_id*31 + ((b % 7) * w // 8) * 7
+             |        + ((b // 7) * h // 8) * 13) % 256
+             |    THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END AS bit
+             |  FROM g),
+             |hs AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+             |       FROM bits GROUP BY 1)
+             |SELECT a.doc_id AS id_new, b.doc_id AS id_corp,
+             |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+             |FROM hs a JOIN hs b
+             |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
+             |  AND bit_count(xor(a.dhash, b.dhash)) <= 3
+             |ORDER BY id_new, id_corp""".stripMargin)))
 }

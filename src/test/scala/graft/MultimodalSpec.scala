@@ -126,4 +126,27 @@ class MultimodalSpec extends AnyFunSuite {
     // h2 vs h3: differ in bits {0,1} vs {2,20,40} -> hamming 5, dropped
     assert(!got.contains((2L, 3L)))
   }
+
+  test("dhashAgainstIndex: cross-set probe == brute-force cross hamming " +
+    "filter (exact recall), same-signature hits kept") {
+    val h0 = 0x00ABCDEF012345L
+    val newH = Seq((100L, h0), (101L, h0 ^ 0x07L), (102L, ~h0 & ((1L << 56) - 1)))
+      .toDF("doc_id", "dhash")
+    val corpus = Seq((1L, h0), (2L, h0 ^ (1L << 30)), (3L, 0x12345678901234L))
+      .toDF("doc_id", "dhash")
+    val got = Multimodal.dhashAgainstIndex(newH, corpus, "doc_id",
+        maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force replay
+    val want = (for {
+      (ni, nh) <- Seq((100L, h0), (101L, h0 ^ 0x07L),
+        (102L, ~h0 & ((1L << 56) - 1)))
+      (ci, ch) <- Seq((1L, h0), (2L, h0 ^ (1L << 30)),
+        (3L, 0x12345678901234L))
+      hm = java.lang.Long.bitCount(nh ^ ch)
+      if hm <= 3
+    } yield (ni, ci, hm)).toSet
+    assert(got == want)
+    assert(got.contains((100L, 1L, 0)), "identical signature must pair")
+  }
 }
