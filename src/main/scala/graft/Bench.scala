@@ -103,7 +103,8 @@ object Bench {
     // round-8 fifth batch: perceptual-hash image dedup over real decoded
     // PNGs and session-opening path mining
     "image_dhash_near_dup", "session_paths", "retrieval_mrr",
-    "mad_outliers", "corr_value_hour", "image_dhash_incremental")
+    "mad_outliers", "corr_value_hour", "image_dhash_incremental",
+    "hll_rollup_rolling")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -142,17 +142,22 @@ object Sketches {
       .withColumn("day", col("day").cast("string"))
   }
 
-  /** DuckDB replay of [[hllRollingDistinct]]: the same bucket/rho chain as
-    * [[hllOracleSql]] keyed by day, then the day-range bucket-max merge and
-    * the identical IEEE-pinned estimate. */
+  /** DuckDB replay of [[hllRollingDistinct]] (and, with `groupCol`, of the
+    * rollup-layout rolling curve): the same bucket/rho chain as
+    * [[hllOracleSql]] keyed by (group?, day), then the day-range
+    * bucket-max merge and the identical IEEE-pinned estimate. */
   def hllRollingOracleSql(table: String, tsCol: String, valueExpr: String,
-      windowDays: Int): String = {
+      windowDays: Int, groupCol: Option[String] = None): String = {
     val twoP40 = 1L << RhoCap
+    val g = groupCol.map(_ + ", ").getOrElse("")
+    val gj = groupCol.map(c => s"AND s.$c = d.$c ").getOrElse("")
+    val gd = groupCol.map(c => s"d.$c, ").getOrElse("")
+    val gs = groupCol.map(c => s"s.$c, ").getOrElse("")
     s"""WITH h AS (
-       |  SELECT CAST($tsCol AS DATE) AS day,
+       |  SELECT ${g}CAST($tsCol AS DATE) AS day,
        |    substr(md5($valueExpr), 1, 13) AS hx FROM $table),
        |b AS (
-       |  SELECT day,
+       |  SELECT ${g}day,
        |    CAST(list_reduce(list_transform(
        |      regexp_extract_all(substr(hx, 1, 3), '.'),
        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
@@ -160,12 +165,12 @@ object Sketches {
        |    substr(hx, 4, 10) AS tail
        |  FROM h),
        |r AS (
-       |  SELECT day, bucket,
+       |  SELECT ${g}day, bucket,
        |    length(regexp_extract(tail, '^0*')) AS z,
        |    substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1) AS fc
        |  FROM b),
        |rho AS (
-       |  SELECT day, bucket,
+       |  SELECT ${g}day, bucket,
        |    LEAST(z * 4 + (CASE
        |      WHEN fc IN ('8','9','a','b','c','d','e','f') THEN 0
        |      WHEN fc IN ('4','5','6','7') THEN 1
@@ -173,26 +178,26 @@ object Sketches {
        |      WHEN fc = '1' THEN 3 ELSE 0 END) + 1, $RhoCap) AS rho
        |  FROM r),
        |sk AS (
-       |  SELECT day, bucket, max(rho) AS max_rho
-       |  FROM rho GROUP BY day, bucket),
-       |days AS (SELECT DISTINCT day FROM sk),
+       |  SELECT ${g}day, bucket, max(rho) AS max_rho
+       |  FROM rho GROUP BY ${g}day, bucket),
+       |days AS (SELECT DISTINCT ${g}day FROM sk),
        |m AS (
-       |  SELECT d.day, s.bucket, max(s.max_rho) AS max_rho
+       |  SELECT ${gd}d.day, s.bucket, max(s.max_rho) AS max_rho
        |  FROM days d JOIN sk s
-       |    ON s.day BETWEEN d.day - ${windowDays - 1} AND d.day
-       |  GROUP BY d.day, s.bucket),
+       |    ON s.day BETWEEN d.day - ${windowDays - 1} AND d.day $gj
+       |  GROUP BY ${gd}d.day, s.bucket),
        |est AS (
-       |  SELECT day,
+       |  SELECT ${g}day,
        |    CAST($HllM - count(*) AS BIGINT) AS v_empty,
        |    CAST(sum(CAST(1 AS BIGINT) << ($RhoCap - max_rho))
        |         + ($HllM - count(*)) * $twoP40 AS BIGINT) AS s_scaled
-       |  FROM m GROUP BY day)
-       |SELECT CAST(day AS VARCHAR) AS day, v_empty, s_scaled,
+       |  FROM m GROUP BY ${g}day)
+       |SELECT ${g}CAST(day AS VARCHAR) AS day, v_empty, s_scaled,
        |  (CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE)
        |     + CAST('1.079' AS DOUBLE) / CAST($HllM AS DOUBLE)))
        |    * CAST($HllM AS DOUBLE) * CAST($HllM AS DOUBLE)
        |    * CAST($twoP40 AS DOUBLE) / CAST(s_scaled AS DOUBLE) AS hll_est
-       |FROM est ORDER BY day""".stripMargin
+       |FROM est ORDER BY ${g}day""".stripMargin
   }
 
   /** DuckDB CTE chain recomputing the identical sketch + estimate over

@@ -5212,5 +5212,19 @@ object PipelineQueries {
              |FROM hs a JOIN hs b
              |  ON a.doc_id % 7 = 0 AND b.doc_id % 7 != 0
              |  AND bit_count(xor(a.dhash, b.dhash)) <= 3
-             |ORDER BY id_new, id_corp""".stripMargin)))
+             |ORDER BY id_new, id_corp""".stripMargin)),
+
+    QueryDef("hll_rollup_rolling",
+      // the rolling-distinct dashboard served ENTIRELY from the landed
+      // rollup layout: per (event_type, day), the 7-day distinct-user
+      // estimate from a bucket-max merge over the day-partitioned
+      // sub-sketches — raw events were sketched once at land time and
+      // are never re-read. The oracle sketches every raw window directly,
+      // so the gate hash-proves the layout + merge law end-to-end
+      (s, dir) => graft.sources.Layout.readHllRollingCurve(
+          s, hllRollupPath(s, dir), windowDays = 7)
+        .orderBy("event_type", "day"),
+      Some(Sketches.hllRollingOracleSql("events", "ts",
+        "CAST(user_id AS VARCHAR)", windowDays = 7,
+        groupCol = Some("event_type")))))
 }

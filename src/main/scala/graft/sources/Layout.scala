@@ -168,6 +168,30 @@ object Layout {
     graft.functions.Sketches.hllEstimate(merged, Seq(groupCol))
   }
 
+  /** Rolling `windowDays`-day distinct curve FROM the sketch rollup: the
+    * per-group "7-day active users per day" dashboard computed entirely
+    * over the landed day-sketches — the day×window bucket-max merge runs
+    * on <= days × 4096-row metadata against the broadcast day list, and
+    * raw events are never read (they were sketched once, at land time).
+    * Bit-identical to sketching each raw window directly (idempotent max
+    * + the merge law), which is exactly what the gate oracle does. */
+  def readHllRollingCurve(spark: SparkSession, path: String,
+      windowDays: Int, groupCol: String = "event_type"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val sk = spark.read.parquet(path)
+      .select(col("event_date").as("day"), col(groupCol),
+        col("bucket"), col("max_rho"))
+    val days = sk.select(col("day").as("w_day")).distinct()
+    val merged = sk.join(broadcast(days),
+        col("day") >= date_sub(col("w_day"), windowDays - 1) &&
+          col("day") <= col("w_day"))
+      .groupBy(col(groupCol), col("w_day"), col("bucket"))
+      .agg(max("max_rho").as("max_rho"))
+      .withColumnRenamed("w_day", "day")
+    graft.functions.Sketches.hllEstimate(merged, Seq(groupCol, "day"))
+      .withColumn("day", col("day").cast("string"))
+  }
+
   /** Day-partitioned log-histogram quantile sub-sketches — the same
     * incremental-maintenance layout as [[writeDailyHllSketch]] for the
     * DISTRIBUTION instead of the cardinality: each ingest slice lands its

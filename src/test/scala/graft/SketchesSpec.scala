@@ -171,6 +171,30 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rolling curve from the rollup == per-window direct sketches, " +
+    "bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("hllcurve").toString
+    val ev = (0 until 400).map { i =>
+      (i.toLong, f"2024-01-${1 + i % 10}%02d 12:00:00", 100L + i % 77, s"t${i % 2}")
+    }.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    graft.sources.Layout.writeDailyHllSketch(ev, dir, col("user_id"))
+    val got = graft.sources.Layout
+      .readHllRollingCurve(spark, dir, windowDays = 3)
+      .select("event_type", "day", "s_scaled")
+      .as[(String, String, Long)].collect().toSet
+    val want = (1 to 10).flatMap { d =>
+      val lo = f"2024-01-${math.max(1, d - 2)}%02d"
+      val hi = f"2024-01-$d%02d"
+      Sketches.hllDistinct(
+          ev.filter(to_date(col("ts")).between(lo, hi)),
+          Seq("event_type"), col("user_id"))
+        .select("event_type", "s_scaled").as[(String, Long)].collect()
+        .map { case (t, s) => (t, hi, s) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("daily logHist sketch rollup: pruned range merge == direct sketch " +
     "of the range") {
     val dir = java.nio.file.Files.createTempDirectory("lhroll").toString
