@@ -441,4 +441,21 @@ object Stats {
       .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
       .withColumn("at_risk",
         when(col("class_size") < k, 1).otherwise(0).cast("int"))
+
+  /** l-diversity census (Machanavajjhala et al. 2006) — the companion
+    * check [[kAnonymityCensus]] needs: a class can be large (k-anonymous)
+    * yet still leak if everyone in it shares the same SENSITIVE value.
+    * Per QI equivalence class, count rows and distinct sensitive values;
+    * census classes by that diversity with the `< l` at-risk flag. Two
+    * partial-aggregable shuffles (count-distinct expands to the
+    * (qi, sensitive) pairs once); all-integer output. */
+  def lDiversityCensus(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .groupBy(col("n_sensitive"))
+      .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
+      .withColumn("at_risk",
+        when(col("n_sensitive") < l, 1).otherwise(0).cast("int"))
 }

@@ -5226,5 +5226,25 @@ object PipelineQueries {
         .orderBy("event_type", "day"),
       Some(Sketches.hllRollingOracleSql("events", "ts",
         "CAST(user_id AS VARCHAR)", windowDays = 7,
-        groupCol = Some("event_type")))))
+        groupCol = Some("event_type")))),
+
+    QueryDef("l_diversity_census",
+      // the leak k-anonymity misses: a big class where everyone shares
+      // the same sensitive value. Census of QI classes by their distinct
+      // sensitive-value count with the < l at-risk flag; two partial-
+      // aggregable shuffles, all-integer
+      (s, dir) => graft.functions.Stats.lDiversityCensus(
+          Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+          "c_acctbal", l = 5)
+        .orderBy("n_sensitive"),
+      Some("""WITH c AS (
+             |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+             |    count(DISTINCT c_acctbal) AS n_sensitive
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT CAST(n_sensitive AS BIGINT) AS n_sensitive,
+             |  CAST(count(*) AS BIGINT) AS n_classes,
+             |  CAST(sum(class_size) AS BIGINT) AS n_rows,
+             |  CAST(CASE WHEN n_sensitive < 5 THEN 1 ELSE 0 END AS INT)
+             |    AS at_risk
+             |FROM c GROUP BY n_sensitive ORDER BY n_sensitive""".stripMargin)))
 }

@@ -132,6 +132,19 @@ class StatsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum == rows.size)
   }
 
+  test("lDiversityCensus: a big class with one sensitive value is at risk; " +
+    "diverse classes are not") {
+    // class (1,x): 4 rows, all sensitive 's1'  -> diversity 1, at risk
+    // class (2,y): 3 rows, sensitive s1,s2,s3  -> diversity 3, safe at l=2
+    val rows = Seq.fill(4)((1, "x", "s1")) ++
+      Seq((2, "y", "s1"), (2, "y", "s2"), (2, "y", "s3"))
+    val got = Stats.lDiversityCensus(rows.toDF("a", "b", "s"),
+        Seq("a", "b"), "s", l = 2)
+      .select("n_sensitive", "n_classes", "n_rows", "at_risk")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 4L, 1), (3L, 1L, 3L, 0)))
+  }
+
   test("rollingDistinct: window unions users; duplicates within and across " +
     "days count once") {
     // day 1: users {1,2}; day 2: {2,3} (2 repeats); day 4: {9}
