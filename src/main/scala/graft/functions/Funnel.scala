@@ -54,6 +54,38 @@ object Funnel {
           / lag(col("n_users"), 1).over(w).cast("double")))
   }
 
+  /** Conversion-latency distribution: for users who complete the WHOLE
+    * funnel (same strict-order greedy-earliest semantics as
+    * [[funnelSteps]]), the first-step→last-step delay in whole seconds,
+    * summarized as log-histogram sketch quantiles — p50/p90/p99
+    * time-to-convert in ONE partial-aggregable pass over one value per
+    * converting user, no sort ([[graft.functions.Sketches]] contract:
+    * < 1/16 relative-error lower bounds, bit-reproducible). Output:
+    * (g='all', q_permille, n_rows, qtile_lb) — qtile_lb in seconds. */
+  def conversionLatency(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String],
+      window: Option[String] = None): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two funnel steps")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      .withColumn("_t0", col("_t"))
+    for (st <- steps.drop(1)) {
+      val inWindow = window
+        .map(w => col(tsCol) <= col("_prev") + expr(s"INTERVAL $w"))
+        .getOrElse(lit(true))
+      cur = events.filter(col(typeCol) === st)
+        .join(cur.select(col(userCol), col("_t").as("_prev"), col("_t0")),
+          Seq(userCol))
+        .filter(col(tsCol) > col("_prev") && inWindow)
+        .groupBy(col(userCol), col("_t0")).agg(min(col(tsCol)).as("_t"))
+    }
+    val deltas = cur.select(
+      expr("(unix_micros(_t) - unix_micros(_t0)) div 1000000").as("_v"))
+      .withColumn("g", lit("all"))
+    graft.functions.Sketches.logHistDistribution(deltas, Seq("g"),
+      col("_v"), Seq(500, 900, 990))
+  }
+
   /** Census of session-opening behavior paths: sessionize each user's
     * stream by inactivity gap (new session when >= `gapMinutes` since the
     * previous event), take each session's first `prefixLen` event types in

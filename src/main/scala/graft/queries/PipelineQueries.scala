@@ -5246,5 +5246,35 @@ object PipelineQueries {
              |  CAST(sum(class_size) AS BIGINT) AS n_rows,
              |  CAST(CASE WHEN n_sensitive < 5 THEN 1 ELSE 0 END AS INT)
              |    AS at_risk
-             |FROM c GROUP BY n_sensitive ORDER BY n_sensitive""".stripMargin)))
+             |FROM c GROUP BY n_sensitive ORDER BY n_sensitive""".stripMargin)),
+
+    QueryDef("funnel_conversion_latency",
+      // p50/p90/p99 time-to-convert for view -> click -> purchase
+      // completers: the funnel join chain (one timestamp per survivor)
+      // feeds ONE log-histogram sketch pass — no sort, KB of bucket
+      // counts; the oracle replays funnel stages AND the bucket walk
+      (s, dir) => graft.functions.Funnel.conversionLatency(
+          Tables.events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), window = Some("30 DAYS"))
+        .orderBy("q_permille"),
+      Some {
+        val rel = """SELECT 'all' AS g,
+          |    CAST((epoch_us(g3.t) - epoch_us(g3.t0)) // 1000000 AS BIGINT) AS v
+          |  FROM (
+          |    WITH g1 AS (
+          |      SELECT user_id, min(ts) AS t FROM events
+          |      WHERE event_type = 'view' GROUP BY user_id),
+          |    g2 AS (
+          |      SELECT e.user_id, g1.t AS t0, min(e.ts) AS t FROM events e
+          |      JOIN g1 ON e.user_id = g1.user_id
+          |      WHERE e.event_type = 'click' AND e.ts > g1.t
+          |        AND e.ts <= g1.t + INTERVAL 30 DAY
+          |      GROUP BY e.user_id, g1.t)
+          |    SELECT e.user_id, g2.t0, min(e.ts) AS t FROM events e
+          |    JOIN g2 ON e.user_id = g2.user_id
+          |    WHERE e.event_type = 'purchase' AND e.ts > g2.t
+          |      AND e.ts <= g2.t + INTERVAL 30 DAY
+          |    GROUP BY e.user_id, g2.t0) g3""".stripMargin
+        Sketches.logHistOracleSql(rel, Seq(500, 900, 990), "g")
+      }))
 }

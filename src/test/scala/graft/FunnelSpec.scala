@@ -117,6 +117,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map("a>b>c" -> 1L, "e>f" -> 1L, "g" -> 1L, "a>b" -> 1L))
   }
 
+  test("conversionLatency: completers' first->last delay lands in the " +
+    "right sketch buckets; non-completers excluded") {
+    // user 1 converts in 100 s; user 2 converts in 1000 s; user 3 never
+    // purchases -> excluded
+    val rows = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:00:40"),
+      (1L, "purchase", "2024-01-01 10:01:40"),
+      (2L, "view", "2024-01-01 09:00:00"), (2L, "click", "2024-01-01 09:10:00"),
+      (2L, "purchase", "2024-01-01 09:16:40"),
+      (3L, "view", "2024-01-01 08:00:00"), (3L, "click", "2024-01-01 08:01:00"))
+    val got = Funnel.conversionLatency(ev(rows: _*), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .select("q_permille", "n_rows", "qtile_lb")
+      .as[(Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // n = 2 completers; p50 -> rank 1 -> 100 s (bucket lb: e=6, sub=9 ->
+    // (16+9)*64/16 = 100); p90/p99 -> rank 2 -> 1000 s (e=9,
+    // sub=(1000-512)*16/512=15 -> (16+15)*512/16 = 992)
+    assert(got(500) == ((2L, 100L)))
+    assert(got(900) == ((2L, 992L)))
+    assert(got(990) == ((2L, 992L)))
+  }
+
   test("sessionPaths: a gap of exactly the threshold starts a new session") {
     val rows = Seq(
       (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:30:00"))
