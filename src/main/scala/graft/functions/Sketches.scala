@@ -130,7 +130,9 @@ object Sketches {
       windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
     val withDay = events.select(to_date(col(tsCol)).as("day"), value.as("_v"))
-    val sk = hllSketch(withDay, Seq("day"), col("_v"))
+    // persisted: the day-sketch frame feeds BOTH the derived day list and
+    // the window merge — without this the corpus sketch pass runs twice
+    val sk = hllSketch(withDay, Seq("day"), col("_v")).persist()
     val days = sk.select(col("day").as("w_day")).distinct()
     val merged = sk.join(broadcast(days),
         col("day") >= date_sub(col("w_day"), windowDays - 1) &&

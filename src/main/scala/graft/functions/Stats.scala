@@ -59,9 +59,12 @@ object Stats {
   def rollingDistinct(events: DataFrame, tsCol: String, idCol: String,
       windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
+    // persisted: du feeds BOTH the derived day list and the range join —
+    // without this the corpus-wide distinct runs once per consumer
     val du = events
       .select(to_date(col(tsCol)).as("_day"), col(idCol).as("_id"))
       .distinct()
+      .persist()
     val days = du.select(col("_day").as("day")).distinct()
     du.join(broadcast(days),
         col("_day") >= date_sub(col("day"), windowDays - 1) &&
@@ -338,8 +341,11 @@ object Stats {
     * n_outliers). */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 3, bucketWidth: Long = 100L): DataFrame = {
+    // persisted: base feeds the median pass (two collects) AND the
+    // deviation join — three upstream evaluations otherwise
     val base = df.select(col(groupCol).cast("string").as(groupCol),
       col(valueCol).cast("long").as("_v"))
+      .persist()
     val med = groupedExactPercentiles(base, groupCol, "_v", Seq(0.5),
         bucketWidth)
       .select(col(groupCol), col("cutoff").as("_med"))
