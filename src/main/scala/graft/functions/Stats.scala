@@ -448,6 +448,44 @@ object Stats {
       .withColumn("at_risk",
         when(col("class_size") < k, 1).otherwise(0).cast("int"))
 
+  /** Market-basket pair affinity (the 2-itemset core of Agrawal-Srikant
+    * association mining): support count and LIFT for every item pair
+    * co-occurring in a basket at least `minSupport` times. Baskets
+    * dedupe to (basket, item) once (persisted — three consumers), pairs
+    * come from a basket-keyed self-join (work ~ Σ basket_size², bounded
+    * by the basket-size cap real order data has — never |items|²), item
+    * counts broadcast back as metadata, and lift lands in integer ppm
+    * via DECIMAL cross-multiplication: lift = n_baskets·c(ab)/(c(a)·c(b)).
+    * Output: (item_a, item_b, c_pair, lift_ppm), item_a < item_b. */
+  def basketPairAffinity(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct().persist()
+    val ic = items.groupBy(col("_i")).agg(count(lit(1)).as("c_item"))
+    val nb = items.select("_b").distinct()
+      .agg(count(lit(1)).as("n_baskets")).withColumn("_one", lit(1))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a._b") === col("b._b") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("item_a"), col("b._i").as("item_b"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minSupport)
+    pairs
+      .join(broadcast(ic.select(col("_i").as("item_a"),
+        col("c_item").as("_ca"))), Seq("item_a"))
+      .join(broadcast(ic.select(col("_i").as("item_b"),
+        col("c_item").as("_cb"))), Seq("item_b"))
+      .withColumn("_one", lit(1))
+      .join(broadcast(nb), Seq("_one"))
+      .withColumn("_num",
+        dec(col("c_pair")) * dec(col("n_baskets")) * dec(lit(1000000L)))
+      .withColumn("_den", dec(col("_ca")) * dec(col("_cb")))
+      // IntegralDivide (div) floors like DuckDB's // — decimal .divide
+      // would ROUND at the result scale before any cast
+      .select(col("item_a"), col("item_b"), col("c_pair"),
+        expr("_num div _den").as("lift_ppm"))
+  }
+
   /** l-diversity census (Machanavajjhala et al. 2006) — the companion
     * check [[kAnonymityCensus]] needs: a class can be large (k-anonymous)
     * yet still leak if everyone in it shares the same SENSITIVE value.

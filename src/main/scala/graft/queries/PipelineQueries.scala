@@ -5276,5 +5276,32 @@ object PipelineQueries {
           |      AND e.ts <= g2.t + INTERVAL 30 DAY
           |    GROUP BY e.user_id, g2.t0) g3""".stripMargin
         Sketches.logHistOracleSql(rel, Seq(500, 900, 990), "g")
-      }))
+      }),
+
+    QueryDef("basket_pair_affinity",
+      // market-basket 2-itemset mining over orders: part pairs bought
+      // together at least twice, with integer-ppm lift. Pairs from a
+      // basket-keyed self-join (work ~ sum of basket_size^2, never
+      // |items|^2); item counts broadcast back as metadata
+      (s, dir) => graft.functions.Stats.basketPairAffinity(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+             |ic AS (SELECT i, count(*) AS c_item FROM it GROUP BY 1),
+             |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+             |p AS (
+             |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_pair
+             |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT p.item_a, p.item_b, CAST(p.c_pair AS BIGINT) AS c_pair,
+             |  CAST((CAST(p.c_pair AS HUGEINT) * nb.n_baskets * 1000000)
+             |       // (CAST(ca.c_item AS HUGEINT) * cb.c_item) AS BIGINT)
+             |    AS lift_ppm
+             |FROM p
+             |JOIN ic ca ON ca.i = p.item_a
+             |JOIN ic cb ON cb.i = p.item_b
+             |CROSS JOIN nb
+             |ORDER BY item_a, item_b""".stripMargin)))
 }

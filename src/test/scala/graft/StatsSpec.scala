@@ -132,6 +132,26 @@ class StatsSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum == rows.size)
   }
 
+  test("basketPairAffinity: hand-built baskets — support counts, lift " +
+    "above/below 1, min-support prune, in-basket dup ignored") {
+    // baskets: {1,2} x3, {1,3}, {2,3}, {3} alone, plus a dup row of item 1
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 1L), // dup (10,1) must not inflate
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L),
+      (14L, 2L), (14L, 3L),
+      (15L, 3L))
+    val got = Stats.basketPairAffinity(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // n_baskets=6, c(1)=4, c(2)=4, c(3)=3
+    // pair (1,2): c=3, lift = 6*3/(4*4) = 1.125 -> 1125000 ppm
+    assert(got == Map((1L, 2L) -> ((3L, 1125000L))))
+    // (1,3) and (2,3) have support 1 -> pruned by minSupport=2
+  }
+
   test("lDiversityCensus: a big class with one sensitive value is at risk; " +
     "diverse classes are not") {
     // class (1,x): 4 rows, all sensitive 's1'  -> diversity 1, at risk
