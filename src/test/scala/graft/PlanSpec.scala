@@ -247,9 +247,11 @@ class PlanSpec extends AnyFunSuite {
     "decontam_semantic", "classifier_pr_curve",
     "bitext_margin_mine",
     // ONE-ROW broadcast totals: the recall report joins its two count
-    // aggregates (Dedup.scala:921-922) and the salting advisor joins the
-    // table-total count (Stats skewAdvisor) into sketch-sized frames
-    "lsh_recall_report", "skew_salting_advisor")
+    // aggregates (Dedup.scala:921-922), the salting advisor joins the
+    // table-total count (Stats skewAdvisor), and basket affinity joins
+    // the n_baskets total (the constant `_one` key folds away) into
+    // sketch-sized frames
+    "lsh_recall_report", "skew_salting_advisor", "basket_pair_affinity")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
@@ -272,9 +274,11 @@ class PlanSpec extends AnyFunSuite {
     "partition_rr_basic", "partition_rr_smooth", "partition_rr_weighted",
     // bounded-by-construction single-partition windows over METADATA:
     // the funnel's step-over-step rate runs over k funnel steps
-    // (Funnel.scala "k-row frame"), and RRF's final rank runs over the
-    // fused pool of lists x K rows — both sketch-sized, never the corpus
-    "events_funnel_steps", "hybrid_search_rrf")
+    // (Funnel.scala "k-row frame"), RRF's final rank runs over the fused
+    // pool of lists x K rows, and the latency sketch's cumulative walk
+    // runs over <= ~1K bucket counts (its constant g='all' partition key
+    // folds away) — all sketch-sized, never the corpus
+    "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency")
 
   test("events_rolling_distinct: day list broadcasts; the deduped frame " +
     "never cartesians") {
@@ -295,6 +299,13 @@ class PlanSpec extends AnyFunSuite {
   test("image_dhash_near_dup: block-keyed equi-joins only — no cartesian, " +
     "no broadcast of the corpus side") {
     val p = planOf("image_dhash_near_dup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("basket_pair_affinity: item-count sides broadcast-hash; only the " +
+    "1-row total rides a nested-loop broadcast; no cartesian") {
+    val p = planOf("basket_pair_affinity")
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
