@@ -231,4 +231,30 @@ object GraftProps extends Properties("graft") {
       Prop(scala.util.Try(graft.operators.Filters.solrPredicate(s)).isFailure)
     }
   }
+
+  // the dhash block-candidate pigeonhole: hamming <= 3 implies some
+  // whole 14-bit block agrees — the exact-recall guarantee the
+  // image-dedup joins rely on (pure bit math, mirrors
+  // Multimodal.dhashNearDupPairs' key scheme)
+  val hash56Gen: Gen[Long] = Gen.choose(0L, (1L << 56) - 1)
+  val upTo3FlipsGen: Gen[Seq[Int]] = for {
+    n <- Gen.choose(0, 3)
+    bits <- Gen.listOfN(n, Gen.choose(0, 55))
+  } yield bits
+  private def blocks(h: Long): Seq[Long] =
+    (0 to 3).map(t => (h >> (14 * t)) & 16383L)
+
+  property("dhash pigeonhole: <= 3 flipped bits always leave a whole " +
+    "block shared") =
+    forAll(hash56Gen, upTo3FlipsGen) { (h, flips) =>
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      val hamming = java.lang.Long.bitCount(h ^ h2)
+      Prop(hamming > 3 || blocks(h).zip(blocks(h2)).exists(p => p._1 == p._2))
+    }
+
+  property("dhash blocks: sharing NO block implies hamming >= 4") =
+    forAll(hash56Gen, hash56Gen) { (a, b) =>
+      val noShared = blocks(a).zip(blocks(b)).forall(p => p._1 != p._2)
+      Prop(!noShared || java.lang.Long.bitCount(a ^ b) >= 4)
+    }
 }
