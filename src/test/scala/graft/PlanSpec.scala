@@ -309,6 +309,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("events_cusum_changepoint: one partial-aggregated daily-count " +
+    "shuffle; no joins at all") {
+    val p = planOf("events_cusum_changepoint")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    val partial = p.indexOf("partial_count")
+    assert(exchange >= 0 && partial > exchange, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("retrieval_mrr: the metadata-sized query set broadcast-builds " +
+    "(non-equi exclusion forces nested-loop, like hard_negatives); " +
+    "TopKPerKey prunes before the qid shuffle; no cartesian") {
+    val p = planOf("retrieval_mrr")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("session_paths: per-user windows only — no self-join of the " +
+    "event stream") {
+    val p = planOf("session_paths")
+    assert(!p.contains("Join"), p)
+  }
+
   test("no single-partition WindowExec outside the documented parity set") {
     // collected from the optimized logical plan: AQE wraps the physical one
     // in AdaptiveSparkPlanExec, which hides its subtree from collect
