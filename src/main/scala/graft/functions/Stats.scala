@@ -486,6 +486,38 @@ object Stats {
         expr("_num div _den").as("lift_ppm"))
   }
 
+  /** Directed association rules from the basket pairs: confidence(a→b) =
+    * c(ab)/c(a) in integer ppm, both directions per qualifying pair, with
+    * a minimum-confidence prune — what a recommender/co-curation pipeline
+    * actually consumes ([[basketPairAffinity]] reports the symmetric
+    * support/lift evidence; rules rank actionable directions). Same scale
+    * shape: the pair aggregate dominates, item counts ride broadcasts.
+    * Output: (antecedent, consequent, c_pair, conf_ppm), one row per
+    * direction that clears `minConfPpm`. */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, minConfPpm: Long): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct().persist()
+    val ic = items.groupBy(col("_i")).agg(count(lit(1)).as("c_item"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a._b") === col("b._b") && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("ia"), col("b._i").as("ib"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minSupport)
+    val directed = pairs.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("c_pair"))
+      .unionByName(pairs.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("c_pair")))
+    directed
+      .join(broadcast(ic.select(col("_i").as("antecedent"),
+        col("c_item").as("_ca"))), Seq("antecedent"))
+      .withColumn("conf_ppm",
+        expr("CAST(c_pair AS DECIMAL(38,0)) * 1000000 div _ca"))
+      .filter(col("conf_ppm") >= minConfPpm)
+      .select("antecedent", "consequent", "c_pair", "conf_ppm")
+  }
+
   /** l-diversity census (Machanavajjhala et al. 2006) — the companion
     * check [[kAnonymityCensus]] needs: a class can be large (k-anonymous)
     * yet still leak if everyone in it shares the same SENSITIVE value.

@@ -5303,5 +5303,33 @@ object PipelineQueries {
              |JOIN ic ca ON ca.i = p.item_a
              |JOIN ic cb ON cb.i = p.item_b
              |CROSS JOIN nb
-             |ORDER BY item_a, item_b""".stripMargin)))
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    QueryDef("basket_rules",
+      // directed association rules over the qualifying pairs:
+      // confidence(a -> b) = c(ab)/c(a) in integer ppm, both directions,
+      // pruned at 10% — the actionable form a recommender consumes
+      (s, dir) => graft.functions.Stats.basketRules(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+          minSupport = 2L, minConfPpm = 100000L)
+        .orderBy("antecedent", "consequent"),
+      Some("""WITH it AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+             |ic AS (SELECT i, count(*) AS c_item FROM it GROUP BY 1),
+             |p AS (
+             |  SELECT a.i AS ia, b.i AS ib, count(*) AS c_pair
+             |  FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |d AS (
+             |  SELECT ia AS antecedent, ib AS consequent, c_pair FROM p
+             |  UNION ALL
+             |  SELECT ib, ia, c_pair FROM p)
+             |SELECT d.antecedent, d.consequent,
+             |  CAST(d.c_pair AS BIGINT) AS c_pair,
+             |  CAST((CAST(d.c_pair AS HUGEINT) * 1000000) // ic.c_item
+             |    AS BIGINT) AS conf_ppm
+             |FROM d JOIN ic ON ic.i = d.antecedent
+             |WHERE (CAST(d.c_pair AS HUGEINT) * 1000000) // ic.c_item
+             |  >= 100000
+             |ORDER BY antecedent, consequent""".stripMargin)))
 }

@@ -152,6 +152,25 @@ class StatsSpec extends AnyFunSuite {
     // (1,3) and (2,3) have support 1 -> pruned by minSupport=2
   }
 
+  test("basketRules: directed confidences differ per direction; " +
+    "min-confidence prunes the weak direction") {
+    // baskets {1,2} x3 plus item 1 alone x3: c(1)=6, c(2)=3, c(12)=3
+    // conf(1->2) = 3/6 = 500000 ppm; conf(2->1) = 3/3 = 1000000 ppm
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (14L, 1L), (15L, 1L))
+    val all = Stats.basketRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, minConfPpm = 0L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(all == Map((1L, 2L) -> 500000L, (2L, 1L) -> 1000000L))
+    val pruned = Stats.basketRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, minConfPpm = 600000L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2)).toSet
+    assert(pruned == Set((2L, 1L)))
+  }
+
   test("lDiversityCensus: a big class with one sensitive value is at risk; " +
     "diverse classes are not") {
     // class (1,x): 4 rows, all sensitive 's1'  -> diversity 1, at risk
