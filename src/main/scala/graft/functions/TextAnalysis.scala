@@ -422,6 +422,27 @@ object TextAnalysis {
           .as("entropy_micronats"))
   }
 
+  /** Shannon diversity index of a categorical mix per group, in micronats
+    * (quantize-then-sum — the [[charEntropy]]/perplexity exactness
+    * discipline): H(group) = ln N − Σ n_i·ln n_i / N over the item counts.
+    * The data-mixing dashboard: a language whose documents all come from
+    * one source scores 0; an even k-way mix scores ln k. Two partial-
+    * aggregable count shuffles; output all-integer. */
+  def diversityIndex(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .groupBy(col("_g"), col("_i")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_g")).agg(
+        count(lit(1)).as("n_items"),
+        sum(col("_n")).as("n_rows"),
+        sum(col("_n") * qln(col("_n"))).as("_s"))
+      .select(col("_g").as(groupCol), col("n_items"), col("n_rows"),
+        (qln(col("n_rows")) - expr("_s div n_rows"))
+          .as("entropy_micronats"))
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

@@ -5331,5 +5331,28 @@ object PipelineQueries {
              |FROM d JOIN ic ON ic.i = d.antecedent
              |WHERE (CAST(d.c_pair AS HUGEINT) * 1000000) // ic.c_item
              |  >= 100000
-             |ORDER BY antecedent, consequent""".stripMargin)))
+             |ORDER BY antecedent, consequent""".stripMargin)),
+
+    QueryDef("corpus_diversity_index",
+      // data-mixing dashboard: Shannon entropy of each language's SOURCE
+      // mix in micronats (quantize-then-sum, the perplexity family's
+      // exactness discipline) — one source scores 0, an even k-way mix
+      // scores ln k. Two partial-aggregable count shuffles
+      (s, dir) => TextAnalysis.diversityIndex(
+          Tables.documents(s, dir), "lang", "source")
+        .orderBy("lang"),
+      Some("""WITH cnt AS (
+             |  SELECT lang, source, count(*) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(n) AS BIGINT) AS n_rows,
+             |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+             |      AS BIGINT)) AS BIGINT) AS s
+             |  FROM cnt GROUP BY 1)
+             |SELECT lang, n_items, n_rows,
+             |  CAST(CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1000000 + 0.5)
+             |       AS BIGINT) - (s // n_rows) AS BIGINT)
+             |    AS entropy_micronats
+             |FROM agg ORDER BY lang""".stripMargin)))
 }

@@ -377,6 +377,25 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("diversityIndex: single source scores 0; even k-way mix scores " +
+    "ln k micronats") {
+    val one = Seq.fill(10)(("en", "srcA")).toDF("lang", "source")
+    val g1 = TextAnalysis.diversityIndex(one, "lang", "source")
+      .select("n_items", "n_rows", "entropy_micronats")
+      .as[(Long, Long, Long)].head()
+    assert(g1 == ((1L, 10L, 0L)))
+    // 4 sources x 25 docs: H = ln 100 - (25 * qln(25) * 4) / 100
+    val even = (0 until 100).map(i => ("de", s"s${i % 4}"))
+      .toDF("lang", "source")
+    val g2 = TextAnalysis.diversityIndex(even, "lang", "source")
+      .select("entropy_micronats").as[Long].head()
+    val expect = math.floor(math.log(100.0) * 1e6 + 0.5).toLong -
+      (25L * math.floor(math.log(25.0) * 1e6 + 0.5).toLong * 4L) / 100L
+    assert(g2 == expect)
+    // ~ ln 4 = 1386294 micronats
+    assert(math.abs(g2 - 1386294L) <= 2L, s"got $g2")
+  }
+
   test("hllRollingDistinct: windowDays=1 matches the per-day sketch") {
     val rows = Seq(("2024-06-01 01:00:00", 1L), ("2024-06-01 02:00:00", 2L),
       ("2024-06-02 01:00:00", 2L))
