@@ -141,6 +141,40 @@ object Incremental {
       value: Column): DataFrame =
     graft.functions.Sketches.hllSketch(df, groupCols, value)
 
+  /** Streaming maintenance of the day-partitioned HLL sketch LAYOUT
+    * ([[graft.sources.Layout.writeDailyHllSketch]]): each micro-batch
+    * sketches ITSELF per (day, group, bucket) and APPENDS under the day
+    * partitions. No dynamic-overwrite dance is needed here, unlike the
+    * additive rollups: bucket-max is IDEMPOTENT, so a replayed batch's
+    * duplicate sub-sketch rows are absorbed by the read-side
+    * `groupBy(bucket).max(max_rho)` that every consumer
+    * ([[graft.sources.Layout.readHllRangeEstimate]] /
+    * `readHllRollingCurve`) already performs — replay-immunity comes from
+    * the algebra, not from write-path bookkeeping (pinned by test: stream
+    * + replay == batch sketch bit-exact). Per-batch appended state is
+    * <= days × groups × 4096 small rows. */
+  def hllRollupMaintenance(rollupDir: String, tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "user_id"): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, _: Long) =>
+      graft.functions.Sketches.hllSketch(
+          batch.withColumn("event_date", to_date(col(tsCol))),
+          Seq("event_date", groupCol), col(valueCol))
+        .write.mode("append").partitionBy("event_date").parquet(rollupDir)
+  }
+
+  /** Start [[hllRollupMaintenance]] as an AvailableNow stream. */
+  def startHllRollupMaintenance(df: DataFrame, rollupDir: String,
+      checkpointDir: String, tsCol: String = "ts",
+      groupCol: String = "event_type",
+      valueCol: String = "user_id"): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(hllRollupMaintenance(rollupDir, tsCol, groupCol, valueCol))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming seat of the log-histogram quantile sketch
     * ([[graft.functions.Sketches.logHistSketch]]). Bucket COUNTS are
     * additive, not idempotent — a replayed micro-batch would double-count

@@ -519,4 +519,54 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Int, Long, Long)].collect().toSet
     assert(got == want)
   }
+
+  test("streaming HLL rollup maintenance: appended per-batch sub-sketches " +
+    "read back == batch layout; replayed batch absorbed by idempotent max") {
+    import org.apache.spark.sql.functions._
+    val srcDir = tmp("hllroll-src")
+    val rollDir = tmp("hllroll-state").toString
+    val all = (0 until 400).map { i =>
+      (i.toLong, f"2024-02-${1 + i % 10}%02d 12:00:00", 100L + i % 77,
+        s"t${i % 2}")
+    }.toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val c1 = all.filter($"event_id" < 200)
+    val c2 = all.filter($"event_id" >= 200)
+    c1.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    c2.coalesce(1).write.mode("append").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = Incremental.startHllRollupMaintenance(
+      Incremental.readEventsStream(spark, srcDir.toString, schema, 1),
+      rollDir, tmp("hllroll-ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    // replay a batch: duplicate sub-sketch rows appended — the read-side
+    // bucket-max must absorb them (max is idempotent; no write-path
+    // bookkeeping exists to prevent the duplicate)
+    Incremental.hllRollupMaintenance(rollDir)(c1, 99L)
+    val got = graft.sources.Layout.readHllRangeEstimate(spark, rollDir,
+        "2024-02-03", "2024-02-08")
+      .select("event_type", "v_empty", "s_scaled")
+      .as[(String, Long, Long)].collect().toSet
+    val want = graft.functions.Sketches.hllDistinct(
+        all.filter(to_date($"ts").between("2024-02-03", "2024-02-08")),
+        Seq("event_type"), $"user_id")
+      .select("event_type", "v_empty", "s_scaled")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want)
+    // the rolling-curve reader shares the same idempotent read-side merge
+    val curve = graft.sources.Layout.readHllRollingCurve(spark, rollDir,
+        windowDays = 3)
+      .select("event_type", "day", "s_scaled")
+      .as[(String, String, Long)].collect().toSet
+    val wantCurve = (1 to 10).flatMap { d =>
+      val lo = f"2024-02-${math.max(1, d - 2)}%02d"
+      val hi = f"2024-02-$d%02d"
+      graft.functions.Sketches.hllDistinct(
+          all.filter(to_date($"ts").between(lo, hi)),
+          Seq("event_type"), $"user_id")
+        .select("event_type", "s_scaled").as[(String, Long)].collect()
+        .map { case (t, s) => (t, hi, s) }
+    }.toSet
+    assert(curve == wantCurve)
+  }
 }
