@@ -105,7 +105,8 @@ object Bench {
     "image_dhash_near_dup", "session_paths", "retrieval_mrr",
     "mad_outliers", "corr_value_hour", "image_dhash_incremental",
     "hll_rollup_rolling", "l_diversity_census",
-    "funnel_conversion_latency", "basket_pair_affinity", "basket_rules", "corpus_diversity_index")
+    "funnel_conversion_latency", "basket_pair_affinity", "basket_rules", "corpus_diversity_index",
+    "source_concentration_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -443,6 +443,32 @@ object TextAnalysis {
           .as("entropy_micronats"))
   }
 
+  /** Gini concentration of a categorical mix per group, in integer ppm —
+    * the inequality companion to [[diversityIndex]] (entropy rewards
+    * evenness everywhere; Gini is tail-sensitive: one dominant source in
+    * a long tail moves it far more). Discrete form over the k item counts
+    * x_(1) <= ... <= x_(k) (ascending, ties broken by item for engine
+    * parity): G = (2·Σ i·x_(i) − (k+1)·N) / (k·N), emitted as
+    * `gini_ppm = (...)·10⁶ div (k·N)`. The count frame is metadata-sized
+    * (groups × items), so the rank window is bounded; everything integer. */
+  def concentrationGini(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_n"), col("_i"))
+    df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .groupBy(col("_g"), col("_i")).agg(count(lit(1)).as("_n"))
+      .withColumn("_r", row_number().over(w))
+      .groupBy(col("_g")).agg(
+        count(lit(1)).as("n_items"),
+        sum(col("_n")).as("n_rows"),
+        sum(col("_r") * col("_n")).as("_rs"))
+      .select(col("_g").as(groupCol), col("n_items"), col("n_rows"),
+        expr("""(CAST(2 AS DECIMAL(38,0)) * _rs
+               | - (n_items + 1) * CAST(n_rows AS DECIMAL(38,0)))
+               | * 1000000 div (n_items * CAST(n_rows AS DECIMAL(38,0)))"""
+          .stripMargin.replace("\n", " ")).as("gini_ppm"))
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

@@ -5354,5 +5354,32 @@ object PipelineQueries {
              |  CAST(CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1000000 + 0.5)
              |       AS BIGINT) - (s // n_rows) AS BIGINT)
              |    AS entropy_micronats
+             |FROM agg ORDER BY lang""".stripMargin)),
+
+    QueryDef("source_concentration_gini",
+      // the inequality companion to the entropy index: Gini of each
+      // language's source mix in integer ppm (discrete ascending-rank
+      // form, ties broken by source for engine parity); the count frame
+      // is groups x items metadata so the rank window is bounded
+      (s, dir) => TextAnalysis.concentrationGini(
+          Tables.documents(s, dir), "lang", "source")
+        .orderBy("lang"),
+      Some("""WITH cnt AS (
+             |  SELECT lang, source, count(*) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |r AS (
+             |  SELECT lang, n, row_number() OVER (
+             |    PARTITION BY lang ORDER BY n, source) AS rk
+             |  FROM cnt),
+             |agg AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(n) AS BIGINT) AS n_rows,
+             |    CAST(sum(rk * n) AS HUGEINT) AS rs
+             |  FROM r GROUP BY 1)
+             |SELECT lang, n_items, n_rows,
+             |  CAST(((2 * rs - (n_items + 1) * CAST(n_rows AS HUGEINT))
+             |        * 1000000)
+             |    // (n_items * CAST(n_rows AS HUGEINT)) AS BIGINT)
+             |    AS gini_ppm
              |FROM agg ORDER BY lang""".stripMargin)))
 }

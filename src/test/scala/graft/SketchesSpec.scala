@@ -396,6 +396,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(g2 - 1386294L) <= 2L, s"got $g2")
   }
 
+  test("concentrationGini: even mix scores 0; total concentration " +
+    "approaches (k-1)/k; hand-computed skewed case exact") {
+    val even = (0 until 100).map(i => ("en", s"s${i % 4}"))
+      .toDF("lang", "source")
+    val g0 = TextAnalysis.concentrationGini(even, "lang", "source")
+      .select("gini_ppm").as[Long].head()
+    assert(g0 == 0L)
+    // counts 1, 1, 98 ascending: k=3, N=100,
+    // G = (2*(1*1 + 2*1 + 3*98) - 4*100) / (3*100) = (594 - 400)/300
+    val skew = (Seq(("de", "a")) ++ Seq(("de", "b")) ++
+      Seq.fill(98)(("de", "c"))).toDF("lang", "source")
+    val g1 = TextAnalysis.concentrationGini(skew, "lang", "source")
+      .select("gini_ppm").as[Long].head()
+    assert(g1 == 194L * 1000000L / 300L, s"got $g1")
+  }
+
   test("hllRollingDistinct: windowDays=1 matches the per-day sketch") {
     val rows = Seq(("2024-06-01 01:00:00", 1L), ("2024-06-01 02:00:00", 2L),
       ("2024-06-02 01:00:00", 2L))
