@@ -469,6 +469,47 @@ object TextAnalysis {
           .stripMargin.replace("\n", " ")).as("gini_ppm"))
   }
 
+  /** Zipf-slope corpus audit: natural text follows freq ∝ rank^(−s) with
+    * s ≈ 1, so the least-squares slope of log-freq vs log-rank flags
+    * synthetic, templated, or spam-heavy corpora whose token curve is too
+    * flat (|slope| ≪ 1) or too steep. Exactness discipline: both logs
+    * are micronat-quantized ([[charEntropy]]'s qln), the ranking breaks
+    * ties by (freq DESC, token ASC), and the slope is the cross-moment
+    * identity in DECIMAL(38,0) with integer division — engine-exact.
+    * The ranking window is VOCABULARY-sized (the token count frame, not
+    * the corpus) — the same bounded-metadata contract as the tokenizer
+    * vocab collects. Output: one row (n_vocab, n_token_occurrences,
+    * zipf_slope_ppm) — slope in parts-per-million, ≈ −1,000,000 for
+    * ideal Zipf. */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_n").desc, col("_t"))
+    df.select(explode(split(col(textCol), " ")).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(col("_t")).agg(count(lit(1)).as("_n"))
+      .withColumn("_r", row_number().over(w))
+      .select(qln(col("_r")).as("_x"), qln(col("_n")).as("_y"),
+        col("_n"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("_n")).as("n_token_occurrences"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col("n_vocab"), col("n_token_occurrences"),
+        when(dec(col("n_vocab")) * dec(col("_sxx")) -
+            dec(col("_sx")) * dec(col("_sx")) === 0, lit(0L))
+          .otherwise(expr(
+            """(CAST(n_vocab AS DECIMAL(38,0)) * _sxy
+              | - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000
+              | div (CAST(n_vocab AS DECIMAL(38,0)) * _sxx
+              |      - CAST(_sx AS DECIMAL(38,0)) * _sx)"""
+              .stripMargin.replace("\n", " ")))
+          .as("zipf_slope_ppm"))
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

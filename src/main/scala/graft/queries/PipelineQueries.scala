@@ -5381,5 +5381,41 @@ object PipelineQueries {
              |        * 1000000)
              |    // (n_items * CAST(n_rows AS HUGEINT)) AS BIGINT)
              |    AS gini_ppm
-             |FROM agg ORDER BY lang""".stripMargin)))
+             |FROM agg ORDER BY lang""".stripMargin)),
+
+    QueryDef("token_zipf_slope",
+      // corpus-QA audit: least-squares slope of quantized-log freq vs
+      // quantized-log rank over the vocabulary-sized token ranking —
+      // natural text sits near -1e6 ppm; templated/spam corpora drift.
+      // Exact cross-moment identity in DECIMAL; the ranking window is
+      // vocabulary metadata, never the corpus
+      (s, dir) => TextAnalysis.zipfSlope(Tables.documents(s, dir), "text"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |cnt AS (SELECT t, count(*) AS n FROM tok
+             |        WHERE t <> '' GROUP BY 1),
+             |rk AS (
+             |  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+             |  FROM cnt),
+             |q AS (
+             |  SELECT n,
+             |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
+             |      AS BIGINT) AS x,
+             |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+             |      AS BIGINT) AS y
+             |  FROM rk),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+             |    CAST(sum(n) AS BIGINT) AS n_token_occurrences,
+             |    CAST(sum(x) AS HUGEINT) AS sx,
+             |    CAST(sum(y) AS HUGEINT) AS sy,
+             |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+             |    CAST(sum(x * x) AS HUGEINT) AS sxx
+             |  FROM q)
+             |SELECT n_vocab, n_token_occurrences,
+             |  CAST(CASE WHEN n_vocab * sxx - sx * sx = 0 THEN 0
+             |    ELSE ((n_vocab * sxy - sx * sy) * 1000000)
+             |         // (n_vocab * sxx - sx * sx) END AS BIGINT)
+             |    AS zipf_slope_ppm
+             |FROM m""".stripMargin)))
 }

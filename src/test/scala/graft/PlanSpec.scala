@@ -278,7 +278,10 @@ class PlanSpec extends AnyFunSuite {
     // pool of lists x K rows, and the latency sketch's cumulative walk
     // runs over <= ~1K bucket counts (its constant g='all' partition key
     // folds away) — all sketch-sized, never the corpus
-    "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency")
+    // the Zipf ranking runs over the VOCABULARY count frame (metadata,
+    // not the corpus — same contract as the tokenizer vocab collects)
+    "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency",
+    "token_zipf_slope")
 
   test("events_rolling_distinct: day list broadcasts; the deduped frame " +
     "never cartesians") {

@@ -412,6 +412,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(g1 == 194L * 1000000L / 300L, s"got $g1")
   }
 
+  test("zipfSlope: an exact power-law corpus fits slope -1e6 ppm within " +
+    "quantization error; a flat corpus fits ~0") {
+    // freq(rank r) = 1024 >> (r-1) approximates freq = C/2^(r-1) — NOT
+    // Zipf; instead build true freq = C/r: ranks 1..8, freq 840/r exactly
+    val zipf = (1 to 8).flatMap { r =>
+      Seq.fill(840 / r)(s"w$r")
+    }.mkString(" ")
+    val s1 = TextAnalysis.zipfSlope(Seq(zipf).toDF("text"), "text")
+      .select("zipf_slope_ppm").as[Long].head()
+    assert(math.abs(s1 + 1000000L) < 20000L, s"got $s1") // within 2%
+    // flat: every token equally frequent -> y constant -> slope 0
+    val flat = (1 to 8).flatMap(r => Seq.fill(10)(s"w$r")).mkString(" ")
+    val s2 = TextAnalysis.zipfSlope(Seq(flat).toDF("text"), "text")
+      .select("zipf_slope_ppm").as[Long].head()
+    assert(s2 == 0L, s"got $s2")
+  }
+
   test("hllRollingDistinct: windowDays=1 matches the per-day sketch") {
     val rows = Seq(("2024-06-01 01:00:00", 1L), ("2024-06-01 02:00:00", 2L),
       ("2024-06-02 01:00:00", 2L))
