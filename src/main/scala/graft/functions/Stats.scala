@@ -126,6 +126,32 @@ object Stats {
             dec(col("s")) * dec(col("s")))).cast("int").as("is_change"))
   }
 
+  /** Burstiness census: the variance-to-mean ratio (index of dispersion)
+    * of each group's daily volume, in integer ppm — Poisson-like arrival
+    * sits near 1e6; bursty ingest (bulk loads, retry storms) shows ≫ 1e6,
+    * suspiciously regular (throttled) feeds ≪ 1e6. Complements
+    * [[anomalousDays]] (which flags single days) and [[cusumChangepoint]]
+    * (level shifts) with a per-group regime summary. Exact:
+    * VMR = ((nQ − S²)/n²)/(S/n) = (nQ − S²)/(n·S), emitted as
+    * `vmr_ppm = (nQ − S²)·10⁶ div (n·S)` in DECIMAL — no float anywhere.
+    * One partial-aggregable daily-count shuffle + a moments aggregate. */
+  def burstiness(events: DataFrame, tsCol: String,
+      groupCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    events
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("_day"))
+      .agg(count(lit(1)).as("_x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_days"), sum("_x").as("_s"),
+        sum(col("_x") * col("_x")).as("_q"))
+      .select(col(groupCol), col("n_days"),
+        col("_s").as("n_events"),
+        expr("""(CAST(n_days AS DECIMAL(38,0)) * _q
+               | - CAST(_s AS DECIMAL(38,0)) * _s) * 1000000
+               | div (CAST(n_days AS DECIMAL(38,0)) * _s)"""
+          .stripMargin.replace("\n", " ")).as("vmr_ppm"))
+  }
+
   /** Exact heavy hitters by sketch-then-verify: pass 1 builds a
     * Count-Min sketch (merged tree-wise, sketch bytes only cross
     * executors) and keeps the keys whose ESTIMATE reaches `minCount` —

@@ -5417,5 +5417,28 @@ object PipelineQueries {
              |    ELSE ((n_vocab * sxy - sx * sy) * 1000000)
              |         // (n_vocab * sxx - sx * sx) END AS BIGINT)
              |    AS zipf_slope_ppm
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    QueryDef("events_burstiness",
+      // per-type arrival-regime summary: variance-to-mean ratio of daily
+      // volume in integer ppm — Poisson ~ 1e6, bursty ingest >> 1e6,
+      // throttled feeds << 1e6. One daily-count shuffle + a moments
+      // aggregate; complements the per-day z-flags and CUSUM level shifts
+      (s, dir) => graft.functions.Stats.burstiness(
+          Tables.events(s, dir), "ts", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS HUGEINT) AS q
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, s AS n_events,
+             |  CAST(((CAST(n_days AS HUGEINT) * q
+             |         - CAST(s AS HUGEINT) * s) * 1000000)
+             |    // (CAST(n_days AS HUGEINT) * s) AS BIGINT) AS vmr_ppm
+             |FROM m ORDER BY event_type""".stripMargin)))
 }

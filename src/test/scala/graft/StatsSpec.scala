@@ -283,6 +283,24 @@ class StatsSpec extends AnyFunSuite {
     assert(r2 < 100000L, s"r2_ppm $r2") // < 0.1
   }
 
+  test("burstiness: constant daily volume scores 0; a planted burst " +
+    "scores the hand-computed dispersion") {
+    // flat: 5 days x 10 -> variance 0 -> vmr 0
+    val flat = (1 to 5).flatMap(d => (0 until 10).map(_ =>
+      (f"2024-07-$d%02d 12:00:00", "flat")))
+    // burst: days 10,10,10,10,60: n=5, S=100, Q=4*100+3600=4000
+    // vmr = (5*4000 - 10000) * 1e6 / (5*100) = 10000*1e6/500 = 2e7
+    val burst = (1 to 4).flatMap(d => (0 until 10).map(_ =>
+      (f"2024-07-$d%02d 12:00:00", "burst"))) ++
+      (0 until 60).map(_ => ("2024-07-05 12:00:00", "burst"))
+    val ev = (flat ++ burst).toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.burstiness(ev, "ts", "event_type")
+      .select("event_type", "vmr_ppm").as[(String, Long)].collect().toMap
+    assert(got("flat") == 0L)
+    assert(got("burst") == 20000000L, s"got ${got("burst")}")
+  }
+
   test("cusumChangepoint: peak-day tie keeps the earliest day") {
     // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
     // S = 4,0,4,0 — the peak 4 is hit on day 1 first
