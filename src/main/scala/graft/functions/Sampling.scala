@@ -43,6 +43,41 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(stratifiedKeep(col(keyCol), col(strataCol), rates, defaultRate))
 
+  /** Temporal train/test split with an EMBARGO gap (the time-series
+    * leakage guard: a model trained up to t₁ must not be evaluated on
+    * rows whose features could overlap the training horizon, so rows in
+    * [t₁, t₂) are excluded entirely — standard practice in financial ML
+    * and forecast eval, the temporal sibling of the cluster-keyed
+    * `split_leakage_safe`). Cutoffs are derived from the OBSERVED range
+    * in exact epoch-micros integer arithmetic: t₁ = lo + span·trainPm/1000,
+    * t₂ = lo + span·(trainPm+embargoPm)/1000 — deterministic, no config
+    * drift between engines. The 1-row bounds aggregate broadcasts; the
+    * assignment is a narrow map; output is the per-(group, split) census
+    * with the split's observed micros range, so the gap is AUDITABLE:
+    * max(train.last_us) < min(test.first_us) with >= embargo span
+    * between. */
+  def temporalEmbargoSplit(df: DataFrame, tsCol: String, groupCol: String,
+      trainPermille: Int = 700, embargoPermille: Int = 50): DataFrame = {
+    require(trainPermille > 0 && embargoPermille >= 0 &&
+      trainPermille + embargoPermille < 1000, "permilles must partition")
+    val bounds = df.agg(min(unix_micros(col(tsCol))).as("_lo"),
+      max(unix_micros(col(tsCol))).as("_hi")).withColumn("_one", lit(1))
+    df.select(col(groupCol), unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_one", lit(1))
+      .join(broadcast(bounds), Seq("_one"))
+      .withColumn("_t1", expr(
+        s"_lo + ((_hi - _lo) * $trainPermille) div 1000"))
+      .withColumn("_t2", expr(
+        s"_lo + ((_hi - _lo) * ${trainPermille + embargoPermille}) div 1000"))
+      .withColumn("split",
+        when(col("_us") < col("_t1"), "train")
+          .when(col("_us") < col("_t2"), "embargo")
+          .otherwise("test"))
+      .groupBy(col(groupCol), col("split"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_us")).as("first_us"), max(col("_us")).as("last_us"))
+  }
+
   /** Deterministic weighted split assignment (train/val/test and friends):
     * the md5-slice of the key lands uniformly in [0, 2^32) and cumulative
     * weight thresholds partition that range. Pure hash — retry-safe,

@@ -5440,5 +5440,32 @@ object PipelineQueries {
              |  CAST(((CAST(n_days AS HUGEINT) * q
              |         - CAST(s AS HUGEINT) * s) * 1000000)
              |    // (CAST(n_days AS HUGEINT) * s) AS BIGINT) AS vmr_ppm
-             |FROM m ORDER BY event_type""".stripMargin)))
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    QueryDef("split_temporal_embargo",
+      // the time-series leakage guard: train < t1, [t1, t2) EXCLUDED,
+      // test >= t2 — cutoffs at 70%/75% of the observed range in exact
+      // epoch-micros; census carries each split's micros range so the
+      // embargo gap is auditable. Temporal sibling of split_leakage_safe
+      (s, dir) => graft.functions.Sampling.temporalEmbargoSplit(
+          Tables.events(s, dir), "ts", "event_type",
+          trainPermille = 700, embargoPermille = 50)
+        .orderBy("event_type", "split"),
+      Some("""WITH b AS (
+             |  SELECT CAST(epoch_us(min(CAST(ts AS TIMESTAMP))) AS BIGINT) AS lo,
+             |    CAST(epoch_us(max(CAST(ts AS TIMESTAMP))) AS BIGINT) AS hi
+             |  FROM events),
+             |a AS (
+             |  SELECT event_type,
+             |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us,
+             |    b.lo + ((b.hi - b.lo) * 700) // 1000 AS t1,
+             |    b.lo + ((b.hi - b.lo) * 750) // 1000 AS t2
+             |  FROM events CROSS JOIN b)
+             |SELECT event_type,
+             |  CASE WHEN us < t1 THEN 'train'
+             |       WHEN us < t2 THEN 'embargo'
+             |       ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  min(us) AS first_us, max(us) AS last_us
+             |FROM a GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin)))
 }

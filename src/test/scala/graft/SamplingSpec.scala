@@ -595,4 +595,29 @@ class SamplingSpec extends AnyFunSuite {
       if (mAll.nonEmpty && tAll.nonEmpty) assert(mAll.max < tAll.min)
     }
   }
+
+  test("temporalEmbargoSplit: cutoffs at the permille points; embargo " +
+    "rows excluded from both sides; gap auditable") {
+    import spark.implicits._
+    // 100 events at minute marks over [0, 99]: span 99 min,
+    // t1 = lo + 69.3 min, t2 = lo + 74.25 min
+    val ev = (0 until 100).map { i =>
+      val h = 10 + i / 60; val m = i % 60
+      (f"2024-08-01 $h%02d:$m%02d:00", "e")
+    }.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Sampling.temporalEmbargoSplit(ev, "ts", "event_type",
+        trainPermille = 700, embargoPermille = 50)
+      .select("split", "n_rows", "first_us", "last_us")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // span = 99 min; t1 = 69.3 min -> train = minutes 0..69 (70 rows);
+    // t2 = 74.25 -> embargo = minutes 70..74 (5); test = 75..99 (25)
+    assert(got("train")._1 == 70L)
+    assert(got("embargo")._1 == 5L)
+    assert(got("test")._1 == 25L)
+    // auditable gap: embargo strictly separates train and test
+    assert(got("train")._3 < got("embargo")._2 &&
+      got("embargo")._3 < got("test")._2)
+  }
 }
