@@ -106,7 +106,8 @@ object Bench {
     "mad_outliers", "corr_value_hour", "image_dhash_incremental",
     "hll_rollup_rolling", "l_diversity_census",
     "funnel_conversion_latency", "basket_pair_affinity", "basket_rules", "corpus_diversity_index",
-    "source_concentration_gini", "token_zipf_slope", "events_burstiness", "split_temporal_embargo")
+    "source_concentration_gini", "token_zipf_slope", "events_burstiness", "split_temporal_embargo",
+    "events_interarrival_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

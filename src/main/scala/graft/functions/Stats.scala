@@ -152,6 +152,28 @@ object Stats {
           .stripMargin.replace("\n", " ")).as("vmr_ppm"))
   }
 
+  /** Inter-arrival-time distribution per group: p50/p90/p99 of the gaps
+    * (in whole seconds) between a user's successive events of each type,
+    * read off the log-histogram sketch — the arrival-process profile
+    * that pairs with [[burstiness]] (VMR says HOW bursty; the gap
+    * quantiles say at WHAT timescale). One per-user lag window (no
+    * self-join), then the one-pass partial-aggregable sketch; zero-gap
+    * (same-second) events land in the sentinel bucket. */
+  def interarrivalQuantiles(events: DataFrame, tsCol: String,
+      userCol: String, groupCol: String,
+      permilles: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col(groupCol))
+      .orderBy(unix_micros(col(tsCol)))
+    graft.functions.Sketches.logHistDistribution(
+      events
+        .withColumn("_gap_us", unix_micros(col(tsCol)) -
+          lag(unix_micros(col(tsCol)), 1).over(w))
+        .filter(col("_gap_us").isNotNull)
+        .select(col(groupCol), expr("_gap_us div 1000000").as("_v")),
+      Seq(groupCol), col("_v"), permilles)
+  }
+
   /** Exact heavy hitters by sketch-then-verify: pass 1 builds a
     * Count-Min sketch (merged tree-wise, sketch bytes only cross
     * executors) and keeps the keys whose ESTIMATE reaches `minCount` —

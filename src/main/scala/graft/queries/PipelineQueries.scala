@@ -5467,5 +5467,26 @@ object PipelineQueries {
              |       ELSE 'test' END AS split,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  min(us) AS first_us, max(us) AS last_us
-             |FROM a GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin)))
+             |FROM a GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin)),
+
+    QueryDef("events_interarrival_quantiles",
+      // arrival-process profile: p50/p90/p99 of per-user gaps between
+      // successive events of each type, in whole seconds off the
+      // log-histogram sketch — the timescale companion to burstiness.
+      // One per-user lag window + the one-pass sketch; the gap multiset
+      // is order-independent under ts ties (sorting by the value itself)
+      (s, dir) => graft.functions.Stats.interarrivalQuantiles(
+          Tables.events(s, dir), "ts", "user_id", "event_type")
+        .orderBy("event_type", "q_permille"),
+      Some {
+        val rel = """SELECT event_type AS g,
+          |    (epoch_us(CAST(ts AS TIMESTAMP))
+          |     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+          |       (PARTITION BY user_id, event_type
+          |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))) // 1000000
+          |      AS v
+          |  FROM events
+          |  QUALIFY v IS NOT NULL""".stripMargin
+        Sketches.logHistOracleSql(rel, Seq(500, 900, 990), "event_type")
+      }))
 }

@@ -301,6 +301,29 @@ class StatsSpec extends AnyFunSuite {
     assert(got("burst") == 20000000L, s"got ${got("burst")}")
   }
 
+  test("interarrivalQuantiles: hand series — gaps per user/type, " +
+    "cross-user gaps never mix, p50 lands on the exact bucket bound") {
+    // user 1 'a': events at 0, 100, 200, 300 s -> gaps 100, 100, 100
+    // user 2 'a': events at 0, 1000 s -> gap 1000
+    // 'b': single event -> no gaps
+    val rows = Seq(
+      (1L, "a", "2024-09-01 10:00:00"), (1L, "a", "2024-09-01 10:01:40"),
+      (1L, "a", "2024-09-01 10:03:20"), (1L, "a", "2024-09-01 10:05:00"),
+      (2L, "a", "2024-09-01 09:00:00"), (2L, "a", "2024-09-01 09:16:40"),
+      (3L, "b", "2024-09-01 08:00:00"))
+    val ev = rows.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.interarrivalQuantiles(ev, "ts", "user_id", "event_type")
+      .select("event_type", "q_permille", "n_rows", "qtile_lb")
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // 'a': 4 gaps {100 x3, 1000}; p50 -> rank 2 -> 100 (exact bucket lb);
+    // p99 -> rank 4 -> 1000's bucket lb 992
+    assert(got(("a", 500)) == ((4L, 100L)))
+    assert(got(("a", 990)) == ((4L, 992L)))
+    assert(!got.keySet.exists(_._1 == "b"), "singleton has no gaps")
+  }
+
   test("cusumChangepoint: peak-day tie keeps the earliest day") {
     // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
     // S = 4,0,4,0 — the peak 4 is hit on day 1 first
