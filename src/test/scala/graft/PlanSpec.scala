@@ -251,7 +251,10 @@ class PlanSpec extends AnyFunSuite {
     // table-total count (Stats skewAdvisor), and basket affinity joins
     // the n_baskets total (the constant `_one` key folds away) into
     // sketch-sized frames
-    "lsh_recall_report", "skew_salting_advisor", "basket_pair_affinity")
+    "lsh_recall_report", "skew_salting_advisor", "basket_pair_affinity",
+    // the embargo split joins its 1-row min/max bounds aggregate (the
+    // constant `_one` key folds away like basket's)
+    "split_temporal_embargo")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
