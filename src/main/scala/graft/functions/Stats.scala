@@ -174,6 +174,39 @@ object Stats {
       Seq(groupCol), col("_v"), permilles)
   }
 
+  /** Quantile-sketch accuracy report — the eval harness for the
+    * log-histogram family, in the [[graft.functions.Dedup.lshRecallReport]]
+    * mold: per (group, permille), the EXACT order statistic (two-pass
+    * bounded-histogram walk) next to the sketch's lower bound, the
+    * relative error in ppm, and the `within_bound` flag for the sketch's
+    * documented < 1/16 (62,500 ppm) guarantee — measured on the actual
+    * data, not just the unit fixture. Both sides share the ceil-rank
+    * convention, and the sketch bound can never exceed the exact value
+    * (it is the crossing bucket's lower bound), so the error is always
+    * >= 0. */
+  def quantileSketchErrorReport(df: DataFrame, groupCol: String,
+      valueCol: String, permilles: Seq[Int] = Seq(500, 950),
+      bucketWidth: Long = 100L): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as(groupCol),
+      col(valueCol).cast("long").as("_v")).persist()
+    val exact = groupedExactPercentiles(base, groupCol, "_v",
+        permilles.map(_ / 1000.0), bucketWidth)
+      .select(col(groupCol),
+        (col("p") * 1000).cast("int").as("q_permille"),
+        col("cutoff").as("exact_value"))
+    val sk = graft.functions.Sketches.logHistDistribution(base,
+        Seq(groupCol), col("_v"), permilles)
+      .select(col(groupCol), col("q_permille"),
+        col("qtile_lb").as("sketch_lb"))
+    exact.join(sk, Seq(groupCol, "q_permille"))
+      .withColumn("rel_err_ppm",
+        when(col("exact_value") === 0, lit(0L))
+          .otherwise(expr(
+            "((exact_value - sketch_lb) * 1000000) div exact_value")))
+      .withColumn("within_bound",
+        (col("rel_err_ppm") < lit(62500L)).cast("int"))
+  }
+
   /** Exact heavy hitters by sketch-then-verify: pass 1 builds a
     * Count-Min sketch (merged tree-wise, sketch bytes only cross
     * executors) and keeps the keys whose ESTIMATE reaches `minCount` —

@@ -5488,5 +5488,68 @@ object PipelineQueries {
           |  FROM events
           |  QUALIFY v IS NOT NULL""".stripMargin
         Sketches.logHistOracleSql(rel, Seq(500, 900, 990), "event_type")
-      }))
+      }),
+
+    QueryDef("quantile_sketch_error_report",
+      // the sketch family's measured-accuracy evidence (lshRecallReport
+      // mold): exact p50/p95 order statistics vs the sketch lower bound,
+      // relative error in ppm, and the < 1/16 bound flag — on the actual
+      // event cents, not a unit fixture. Oracle replays BOTH rank walks
+      // and the division
+      (s, dir) => graft.functions.Stats.quantileSketchErrorReport(
+          Tables.events(s, dir).select(col("event_type"),
+            graft.functions.Money.cents(col("value")).as("cents")),
+          "event_type", "cents", permilles = Seq(500, 950))
+        .orderBy("event_type", "q_permille"),
+      Some(s"""WITH ev AS (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY 1),
+             |cv AS (SELECT event_type, v, count(*) AS c FROM ev GROUP BY 1, 2),
+             |r AS (SELECT event_type, v,
+             |        sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+             |      FROM cv),
+             |f AS (SELECT unnest([500, 950]) AS q_permille),
+             |ex AS (SELECT n.event_type, f.q_permille, min(r.v) AS exact_value
+             |       FROM n CROSS JOIN f
+             |       JOIN r ON r.event_type = n.event_type
+             |         AND r.cum >= ceil(n.n * (f.q_permille / 1000.0))
+             |       GROUP BY 1, 2),
+             |b AS (SELECT event_type, v,
+             |    CASE WHEN v >= 1 THEN length(bin(v)) - 1 ELSE -1 END AS e,
+             |    CASE WHEN v >= 1 THEN
+             |      ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+             |        * ${Sketches.QsSub})
+             |        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+             |    ELSE 0 END AS sub
+             |  FROM ev),
+             |sk AS (SELECT event_type, e, sub, count(*) AS cnt
+             |       FROM b GROUP BY 1, 2, 3),
+             |c AS (SELECT event_type, e, sub, cnt,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY e, sub)
+             |      AS cum,
+             |    CASE WHEN e >= 0 THEN
+             |      ((${Sketches.QsSub} + sub) * (CAST(1 AS BIGINT) << e))
+             |        // ${Sketches.QsSub}
+             |    ELSE 0 END AS lb
+             |  FROM sk),
+             |t AS (SELECT n.event_type, f.q_permille,
+             |    (n.n * f.q_permille + 999) // 1000 AS rnk
+             |  FROM n CROSS JOIN f),
+             |skq AS (SELECT t.event_type, t.q_permille,
+             |    min(c.lb) AS sketch_lb
+             |  FROM t JOIN c ON c.event_type = t.event_type
+             |    AND c.cum >= t.rnk
+             |  GROUP BY 1, 2)
+             |SELECT ex.event_type, CAST(ex.q_permille AS INT) AS q_permille,
+             |  ex.exact_value, skq.sketch_lb,
+             |  CAST(CASE WHEN ex.exact_value = 0 THEN 0
+             |    ELSE ((ex.exact_value - skq.sketch_lb) * 1000000)
+             |         // ex.exact_value END AS BIGINT) AS rel_err_ppm,
+             |  CAST(CASE WHEN (CASE WHEN ex.exact_value = 0 THEN 0
+             |    ELSE ((ex.exact_value - skq.sketch_lb) * 1000000)
+             |         // ex.exact_value END) < 62500 THEN 1 ELSE 0 END
+             |    AS INT) AS within_bound
+             |FROM ex JOIN skq ON skq.event_type = ex.event_type
+             |  AND skq.q_permille = ex.q_permille
+             |ORDER BY ex.event_type, q_permille""".stripMargin)))
 }

@@ -324,6 +324,22 @@ class StatsSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._1 == "b"), "singleton has no gaps")
   }
 
+  test("quantileSketchErrorReport: lb never exceeds exact, error within " +
+    "the documented 1/16 bound, exact-power-of-two values hit 0 error") {
+    val mixed = ((1L to 1000L) ++ Seq.fill(50)(64L)).map(("g", _))
+      .toDF("grp", "v")
+    val got = Stats.quantileSketchErrorReport(mixed, "grp", "v",
+        permilles = Seq(500, 950), bucketWidth = 50L)
+      .select("q_permille", "exact_value", "sketch_lb", "rel_err_ppm",
+        "within_bound")
+      .as[(Int, Long, Long, Long, Int)].collect()
+    assert(got.length == 2)
+    got.foreach { case (q, ex, lb, err, ok) =>
+      assert(lb <= ex, s"q$q lb $lb > exact $ex")
+      assert(err >= 0L && ok == 1, s"q$q err $err")
+    }
+  }
+
   test("cusumChangepoint: peak-day tie keeps the earliest day") {
     // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
     // S = 4,0,4,0 — the peak 4 is hit on day 1 first
