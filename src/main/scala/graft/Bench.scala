@@ -107,7 +107,8 @@ object Bench {
     "hll_rollup_rolling", "l_diversity_census",
     "funnel_conversion_latency", "basket_pair_affinity", "basket_rules", "corpus_diversity_index",
     "source_concentration_gini", "token_zipf_slope", "events_burstiness", "split_temporal_embargo",
-    "events_interarrival_quantiles", "quantile_sketch_error_report")
+    "events_interarrival_quantiles", "quantile_sketch_error_report",
+    "q11_important_stock")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -700,6 +700,49 @@ object RelationalQueries {
              |                      WHERE o2.o_custkey = c_custkey)
              |ORDER BY c_custkey, o_orderkey""".stripMargin)),
 
+    // TPC-H Q11 (important stock): per-part value from ONE nation's
+    // suppliers, kept only when it exceeds a fraction of the nation's
+    // total — the global-threshold HAVING pattern. Adapted to this
+    // corpus (no partsupp table): value = Σ cents(extendedprice)·qty
+    // over lineitem⨝supplier⨝nation. Exact integer money; the threshold
+    // compare is cross-multiplied (value·1000 > total) in DECIMAL, and
+    // the total rides a scalar subquery (no cross join in the plan).
+    QueryDef("q11_important_stock",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        s.sql("""
+          WITH v AS (
+            SELECT l_partkey,
+              CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT) AS val
+            FROM lineitem_v
+            JOIN supplier_v ON s_suppkey = l_suppkey
+            JOIN nation_v ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_3'),
+          g AS (SELECT l_partkey, sum(val) AS value_cents
+                FROM v GROUP BY l_partkey)
+          SELECT l_partkey, value_cents FROM g
+          WHERE CAST(value_cents AS DECIMAL(38,0)) * 1000 >
+            (SELECT CAST(sum(val) AS DECIMAL(38,0)) FROM v)
+          ORDER BY value_cents DESC, l_partkey""")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_partkey,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT) AS val
+             |  FROM lineitem
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON n_nationkey = s_nationkey
+             |  WHERE n_name = 'NATION_3'),
+             |g AS (SELECT l_partkey, CAST(sum(val) AS BIGINT) AS value_cents
+             |      FROM v GROUP BY l_partkey)
+             |SELECT l_partkey, value_cents FROM g
+             |WHERE CAST(value_cents AS HUGEINT) * 1000 >
+             |  (SELECT CAST(sum(val) AS HUGEINT) FROM v)
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin)),
+
     // TPC-H Q17-style correlated scalar subquery, through the SQL front end
     // (spark.sql over temp views) — Catalyst decorrelates the per-partkey
     // average into a join; the oracle runs the identical SQL.
