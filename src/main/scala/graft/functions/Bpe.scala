@@ -71,12 +71,11 @@ object Bpe {
     require(steps >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    Caches.releasingShortLivedCaches(spark) {
+    Caches.releasingShortLivedCaches { cp =>
     // localCheckpoint: the histogram is reused every round, and each round
     // rewrites `syms` — checkpointing keeps the plan one round deep
-    var words = wordHistogram(df, textCol)
-      .withColumn("syms", charSyms(col("word")))
-      .localCheckpoint(true)
+    var words = cp.checkpoint(wordHistogram(df, textCol)
+      .withColumn("syms", charSyms(col("word"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -92,9 +91,8 @@ object Bpe {
         val r = top(0)
         val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += ((step, a, b, a + b, c))
-        words = words
-          .withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(true)
+        words = cp.checkpoint(words
+          .withColumn("syms", applyMerge(col("syms"), a, b)))
         step += 1
       }
     }
@@ -160,10 +158,9 @@ object Bpe {
     require(steps >= 1 && maxBatch >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    Caches.releasingShortLivedCaches(spark) {
-    var words = wordHistogram(df, textCol)
-      .withColumn("syms", charSyms(col("word")))
-      .localCheckpoint(true)
+    Caches.releasingShortLivedCaches { cp =>
+    var words = cp.checkpoint(wordHistogram(df, textCol)
+      .withColumn("syms", charSyms(col("word"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     while (merges.size < steps && !exhausted) {
@@ -205,10 +202,9 @@ object Bpe {
         safe.foreach { case (a, b, c) =>
           merges += ((merges.size + 1, a, b, a + b, c))
         }
-        words = words
+        words = cp.checkpoint(words
           .withColumn("syms",
-            applyMergeBatch(col("syms"), safe.map(p => (p._1, p._2)).toSeq))
-          .localCheckpoint(true)
+            applyMergeBatch(col("syms"), safe.map(p => (p._1, p._2)).toSeq)))
       }
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")

@@ -896,8 +896,22 @@ object Dedup {
     * r raw minima (no key hashing) — collision-free by construction. */
   def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bandRows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxDocs: Long = 100000L): DataFrame = {
     require(numHashes % bandRows == 0, "bands must tile the signature")
+    // SAMPLE CONTRACT (the driverMaxEdges pattern): the exact-Jaccard side
+    // below runs unblocked over its whole input — quadratic in clique
+    // size, which is inherent to MEASURING recall and fine on the
+    // pre-flight sample this eval is for, but catastrophic if someone
+    // points it at a full 100 TB corpus. Enforce the bound instead of
+    // implying it: callers with a bigger corpus pass an explicit sample
+    // (e.g. df.filter(pmod(xxhash64(id), 100) === 0)) or raise maxDocs
+    // deliberately.
+    val nDocs = df.count()
+    require(nDocs <= maxDocs,
+      s"lshRecallReport is a sample-sized evaluation (exact all-pairs " +
+        s"Jaccard side): got $nDocs docs > maxDocs=$maxDocs — pass a " +
+        s"sample, or raise maxDocs explicitly if the quadratic cost is " +
+        s"intended")
     val exactPairs = jaccardPairs(df.withColumn("_blk", lit(1)),
         idCol, textCol, "_blk", k, threshold)
       .select("id_a", "id_b").persist()

@@ -123,4 +123,37 @@ object Funnel {
           col(typeCol).as("t")))), e => e.getField("t")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Last-touch conversion attribution — the census marketing analytics
+    * runs next to the funnel: for every conversion event, the user's most
+    * recent NON-conversion event within `horizonSeconds` is the credited
+    * touch (none, or none recent enough → "(direct)"); output is
+    * conversions per credited type. One per-user window (the
+    * [[sessionPaths]] no-self-join contract): a conditional
+    * last-ignoring-nulls over the (ts, tie)-ordered stream carries both
+    * the touch type and its timestamp — the same row supplies both
+    * because the ordering is total — and the horizon check is exact
+    * micros arithmetic. At 100 TB the state per row is two columns; the
+    * event log never joins itself. */
+  def attributionLastTouch(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, conversionType: String,
+      horizonSeconds: Long = 7L * 86400L): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_touch_t", last(
+        when(col(typeCol) =!= conversionType, col(typeCol)),
+        ignoreNulls = true).over(w))
+      .withColumn("_touch_ts", last(
+        when(col(typeCol) =!= conversionType, col(tsCol)),
+        ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("attributed",
+        when(col("_touch_ts").isNotNull &&
+          unix_micros(col(tsCol)) - unix_micros(col("_touch_ts")) <=
+            horizonSeconds * 1000000L,
+          col("_touch_t")).otherwise(lit("(direct)")))
+      .groupBy("attributed")
+      .agg(count(lit(1)).as("n_conversions"))
+  }
 }

@@ -163,7 +163,7 @@ object Similarity {
     require(k >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    Caches.releasingShortLivedCaches(spark) {
+    Caches.releasingShortLivedCaches { cp =>
     val q = array(query.map(v => lit(v)): _*)
     val poolC = if (pool > 0) pool else 100 * k
     // one corpus pass: rel scan + TakeOrdered down to the pool. From here
@@ -172,12 +172,12 @@ object Similarity {
     // the frame, so an unmaterialized chain would recompute every prior
     // round's cosines (O(k²) dots); checkpointing keeps it O(k), and each
     // checkpoint is pool-sized, not corpus-sized.
-    var cand = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("rel", cosine(col("v"), q))
-      .orderBy(col("rel").desc, col("id"))
-      .limit(poolC)
-      .withColumn("ms", lit(0.0))
-      .localCheckpoint(true)
+    var cand = cp.checkpoint(
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .withColumn("rel", cosine(col("v"), q))
+        .orderBy(col("rel").desc, col("id"))
+        .limit(poolC)
+        .withColumn("ms", lit(0.0)))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double)]
     var round = 1
     var exhausted = false
@@ -193,9 +193,8 @@ object Similarity {
         picks += ((round, r.getLong(0), r.getDouble(1), r.getDouble(2),
           r.getDouble(3)))
         val pv = array(r.getSeq[Float](4).map(v => lit(v)): _*)
-        cand = cand.filter(col("id") =!= lit(r.getLong(0)))
-          .withColumn("ms", greatest(col("ms"), cosine(col("v"), pv)))
-          .localCheckpoint(true)
+        cand = cp.checkpoint(cand.filter(col("id") =!= lit(r.getLong(0)))
+          .withColumn("ms", greatest(col("ms"), cosine(col("v"), pv))))
         round += 1
       }
     }
@@ -562,4 +561,38 @@ object Similarity {
     * folds left-to-right, which is what the oracle recomputes. */
   def rpProject(vec: Column, signs: Seq[Seq[Double]]): Column =
     array(signs.map(row => dot(vec, array(row.map(lit): _*))): _*)
+
+  /** Per-dimension embedding drift between a reference and a new slice —
+    * the monitoring census an embedding pipeline runs when the encoder,
+    * preprocessing, or upstream corpus changes: a handful of strongly
+    * shifted dimensions means a systematic encoding change (normalization
+    * bug, truncation, domain shift), where uniform noise means ordinary
+    * data drift. The split predicate is caller-supplied (`isNew` — id
+    * parity in the gate; a snapshot-date predicate in production).
+    *
+    * Scale shape: posexplode to (dim, slice) partial-aggregable sums —
+    * ONE shuffle whose key space is the embedding WIDTH (metadata-sized:
+    * 64-4096 dims), then a TakeOrdered of the top `topK` shifted dims.
+    * Exactness: components quantize float→double→micro-units (exact IEEE
+    * steps both engines replay), sums are integer, and the mean shift is
+    * the cross-multiplied truncating division. */
+  def dimDrift(df: DataFrame, vecCol: String, isNew: Column,
+      topK: Int = 10): DataFrame =
+    df.select(isNew.as("_new"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .select(col("_new"), (col("_p") + 1).as("dim"),
+        floor(col("_x").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("_q"))
+      .groupBy("dim")
+      .agg(sum(when(!col("_new"), col("_q"))).as("sum_ref"),
+        count(when(!col("_new"), lit(1))).as("n_ref"),
+        sum(when(col("_new"), col("_q"))).as("sum_new"),
+        count(when(col("_new"), lit(1))).as("n_new"))
+      .filter(col("n_ref") > 0 && col("n_new") > 0)
+      .withColumn("shift_micro", expr(
+        """(CAST(sum_new AS DECIMAL(38,0)) * n_ref
+          | - CAST(sum_ref AS DECIMAL(38,0)) * n_new)
+          | div (CAST(n_ref AS DECIMAL(38,0)) * n_new)"""
+          .stripMargin.replace("\n", " ")))
+      .orderBy(abs(col("shift_micro")).desc, col("dim"))
+      .limit(topK)
 }

@@ -127,33 +127,44 @@ object Sketches {
     * no inclusion-exclusion. Output: (day STRING, v_empty, s_scaled,
     * hll_est) per day, hash-exact against a from-scratch oracle replay. */
   def hllRollingDistinct(events: DataFrame, tsCol: String, value: Column,
-      windowDays: Int = 7): DataFrame = {
+      windowDays: Int = 7, groupCols: Seq[String] = Nil): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
-    val withDay = events.select(to_date(col(tsCol)).as("day"), value.as("_v"))
+    val withDay = events.select(
+      (to_date(col(tsCol)).as("day") +: value.as("_v") +:
+        groupCols.map(col)): _*)
     // persisted: the day-sketch frame feeds BOTH the derived day list and
     // the window merge — without this the corpus sketch pass runs twice
-    val sk = hllSketch(withDay, Seq("day"), col("_v")).persist()
+    val sk = hllSketch(withDay, "day" +: groupCols, col("_v")).persist()
+    // the day list is GLOBAL (window-horizon semantics): a group inactive
+    // on day d but active within [d-w+1, d] still gets a curve row for d
+    // — that is what a rolling-active dashboard means. The grouped oracle
+    // (hllRollingOracleSql) derives the same global list.
     val days = sk.select(col("day").as("w_day")).distinct()
     val merged = sk.join(broadcast(days),
         col("day") >= date_sub(col("w_day"), windowDays - 1) &&
           col("day") <= col("w_day"))
-      .groupBy(col("w_day"), col("bucket"))
+      .groupBy((col("w_day") +: col("bucket") +: groupCols.map(col)): _*)
       .agg(max("max_rho").as("max_rho"))
       .withColumnRenamed("w_day", "day")
-    hllEstimate(merged, Seq("day"))
+    hllEstimate(merged, groupCols :+ "day")
       .withColumn("day", col("day").cast("string"))
   }
 
   /** DuckDB replay of [[hllRollingDistinct]] (and, with `groupCol`, of the
     * rollup-layout rolling curve): the same bucket/rho chain as
     * [[hllOracleSql]] keyed by (group?, day), then the day-range
-    * bucket-max merge and the identical IEEE-pinned estimate. */
+    * bucket-max merge and the identical IEEE-pinned estimate. The day
+    * list is GLOBAL (all days in the sketch frame, not per group) —
+    * window-horizon semantics matching the implementation: a group gets
+    * a curve row for any global day its window overlaps, even if the
+    * group itself was inactive on that day (the round-8 oracle derived
+    * per-group day lists, which silently agreed only on dense fixtures —
+    * the `hll_rolling_sparse` gate row now pins the sparse case).
+    * `table` may be a parenthesized subquery for filtered replays. */
   def hllRollingOracleSql(table: String, tsCol: String, valueExpr: String,
       windowDays: Int, groupCol: Option[String] = None): String = {
     val twoP40 = 1L << RhoCap
     val g = groupCol.map(_ + ", ").getOrElse("")
-    val gj = groupCol.map(c => s"AND s.$c = d.$c ").getOrElse("")
-    val gd = groupCol.map(c => s"d.$c, ").getOrElse("")
     val gs = groupCol.map(c => s"s.$c, ").getOrElse("")
     s"""WITH h AS (
        |  SELECT ${g}CAST($tsCol AS DATE) AS day,
@@ -182,12 +193,12 @@ object Sketches {
        |sk AS (
        |  SELECT ${g}day, bucket, max(rho) AS max_rho
        |  FROM rho GROUP BY ${g}day, bucket),
-       |days AS (SELECT DISTINCT ${g}day FROM sk),
+       |days AS (SELECT DISTINCT day FROM sk),
        |m AS (
-       |  SELECT ${gd}d.day, s.bucket, max(s.max_rho) AS max_rho
+       |  SELECT ${gs}d.day, s.bucket, max(s.max_rho) AS max_rho
        |  FROM days d JOIN sk s
-       |    ON s.day BETWEEN d.day - ${windowDays - 1} AND d.day $gj
-       |  GROUP BY ${gd}d.day, s.bucket),
+       |    ON s.day BETWEEN d.day - ${windowDays - 1} AND d.day
+       |  GROUP BY ${gs}d.day, s.bucket),
        |est AS (
        |  SELECT ${g}day,
        |    CAST($HllM - count(*) AS BIGINT) AS v_empty,

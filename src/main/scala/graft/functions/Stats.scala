@@ -186,9 +186,19 @@ object Stats {
     * >= 0. */
   def quantileSketchErrorReport(df: DataFrame, groupCol: String,
       valueCol: String, permilles: Seq[Int] = Seq(500, 950),
-      bucketWidth: Long = 100L): DataFrame = {
+      bucketWidth: Long = 100L, maxRows: Long = 10000000L): DataFrame = {
     val base = df.select(col(groupCol).cast("string").as(groupCol),
       col(valueCol).cast("long").as("_v")).persist()
+    // SAMPLE CONTRACT (mirrors Dedup.lshRecallReport): the exact side
+    // re-reads the raw values twice with fine-grained histograms — an
+    // eval-harness cost profile, not a production-query one. Enforce the
+    // sample-sized-input contract instead of implying it. (The count also
+    // materializes the persisted frame before both consumers fork.)
+    val nRows = base.count()
+    require(nRows <= maxRows,
+      s"quantileSketchErrorReport is a sample-sized evaluation (exact " +
+        s"order-statistic side): got $nRows rows > maxRows=$maxRows — " +
+        s"pass a sample, or raise maxRows explicitly")
     val exact = groupedExactPercentiles(base, groupCol, "_v",
         permilles.map(_ / 1000.0), bucketWidth)
       .select(col(groupCol),
@@ -561,8 +571,10 @@ object Stats {
       .withColumn("_num",
         dec(col("c_pair")) * dec(col("n_baskets")) * dec(lit(1000000L)))
       .withColumn("_den", dec(col("_ca")) * dec(col("_cb")))
-      // IntegralDivide (div) floors like DuckDB's // — decimal .divide
-      // would ROUND at the result scale before any cast
+      // IntegralDivide (div) and DuckDB's // both TRUNCATE toward zero
+      // (verified: DuckDB -7 // 2 = -3) — the parity contract holds for
+      // signed numerators too. Decimal .divide would instead ROUND at
+      // the result scale before any cast
       .select(col("item_a"), col("item_b"), col("c_pair"),
         expr("_num div _den").as("lift_ppm"))
   }
@@ -615,4 +627,71 @@ object Stats {
       .agg(count(lit(1)).as("n_classes"), sum("class_size").as("n_rows"))
       .withColumn("at_risk",
         when(col("n_sensitive") < l, 1).otherwise(0).cast("int"))
+
+  /** Right-to-be-forgotten erasure audit — the governance op that closes
+    * the k-anonymity / l-diversity family: given an erasure list (subject
+    * ids from deletion requests — REQUEST-sized, broadcast, never the
+    * corpus), report per day how many rows the erasure removes vs keeps
+    * and how many listed subjects were actually touched that day. The
+    * deletion itself is the same broadcast-hash probe with the filter
+    * inverted ([[erase]]); the audit is what compliance files. One
+    * partial-aggregable shuffle over the flagged frame; at 100 TB the
+    * erasure list rides the broadcast and the event log never self-joins.
+    * Distinct-touched-users is exact (the per-day distinct expansion is
+    * bounded by the erasure list size × days). */
+  def erasureAudit(events: DataFrame, tsCol: String, userCol: String,
+      erasureList: DataFrame): DataFrame = {
+    val users = erasureList.select(col(erasureList.columns.head).as("_eu"))
+      .distinct()
+    events
+      .join(broadcast(users), col(userCol) === col("_eu"), "left")
+      .select(to_date(col(tsCol)).cast("string").as("day"),
+        col("_eu").isNotNull.as("_hit"),
+        when(col("_eu").isNotNull, col(userCol)).as("_hit_user"))
+      .groupBy("day")
+      .agg(sum(when(!col("_hit"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_removed"),
+        countDistinct(col("_hit_user")).as("n_users_erased"))
+  }
+
+  /** The erasure itself: drop every row of a listed subject — a broadcast
+    * LEFT ANTI join (the list is request-sized; the corpus never
+    * shuffles). */
+  def erase(df: DataFrame, userCol: String, erasureList: DataFrame): DataFrame = {
+    val users = erasureList.select(col(erasureList.columns.head).as("_eu"))
+      .distinct()
+    df.join(broadcast(users), col(userCol) === col("_eu"), "left_anti")
+  }
+
+  /** Day-of-week seasonal residuals — the anomaly signal [[anomalousDays]]
+    * misses: weekly-periodic volume (weekend dips, Monday spikes) inflates
+    * the global variance, hiding genuine drifts. Baseline = the group's
+    * mean daily count PER WEEKDAY SLOT; each day's residual is its count
+    * vs that slot baseline in exact cross-multiplied ppm
+    * (`n·n_slot_days·1e6 div slot_sum − 1e6`), flagged beyond
+    * ±`thresholdPpm`. The weekday slot is epoch-day mod 7 (slot 0 =
+    * Thursday) — pure integer arithmetic, immune to engine calendar /
+    * locale differences. Two metadata-sized shuffles (daily counts, then
+    * slot moments joined back via broadcast); days with zero events for a
+    * group are missing partitions, not zero measurements (same contract
+    * as [[anomalousDays]]). */
+  def dowSeasonal(events: DataFrame, tsCol: String, groupCol: String,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("_d"), col(groupCol))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow_slot", expr("unix_date(_d) % 7").cast("int"))
+    val slots = daily.groupBy(col(groupCol), col("dow_slot"))
+      .agg(count(lit(1)).as("n_slot_days"),
+        sum(col("n_events")).as("slot_sum"))
+    daily.join(broadcast(slots), Seq(groupCol, "dow_slot"))
+      .withColumn("resid_ppm", expr(
+        """CAST(n_events AS DECIMAL(38,0)) * n_slot_days * 1000000
+          | div slot_sum - 1000000""".stripMargin.replace("\n", " ")))
+      .select(col(groupCol), col("_d").cast("string").as("day"),
+        col("dow_slot"), col("n_events"), col("n_slot_days"),
+        col("slot_sum"), col("resid_ppm"),
+        (abs(col("resid_ppm")) > thresholdPpm).cast("int")
+          .as("seasonal_anomaly"))
+  }
 }

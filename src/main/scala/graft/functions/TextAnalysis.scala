@@ -472,42 +472,68 @@ object TextAnalysis {
   /** Zipf-slope corpus audit: natural text follows freq ∝ rank^(−s) with
     * s ≈ 1, so the least-squares slope of log-freq vs log-rank flags
     * synthetic, templated, or spam-heavy corpora whose token curve is too
-    * flat (|slope| ≪ 1) or too steep. Exactness discipline: both logs
-    * are micronat-quantized ([[charEntropy]]'s qln), the ranking breaks
-    * ties by (freq DESC, token ASC), and the slope is the cross-moment
-    * identity in DECIMAL(38,0) with integer division — engine-exact.
-    * The ranking window is VOCABULARY-sized (the token count frame, not
-    * the corpus) — the same bounded-metadata contract as the tokenizer
-    * vocab collects. Output: one row (n_vocab, n_token_occurrences,
-    * zipf_slope_ppm) — slope in parts-per-million, ≈ −1,000,000 for
-    * ideal Zipf. */
-  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
-    val dec = (c: Column) => c.cast("decimal(38,0)")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_n").desc, col("_t"))
-    df.select(explode(split(col(textCol), " ")).as("_t"))
+    * flat (|slope| ≪ 1) or too steep.
+    *
+    * Scale shape: the slope is a HEAD FIT over the top `fitK` ranks
+    * (freq DESC, token ASC — TakeOrderedAndProject, no window anywhere),
+    * which is standard practice for Zipf fits (the law is a statement
+    * about the head; the freq-1 tail under Heaps' law is billions of
+    * tokens at 100 TB and carries no slope signal). The fit itself runs
+    * on ≤ fitK collected (rank, freq) points — bounded by the DECLARED
+    * constant, the tokenizer-vocab/IVF-centroid metadata contract — while
+    * the corpus-sized work (token histogram + totals + TakeOrdered) stays
+    * distributed. The round-8 form ranked the whole vocabulary through a
+    * global single-partition window; this replaces it (no allowlist entry
+    * needed).
+    *
+    * Exactness discipline: both logs are micronat-quantized
+    * ([[charEntropy]]'s qln — same Math.log the engine's `log` runs), the
+    * ranking breaks ties by (freq DESC, token ASC), and the slope is the
+    * cross-moment identity in exact big-integer arithmetic with
+    * truncating division — engine-exact vs the oracle, which applies the
+    * identical top-fitK restriction. On gate data fitK ≥ the whole
+    * vocabulary, so the head fit IS the full fit there. Output: one row
+    * (n_vocab, n_token_occurrences, zipf_slope_ppm) — full-vocabulary
+    * totals, slope in parts-per-million, ≈ −1,000,000 for ideal Zipf. */
+  def zipfSlope(df: DataFrame, textCol: String, fitK: Int = 4096): DataFrame = {
+    require(fitK >= 2, "fitK must be >= 2")
+    val spark = df.sparkSession
+    val cnt = df.select(explode(split(col(textCol), " ")).as("_t"))
       .filter(col("_t") =!= "")
       .groupBy(col("_t")).agg(count(lit(1)).as("_n"))
-      .withColumn("_r", row_number().over(w))
-      .select(qln(col("_r")).as("_x"), qln(col("_n")).as("_y"),
-        col("_n"))
-      .agg(count(lit(1)).as("n_vocab"),
-        sum(col("_n")).as("n_token_occurrences"),
-        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
-        sum(col("_x") * col("_y")).as("_sxy"),
-        sum(col("_x") * col("_x")).as("_sxx"))
-      .select(col("n_vocab"), col("n_token_occurrences"),
-        when(dec(col("n_vocab")) * dec(col("_sxx")) -
-            dec(col("_sx")) * dec(col("_sx")) === 0, lit(0L))
-          .otherwise(expr(
-            """(CAST(n_vocab AS DECIMAL(38,0)) * _sxy
-              | - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000
-              | div (CAST(n_vocab AS DECIMAL(38,0)) * _sxx
-              |      - CAST(_sx AS DECIMAL(38,0)) * _sx)"""
-              .stripMargin.replace("\n", " ")))
-          .as("zipf_slope_ppm"))
+    // full-vocabulary totals: one partial-aggregable pass, no ordering
+    val tot = cnt.agg(count(lit(1)).as("n_vocab"),
+      sum(col("_n")).as("n_tok")).collect()(0)
+    val nVocab = tot.getLong(0)
+    val nTok: java.lang.Long =
+      if (tot.isNullAt(1)) null else Long.box(tot.getLong(1))
+    // head: corpus-side TakeOrdered to <= fitK frequencies, in rank order
+    val head = cnt.orderBy(col("_n").desc, col("_t")).limit(fitK)
+      .select(col("_n")).collect().map(_.getLong(0))
+    def qln(v: Long): Long =
+      math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong
+    var sx, sy, sxy, sxx = BigInt(0)
+    var i = 0
+    while (i < head.length) {
+      val x = BigInt(qln(i + 1L)); val y = BigInt(qln(head(i)))
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+      i += 1
+    }
+    val k = BigInt(head.length)
+    val den = k * sxx - sx * sx
+    // truncating integer division — both engines' `div`/`//` contract
+    val slope = if (den == 0) 0L
+      else ((k * sxy - sx * sy) * 1000000 / den).toLong
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_vocab",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_token_occurrences",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("zipf_slope_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nVocab, nTok, slope)), schema)
   }
 
   def corpusStats(df: DataFrame, textCol: String,

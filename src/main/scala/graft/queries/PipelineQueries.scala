@@ -5228,6 +5228,174 @@ object PipelineQueries {
         "CAST(user_id AS VARCHAR)", windowDays = 7,
         groupCol = Some("event_type")))),
 
+    QueryDef("hll_rolling_sparse",
+      // sparse-coverage pin for the rolling merge's WINDOW-HORIZON
+      // (global day list) semantics: 'click' events are removed on even
+      // days of month, so a (click, even-day) curve row exists ONLY
+      // because the global day list supplies the day while the 7-day
+      // window still holds click sketches — exactly the case a per-group
+      // day list would silently drop (the round-8 oracle bug class).
+      // Both sides apply the identical sparsifying filter
+      (s, dir) => graft.functions.Sketches.hllRollingDistinct(
+          Tables.events(s, dir).filter(
+            !(col("event_type") === "click" &&
+              dayofmonth(col("ts")) % 2 === 0)),
+          "ts", col("user_id"), windowDays = 7,
+          groupCols = Seq("event_type"))
+        .orderBy("event_type", "day"),
+      Some(Sketches.hllRollingOracleSql(
+        "(SELECT * FROM events WHERE NOT (event_type = 'click' " +
+          "AND day(CAST(ts AS DATE)) % 2 = 0))",
+        "ts", "CAST(user_id AS VARCHAR)", windowDays = 7,
+        groupCol = Some("event_type")))),
+
+    QueryDef("user_erasure_audit",
+      // right-to-be-forgotten compliance: the erasure list (deletion
+      // requests — request-sized, broadcast) probes the event log once;
+      // per-day kept/removed row counts plus distinct subjects touched.
+      // The deletion itself is the same broadcast probe anti-joined
+      // (Stats.erase); this is the audit compliance files. The gate's
+      // erasure list is every 97th user id
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.functions.Stats.erasureAudit(ev, "ts", "user_id",
+            ev.select(col("user_id")).filter(pmod(col("user_id"), lit(97)) === 0))
+          .orderBy("day")
+      },
+      Some("""WITH u AS (
+             |  SELECT DISTINCT user_id AS eu FROM events
+             |  WHERE user_id % 97 = 0),
+             |f AS (
+             |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |    u.eu IS NOT NULL AS hit,
+             |    CASE WHEN u.eu IS NOT NULL THEN e.user_id END AS hit_user
+             |  FROM events e LEFT JOIN u ON e.user_id = u.eu)
+             |SELECT day,
+             |  CAST(sum(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
+             |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed,
+             |  CAST(count(DISTINCT hit_user) AS BIGINT) AS n_users_erased
+             |FROM f GROUP BY day ORDER BY day""".stripMargin)),
+
+    QueryDef("attribution_last_touch",
+      // last-touch conversion attribution: per purchase, the user's most
+      // recent non-purchase event within 7 days gets the credit (else
+      // "(direct)"). One per-user window — the event log never self-joins
+      (s, dir) => graft.functions.Funnel.attributionLastTouch(
+          Tables.events(s, dir), "user_id", "ts", "event_id",
+          "event_type", "purchase")
+        .orderBy("attributed"),
+      Some("""WITH t AS (
+             |  SELECT event_type, ts,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND 1 PRECEDING) AS touch_t,
+             |    last_value(CASE WHEN event_type <> 'purchase'
+             |        THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND 1 PRECEDING) AS touch_ts
+             |  FROM events)
+             |SELECT CASE WHEN touch_ts IS NOT NULL
+             |    AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000
+             |    THEN touch_t ELSE '(direct)' END AS attributed,
+             |  CAST(count(*) AS BIGINT) AS n_conversions
+             |FROM t WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY attributed""".stripMargin)),
+
+    QueryDef("events_dow_seasonal",
+      // weekly-seasonality residuals: each (type, day) count vs the
+      // type's mean for that WEEKDAY SLOT (epoch-day mod 7 — calendar-
+      // free integer), exact cross-multiplied ppm, anomalies beyond ±50%.
+      // Catches the drift the global z-test hides under weekend cycles
+      (s, dir) => graft.functions.Stats.dowSeasonal(
+          Tables.events(s, dir), "ts", "event_type")
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS d,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |dd AS (
+             |  SELECT event_type, d, n_events,
+             |    CAST(CAST(d - DATE '1970-01-01' AS BIGINT) % 7 AS INT)
+             |      AS dow_slot
+             |  FROM daily),
+             |slots AS (
+             |  SELECT event_type, dow_slot,
+             |    CAST(count(*) AS BIGINT) AS n_slot_days,
+             |    CAST(sum(n_events) AS BIGINT) AS slot_sum
+             |  FROM dd GROUP BY 1, 2)
+             |SELECT dd.event_type, CAST(dd.d AS VARCHAR) AS day,
+             |  dd.dow_slot, dd.n_events, s.n_slot_days, s.slot_sum,
+             |  CAST(CAST(dd.n_events AS HUGEINT) * s.n_slot_days * 1000000
+             |    // s.slot_sum - 1000000 AS BIGINT) AS resid_ppm,
+             |  CAST(CASE WHEN abs(CAST(dd.n_events AS HUGEINT)
+             |      * s.n_slot_days * 1000000 // s.slot_sum - 1000000)
+             |      > 500000 THEN 1 ELSE 0 END AS INT) AS seasonal_anomaly
+             |FROM dd JOIN slots s ON s.event_type = dd.event_type
+             |  AND s.dow_slot = dd.dow_slot
+             |ORDER BY dd.event_type, day""".stripMargin)),
+
+    QueryDef("embedding_dim_drift",
+      // per-dimension drift census between reference (even vec_id) and
+      // new (odd vec_id) slices: top-10 shifted dims by exact micro-unit
+      // mean shift — a systematic encoder/preprocessing change shows as
+      // a few strong dims, ordinary data drift as uniform noise. One
+      // dims-wide (metadata-keyed) shuffle + TakeOrdered
+      (s, dir) => graft.functions.Similarity.dimDrift(
+          Tables.embeddings(s, dir), "embedding",
+          pmod(col("vec_id"), lit(2)) === 1),
+      Some("""WITH x AS (
+             |  SELECT vec_id % 2 = 1 AS isnew, CAST(i AS INT) AS dim,
+             |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+             |      AS BIGINT) AS q
+             |  FROM embeddings,
+             |    unnest(generate_series(1, len(embedding))) AS t(i)),
+             |a AS (
+             |  SELECT dim,
+             |    CAST(sum(CASE WHEN NOT isnew THEN q END) AS BIGINT)
+             |      AS sum_ref,
+             |    CAST(count(CASE WHEN NOT isnew THEN 1 END) AS BIGINT)
+             |      AS n_ref,
+             |    CAST(sum(CASE WHEN isnew THEN q END) AS BIGINT)
+             |      AS sum_new,
+             |    CAST(count(CASE WHEN isnew THEN 1 END) AS BIGINT)
+             |      AS n_new
+             |  FROM x GROUP BY 1)
+             |SELECT dim, sum_ref, n_ref, sum_new, n_new,
+             |  CAST((CAST(sum_new AS HUGEINT) * n_ref
+             |        - CAST(sum_ref AS HUGEINT) * n_new)
+             |    // (CAST(n_ref AS HUGEINT) * n_new) AS BIGINT)
+             |    AS shift_micro
+             |FROM a WHERE n_ref > 0 AND n_new > 0
+             |ORDER BY abs(shift_micro) DESC, dim LIMIT 10""".stripMargin)),
+
+    QueryDef("compaction_plan",
+      // small-file compaction advisor: per source, files (documents stand
+      // in: doc_id/n_chars) ordered size DESC then binned by cumulative
+      // size at a 4 KB target — one row per planned output file. Window
+      // partitioned by the group key (file censuses are per-partition
+      // metadata); the rewrite job coalesces each bin
+      (s, dir) => graft.sources.Layout.compactionPlan(
+          Tables.documents(s, dir), "source", "doc_id", "n_chars",
+          targetBytes = 4096L)
+        .orderBy("source", "bin"),
+      Some("""WITH f AS (
+             |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz,
+             |    sum(CAST(n_chars AS BIGINT))
+             |      OVER (PARTITION BY source
+             |            ORDER BY n_chars DESC, doc_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING
+             |            AND CURRENT ROW) AS cum
+             |  FROM documents)
+             |SELECT source, CAST((cum - sz) // 4096 AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(sz) AS BIGINT) AS bytes
+             |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
     QueryDef("l_diversity_census",
       // the leak k-anonymity misses: a big class where everyone shares
       // the same sensitive value. Census of QI classes by their distinct
@@ -5385,18 +5553,26 @@ object PipelineQueries {
 
     QueryDef("token_zipf_slope",
       // corpus-QA audit: least-squares slope of quantized-log freq vs
-      // quantized-log rank over the vocabulary-sized token ranking —
-      // natural text sits near -1e6 ppm; templated/spam corpora drift.
-      // Exact cross-moment identity in DECIMAL; the ranking window is
-      // vocabulary metadata, never the corpus
+      // quantized-log rank, HEAD-FIT over the top-4096 ranks (freq DESC,
+      // token ASC — TakeOrdered, no global window; the fit itself is
+      // declared-constant-bounded driver metadata math). Natural text
+      // sits near -1e6 ppm; templated/spam corpora drift. Full-vocab
+      // totals ride a separate windowless aggregate. The oracle applies
+      // the identical top-4096 restriction (= the full vocabulary on
+      // gate data)
       (s, dir) => TextAnalysis.zipfSlope(Tables.documents(s, dir), "text"),
       Some("""WITH tok AS (
              |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
              |cnt AS (SELECT t, count(*) AS n FROM tok
              |        WHERE t <> '' GROUP BY 1),
-             |rk AS (
-             |  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+             |    CAST(sum(n) AS BIGINT) AS n_token_occurrences
              |  FROM cnt),
+             |rk AS (
+             |  SELECT n, r FROM (
+             |    SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+             |    FROM cnt) WHERE r <= 4096),
              |q AS (
              |  SELECT n,
              |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5)
@@ -5405,19 +5581,18 @@ object PipelineQueries {
              |      AS BIGINT) AS y
              |  FROM rk),
              |m AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
-             |    CAST(sum(n) AS BIGINT) AS n_token_occurrences,
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
              |    CAST(sum(x) AS HUGEINT) AS sx,
              |    CAST(sum(y) AS HUGEINT) AS sy,
              |    CAST(sum(x * y) AS HUGEINT) AS sxy,
              |    CAST(sum(x * x) AS HUGEINT) AS sxx
              |  FROM q)
-             |SELECT n_vocab, n_token_occurrences,
-             |  CAST(CASE WHEN n_vocab * sxx - sx * sx = 0 THEN 0
-             |    ELSE ((n_vocab * sxy - sx * sy) * 1000000)
-             |         // (n_vocab * sxx - sx * sx) END AS BIGINT)
+             |SELECT t.n_vocab, t.n_token_occurrences,
+             |  CAST(CASE WHEN m.k * m.sxx - m.sx * m.sx = 0 THEN 0
+             |    ELSE ((m.k * m.sxy - m.sx * m.sy) * 1000000)
+             |         // (m.k * m.sxx - m.sx * m.sx) END AS BIGINT)
              |    AS zipf_slope_ppm
-             |FROM m""".stripMargin)),
+             |FROM tot t, m""".stripMargin)),
 
     QueryDef("events_burstiness",
       // per-type arrival-regime summary: variance-to-mean ratio of daily

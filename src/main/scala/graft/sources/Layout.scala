@@ -350,4 +350,29 @@ object Layout {
         v
       }
   }
+
+  /** Compaction planner — the small-file maintenance advisor every large
+    * parquet estate runs nightly: group the file census by its partition
+    * key, order each group's files (size DESC, id ASC — first-fit-
+    * decreasing's ordering), and assign bins by cumulative size:
+    * `bin = cum_before div targetBytes` (next-fit on the sorted list).
+    * One row per planned output file: (group, bin, n_files, bytes) — the
+    * rewrite job then coalesces each bin. Deterministic, one window
+    * PARTITIONED by the group key (file censuses are per-partition
+    * metadata, never data), one partial-aggregable rollup. The oracle
+    * replays the identical cumulative rule. */
+  def compactionPlan(files: DataFrame, groupCol: String, idCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_sz").desc, col(idCol))
+    files
+      .select(col(groupCol), col(idCol), col(sizeCol).cast("long").as("_sz"))
+      .withColumn("_cum", sum(col("_sz")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("bin", expr(s"(_cum - _sz) div ${targetBytes}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("_sz")).as("bytes"))
+  }
 }

@@ -808,6 +808,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"$nSel of $nGrams grams selected") // expected ~2/(w+1) = 0.4
   }
 
+  test("winnow_select: array<int> input fails at analysis time with a clear error") {
+    // the native expression validates its child type up front —
+    // array<int> must raise an AnalysisException naming the expected
+    // type, not a ClassCastException mid-task (round-8 verdict item)
+    val df = Seq((1, Seq(1, 2, 3))).toDF("id", "hs")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.WinnowSelect($"hs", 2)).collect()
+    }
+    assert(e.getMessage.contains("winnow_select") ||
+      e.getMessage.toLowerCase.contains("array<bigint>"),
+      s"unhelpful error: ${e.getMessage}")
+    // and the SQL-registered form fails the same way
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("winnow_select(hs, 2)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("winnow"), e2.getMessage)
+    // the valid form still works: array<long> passes analysis + eval
+    val ok = Seq((1L, Seq(5L, 1L, 4L, 2L))).toDF("id", "hs")
+      .select(graft.plans.WinnowSelect($"hs", 2).as("fp"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(ok.nonEmpty)
+  }
+
+  test("lshRecallReport: the sample contract rejects over-limit input with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshRecallReport(docs, "doc_id", "text", maxDocs = 3).collect()
+    }
+    assert(e.getMessage.contains("sample"), e.getMessage)
+    // within the bound it runs (the gate row covers the numbers)
+    assert(Dedup.lshRecallReport(docs, "doc_id", "text").count() == 1)
+  }
+
+  test("dimDrift: a constant per-dimension offset on the new slice lands " +
+    "exactly in shift_micro; undrifted dims report ~0") {
+    val ref = Seq((0L, Seq(0.5f, 1.0f)), (2L, Seq(0.5f, 1.0f)))
+    val nw = Seq((1L, Seq(0.75f, 1.0f)), (3L, Seq(0.75f, 1.0f)))
+    val df = (ref ++ nw).toDF("vec_id", "embedding")
+    val got = Similarity.dimDrift(df, "embedding",
+        pmod($"vec_id", lit(2)) === 1, topK = 2)
+      .select("dim", "shift_micro").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 250000L, 2 -> 0L), got.toString)
+  }
+
   test("bitextMarginMine: one best match per x, margin formula matches brute force") {
     val e = Tables.embeddings(spark, GraftTestSpark.Sf0001)
     val got = Similarity.bitextMarginMine(e, "embedding", "vec_id", "label",

@@ -140,6 +140,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(990) == ((2L, 992L)))
   }
 
+  test("attributionLastTouch: credits the most recent non-conversion " +
+    "touch inside the horizon; outside or absent -> (direct)") {
+    val rows = Seq(
+      // user 1: view then purchase 1h later -> credit view
+      (1L, "view", "2024-01-10 09:00:00"),
+      (1L, "purchase", "2024-01-10 10:00:00"),
+      // user 2: click 8 days before purchase -> outside 7d -> (direct)
+      (2L, "click", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-09 10:00:01"),
+      // user 3: purchase with no prior events -> (direct); the purchase
+      // itself must never self-credit
+      (3L, "purchase", "2024-01-10 10:00:00"),
+      // user 4: click then view then purchase -> LAST touch (view) wins
+      (4L, "click", "2024-01-10 08:00:00"),
+      (4L, "view", "2024-01-10 09:00:00"),
+      (4L, "purchase", "2024-01-10 10:00:00"))
+    val df = rows.toDF("user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = Funnel.attributionLastTouch(df, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view" -> 2L, "(direct)" -> 2L))
+  }
+
   test("sessionPaths: a gap of exactly the threshold starts a new session") {
     val rows = Seq(
       (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:30:00"))

@@ -280,11 +280,46 @@ class PlanSpec extends AnyFunSuite {
     // (Funnel.scala "k-row frame"), RRF's final rank runs over the fused
     // pool of lists x K rows, and the latency sketch's cumulative walk
     // runs over <= ~1K bucket counts (its constant g='all' partition key
-    // folds away) — all sketch-sized, never the corpus
-    // the Zipf ranking runs over the VOCABULARY count frame (metadata,
-    // not the corpus — same contract as the tokenizer vocab collects)
-    "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency",
-    "token_zipf_slope")
+    // folds away) — all sketch-sized, never the corpus.
+    // token_zipf_slope left the allowlist in round 9: the ranking is now
+    // a top-fitK head fit (TakeOrdered + bounded driver math — no window)
+    "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency")
+
+  test("user_erasure_audit: the erasure list rides a broadcast; the event " +
+    "log never self-joins on data") {
+    val p = planOf("user_erasure_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("attribution_last_touch: per-user window only — no join at all") {
+    val p = planOf("attribution_last_touch")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_dow_seasonal: slot baselines broadcast back onto the " +
+    "daily-count frame; no global window") {
+    val p = planOf("events_dow_seasonal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding_dim_drift: one dims-keyed partial aggregate + " +
+    "TakeOrdered — no sort of the exploded frame, no join") {
+    val p = planOf("embedding_dim_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    // partial aggregation before the exchange: the exploded components
+    // combine map-side, so the shuffle carries dim-keyed sums
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("hll_rolling_sparse: sketch-sized day list broadcasts; no cartesian") {
+    val p = planOf("hll_rolling_sparse")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 
   test("events_rolling_distinct: day list broadcasts; the deduped frame " +
     "never cartesians") {

@@ -443,4 +443,38 @@ class SketchesSpec extends AnyFunSuite {
       .select("day", "s_scaled").as[(String, Long)].collect().toMap
     assert(got == perDay)
   }
+
+  test("hllRollingDistinct grouped: a group inactive on a global day " +
+    "still gets a curve row while its window holds sketches (sparse " +
+    "window-horizon semantics)") {
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "a", 1L), ("2024-01-02 10:00:00", "a", 2L),
+      // group b: active day 1 only — day 2 row must still appear
+      ("2024-01-01 10:00:00", "b", 7L))
+    val ev = rows.toDF("ts_s", "event_type", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Sketches.hllRollingDistinct(ev, "ts", col("user_id"),
+        windowDays = 7, groupCols = Seq("event_type"))
+      .select("event_type", "day").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "2024-01-01"), ("a", "2024-01-02"),
+      ("b", "2024-01-01"), ("b", "2024-01-02")),
+      s"window-horizon rows wrong: $got")
+  }
+
+  test("compactionPlan: size-desc cumulative next-fit bins; tiny files " +
+    "pack together, a jumbo file opens its own bin") {
+    import graft.sources.Layout
+    val files = Seq(
+      ("s1", 1L, 900L), ("s1", 2L, 900L), ("s1", 3L, 150L),
+      ("s1", 4L, 100L), ("s2", 5L, 2500L))
+      .toDF("source", "file_id", "bytes")
+    val got = Layout.compactionPlan(files, "source", "file_id", "bytes",
+        targetBytes = 1000L)
+      .select("source", "bin", "n_files", "bytes")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // s1 order: 900,900,150,100 — cum_before: 0,900,1800,1950 ->
+    // bins 0,0,1,1; s2: 2500 -> bin 0
+    assert(got.toSeq == Seq(("s1", 0L, 2L, 1800L), ("s1", 1L, 2L, 250L),
+      ("s2", 0L, 1L, 2500L)))
+  }
 }

@@ -340,6 +340,50 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("erasureAudit + erase: listed users' rows all move to removed; " +
+    "erase drops exactly those rows") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-01 11:00:00"), (3L, "2024-01-02 12:00:00"))
+    val ev = rows.toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val list = Seq(1L, 99L).toDF("user_id") // 99 never appears
+    val audit = Stats.erasureAudit(ev, "ts", "user_id", list)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(audit.toSeq == Seq(
+      ("2024-01-01", 1L, 1L, 1L), ("2024-01-02", 1L, 1L, 1L)))
+    val kept = Stats.erase(ev, "user_id", list)
+      .select("user_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("dowSeasonal: a flat weekly cycle has zero residuals; a spike on " +
+    "one slot instance flags only that day") {
+    // two Mondays (epoch-day mod 7 equal), one with double volume
+    val rows = Seq(("2024-01-01", 2), ("2024-01-08", 2), ("2024-01-15", 4))
+      .flatMap { case (d, n) => (0 until n).map(_ => (d + " 09:00:00", "e")) }
+    val ev = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.dowSeasonal(ev, "ts", "event_type")
+      .select("day", "n_events", "resid_ppm", "seasonal_anomaly")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._1)
+    // slot mean = 8/3; resid = n*3*1e6/8 - 1e6
+    assert(got.map(r => (r._1, r._3, r._4)).toSeq == Seq(
+      ("2024-01-01", -250000L, 0), ("2024-01-08", -250000L, 0),
+      ("2024-01-15", 500000L, 0)))
+    // raise the spike: 2 -> threshold crossing at > 50%
+    val rows2 = Seq(("2024-01-01", 2), ("2024-01-08", 2), ("2024-01-15", 8))
+      .flatMap { case (d, n) => (0 until n).map(_ => (d + " 09:00:00", "e")) }
+    val ev2 = rows2.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val flags = Stats.dowSeasonal(ev2, "ts", "event_type")
+      .select("day", "seasonal_anomaly").as[(String, Int)].collect().toMap
+    // slot mean = 4; day 15 sits at +100% (flag), days 1/8 at exactly
+    // -50% (the > threshold is strict — no flag)
+    assert(flags == Map("2024-01-01" -> 0, "2024-01-08" -> 0,
+      "2024-01-15" -> 1))
+  }
+
   test("cusumChangepoint: peak-day tie keeps the earliest day") {
     // counts 3,1,3,1: mean 2, devs scaled by n=4: +4,-4,+4,-4 ->
     // S = 4,0,4,0 — the peak 4 is hit on day 1 first
