@@ -137,24 +137,43 @@ object Bpe {
     *    contains the merged string of, an earlier kept pair — so kept
     *    pairs' counts and occurrences are mutually untouched and a single
     *    fold pass applies them all ([[applyMergeBatch]]);
+    *  - self-pair cutoff: a kept pair with lhs == rhs TERMINATES the batch
+    *    (it is kept, nothing after it). Merging (a,a)→aa inside a run
+    *    creates the pair (aa,aa) whose junction source is (a,a) ITSELF — a
+    *    KEPT count, so no boundary bounds the created pair and it can
+    *    outrank (or lexicographically out-tie-break) later kept picks.
+    *    Round 8 missed this: on the corpus "aaaa bb" with the pair
+    *    universe exhausted it emitted (a,a),(b,b) where sequential's
+    *    second merge is (aa,aa) — the regression test pins the fix;
     *  - strict-dominance guard: every kept pair after the first must have
-    *    count > 3× the terminator's count (the first candidate NOT kept).
-    *    Any pair outside the prefix has count ≤ boundary; a merge can only
-    *    inflate an outside pair by creating occurrences bounded by two
-    *    outside source-pair counts (one per side adopting the new merged
-    *    symbol), so every non-kept candidate at sequential round i is
-    *    ≤ 3·boundary < count(p_i) — p_i is strictly the argmax, exactly as
-    *    sequential greedy would pick. Ties WITHIN the prefix keep their
-    *    original (count DESC, lhs, rhs) order because kept counts are
-    *    unchanged.
+    *    count > boundary, the terminator's count (the first candidate NOT
+    *    kept; no guard needed when the fetch exhausted the pair universe).
+    *    Proof that this commutes: existing non-kept pairs have count
+    *    ≤ boundary and merges only DESTROY their occurrences; every
+    *    CREATED pair (x,ab)/(ab,y)/(ab,ab) with a ≠ b maps each of its
+    *    occurrences to an occurrence of a junction source pair ((x,a),
+    *    (b,y), (b,a) respectively) that shares a symbol with the kept
+    *    (a,b) — interacting, hence non-kept, hence ≤ boundary. So at
+    *    sequential round i every competitor is ≤ boundary < count(p_i),
+    *    and p_i is STRICTLY the argmax (strictness also settles the
+    *    tie-break: an equal-count competitor could win on (lhs, rhs)).
+    *    Ties WITHIN the prefix keep their (count DESC, lhs, rhs) order
+    *    because kept counts are invariant under each other's merges.
+    *    (Round 8 used count > 3·boundary from a looser two-sided
+    *    inflation argument; the junction mapping shows 1× strict is
+    *    already exact, which triples the batchable depth on steep
+    *    distributions.)
     *
     * Worst case (flat count distribution) the batch degenerates to 1 and
-    * this IS [[learn]]; on Zipfian corpora early rounds batch near
-    * maxBatch. [[BpeSpec]] pins batched == sequential, and the
+    * this IS [[learn]]; batching engages exactly where the ranked pair
+    * counts drop strictly across the window. [[BpeSpec]] pins batched ==
+    * sequential (including the self-pair regression), the
     * `bpe_learn_batched` gate row replays the same unrolled DuckDB oracle
-    * as `bpe_learn`. */
+    * as `bpe_learn`, and `tools.BpeDeep` replays both learners to
+    * exhaustion depth and requires bit-parity. */
   def learnBatched(df: DataFrame, textCol: String, steps: Int,
-      maxBatch: Int = 16): DataFrame = {
+      maxBatch: Int = 16,
+      onRound: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     require(steps >= 1 && maxBatch >= 1)
     val spark = df.sparkSession
     import spark.implicits._
@@ -163,6 +182,7 @@ object Bpe {
       .withColumn("syms", charSyms(col("word"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
+    var rounds = 0
     while (merges.size < steps && !exhausted) {
       val want = math.min(maxBatch, steps - merges.size)
       val top = words
@@ -175,7 +195,9 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         // literal-prefix selection: stop at the first interacting
-        // candidate (it becomes the boundary terminator), or at want
+        // candidate (it becomes the boundary terminator), at want, or
+        // right AFTER a self-pair (lhs == rhs — see the cutoff rationale
+        // in the doc: its merge can create a pair no boundary bounds)
         val touched = scala.collection.mutable.Set.empty[String]
         val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var i = 0
@@ -188,6 +210,7 @@ object Bpe {
             kept += top(i)
             touched += a; touched += b; touched += (a + b)
             i += 1
+            if (a == b) stopped = true
           }
         }
         // boundary = count of the first candidate NOT kept (terminator or
@@ -195,13 +218,16 @@ object Bpe {
         val boundary = if (i < top.length) top(i)._3 else -1L
         // strict-dominance guard: p1 always survives (it is the global
         // argmax by the same tie-break sequential uses); later picks need
-        // count > 3*boundary. Counts are DESC, so truncate at first miss.
+        // count > boundary STRICTLY (exact per the junction-source proof
+        // above). Counts are DESC, so truncate at the first miss.
         val safe =
           if (boundary < 0) kept.toSeq
-          else kept.head +: kept.tail.takeWhile(_._3 > 3L * boundary)
+          else kept.head +: kept.tail.takeWhile(_._3 > boundary)
         safe.foreach { case (a, b, c) =>
           merges += ((merges.size + 1, a, b, a + b, c))
         }
+        rounds += 1
+        onRound(rounds, safe.size)
         words = cp.checkpoint(words
           .withColumn("syms",
             applyMergeBatch(col("syms"), safe.map(p => (p._1, p._2)).toSeq)))

@@ -99,6 +99,40 @@ class BpeSpec extends AnyFunSuite {
     assert(batM == seqM)
   }
 
+  test("learnBatched: self-pair merge offspring cannot be skipped " +
+    "(round-8 exhausted-universe divergence, regression)") {
+    // universe = {(a,a):3, (b,b):1}; merging (a,a) creates (aa,aa):1 which
+    // out-tie-breaks (b,b) at sequential step 2 ('aa' < 'b'). The round-8
+    // batcher kept both candidates when the fetch exhausted the universe
+    // and emitted (b,b) — the self-pair cutoff must stop the batch at (a,a)
+    val docs = Seq("aaaa bb").toDF("text")
+    val seq = Bpe.learn(docs, "text", 2)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    val bat = Bpe.learnBatched(docs, "text", 2, maxBatch = 4)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(seq == Seq((1, "a", "a", "aa", 3L), (2, "aa", "aa", "aaaa", 1L)))
+    assert(bat == seq)
+  }
+
+  test("learnBatched: strict 1x dominance batches a steep prefix the old " +
+    "3x guard would have serialized, still matching sequential") {
+    // disjoint-symbol pairs with strictly dropping counts: (x,y):5,
+    // (u,v):3, (s,t):1. steps=2 → boundary = c(s,t) = 1; the 1x guard
+    // admits (u,v) (3 > 1) in round 1 where 3x would demand 3 > 3
+    val docs = (Seq.fill(5)("xy") ++ Seq.fill(3)("uv") ++ Seq("st"))
+      .toDF("text")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val bat = Bpe.learnBatched(docs, "text", 2, maxBatch = 4,
+        onRound = (_, size) => rounds += size)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    val seq = Bpe.learn(docs, "text", 2)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    assert(bat == seq)
+    assert(seq.map(m => (m._2, m._3, m._5)) ==
+      Seq(("x", "y", 5L), ("u", "v", 3L)))
+    assert(rounds.toSeq == Seq(2), s"expected one round of 2: $rounds")
+  }
+
   test("segment: applies the learned merges in order") {
     val docs = Seq("low low low", "west").toDF("text")
     val merges = Bpe.learn(docs, "text", steps = 2)
