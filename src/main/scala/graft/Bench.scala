@@ -113,7 +113,11 @@ object Bench {
     // residuals, embedding drift, compaction advisor, the sparse rolling
     // sketch pin
     "user_erasure_audit", "attribution_last_touch", "events_dow_seasonal",
-    "embedding_dim_drift", "compaction_plan", "hll_rolling_sparse")
+    "embedding_dim_drift", "compaction_plan", "hll_rolling_sparse",
+    // round-9 second batch: loss-free dedup weights, span-corruption
+    // masking census, ingest freshness, classifier calibration bins
+    "dedup_soft_weights", "seq_span_corrupt", "events_freshness",
+    "classifier_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

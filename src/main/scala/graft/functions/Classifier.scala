@@ -109,4 +109,27 @@ object Classifier {
         when(col("tp") + col("fn") > 0,
           col("tp").cast("double") / (col("tp") + col("fn"))))
   }
+
+  /** Reliability-diagram bins — the calibration census next to
+    * [[prCurve]]: scores bucketed into fixed-width bins (shifted by `lo`
+    * so the truncating division is over non-negative values and both
+    * engines bin identically), each bin reporting support, positives, the
+    * exact positive-rate in ppm, and the exact score sum (the mean is
+    * sum/n at display time — kept as integers for engine parity). A
+    * well-calibrated scorer shows pos_rate rising monotonically with the
+    * bin. One partial-aggregable shuffle keyed by ≤ (hi−lo)/width bins —
+    * metadata-sized. */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Long = 200000L, lo: Long = -1000000L): DataFrame = {
+    require(binWidth >= 1, "binWidth must be positive")
+    scored
+      .select(col(scoreCol).as("_s"), col(labelCol).as("_y"))
+      .withColumn("bin", expr(s"(_s - ${lo}L) div ${binWidth}L"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_s")).as("sum_score"))
+      .withColumn("pos_rate_ppm",
+        expr("CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n"))
+  }
 }

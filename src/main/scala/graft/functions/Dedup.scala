@@ -882,6 +882,21 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Soft dedup — the loss-free alternative to dropping copies: every row
+    * keeps a sampling weight of 1/cluster_size (integer ppm), so each
+    * exact-duplicate cluster contributes ONE effective copy to training
+    * in expectation while provenance and per-copy metadata survive. The
+    * cluster count rides a window over the SAME content-hash shuffle the
+    * hard dedup would have keyed — one exchange, partition-parallel
+    * (partitioned window, never global). */
+  def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    df.select(col(idCol), md5(col(textCol)).as("_h"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col(idCol), col("cluster_size"),
+        expr("CAST(1000000 AS BIGINT) div cluster_size").as("weight_ppm"))
+  }
+
   /** LSH quality report — the evaluation a team runs before trusting a
     * banding configuration at 100 TB: candidate pairs from md5-family
     * MinHash banding vs the EXACT inverted-index Jaccard pairs at

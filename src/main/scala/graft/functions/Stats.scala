@@ -663,6 +663,24 @@ object Stats {
     df.join(broadcast(users), col(userCol) === col("_eu"), "left_anti")
   }
 
+  /** Ingest freshness census — the first page of an extraction runbook:
+    * per group, the last event's epoch-millis and its staleness (whole
+    * seconds behind the NEWEST event anywhere in the table). Two
+    * partial-aggregable max passes; the global max is ONE row broadcast
+    * back onto the group maxes (the documented bounded-cross-product
+    * pattern — the constant key folds away in the optimized plan). A
+    * stalled source shows as monotonically growing staleness while other
+    * groups stay near zero. */
+  def freshness(events: DataFrame, tsCol: String, groupCol: String): DataFrame = {
+    val perGroup = events.groupBy(groupCol)
+      .agg(max(unix_micros(col(tsCol))).as("_last_us"))
+    val global = events.agg(max(unix_micros(col(tsCol))).as("_global_us"))
+    perGroup.crossJoin(broadcast(global))
+      .select(col(groupCol),
+        expr("_last_us div 1000").as("last_event_millis"),
+        expr("(_global_us - _last_us) div 1000000").as("staleness_seconds"))
+  }
+
   /** Day-of-week seasonal residuals — the anomaly signal [[anomalousDays]]
     * misses: weekly-periodic volume (weekend dips, Monday spikes) inflates
     * the global variance, hiding genuine drifts. Baseline = the group's

@@ -536,6 +536,48 @@ object TextAnalysis {
         org.apache.spark.sql.Row(nVocab, nTok, slope)), schema)
   }
 
+  /** Span-corruption plumbing (the T5/UL2 denoising objective's masking
+    * step): deterministically select mask spans over each doc's token
+    * stream — a span STARTS at 1-based position p when
+    * `hashSlice32("<id>#<p>") % 20 == 0` (≈5% start rate) and covers
+    * [p, p+2]; overlapping/adjacent spans merge into one sentinel run.
+    * Output is the per-doc census the batch assembler sizes buffers
+    * with: (id, n_tokens, n_span_starts, n_masked, n_sentinels,
+    * packed_len) where packed_len = n_tokens − n_masked + n_sentinels
+    * (each run collapses to one sentinel id).
+    *
+    * Scale shape: posexplode + two PER-DOC windows (a 3-row bounded
+    * lookback for coverage, a lag for run starts) + one partial-aggregable
+    * rollup — no self-join, no global window; the md5-slice hash is the
+    * engine-portable family every sampling op here uses, so the oracle
+    * replays every decision bit-for-bit. */
+  def spanCorruptCensus(df: DataFrame, idCol: String, textCol: String,
+      startMod: Int = 20, spanLen: Int = 3): DataFrame = {
+    require(startMod >= 1 && spanLen >= 1)
+    val tok = df.select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+          .as(Seq("_p0", "_t")))
+      .select(col(idCol), (col("_p0") + 1).as("p"))
+    val withStart = tok.withColumn("start",
+      pmod(Sampling.hashSlice32(concat(col(idCol).cast("string"),
+        lit("#"), col("p").cast("string"))), lit(startMod)) === 0)
+    val wCover = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p").rowsBetween(-(spanLen - 1), 0)
+    val wLag = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p")
+    withStart
+      .withColumn("masked", max(col("start").cast("int")).over(wCover) === 1)
+      .withColumn("run_start", col("masked") &&
+        coalesce(!lag(col("masked"), 1).over(wLag), lit(true)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("start").cast("long")).as("n_span_starts"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("run_start").cast("long")).as("n_sentinels"))
+      .withColumn("packed_len",
+        col("n_tokens") - col("n_masked") + col("n_sentinels"))
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

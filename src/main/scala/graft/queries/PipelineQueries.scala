@@ -5249,6 +5249,110 @@ object PipelineQueries {
         "ts", "CAST(user_id AS VARCHAR)", windowDays = 7,
         groupCol = Some("event_type")))),
 
+    QueryDef("dedup_soft_weights",
+      // loss-free dedup: every copy keeps weight 1/cluster_size ppm so a
+      // duplicate cluster contributes one effective training copy while
+      // provenance survives — one content-hash exchange, the count rides
+      // a partitioned window over it
+      (s, dir) => graft.functions.Dedup.softWeights(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+             |    AS cluster_size,
+             |  CAST(1000000 // (count(*) OVER (PARTITION BY md5(text)))
+             |    AS BIGINT) AS weight_ppm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("seq_span_corrupt",
+      // T5/UL2 span-corruption masking census: deterministic ~5% span
+      // starts (md5-slice hash of doc#pos), spans of 3, overlapping runs
+      // merge to one sentinel; per-doc buffer-sizing numbers. Two per-doc
+      // windows + one rollup — no self-join, no global window
+      (s, dir) => TextAnalysis.spanCorruptCensus(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id,
+              |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+              |  FROM documents),
+              |pos AS (SELECT doc_id,
+              |          unnest(generate_series(1, len(t))) AS p FROM tk),
+              |st AS (SELECT doc_id, p,
+              |    (${md5SliceSql(
+                     "CAST(doc_id AS VARCHAR) || '#' || CAST(p AS VARCHAR)")}
+              |     % 20 = 0) AS start
+              |  FROM pos),
+              |mk AS (SELECT doc_id, p, start,
+              |    max(CASE WHEN start THEN 1 ELSE 0 END) OVER
+              |      (PARTITION BY doc_id ORDER BY p
+              |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+              |      AS masked
+              |  FROM st),
+              |rs AS (SELECT doc_id, start, masked,
+              |    masked AND coalesce(NOT lag(masked) OVER
+              |      (PARTITION BY doc_id ORDER BY p), TRUE) AS run_start
+              |  FROM mk)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |  CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_span_starts,
+              |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_masked,
+              |  CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_sentinels,
+              |  CAST(count(*) - sum(CASE WHEN masked THEN 1 ELSE 0 END)
+              |    + sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS packed_len
+              |FROM rs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("events_freshness",
+      // ingest freshness runbook page: per type, last event millis and
+      // whole-second staleness behind the table's newest event — two max
+      // passes, the 1-row global max broadcast back (bounded pattern)
+      (s, dir) => graft.functions.Stats.freshness(
+          Tables.events(s, dir), "ts", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) AS global_us
+             |      FROM events)
+             |SELECT event_type,
+             |  CAST(last_us // 1000 AS BIGINT) AS last_event_millis,
+             |  CAST((global_us - last_us) // 1000000 AS BIGINT)
+             |    AS staleness_seconds
+             |FROM g, t ORDER BY event_type""".stripMargin)),
+
+    QueryDef("classifier_calibration",
+      // reliability-diagram bins for the quality classifier vs the weak
+      // lang='en' label: fixed 20k-micronat bins (shifted
+      // truncating division — engine-identical binning), exact support /
+      // positives / pos-rate-ppm / score sums per bin — the monotonicity
+      // read that says whether the score is a probability or just a
+      // ranking. Bin key space is metadata-sized
+      (s, dir) => {
+        val scored = graft.functions.Classifier.linearScore(
+            Tables.documents(s, dir), "doc_id", "text", dim = 64,
+            keep = Seq("lang"))
+          .withColumn("y", col("lang") === "en")
+        graft.functions.Classifier.calibrationBins(
+            scored, "score_micronats", "y", binWidth = 20000L)
+          .orderBy("bin")
+      },
+      Some(s"""WITH $classifierScoreCteSql,
+              |b AS (SELECT (score_micronats + 1000000) // 20000 AS bin,
+              |        score_micronats AS s, (lang = 'en') AS y
+              |      FROM d JOIN documents USING (doc_id))
+              |SELECT CAST(bin AS BIGINT) AS bin,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_pos,
+              |  CAST(sum(s) AS BIGINT) AS sum_score,
+              |  CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT)
+              |    * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     QueryDef("user_erasure_audit",
       // right-to-be-forgotten compliance: the erasure list (deletion
       // requests — request-sized, broadcast) probes the event log once;

@@ -122,4 +122,47 @@ class ClassifierSpec extends AnyFunSuite {
     val recalls = rows.map(_.getDouble(5))
     assert(recalls.zip(recalls.tail).forall { case (lo, hi) => lo >= hi })
   }
+
+  test("calibrationBins: hand fixture — shifted truncating bins, exact " +
+    "pos-rate ppm, bin support sums to n") {
+    val scored = Seq(
+      (-150000L, true), (-50000L, false), (10000L, true), (190000L, true),
+      (210000L, false), (250000L, true))
+      .toDF("s", "y")
+    val got = Classifier.calibrationBins(scored, "s", "y",
+        binWidth = 200000L, lo = -1000000L)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "pos_rate_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // bins: (-150000+1e6)/2e5=4 ; (-50000+1e6)/2e5=4 ; 10000->5 ;
+    // 190000->5 ; 210000->6 ; 250000->6
+    assert(got == Seq((4L, 2L, 1L, 500000L), (5L, 2L, 2L, 1000000L),
+      (6L, 2L, 1L, 500000L)))
+  }
+
+  test("spanCorruptCensus: census invariants hold corpus-wide and the " +
+    "masking is deterministic") {
+    import graft.functions.TextAnalysis
+    val docs = Tables.documents(spark, GraftTestSpark.Sf0001).limit(300)
+    val a = TextAnalysis.spanCorruptCensus(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = TextAnalysis.spanCorruptCensus(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "deterministic across runs")
+    a.foreach { case (id, nTok, nStarts, nMasked, nRuns, packed) =>
+      // every start masks itself, a span covers at most 3 tokens, runs
+      // merge overlaps, and the packed length collapses each run to one
+      // sentinel
+      assert(nMasked >= nStarts && nMasked <= 3 * nStarts, s"doc $id")
+      assert(nRuns <= nStarts, s"doc $id")
+      assert(nStarts == 0 || nRuns >= 1, s"doc $id")
+      assert(packed == nTok - nMasked + nRuns, s"doc $id")
+      assert(nMasked <= nTok, s"doc $id")
+    }
+    // ~5% start rate: corpus-wide starts within a loose band of 1/20
+    val starts = a.map(_._3).sum.toDouble
+    val toks = a.map(_._2).sum.toDouble
+    assert(starts / toks > 0.02 && starts / toks < 0.10,
+      s"start rate ${starts / toks}")
+  }
 }

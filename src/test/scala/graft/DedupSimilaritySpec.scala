@@ -831,6 +831,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ok.nonEmpty)
   }
 
+  test("softWeights: cluster weights are 1e6 div size; singletons keep 1e6") {
+    val got = Dedup.softWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // docs 1,2 are exact dups (cluster 2); the rest are singletons
+    assert(got.toSeq == Seq(
+      (1L, 2L, 500000L), (2L, 2L, 500000L), (3L, 1L, 1000000L),
+      (4L, 1L, 1000000L), (5L, 1L, 1000000L), (6L, 1L, 1000000L)))
+    // total effective mass = number of distinct texts (in ppm)
+    assert(got.map(_._3).sum == 5L * 1000000L)
+  }
+
   test("lshRecallReport: the sample contract rejects over-limit input with guidance") {
     val e = intercept[IllegalArgumentException] {
       Dedup.lshRecallReport(docs, "doc_id", "text", maxDocs = 3).collect()

@@ -254,7 +254,10 @@ class PlanSpec extends AnyFunSuite {
     "lsh_recall_report", "skew_salting_advisor", "basket_pair_affinity",
     // the embargo split joins its 1-row min/max bounds aggregate (the
     // constant `_one` key folds away like basket's)
-    "split_temporal_embargo")
+    "split_temporal_embargo",
+    // freshness joins the ONE-ROW global-max aggregate onto the per-group
+    // maxes (explicit crossJoin of a broadcast 1-row frame)
+    "events_freshness")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
@@ -284,6 +287,19 @@ class PlanSpec extends AnyFunSuite {
     // token_zipf_slope left the allowlist in round 9: the ranking is now
     // a top-fitK head fit (TakeOrdered + bounded driver math — no window)
     "events_funnel_steps", "hybrid_search_rrf", "funnel_conversion_latency")
+
+  test("events_freshness: only the 1-row global max rides the broadcast " +
+    "nested loop; both sides are partial-aggregated") {
+    val p = planOf("events_freshness")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("seq_span_corrupt: per-doc windows only — no join, no global window") {
+    val p = planOf("seq_span_corrupt")
+    assert(!p.contains("Join"), p)
+  }
 
   test("user_erasure_audit: the erasure list rides a broadcast; the event " +
     "log never self-joins on data") {

@@ -340,6 +340,20 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("freshness: staleness is whole seconds behind the table max; the " +
+    "newest group reads zero") {
+    val rows = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:00:05"),
+      ("b", "2024-01-01 09:59:03.4"))
+    val ev = rows.toDF("event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.freshness(ev, "ts", "event_type")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // b trails by 61.6 s -> 61 whole seconds; a is the global max
+    assert(got.toSeq == Seq(
+      ("a", 1704103205000L, 0L), ("b", 1704103143400L, 61L)))
+  }
+
   test("erasureAudit + erase: listed users' rows all move to removed; " +
     "erase drops exactly those rows") {
     val rows = Seq(
