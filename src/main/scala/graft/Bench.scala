@@ -117,7 +117,7 @@ object Bench {
     // round-9 second batch: loss-free dedup weights, span-corruption
     // masking census, ingest freshness, classifier calibration bins
     "dedup_soft_weights", "seq_span_corrupt", "events_freshness",
-    "classifier_calibration")
+    "classifier_calibration", "source_v2_pushdown_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

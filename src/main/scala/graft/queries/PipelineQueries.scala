@@ -2672,6 +2672,30 @@ object PipelineQueries {
              |  CAST(max(modified_ts) AS BIGINT) AS max_ts
              |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    QueryDef("source_v2_pushdown_agg",
+      // connector-level aggregate pushdown — the reference's server-side
+      // SELECT count(*) pre-scan (datacrawler.py:186-200) as DSv2
+      // SupportsPushDownAggregates: ungrouped COUNT(*)/MIN/MAX over the
+      // monotone columns answer from the FILTERED RANGE's endpoints with
+      // no rows generated (complete pushdown — the plan has no aggregate
+      // node; SourceV2Spec pins it). The oracle recomputes from
+      // generate_series
+      (s, dir) => s.read.format("graft.sources.v2.PagedSource")
+        .option("rows", "100000").option("fetchSize", "8192")
+        .option("seed", "s42").load()
+        .filter(col("id") >= 25000 && col("id") < 75000)
+        .agg(expr("count(*)").as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          min(col("modified_ts")).as("min_ts"),
+          max(col("modified_ts")).as("max_ts")),
+      Some("""WITH g AS (SELECT unnest(generate_series(25000, 74999)) AS i)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(i) AS BIGINT) AS min_id,
+             |  CAST(max(i) AS BIGINT) AS max_id,
+             |  CAST(1700000000000 + min(i) * 1000 AS BIGINT) AS min_ts,
+             |  CAST(1700000000000 + max(i) * 1000 AS BIGINT) AS max_ts
+             |FROM g""".stripMargin)),
+
     QueryDef("split_contamination_audit",
       // the audit that motivates split_leakage_safe: count near-dup pairs
       // whose members land in DIFFERENT splits under the plain doc-keyed

@@ -27,7 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    restriction seat): pages outside the range are never created, the
   *    exact analogue of unprobed-partition pruning;
   *  - **`SupportsPushDownLimit`** — `LIMIT n` caps the range (the
-  *    reference's `limit_fetch`).
+  *    reference's `limit_fetch`);
+  *  - **`SupportsPushDownAggregates`** — ungrouped COUNT(*)/MIN/MAX over
+  *    the monotone columns are answered from RANGE ARITHMETIC with no
+  *    rows generated at all (COMPLETE pushdown: the plan has no aggregate
+  *    node left) — the exact seat of the reference's server-side
+  *    `SELECT count(*) FROM table` pre-scan (`datacrawler.py:186-200`),
+  *    which Cassandra likewise answers without streaming rows.
   *
   * Rows are a PURE FUNCTION of the row index and the `seed` option
   * (payload = md5 hex of `"$seed#$i"`), standing in for the remote table:
@@ -79,12 +85,16 @@ class PagedTable(rows: Long, fetchSize: Int, seed: String)
 
 class PagedScanBuilder(rows: Long, fetchSize: Int, seed: String)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pruned: StructType = PagedSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+  private var aggSchema: StructType = PagedSource.Schema
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -115,9 +125,11 @@ class PagedScanBuilder(rows: Long, fetchSize: Int, seed: String)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(required: StructType): Unit =
-    // preserve source field order regardless of projection order
-    pruned = StructType(PagedSource.Schema.fields
-      .filter(f => required.fieldNames.contains(f.name)))
+    // preserve source field order regardless of projection order; after an
+    // aggregate pushdown the "columns" are the agg results — keep them
+    if (aggPushed.isEmpty)
+      pruned = StructType(PagedSource.Schema.fields
+        .filter(f => required.fieldNames.contains(f.name)))
 
   override def pushLimit(n: Int): Boolean = {
     // exact only because every pushed filter is FULLY evaluated by the
@@ -126,8 +138,111 @@ class PagedScanBuilder(rows: Long, fetchSize: Int, seed: String)
     true
   }
 
-  override def build(): Scan = new PagedScan(lo, math.max(lo, hi),
-    fetchSize, seed, pruned)
+  /** Which aggregations the range can answer arithmetically: ungrouped
+    * COUNT(*) plus MIN/MAX of `id` / `modified_ts` (both strictly
+    * monotone in the row index, so the extremes are the range endpoints).
+    * Anything else — grouped, count(col), min/max of non-monotone
+    * columns — declines and takes the ordinary row-scan path. */
+  private def aggResultSchema(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[StructType] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def monotoneCol(
+        e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.length == 1 &&
+          (r.fieldNames()(0) == "id" || r.fieldNames()(0) == "modified_ts")
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) return None
+    val fields = agg.aggregateExpressions().zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (m: Min, i) if monotoneCol(m.column) =>
+        StructField(s"agg_$i", LongType, nullable = true)
+      case (m: Max, i) if monotoneCol(m.column) =>
+        StructField(s"agg_$i", LongType, nullable = true)
+      case _ => return None
+    }
+    Some(StructType(fields))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggResultSchema(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggResultSchema(agg) match {
+    case Some(s) => aggPushed = Some(agg); aggSchema = s; true
+    case None => false
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(agg) =>
+      new PagedAggScan(lo, math.max(lo, hi), agg, aggSchema)
+    case None => new PagedScan(lo, math.max(lo, hi), fetchSize, seed, pruned)
+  }
+}
+
+/** One partition, one row: the aggregate answered from the filtered
+  * range's endpoints — no row generation, the connector-level
+  * `SELECT count(*)` (correct under complete pushdown directly, and
+  * under a partial-merge plan too, since count-sum / min-min / max-max
+  * over the single row are identity). Empty range → count 0, min/max
+  * NULL (global-aggregate SQL semantics). */
+class PagedAggScan(lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-paged AGG-PUSHDOWN range=[$lo,$hi) " +
+      agg.aggregateExpressions().map(_.toString).mkString(", ")
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PageRange(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedAggReaderFactory(agg)
+}
+
+class PagedAggReaderFactory(
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[PageRange]
+    new PagedAggReader(r.start, r.end, agg)
+  }
+}
+
+class PagedAggReader(lo: Long, hi: Long,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+  extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private var emitted = false
+  private val empty = hi <= lo
+
+  private def endpoint(e: org.apache.spark.sql.connector.expressions.Expression,
+      max: Boolean): Any =
+    if (empty) null
+    else {
+      val i = if (max) hi - 1 else lo
+      e.asInstanceOf[NamedReference].fieldNames()(0) match {
+        case "id" => i
+        case "modified_ts" => PagedSource.TsBase + i * 1000L
+      }
+    }
+
+  override def next(): Boolean = { val first = !emitted; emitted = true; first }
+  override def get(): InternalRow = InternalRow.fromSeq(
+    agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => math.max(hi - lo, 0L)
+      case m: Min => endpoint(m.column, max = false)
+      case m: Max => endpoint(m.column, max = true)
+    })
+  override def close(): Unit = ()
 }
 
 case class PageRange(start: Long, end: Long) extends InputPartition

@@ -155,4 +155,46 @@ class SourceV2Spec extends AnyFunSuite {
     // exactly-once contract means NO duplicate rows land
     assert(runOnce() == 1000L)
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answer from the filtered range " +
+    "with NO aggregate node in the plan; empty range gives SQL semantics") {
+    import org.apache.spark.sql.functions._
+    def paged = spark.read.format("graft.sources.v2.PagedSource")
+      .option("rows", "100000").option("fetchSize", "8192")
+      .option("seed", "s42").load()
+    val df = paged.filter($"id" >= 25000 && $"id" < 75000)
+      .agg(expr("count(*)").as("n"), min($"id").as("min_id"),
+        max($"modified_ts").as("max_ts"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate"), s"aggregate not pushed:\n$plan")
+    assert(plan.contains("AGG-PUSHDOWN"), plan)
+    assert(df.as[(Long, Long, Long)].head() ==
+      ((50000L, 25000L, 1700074999000L)))
+    // empty range: count 0, min/max NULL — global-aggregate SQL semantics
+    val e = paged.filter($"id" < 0)
+      .agg(expr("count(*)"), min($"id"), max($"modified_ts"))
+      .head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
+  }
+
+  test("aggregate pushdown declines what the range cannot answer: " +
+    "grouped and non-monotone aggregates take the row-scan path, same " +
+    "results") {
+    import org.apache.spark.sql.functions._
+    def paged = spark.read.format("graft.sources.v2.PagedSource")
+      .option("rows", "10000").option("fetchSize", "1024")
+      .option("seed", "s42").load()
+    // grouped: declined (group-by unsupported) -> ordinary scan + agg
+    val g = paged.groupBy($"bucket").agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assert(g.count() == 32L)
+    assert(g.filter($"bucket" === 0).head().getLong(1) ==
+      (0L until 10000L).count(_ % 32 == 0))
+    // min of a NON-monotone column (payload, a string): declined
+    val m = paged.agg(min($"payload").as("mp"))
+    assert(m.queryExecution.executedPlan.toString.contains("Aggregate"))
+    val brute = (0L until 10000L)
+      .map(graft.sources.v2.PagedSource.payload("s42", _)).min
+    assert(m.head().getString(0) == brute)
+  }
 }
