@@ -92,6 +92,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("Sessions.sessionize: custom event-time-timeout state — closed " +
+    "sessions equal the batch sessionization (mid-batch AND timeout closes)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Sessions
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = Sessions.sessionize(
+      in.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      gapMinutes = 30, watermarkDelay = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("sess-ckpt").toString).start()
+    // batch 1: user 1 has two close events; user 2 one old event
+    in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    // batch 2: user 1 returns past the gap (mid-batch close of session 1);
+    // sentinel user 99 pushes the watermark far ahead (times out user 2)
+    in.addData((1L, ts("2024-01-01 11:00:00")), (99L, ts("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    // batch 3: dummy advances once more so user 1's open 11:00 session
+    // times out (watermark 23:00 > 11:30)
+    in.addData((98L, ts("2024-01-01 23:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.sql(
+      "SELECT user_id, session_start_us, session_end_us, n_events " +
+        "FROM sess_out WHERE user_id IN (1, 2)")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the batch twin over the same finite data (users 1, 2 only)
+    val batchDf = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 11:00:00")), (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val batch = Sessions.sessionizeBatch(batchDf, "user_id", "ts",
+        gapMinutes = 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(closed == batch, s"stream $closed vs batch $batch")
+    assert(closed.size == 3)
+  }
+
   test("stream-stream inner join with watermarks equals the batch join") {
     val srcDir = tmp("ssj-src")
     import graft.sources.Tables
