@@ -117,7 +117,9 @@ object Bench {
     // round-9 second batch: loss-free dedup weights, span-corruption
     // masking census, ingest freshness, classifier calibration bins
     "dedup_soft_weights", "seq_span_corrupt", "events_freshness",
-    "classifier_calibration", "source_v2_pushdown_agg")
+    "classifier_calibration", "source_v2_pushdown_agg",
+    // round-9 third batch: ESS sampling diagnostics + Markov next-event eval
+    "sample_ess_report", "event_next_markov_accuracy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

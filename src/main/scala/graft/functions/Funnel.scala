@@ -124,6 +124,46 @@ object Funnel {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Temporal-split evaluation of the first-order Markov transition model
+    * (the census `event_transitions` builds): train per-(from → to)
+    * counts on the first `trainDays` epoch-days, predict each from-type's
+    * argmax next type (ties: to_type ASC), score top-1 accuracy on the
+    * remaining days — the eval that says whether session flows are
+    * predictable enough to act on (prefetching, next-step UX). Per-user
+    * lag windows only; the learned model is |types|² rows broadcast back
+    * onto the test transitions; the split day derives from a one-row min
+    * aggregate (metadata collect). Transitions straddling the cutoff
+    * belong to their TO-event's day. All-integer outputs. */
+  def markovAccuracy(events: DataFrame, userCol: String, tieCol: String,
+      typeCol: String, tsCol: String, trainDays: Int = 21): DataFrame = {
+    require(trainDays >= 1)
+    val w = Window.partitionBy(userCol).orderBy(tieCol)
+    val dayExpr = expr(s"unix_date(to_date($tsCol))").cast("long")
+    val trans = events
+      .select(col(userCol), col(tieCol), col(typeCol), dayExpr.as("_day"))
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col(typeCol).as("to_type"), col("_day"))
+    val minRow = events.agg(min(dayExpr)).collect()(0)
+    require(!minRow.isNullAt(0), "no events to split")
+    val cutoff = minRow.getLong(0) + trainDays
+    val model = trans.filter(col("_day") < cutoff)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("from_type")
+          .orderBy(col("n").desc, col("to_type"))))
+      .filter(col("_rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    trans.filter(col("_day") >= cutoff)
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr(
+        "CAST(n_correct AS DECIMAL(38,0)) * 1000000 div n_test"))
+  }
+
   /** Last-touch conversion attribution — the census marketing analytics
     * runs next to the funnel: for every conversion event, the user's most
     * recent NON-conversion event within `horizonSeconds` is the credited

@@ -476,4 +476,24 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1L), col("_copies"), lit(1L))))
       .drop("_copies")
   }
+
+  /** Effective-sample-size diagnostics (Kish 1965) for weighted sampling
+    * designs: per group, ESS = (Σw)²/Σw² — reported as `ess_ppm` =
+    * ESS/n in ppm, where 1e6 means uniform weights (every row carries
+    * equal mass) and small values mean a few heavy rows dominate (the
+    * resampled set behaves like far fewer examples than it has — the
+    * pre-flight read before trusting DSIR/temperature weights). One
+    * partial-aggregable pass over integer weights; exact HUGEINT/DECIMAL
+    * arithmetic both engines. Zero-mass groups report 0. */
+  def essReport(df: DataFrame, groupCol: String, weight: Column): DataFrame =
+    df.select(col(groupCol), weight.cast("long").as("_w"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("sum_w"),
+        sum(col("_w") * col("_w")).as("sum_w2"))
+      .withColumn("ess_ppm",
+        when(col("sum_w2") === 0, lit(0L))
+          .otherwise(expr(
+            """CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000
+              | div (CAST(n AS DECIMAL(38,0)) * sum_w2)"""
+              .stripMargin.replace("\n", " "))))
 }

@@ -5273,6 +5273,65 @@ object PipelineQueries {
         "ts", "CAST(user_id AS VARCHAR)", windowDays = 7,
         groupCol = Some("event_type")))),
 
+    QueryDef("sample_ess_report",
+      // Kish effective-sample-size diagnostics per source with token-mass
+      // weights (n_chars): ess_ppm = (Σw)²·1e6 / (n·Σw²) — 1e6 means
+      // uniform mass; small means a few heavy docs dominate the sampled
+      // mixture. One partial-aggregable pass, exact integer arithmetic
+      (s, dir) => graft.functions.Sampling.essReport(
+          Tables.documents(s, dir), "source", col("n_chars"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_w,
+             |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_w2,
+             |  CAST(CASE WHEN sum(n_chars * n_chars) = 0 THEN 0
+             |    ELSE CAST(sum(n_chars) AS HUGEINT) * sum(n_chars)
+             |         * 1000000
+             |         // (CAST(count(*) AS HUGEINT)
+             |            * sum(n_chars * n_chars)) END AS BIGINT)
+             |    AS ess_ppm
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("event_next_markov_accuracy",
+      // temporal-split eval of the event_transitions model: train the
+      // per-from argmax on the first 21 epoch-days, score top-1 accuracy
+      // on the rest — per-user lag windows, the |types|² model broadcast
+      // onto the test transitions, integer ppm accuracy
+      (s, dir) => graft.functions.Funnel.markovAccuracy(
+          Tables.events(s, dir), "user_id", "event_id", "event_type",
+          "ts", trainDays = 21)
+        .orderBy("from_type"),
+      Some("""WITH d AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day
+             |  FROM events),
+             |mn AS (SELECT min(day) AS mn FROM d),
+             |t AS (SELECT event_type AS to_type, day,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |                          ORDER BY event_id) AS from_type
+             |  FROM d),
+             |tr AS (SELECT from_type, to_type, day FROM t
+             |       WHERE from_type IS NOT NULL),
+             |train AS (SELECT from_type, to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM tr, mn WHERE day < mn + 21 GROUP BY 1, 2),
+             |model AS (SELECT from_type, to_type AS predicted FROM (
+             |    SELECT from_type, to_type, row_number() OVER
+             |      (PARTITION BY from_type ORDER BY n DESC, to_type)
+             |      AS rn
+             |    FROM train) WHERE rn = 1),
+             |test AS (SELECT tr.from_type, tr.to_type FROM tr, mn
+             |         WHERE tr.day >= mn.mn + 21)
+             |SELECT te.from_type, CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN te.to_type = m.predicted
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |  CAST(CAST(sum(CASE WHEN te.to_type = m.predicted
+             |    THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+             |    // count(*) AS BIGINT) AS acc_ppm
+             |FROM test te LEFT JOIN model m USING (from_type)
+             |GROUP BY te.from_type ORDER BY from_type""".stripMargin)),
+
     QueryDef("dedup_soft_weights",
       // loss-free dedup: every copy keeps weight 1/cluster_size ppm so a
       // duplicate cluster contributes one effective training copy while

@@ -165,6 +165,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == Map("view" -> 2L, "(direct)" -> 2L))
   }
 
+  test("markovAccuracy: temporal split trains the argmax model on early " +
+    "days and scores only later transitions") {
+    // train window (day 0): u1 stream a,b,a,b -> counts a->b:2, b->a:1
+    // => model: a predicts b, b predicts a
+    // test window (day 25): u2 a,b (a->b correct), u3 b,b (b->b wrong)
+    val rows = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 2L, "b", "2024-01-01 10:01:00"),
+      (1L, 3L, "a", "2024-01-01 10:02:00"),
+      (1L, 4L, "b", "2024-01-01 10:03:00"),
+      (2L, 5L, "a", "2024-01-26 10:00:00"),
+      (2L, 6L, "b", "2024-01-26 10:01:00"),
+      (3L, 7L, "b", "2024-01-26 10:00:00"),
+      (3L, 8L, "b", "2024-01-26 10:01:00"))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Funnel.markovAccuracy(df, "user_id", "event_id",
+        "event_type", "ts", trainDays = 21)
+      .select("from_type", "n_test", "n_correct", "acc_ppm")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1L, 1L, 1000000L), ("b", 1L, 0L, 0L)))
+  }
+
   test("sessionPaths: a gap of exactly the threshold starts a new session") {
     val rows = Seq(
       (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:30:00"))

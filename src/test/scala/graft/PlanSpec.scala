@@ -296,6 +296,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("event_next_markov_accuracy: the |types|^2 model broadcasts back; " +
+    "per-user windows only, no cartesian") {
+    val p = planOf("event_next_markov_accuracy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("seq_span_corrupt: per-doc windows only — no join, no global window") {
     val p = planOf("seq_span_corrupt")
     assert(!p.contains("Join"), p)

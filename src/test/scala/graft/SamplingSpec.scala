@@ -620,4 +620,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(got("train")._3 < got("embargo")._2 &&
       got("embargo")._3 < got("test")._2)
   }
+
+  test("essReport: uniform weights read 1e6 ppm; a dominant weight " +
+    "collapses the effective size (exact Kish ratio)") {
+    import graft.functions.Sampling
+    val df = Seq(("u", 5L), ("u", 5L), ("u", 5L), ("u", 5L),
+      ("d", 10L), ("d", 1L), ("d", 1L))
+      .toDF("source", "w")
+    val got = Sampling.essReport(df, "source", col("w"))
+      .select("source", "n", "ess_ppm")
+      .as[(String, Long, Long)].collect()
+      .map { case (s, n, e) => s -> ((n, e)) }.toMap
+    assert(got("u") == ((4L, 1000000L)))
+    // (12)^2 * 1e6 / (3 * 102) = 144e6 / 306 = 470588 (truncated)
+    assert(got("d") == ((3L, 470588L)))
+  }
 }
