@@ -681,6 +681,42 @@ object Stats {
         expr("(_global_us - _last_us) div 1000000").as("staleness_seconds"))
   }
 
+  /** Secular volume trend per group — the drift-family member the others
+    * miss: [[anomalousDays]] flags single days, `cusumChangepoint` level
+    * SHIFTS, [[dowSeasonal]] weekly cycles, [[burstiness]] dispersion;
+    * this is the least-squares SLOPE of daily counts over the epoch-day
+    * index — sustained growth/decay in events/day/day, the capacity-
+    * planning number. Exact integer cross-moment identity scaled by 1e6
+    * (slope_micro = slope × 1e6, truncating division), one daily-count
+    * shuffle + a per-group moments aggregate — metadata-sized. Days with
+    * zero events are missing partitions, not zero measurements (the
+    * [[anomalousDays]] contract): the fit runs over observed days. */
+  def dailyTrend(events: DataFrame, tsCol: String, groupCol: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = events
+      .groupBy(expr(s"unix_date(to_date($tsCol))").cast("long").as("_d"),
+        col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+    daily.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("_n")).as("n_events"),
+        sum(col("_d")).as("_sx"),
+        sum(col("_n")).as("_sy"),
+        sum(col("_d") * col("_n")).as("_sxy"),
+        sum(col("_d") * col("_d")).as("_sxx"))
+      .withColumn("slope_micro",
+        when(dec(col("n_days")) * dec(col("_sxx")) -
+            dec(col("_sx")) * dec(col("_sx")) === 0, lit(0L))
+          .otherwise(expr(
+            """(CAST(n_days AS DECIMAL(38,0)) * _sxy
+              | - CAST(_sx AS DECIMAL(38,0)) * _sy) * 1000000
+              | div (CAST(n_days AS DECIMAL(38,0)) * _sxx
+              |      - CAST(_sx AS DECIMAL(38,0)) * _sx)"""
+              .stripMargin.replace("\n", " "))))
+      .select(col(groupCol), col("n_days"), col("n_events"),
+        col("slope_micro"))
+  }
+
   /** Day-of-week seasonal residuals — the anomaly signal [[anomalousDays]]
     * misses: weekly-periodic volume (weekend dips, Monday spikes) inflates
     * the global variance, hiding genuine drifts. Baseline = the group's

@@ -5273,6 +5273,36 @@ object PipelineQueries {
         "ts", "CAST(user_id AS VARCHAR)", windowDays = 7,
         groupCol = Some("event_type")))),
 
+    QueryDef("events_daily_trend",
+      // secular drift per type: exact LS slope of daily counts over the
+      // epoch-day index in micro-units (events/day/day x 1e6) — the
+      // capacity-planning number completing the drift family (z-flags /
+      // CUSUM / seasonal / burstiness). Daily counts + group moments,
+      // both partial-aggregable
+      (s, dir) => graft.functions.Stats.dailyTrend(
+          Tables.events(s, dir), "ts", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS d,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS n_events,
+             |    CAST(sum(d) AS HUGEINT) AS sx,
+             |    CAST(sum(n) AS HUGEINT) AS sy,
+             |    CAST(sum(d * n) AS HUGEINT) AS sxy,
+             |    CAST(sum(d * d) AS HUGEINT) AS sxx
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, n_days, n_events,
+             |  CAST(CASE WHEN n_days * sxx - sx * sx = 0 THEN 0
+             |    ELSE ((n_days * sxy - sx * sy) * 1000000)
+             |         // (n_days * sxx - sx * sx) END AS BIGINT)
+             |    AS slope_micro
+             |FROM m ORDER BY event_type""".stripMargin)),
+
     QueryDef("sample_ess_report",
       // Kish effective-sample-size diagnostics per source with token-mass
       // weights (n_chars): ess_ppm = (Σw)²·1e6 / (n·Σw²) — 1e6 means

@@ -340,6 +340,25 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dailyTrend: a linear ramp fits its exact slope; flat volume " +
+    "fits zero") {
+    // counts 2, 4, 6 on consecutive days -> slope exactly 2/day
+    val ramp = Seq(("2024-01-01", 2), ("2024-01-02", 4), ("2024-01-03", 6))
+      .flatMap { case (d, n) => (0 until n).map(_ => (d + " 09:00:00", "e")) }
+    val ev = ramp.toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = Stats.dailyTrend(ev, "ts", "event_type")
+      .select("n_days", "n_events", "slope_micro")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((3L, 12L, 2000000L)))
+    val flat = Seq(("2024-01-01", 3), ("2024-01-02", 3))
+      .flatMap { case (d, n) => (0 until n).map(_ => (d + " 09:00:00", "e")) }
+      .toDF("ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    assert(Stats.dailyTrend(flat, "ts", "event_type")
+      .select("slope_micro").as[Long].head() == 0L)
+  }
+
   test("freshness: staleness is whole seconds behind the table max; the " +
     "newest group reads zero") {
     val rows = Seq(
