@@ -578,6 +578,32 @@ object TextAnalysis {
         col("n_tokens") - col("n_masked") + col("n_sentinels"))
   }
 
+  /** Cross-document boilerplate census — the shared-template detector
+    * behind C4/RefinedWeb-style boilerplate removal: the n-grams that
+    * recur across MANY DISTINCT documents (navigation chrome, license
+    * footers, cookie banners) ranked by document frequency. High-df
+    * n-grams are removal candidates; the same census read over time
+    * catches template drift in a crawl. One gram-keyed shuffle
+    * (n_occurrences = plain count; n_docs = the standard two-phase
+    * partial count-distinct) + a TakeOrdered to the top `topK` —
+    * bounded output by the declared constant. Ties break by gram text. */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, topK: Int = 50): DataFrame = {
+    require(n >= 1 && topK >= 1)
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("_id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("_id")).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(topK)
+      .select("gram", "n_docs", "n_occurrences")
+  }
+
   def corpusStats(df: DataFrame, textCol: String,
       groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*).agg(

@@ -5273,6 +5273,26 @@ object PipelineQueries {
         "ts", "CAST(user_id AS VARCHAR)", windowDays = 7,
         groupCol = Some("event_type")))),
 
+    QueryDef("boilerplate_ngrams",
+      // cross-document boilerplate census (the C4/RefinedWeb removal
+      // read): 5-grams ranked by DISTINCT-document frequency — shared
+      // chrome/footer templates surface at the top. One gram-keyed
+      // shuffle + TakeOrdered top-50
+      (s, dir) => TextAnalysis.boilerplateNgrams(
+          Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+             |      FROM tk,
+             |        unnest(generate_series(1, len(t) - 4)) AS u(i)
+             |      WHERE len(t) >= 5)
+             |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM g GROUP BY gram
+             |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin)),
+
     QueryDef("events_daily_trend",
       // secular drift per type: exact LS slope of daily counts over the
       // epoch-day index in micro-units (events/day/day x 1e6) — the

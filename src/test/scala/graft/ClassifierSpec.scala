@@ -140,6 +140,22 @@ class ClassifierSpec extends AnyFunSuite {
       (6L, 2L, 1L, 500000L)))
   }
 
+  test("boilerplateNgrams: a planted shared template tops the census by " +
+    "document frequency; short docs contribute nothing") {
+    import graft.functions.TextAnalysis
+    val footer = "c one two three d"
+    val docs = Seq(
+      (1L, "alpha beta " + footer), (2L, "gamma " + footer + " delta"),
+      (3L, footer), (4L, "unrelated words only here now"), (5L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgrams(docs, "doc_id", "text",
+        n = 5, topK = 3)
+      .as[(String, Long, Long)].collect()
+    assert(got.head == ((footer, 3L, 3L)), got.head.toString)
+    // doc 5 (2 tokens < n) contributes no grams anywhere
+    assert(got.forall(_._2 <= 3L))
+  }
+
   test("spanCorruptCensus: census invariants hold corpus-wide and the " +
     "masking is deterministic") {
     import graft.functions.TextAnalysis
