@@ -120,7 +120,7 @@ object Bench {
     "classifier_calibration", "source_v2_pushdown_agg",
     // round-9 third batch: ESS sampling diagnostics + Markov next-event eval
     "sample_ess_report", "event_next_markov_accuracy", "events_daily_trend",
-    "boilerplate_ngrams")
+    "boilerplate_ngrams", "source_v2_runtime_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2696,6 +2696,33 @@ object PipelineQueries {
              |  CAST(1700000000000 + max(i) * 1000 AS BIGINT) AS max_ts
              |FROM g""".stripMargin)),
 
+    QueryDef("source_v2_runtime_prune",
+      // connector-level DYNAMIC pruning (SupportsRuntimeV2Filtering —
+      // the DPP analogue for paged stores): the selective dim side runs
+      // first, its join keys arrive as an id IN runtime filter, and
+      // pages containing none of the probed ids are never planned
+      // (SourceV2Spec proves readers-created ~= matching pages). The
+      // oracle recomputes the joined rows from the generator identity
+      (s, dir) => {
+        val paged = s.read.format("graft.sources.v2.PagedSource")
+          .option("rows", "100000").option("fetchSize", "1024")
+          .option("seed", "s42").load()
+        val dim = s.range(0, 3)
+          .select((col("id") * 49997L + 5L).as("k"))
+          .filter(col("k") >= 5)
+        paged.join(dim, paged("id") === dim("k"))
+          .select(paged("id"), paged("bucket"), paged("payload"),
+            paged("modified_ts"))
+          .orderBy("id")
+      },
+      Some("""WITH k AS (
+             |  SELECT CAST(5 + 49997 * i AS BIGINT) AS id
+             |  FROM (SELECT unnest(generate_series(0, 2)) AS i))
+             |SELECT id, CAST(id % 32 AS INT) AS bucket,
+             |  md5('s42#' || CAST(id AS VARCHAR)) AS payload,
+             |  CAST(1700000000000 + id * 1000 AS BIGINT) AS modified_ts
+             |FROM k ORDER BY id""".stripMargin)),
+
     QueryDef("split_contamination_audit",
       // the audit that motivates split_leakage_safe: count near-dup pairs
       // whose members land in DIFFERENT splits under the plain doc-keyed

@@ -58,6 +58,11 @@ class PagedSource extends TableProvider with DataSourceRegister {
 }
 
 object PagedSource {
+  /** Diagnostic: page readers actually created (shared-JVM local mode
+    * only — the runtime-filtering spec reads it to prove pages were
+    * pruned, not just re-filtered). */
+  val ReadersCreated = new java.util.concurrent.atomic.AtomicLong(0)
+
   val Schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("bucket", IntegerType, nullable = false),
@@ -247,16 +252,52 @@ class PagedAggReader(lo: Long, hi: Long,
 
 case class PageRange(start: Long, end: Long) extends InputPartition
 
+/** Batch scan with RUNTIME filtering ([[SupportsRuntimeFiltering]]) —
+  * the dynamic-partition-pruning analogue for connectors: when this scan
+  * sits under a join whose other side is selective, Spark executes that
+  * side first (AQE), turns the join keys into an `In("id", ...)` runtime
+  * filter, and calls [[filter]] BEFORE partitions are planned — so pages
+  * containing none of the probed ids are never created, the exact
+  * production shape of a point-lookup join against a paged store
+  * (Cassandra token-range pruning from a driving dim). Runtime filters
+  * are best-effort page-level pruning: the join above re-applies the
+  * exact predicate, so the reader stays a plain range generator. */
 class PagedScan(val lo: Long, val hi: Long, val fetchSize: Int,
-    seed: String, prunedSchema: StructType) extends Scan with Batch {
+    seed: String, prunedSchema: StructType)
+  extends Scan with Batch with SupportsRuntimeFiltering {
+  // runtime-narrowed id set (None = no runtime filter arrived)
+  private var runtimeIds: Option[Array[Long]] = None
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val longs = vs.flatMap {
+        case l: Long => Some(l)
+        case i: Int => Some(i.toLong)
+        case _ => None
+      }
+      if (longs.length == vs.length) runtimeIds = Some(longs.sorted)
+    case EqualTo("id", v: Long) => runtimeIds = Some(Array(v))
+    case _ => () // best-effort: unrecognized runtime filters prune nothing
+  }
+
   override def readSchema(): StructType = prunedSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-paged range=[$lo,$hi) fetch=$fetchSize cols=${prunedSchema.fieldNames.mkString(",")}"
-  override def planInputPartitions(): Array[InputPartition] =
-    (lo until hi by fetchSize.toLong)
-      .map(s => PageRange(s, math.min(s + fetchSize, hi)): InputPartition)
-      .toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = (lo until hi by fetchSize.toLong)
+      .map(s => PageRange(s, math.min(s + fetchSize, hi)))
+    val kept = runtimeIds match {
+      case Some(ids) => all.filter(p =>
+        ids.exists(v => v >= p.start && v < p.end))
+      case None => all
+    }
+    kept.map(p => p: InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(seed, prunedSchema.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String):
@@ -303,6 +344,7 @@ class PagedMicroBatchStream(lo: Long, hi: Long, fetchSize: Int,
 class PagedReaderFactory(seed: String, fields: Array[String])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    PagedSource.ReadersCreated.incrementAndGet()
     val r = p.asInstanceOf[PageRange]
     new PagedReader(r.start, r.end, seed, fields)
   }

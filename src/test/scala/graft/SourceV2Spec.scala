@@ -177,6 +177,29 @@ class SourceV2Spec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2))
   }
 
+  test("runtime filtering: a selective dim join injects an id IN filter " +
+    "that PRUNES pages before readers exist (the connector DPP seat)") {
+    import org.apache.spark.sql.functions._
+    val paged = spark.read.format("graft.sources.v2.PagedSource")
+      .option("rows", "100000").option("fetchSize", "1024")
+      .option("seed", "s42").load()
+    // range-based dim: a LocalRelation dim would constant-fold its filter
+    // away and DPP requires a surviving selective predicate
+    val dim = spark.range(0, 3).select(($"id" * 49997L + 5L).as("k"))
+      .filter($"k" >= 5)
+    val j = paged.join(dim, paged("id") === dim("k"))
+    graft.sources.v2.PagedSource.ReadersCreated.set(0)
+    val got = j.select(paged("id")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(5L, 50002L, 99999L))
+    // ids 5 / 50002 / 99999 live in 3 distinct 1024-row pages; without
+    // runtime pruning the scan would create ~98 readers
+    val readers = graft.sources.v2.PagedSource.ReadersCreated.get()
+    assert(readers <= 6, s"expected pruned page readers, got $readers")
+    assert(j.queryExecution.executedPlan.toString
+      .contains("dynamicpruningexpression"),
+      "runtime filter missing from the scan")
+  }
+
   test("aggregate pushdown declines what the range cannot answer: " +
     "grouped and non-monotone aggregates take the row-scan path, same " +
     "results") {
