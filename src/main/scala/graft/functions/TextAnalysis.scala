@@ -583,10 +583,13 @@ object TextAnalysis {
     * recur across MANY DISTINCT documents (navigation chrome, license
     * footers, cookie banners) ranked by document frequency. High-df
     * n-grams are removal candidates; the same census read over time
-    * catches template drift in a crawl. One gram-keyed shuffle
-    * (n_occurrences = plain count; n_docs = the standard two-phase
-    * partial count-distinct) + a TakeOrdered to the top `topK` —
-    * bounded output by the declared constant. Ties break by gram text. */
+    * catches template drift in a crawl. Two partial-aggregable shuffles
+    * — (gram, doc)-keyed per-doc counts (map-side combine collapses
+    * within-doc repeats before anything moves), then the gram-keyed
+    * census — and a TakeOrdered to the top `topK`; the count-distinct
+    * EXPAND form measured 2-3× slower at sf0.1 because it doubles the
+    * exploded gram stream. Bounded output by the declared constant;
+    * ties break by gram text. */
   def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, topK: Int = 50): DataFrame = {
     require(n >= 1 && topK >= 1)
@@ -596,9 +599,9 @@ object TextAnalysis {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     df.select(col(idCol).as("_id"), explode(grams).as("gram"))
+      .groupBy("gram", "_id").agg(count(lit(1)).as("_c"))
       .groupBy("gram")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_c")).as("n_occurrences"))
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(topK)
       .select("gram", "n_docs", "n_occurrences")
