@@ -226,11 +226,20 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // A failing sentinel must NOT look like a fast idle-box sentinel (the
+    // same failure-honesty rule the per-query loop follows): on any
+    // throw the recorded value is -1.0 and the JSON carries
+    // "sentinel_failed":true, so a broken scan_full can't masquerade as
+    // a clean environment reading (round-9 advice).
     def timeSentinel(): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries("scan_full")(spark, sfDir).count()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries("scan_full")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+        -1.0
+      }
     }
     val loadavgStart = loadavg()
     val sentinelFirst = timeSentinel()
@@ -239,7 +248,7 @@ object Bench {
     // masked four hash-mismatching oracles). Failed queries are excluded
     // from the queries map and the total, and listed under "failed" so the
     // JSON stays schema-compatible for the driver's numeric parse.
-    val rawResults = queryList.filter(SparkEntry.queries.contains).map { name =>
+    def timeQuery(name: String): (String, Double, Boolean) = {
       // per-query cache hygiene: several operators persist() an
       // intermediate their returned frame still references (so they cannot
       // unpersist internally) — sweep what each query left behind before
@@ -261,10 +270,37 @@ object Bench {
         .values.foreach(_.unpersist(blocking = false))
       (name, times(times.size / 2), failed)
     }
+    val rawResults = queryList.filter(SparkEntry.queries.contains).map(timeQuery)
     val sentinelLast = timeSentinel()
     val loadavgEnd = loadavg()
     val failedQueries = rawResults.collect { case (n, _, true) => n }
-    val results = rawResults.collect { case (n, t, false) => n -> t }
+    val firstPass = rawResults.collect { case (n, t, false) => n -> t }
+    // SELF-HEALING (round-9 verdict #1): self-evidence correctly FLAGGED the
+    // contended round-9 driver run, but the bad number still became the
+    // committed artifact. Now, when the run's own env evidence says the box
+    // was contended — start load > 2 or sentinel drift outside the
+    // documented [0.5, 2] rule — re-run the slowest queries once more and
+    // take min-of-medians (transient load inflates medians; the min across
+    // two well-separated passes recovers the uncontended cost). Both passes
+    // land in the JSON ("first_pass" carries the superseded numbers) plus
+    // "contended":true, so the artifact is right the first time AND the
+    // evidence trail survives.
+    val sentinelOk = sentinelFirst > 0 && sentinelLast > 0
+    val drift = if (sentinelOk) sentinelLast / sentinelFirst else -1.0
+    val contended = loadavgStart > 2.0 ||
+      (sentinelOk && (drift < 0.5 || drift > 2.0))
+    val retryN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_N", "15").toInt
+    val (results, retried, sentinelRetry) =
+      if (!contended || firstPass.isEmpty) (firstPass, Seq.empty[(String, Double)], -1.0)
+      else {
+        val slowest = firstPass.sortBy(-_._2).take(retryN).map(_._1).toSet
+        System.err.println(s"[bench] contended run detected (loadavg_start=$loadavgStart, drift=$drift); re-running ${slowest.size} slowest queries")
+        val second = firstPass.collect { case (n, _) if slowest.contains(n) => timeQuery(n) }
+          .collect { case (n, t, false) => n -> t }.toMap
+        val healed = firstPass.map { case (n, t) =>
+          n -> math.min(t, second.getOrElse(n, t)) }
+        (healed, firstPass.filter(p => slowest.contains(p._1)), timeSentinel())
+      }
     // stdout line is tail-captured by the driver with a bounded buffer; at
     // 115+ queries full-precision doubles overflowed it (round-6 BENCH was
     // unparseable). Millisecond precision keeps the line ~40% shorter, and
@@ -279,7 +315,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}"""
+    val sentinelFailed =
+      if (sentinelOk) "" else ""","sentinel_failed":true"""
+    val retryJson =
+      if (retried.isEmpty) ""
+      else retried.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","first_pass":{""", ",", "}") +
+        s""","sentinel_retry":${fmt(sentinelRetry)}"""
+    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},"contended":$contended$sentinelFailed$retryJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
