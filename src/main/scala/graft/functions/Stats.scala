@@ -64,7 +64,7 @@ object Stats {
     val du = events
       .select(to_date(col(tsCol)).as("_day"), col(idCol).as("_id"))
       .distinct()
-      .persist()
+      .transform(Caches.operatorPersist)
     val days = du.select(col("_day").as("day")).distinct()
     du.join(broadcast(days),
         col("_day") >= date_sub(col("day"), windowDays - 1) &&
@@ -187,8 +187,9 @@ object Stats {
   def quantileSketchErrorReport(df: DataFrame, groupCol: String,
       valueCol: String, permilles: Seq[Int] = Seq(500, 950),
       bucketWidth: Long = 100L, maxRows: Long = 10000000L): DataFrame = {
-    val base = df.select(col(groupCol).cast("string").as(groupCol),
-      col(valueCol).cast("long").as("_v")).persist()
+    val base = Caches.operatorPersist(
+      df.select(col(groupCol).cast("string").as(groupCol),
+        col(valueCol).cast("long").as("_v")))
     // SAMPLE CONTRACT (mirrors Dedup.lshRecallReport): the exact side
     // re-reads the raw values twice with fine-grained histograms — an
     // eval-harness cost profile, not a production-query one. Enforce the
@@ -436,7 +437,7 @@ object Stats {
     // deviation join — three upstream evaluations otherwise
     val base = df.select(col(groupCol).cast("string").as(groupCol),
       col(valueCol).cast("long").as("_v"))
-      .persist()
+      .transform(Caches.operatorPersist)
     val med = groupedExactPercentiles(base, groupCol, "_v", Seq(0.5),
         bucketWidth)
       .select(col(groupCol), col("cutoff").as("_med"))
@@ -445,7 +446,7 @@ object Stats {
     // upstream scan re-run per consumer
     val dev = base.join(broadcast(med), Seq(groupCol))
       .withColumn("_dev", abs(col("_v") - col("_med")))
-      .persist()
+      .transform(Caches.operatorPersist)
     val mad = groupedExactPercentiles(dev, groupCol, "_dev", Seq(0.5),
         bucketWidth)
       .select(col(groupCol), col("cutoff").as("_mad"))
@@ -539,20 +540,43 @@ object Stats {
       .withColumn("at_risk",
         when(col("class_size") < k, 1).otherwise(0).cast("int"))
 
+  /** Deduped (basket, item) pairs with baskets larger than
+    * `maxBasketSize` removed — the Σ basket_size² contract both basket
+    * miners rely on, enforced instead of assumed. One shuffle: the size
+    * count is a window over the same `_b` hash partitioning the pair
+    * self-join consumes next. */
+  private def boundedBaskets(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasketSize: Int): DataFrame =
+    df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+      .withColumn("_bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_b")))
+      .filter(col("_bs") <= maxBasketSize)
+      .drop("_bs")
+
   /** Market-basket pair affinity (the 2-itemset core of Agrawal-Srikant
     * association mining): support count and LIFT for every item pair
     * co-occurring in a basket at least `minSupport` times. Baskets
     * dedupe to (basket, item) once (persisted — three consumers), pairs
     * come from a basket-keyed self-join (work ~ Σ basket_size², bounded
-    * by the basket-size cap real order data has — never |items|²), item
-    * counts broadcast back as metadata, and lift lands in integer ppm
-    * via DECIMAL cross-multiplication: lift = n_baskets·c(ab)/(c(a)·c(b)).
-    * Output: (item_a, item_b, c_pair, lift_ppm), item_a < item_b. */
+    * by `maxBasketSize` — never |items|²), item counts broadcast back as
+    * metadata, and lift lands in integer ppm via DECIMAL
+    * cross-multiplication: lift = n_baskets·c(ab)/(c(a)·c(b)).
+    * Output: (item_a, item_b, c_pair, lift_ppm), item_a < item_b.
+    *
+    * Degenerate-basket guard: one pathological basket of 10⁶ items is
+    * 10¹² pairs — a single straggler task that stalls the whole stage.
+    * Baskets larger than `maxBasketSize` are EXCLUDED OUTRIGHT (from
+    * pairs, item counts, and the basket total — as if deleted from the
+    * input, so the lift denominator stays consistent with the pairs it
+    * normalizes). A bot cart above the cap is noise for affinity mining,
+    * not signal; the size pass rides the same `_b` hash the self-join
+    * shuffles on. */
   def basketPairAffinity(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long, maxBasketSize: Int = 10000): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct().persist()
+    val items = boundedBaskets(df, basketCol, itemCol, maxBasketSize)
+      .transform(Caches.operatorPersist)
     val ic = items.groupBy(col("_i")).agg(count(lit(1)).as("c_item"))
     val nb = items.select("_b").distinct()
       .agg(count(lit(1)).as("n_baskets")).withColumn("_one", lit(1))
@@ -584,14 +608,16 @@ object Stats {
     * a minimum-confidence prune — what a recommender/co-curation pipeline
     * actually consumes ([[basketPairAffinity]] reports the symmetric
     * support/lift evidence; rules rank actionable directions). Same scale
-    * shape: the pair aggregate dominates, item counts ride broadcasts.
+    * shape: the pair aggregate dominates, item counts ride broadcasts;
+    * same degenerate-basket guard (see [[basketPairAffinity]]).
     * Output: (antecedent, consequent, c_pair, conf_ppm), one row per
     * direction that clears `minConfPpm`. */
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long, minConfPpm: Long): DataFrame = {
+      minSupport: Long, minConfPpm: Long,
+      maxBasketSize: Int = 10000): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct().persist()
+    val items = boundedBaskets(df, basketCol, itemCol, maxBasketSize)
+      .transform(Caches.operatorPersist)
     val ic = items.groupBy(col("_i")).agg(count(lit(1)).as("c_item"))
     val pairs = items.as("a").join(items.as("b"),
         col("a._b") === col("b._b") && col("a._i") < col("b._i"))

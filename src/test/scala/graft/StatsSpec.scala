@@ -152,6 +152,49 @@ class StatsSpec extends AnyFunSuite {
     // (1,3) and (2,3) have support 1 -> pruned by minSupport=2
   }
 
+  test("sweepOperatorCaches releases operator-internal persists: no net " +
+    "persistent RDDs after a consuming call + sweep") {
+    graft.functions.Caches.sweepOperatorCaches() // drain earlier tests
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L))
+    Stats.basketPairAffinity(rows.toDF("b", "i"), "b", "i",
+      minSupport = 1L).collect()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty,
+      "the operator should have left a registered persist behind")
+    assert(graft.functions.Caches.sweepOperatorCaches() >= 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "sweep must release every operator-internal persist")
+  }
+
+  test("basket miners: a degenerate mega-basket above maxBasketSize is " +
+    "excluded outright — pairs, item counts, and n_baskets all drop it") {
+    // normal baskets {1,2} x3 (as the lift test above) plus one bot cart
+    // holding items 100..149 — 50 items, over the cap of 10
+    val mega = (100L until 150L).map(i => (99L, i))
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (14L, 3L), (15L, 3L)) ++ mega
+    val got = Stats.basketPairAffinity(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, maxBasketSize = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // identical to the clean-input result: n_baskets=6 (not 7), no
+    // 100..149 pairs, lift(1,2) = 6*3/(4*4) ppm
+    assert(got == Map((1L, 2L) -> ((3L, 1125000L))))
+    val rules = Stats.basketRules(rows.toDF("b", "i"), "b", "i",
+        minSupport = 2L, minConfPpm = 0L, maxBasketSize = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2)).toSet
+    assert(rules == Set((1L, 2L), (2L, 1L)))
+    // and a cap ABOVE the mega-basket admits it: its pairs appear
+    val admitted = Stats.basketPairAffinity(rows.toDF("b", "i"), "b", "i",
+        minSupport = 1L, maxBasketSize = 100)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(admitted.exists(t => t._1 == 100L && t._2 == 101L))
+  }
+
   test("basketRules: directed confidences differ per direction; " +
     "min-confidence prunes the weak direction") {
     // baskets {1,2} x3 plus item 1 alone x3: c(1)=6, c(2)=3, c(12)=3
