@@ -484,16 +484,24 @@ object Sampling {
     * resampled set behaves like far fewer examples than it has — the
     * pre-flight read before trusting DSIR/temperature weights). One
     * partial-aggregable pass over integer weights; exact HUGEINT/DECIMAL
-    * arithmetic both engines. Zero-mass groups report 0. */
+    * arithmetic both engines. Zero-mass groups report 0.
+    *
+    * The squared-weight moment accumulates in DECIMAL(38,0), not LONG —
+    * w ~ 1e6 over ~1e9 rows exceeds Long.Max, and a silent wrap would
+    * corrupt ess_ppm exactly in the heavy-tailed regime the diagnostic
+    * exists to flag (the DuckDB oracle sums in HUGEINT). The sum_w /
+    * sum_w2 REPORT columns stay BIGINT for schema parity; past Long.Max
+    * they go NULL (visible) where the old form wrapped (invisible) and
+    * the oracle's BIGINT cast errors. */
   def essReport(df: DataFrame, groupCol: String, weight: Column): DataFrame =
-    df.select(col(groupCol), weight.cast("long").as("_w"))
+    df.select(col(groupCol), weight.cast("long").cast("decimal(38,0)").as("_w"))
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), sum(col("_w")).as("sum_w"),
-        sum(col("_w") * col("_w")).as("sum_w2"))
+      .agg(count(lit(1)).as("n"), sum(col("_w")).as("_sw"),
+        sum(col("_w") * col("_w")).as("_sw2"))
       .withColumn("ess_ppm",
-        when(col("sum_w2") === 0, lit(0L))
+        when(col("_sw2") === 0, lit(0L))
           .otherwise(expr(
-            """CAST(sum_w AS DECIMAL(38,0)) * sum_w * 1000000
-              | div (CAST(n AS DECIMAL(38,0)) * sum_w2)"""
-              .stripMargin.replace("\n", " "))))
+            "_sw * _sw * 1000000 div (CAST(n AS DECIMAL(38,0)) * _sw2)")))
+      .select(col(groupCol), col("n"), col("_sw").cast("long").as("sum_w"),
+        col("_sw2").cast("long").as("sum_w2"), col("ess_ppm"))
 }
