@@ -23,9 +23,19 @@ object Caches {
       * frame escape the scope — the blocks are gone after it. */
     def checkpoint(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint(true)
-      out.queryExecution.analyzed.collectFirst {
+      val rdd = out.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(acquired += _)
+      }
+      // Fail loudly if the checkpointed plan is not the LogicalRDD leaf
+      // this matcher expects: a silent miss would degrade the release
+      // valve back to the round-7 per-round block leak with no signal —
+      // a Spark upgrade that wraps the node must surface here, in tests,
+      // not as session memory growth.
+      require(rdd.isDefined,
+        "CheckpointScope: localCheckpoint did not produce a LogicalRDD " +
+          "leaf — release tracking would silently leak; plan: " +
+          out.queryExecution.analyzed.getClass.getName)
+      acquired += rdd.get
       out
     }
 
@@ -45,5 +55,45 @@ object Caches {
     val scope = new CheckpointScope
     try body(scope)
     finally scope.release()
+  }
+
+  /** Registry of OPERATOR-INTERNAL persists — the multi-consumer
+    * intermediates (basket items, dhash signatures, sketch partials)
+    * whose RETURNED frame still references the cache, so the operator
+    * cannot unpersist before returning. Bench/Verify sweep these per
+    * query by RDD-id diff; a long-lived USER session calls
+    * [[sweepOperatorCaches]] between logical units instead. Weak
+    * references: a frame the caller dropped is GC-eligible regardless
+    * of registry retention (its blocks are freed by the sweep or by
+    * Spark's context cleaner, whichever first). */
+  private val operatorCaches = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[DataFrame]]
+
+  /** `df.persist()` plus registration for [[sweepOperatorCaches]]. */
+  def operatorPersist(df: DataFrame): DataFrame = {
+    df.persist()
+    operatorCaches.synchronized {
+      operatorCaches += new java.lang.ref.WeakReference(df)
+    }
+    df
+  }
+
+  /** Unpersist every registered operator cache still materialized and
+    * clear the registry; returns how many were released. ALWAYS safe,
+    * any time: persist does not sever lineage (unlike localCheckpoint),
+    * so a swept frame a query still references silently recomputes —
+    * the cost of a badly-timed sweep is time, never correctness. */
+  def sweepOperatorCaches(): Int = operatorCaches.synchronized {
+    var n = 0
+    operatorCaches.foreach { ref =>
+      val df = ref.get
+      if (df != null &&
+          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        df.unpersist(blocking = false)
+        n += 1
+      }
+    }
+    operatorCaches.clear()
+    n
   }
 }

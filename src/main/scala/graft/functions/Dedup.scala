@@ -929,7 +929,7 @@ object Dedup {
         s"intended")
     val exactPairs = jaccardPairs(df.withColumn("_blk", lit(1)),
         idCol, textCol, "_blk", k, threshold)
-      .select("id_a", "id_b").persist()
+      .select("id_a", "id_b").transform(Caches.operatorPersist)
     val keyed0 = minhashSignaturesMd5(df, idCol, textCol, k, numHashes)
       .withColumn("band", (col("hash_idx") / bandRows).cast("int"))
       .withColumn("slot", pmod(col("hash_idx"), lit(bandRows)))
@@ -944,7 +944,7 @@ object Dedup {
       slotNames.map(col): _*)
     val cands = a.join(b, "band" +: slotNames)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().persist()
+      .select("id_a", "id_b").distinct().transform(Caches.operatorPersist)
     val tp = cands.join(exactPairs, Seq("id_a", "id_b"), "left_semi")
     exactPairs.agg(count(lit(1)).as("n_exact"))
       .crossJoin(broadcast(cands.agg(count(lit(1)).as("n_candidates"))))

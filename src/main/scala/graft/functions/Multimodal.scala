@@ -205,8 +205,8 @@ object Multimodal {
       "4 blocks guarantee exact recall only up to hamming 3")
     // persisted: the new batch's hashes feed the block pass AND the
     // expansion join — without this the batch re-decodes per consumer
-    val nh = newHashes.select(col(idCol).as("id_new"),
-      col("dhash").as("_hn")).persist()
+    val nh = Caches.operatorPersist(newHashes.select(
+      col(idCol).as("id_new"), col("dhash").as("_hn")))
     val ih = index.select(col(idCol).as("id_corp"), col("dhash").as("_hc"))
     def blocksOf(df: DataFrame, h: String): DataFrame = df.select(col(h))
       .distinct()
@@ -348,7 +348,8 @@ object Multimodal {
     // expansion (which IS the answer). The hash frame is (id, long) —
     // persisted because four consumers would otherwise re-decode every
     // image per consumer.
-    val h = hashes.select(col(idCol).as("id"), col("dhash")).persist()
+    val h = Caches.operatorPersist(
+      hashes.select(col(idCol).as("id"), col("dhash")))
     val sigs = h.select("dhash").distinct()
     val blocks = sigs
       .select(col("dhash"),

@@ -134,7 +134,8 @@ object Sketches {
         groupCols.map(col)): _*)
     // persisted: the day-sketch frame feeds BOTH the derived day list and
     // the window merge — without this the corpus sketch pass runs twice
-    val sk = hllSketch(withDay, "day" +: groupCols, col("_v")).persist()
+    val sk = Caches.operatorPersist(
+      hllSketch(withDay, "day" +: groupCols, col("_v")))
     // the day list is GLOBAL (window-horizon semantics): a group inactive
     // on day d but active within [d-w+1, d] still gets a curve row for d
     // — that is what a rolling-active dashboard means. The grouped oracle
@@ -321,7 +322,7 @@ object Sketches {
     // design, the corpus-sized work all happened upstream in the
     // two-stage top-k.
     val sk = sketch.select(col(groupCol).as("g"), col("h"))
-      .coalesce(1).persist()
+      .coalesce(1).transform(Caches.operatorPersist)
     val pairs = sk.select(col("g").as("g_a")).distinct()
       .crossJoin(broadcast(sk.select(col("g").as("g_b")).distinct()))
       .filter(col("g_a") < col("g_b"))
