@@ -24,7 +24,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch window pass (lag + cumulative boundary count — the
   * `window_session` / sessionPaths shape); StreamingSpec pins
   * stream == batch on the closed-session set. Gap compares in exact
-  * micros ([[graft.functions.Funnel.sessionPaths]]'s truncation lesson). */
+  * micros ([[graft.functions.Funnel.sessionPaths]]'s truncation lesson).
+  *
+  * PRECONDITION for stream == batch: each user's events must arrive
+  * in event-time order ACROSS batches (within a batch any order is
+  * fine — the step sorts). The mid-batch close finalizes a session as
+  * soon as a same-user event past the gap arrives, even though the
+  * watermark may still admit a late-but-valid event that belonged
+  * INSIDE the just-closed session; if such an event lands in a later
+  * batch it is folded into the wrong (next) session. Sources that
+  * partition by user (e.g. a user-keyed Kafka topic) satisfy the
+  * precondition naturally. When cross-batch reordering is possible and
+  * exactness matters more than latency, close ONLY via the event-time
+  * timeout (drop the mid-batch emit): every close then waits for the
+  * watermark, which bounds all admissible lateness. */
 object Sessions {
 
   /** `ts` carries the WATERMARKED event-time column through the typed
