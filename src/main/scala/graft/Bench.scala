@@ -120,7 +120,12 @@ object Bench {
     "classifier_calibration", "source_v2_pushdown_agg",
     // round-9 third batch: ESS sampling diagnostics + Markov next-event eval
     "sample_ess_report", "event_next_markov_accuracy", "events_daily_trend",
-    "boilerplate_ngrams", "source_v2_runtime_prune")
+    "boilerplate_ngrams", "source_v2_runtime_prune",
+    // round-10: the relational-completeness batch — cube (Expand into one
+    // partial agg), explicit-values pivot, unpivot reshape, and the
+    // event-time interval RANGE frame
+    "agg_cube_lang_source", "events_pivot_daily", "unpivot_metrics",
+    "events_range_frame_sum", "window_distribution_funcs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +143,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // External-load reading taken BEFORE the warmup block: warmup itself
+    // saturates the box for minutes on big inputs (index builds, fixture
+    // staging), so a post-warmup loadavg reads the bench's OWN work as
+    // contention and trips the self-healing retry on every large run
+    // (observed on the first ~sf1 full-headline sweep: loadavg_start 4.78
+    // from warmup, sentinels flat). The sentinel pair still brackets the
+    // timed region itself.
+    def loadavgRead(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadavgStart = loadavgRead()
 
     // JVM/codegen warmup outside the timed region: touch each table family
     // and run one cheap query so the first timed entry doesn't absorb JIT.
@@ -222,10 +240,6 @@ object Bench {
     // (same binary, same plan) — a contended run shows loadavg >~ 2 or
     // sentinel drift >~ 2x, and the reader can discount it mechanically
     // (discount rule documented in SCALING.md).
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     // A failing sentinel must NOT look like a fast idle-box sentinel (the
     // same failure-honesty rule the per-query loop follows): on any
     // throw the recorded value is -1.0 and the JSON carries
@@ -241,7 +255,6 @@ object Bench {
         -1.0
       }
     }
-    val loadavgStart = loadavg()
     val sentinelFirst = timeSentinel()
     // failure-honest timing: a query that throws must NOT emit a plausible
     // number (round-6's events-family "fast" entries were fast-FAILs that
@@ -272,7 +285,7 @@ object Bench {
     }
     val rawResults = queryList.filter(SparkEntry.queries.contains).map(timeQuery)
     val sentinelLast = timeSentinel()
-    val loadavgEnd = loadavg()
+    val loadavgEnd = loadavgRead()
     val failedQueries = rawResults.collect { case (n, _, true) => n }
     val firstPass = rawResults.collect { case (n, t, false) => n -> t }
     // SELF-HEALING (round-9 verdict #1): self-evidence correctly FLAGGED the

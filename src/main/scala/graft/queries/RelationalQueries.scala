@@ -1425,6 +1425,146 @@ object RelationalQueries {
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // CUBE over (lang, source): all four grouping sets in ONE pass —
+    // Catalyst plans cube as an Expand (each input row replicated once per
+    // grouping set, 4x here) into a single partial-aggregable hash
+    // aggregate, which at 100 TB beats four separate scans by the scan
+    // cost x3. grouping_id disambiguates rolled-up NULLs from data NULLs;
+    // keys are coalesced to '(all)' so the output is join/sort-stable.
+    QueryDef("agg_cube_lang_source",
+      (s, dir) => Tables.documents(s, dir)
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("gid"), col("n_docs"), col("sum_chars"))
+        .orderBy("gid", "lang", "source"),
+      Some("""SELECT coalesce(lang, '(all)') AS lang,
+             |  coalesce(source, '(all)') AS source,
+             |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY CUBE (lang, source)
+             |ORDER BY gid, lang, source""".stripMargin)),
+
+    // PIVOT day x event_type -> one count column per type. The value list
+    // is EXPLICIT (the implicit form runs a collect-distinct job and makes
+    // the schema data-dependent — wrong at any scale); absent combinations
+    // land as NULL from the pivot and are coalesced to 0. One
+    // partial-aggregable shuffle on day; the pivot itself is just a
+    // CASE-WHEN fan-out inside the aggregate, exactly how the oracle
+    // spells it.
+    QueryDef("events_pivot_daily",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).cast("string").as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select(col("day") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+             |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+             |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+             |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+             |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // UNPIVOT (melt) three lineitem measures into (metric, val) rows, then
+    // profile each metric — the wide-to-long reshape every profiling /
+    // feature-store export needs. Unpivot is an Expand (3x row replication,
+    // no shuffle); the profile is one metric-keyed aggregate whose key
+    // cardinality equals the measure count. Exactness: values pass through
+    // unchanged; the sum goes through DECIMAL(18,2) like every
+    // double-sum gate.
+    QueryDef("unpivot_metrics",
+      (s, dir) => Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .orderBy("metric"),
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', l_discount FROM lineitem)
+             |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+             |  min(val) AS min_val, max(val) AS max_val,
+             |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+             |FROM u GROUP BY metric ORDER BY metric""".stripMargin)),
+
+    // Event-time RANGE frame: per user, the trailing-30-minute spend and
+    // event count at every event — the true interval frame (peers join by
+    // TIME distance, not row distance), which no ROWS frame can express
+    // over irregular arrivals. Spark orders the frame on exact micros with
+    // the interval spelled in micros; one user-keyed shuffle, the frame
+    // scan is linear per partition (sliding sum over a sorted run). Money
+    // in cents so the sliding sum is exact under any evaluation order.
+    QueryDef("events_range_frame_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("_us"))
+          .rangeBetween(-1800L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("_us"),
+            Money.cents(col("value")).as("_cents"))
+          .select(col("event_id"), col("user_id"),
+            sum("_cents").over(w).as("trail_cents"),
+            count(lit(1)).over(w).as("n_trail"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+             |      AND CURRENT ROW) AS BIGINT) AS trail_cents,
+             |  CAST(count(*) OVER (
+             |    PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+             |      AND CURRENT ROW) AS BIGINT) AS n_trail
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Distribution window functions — ntile / percent_rank / cume_dist
+    // per event_type, the quantile-assignment trio the window family had
+    // not yet pinned. The ORDER BY carries event_id as a tiebreak so
+    // every rank is unique and both engines assign identical buckets;
+    // percent_rank/cume_dist are then the same exact integer ratios
+    // ((rank-1)/(n-1), n_leq/n) evaluated in IEEE doubles — bit-equal.
+    // One user-partition-keyed shuffle; frames are whole-partition.
+    QueryDef("window_distribution_funcs",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            Money.cents(col("value")).as("cents"))
+          .select(col("event_id"), col("event_type"), col("cents"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |  CAST(round(value * 100) AS BIGINT) AS cents,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type
+             |  ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             |ORDER BY event_id""".stripMargin)),
+
     // Grouped min/max/avg with exact arithmetic.
     QueryDef("agg_stats",
       (s, dir) => Tables.lineitem(s, dir)

@@ -303,6 +303,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("round-10 relational batch: cube/unpivot are an Expand into ONE " +
+    "partial-agg exchange; pivot aggregates with no collect job; the " +
+    "interval and distribution windows are key-partitioned, never global") {
+    val cube = planOf("agg_cube_lang_source")
+    assert(cube.contains("Expand") && cube.contains("partial_count"), cube)
+    assert("Exchange hashpartitioning".r.findAllIn(cube).size == 1, cube)
+    val unp = planOf("unpivot_metrics")
+    assert(unp.contains("Expand") && unp.contains("partial_min"), unp)
+    assert("Exchange hashpartitioning".r.findAllIn(unp).size == 1, unp)
+    // explicit pivot values -> partial-aggregable pivotfirst, and the
+    // data-dependent collect-distinct job the implicit form runs never
+    // exists (the plan is built without any prior action)
+    val piv = planOf("events_pivot_daily")
+    assert(piv.contains("partial_pivotfirst"), piv)
+    val rf = planOf("events_range_frame_sum")
+    assert(rf.contains("specifiedwindowframe(RangeFrame, -1800000000"), rf)
+    assert(rf.contains("windowspecdefinition(user_id"), rf)
+    val wd = planOf("window_distribution_funcs")
+    assert(wd.contains("windowspecdefinition(event_type"), wd)
+  }
+
   test("seq_span_corrupt: per-doc windows only — no join, no global window") {
     val p = planOf("seq_span_corrupt")
     assert(!p.contains("Join"), p)
