@@ -769,6 +769,89 @@ object TextAnalysis {
       .select(col(idCol), col("_f.p").as("pos"), col("_f.h").as("fp"))
   }
 
+  /** Winnow-overlap candidate pairs (MOSS match step): doc pairs sharing
+    * >= `minShared` selected fingerprints, via the fp-keyed inverted index
+    * — never doc x doc. IDENTICAL-CONTENT CLIQUE COLLAPSE (the round-8
+    * dhash lesson applied to the winnow family): exact duplicates share
+    * their ENTIRE fingerprint set, so keying raw docs makes every
+    * c-duplicate clique contribute c²/2 x m join rows. All heavy work —
+    * winnowing, the fp self-join, the shared-fp count — runs at
+    * DISTINCT-TEXT level (md5 content groups); id pairs come from a final
+    * members expansion join that only touches qualifying groups. On a
+    * corpus with exact-dup subpopulations (i.e. any real crawl before
+    * exact dedup) this is the difference between quadratic-in-clique and
+    * linear-in-clique candidate work; output is row-identical. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame =
+    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen = 0)
+
+  /** Edit-distance verification of the winnow candidates: the survivors
+    * re-checked with exact Levenshtein over the `prefixLen`-char
+    * prefixes. Same clique collapse as [[winnowOverlapPairs]] — the DP
+    * runs ONCE per distinct-text pair (a 10-dup clique pair costs 1
+    * levenshtein, not 100), and within-clique pairs are distance 0 by
+    * construction, no DP at all. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      prefixLen: Int = 80): DataFrame =
+    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen)
+
+  private def winnowCliquePairs(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int, minShared: Long,
+      prefixLen: Int): DataFrame = {
+    val withEdit = prefixLen > 0
+    val g = df.select(col(idCol).as("_id"), md5(col(textCol)).as("_g"),
+      col(textCol).as("_t"))
+    // persisted: members feeds both expansion sides + the within-clique
+    // self-join; reps feeds winnowing and (edit mode) the prefix joins;
+    // fp feeds both sides of the candidate join and the per-group count
+    val members = Caches.operatorPersist(g.select("_id", "_g"))
+    // one representative text per distinct content: min() is exact here
+    // (all texts under a key are equal) and partial-aggregates, so the
+    // shuffle carries each distinct text ~once per upstream partition
+    val reps = Caches.operatorPersist(
+      g.groupBy("_g").agg(min(col("_t")).as("_t")))
+    val fp = Caches.operatorPersist(
+      winnowFingerprints(reps, "_g", "_t", k, w)
+        .select(col("_g"), col("fp")).distinct())
+    val gpBase = fp.select(col("_g").as("_ga"), col("fp"))
+      .join(fp.select(col("_g").as("_gb"), col("fp")), Seq("fp"))
+      .filter(col("_ga") < col("_gb"))
+      .groupBy("_ga", "_gb").agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+    val gp = if (!withEdit) gpBase else
+      gpBase
+        .join(reps.select(col("_g").as("_ga"),
+          substring(col("_t"), 1, prefixLen).as("_pa")), Seq("_ga"))
+        .join(reps.select(col("_g").as("_gb"),
+          substring(col("_t"), 1, prefixLen).as("_pb")), Seq("_gb"))
+        .withColumn("edit_dist",
+          levenshtein(col("_pa"), col("_pb")).cast("long"))
+        .select("_ga", "_gb", "n_shared_fps", "edit_dist")
+    val crossBase = gp
+      .join(members.select(col("_g").as("_ga"), col("_id").as("_ia")),
+        Seq("_ga"))
+      .join(members.select(col("_g").as("_gb"), col("_id").as("_ib")),
+        Seq("_gb"))
+      .withColumn("id_a", least(col("_ia"), col("_ib")))
+      .withColumn("id_b", greatest(col("_ia"), col("_ib")))
+    // within-clique pairs: identical texts share ALL their fingerprints
+    // (n_shared = the clique's fp count, qualifying iff >= minShared)
+    // and are distance 0 by construction
+    val m = fp.groupBy("_g").agg(count(lit(1)).as("_m"))
+      .filter(col("_m") >= minShared)
+    val withinBase = members.select(col("_g"), col("_id").as("id_a"))
+      .join(members.select(col("_g"), col("_id").as("id_b")), Seq("_g"))
+      .filter(col("id_a") < col("id_b"))
+      .join(m, Seq("_g"))
+      .withColumn("n_shared_fps", col("_m"))
+    val outCols = Seq("id_a", "id_b", "n_shared_fps") ++
+      (if (withEdit) Seq("edit_dist") else Nil)
+    crossBase.select(outCols.map(col): _*).unionByName(
+      (if (withEdit) withinBase.withColumn("edit_dist", lit(0L))
+       else withinBase).select(outCols.map(col): _*))
+  }
+
   /** Per-document novelty: the fraction of a document's distinct k-word
     * shingles that occur in NO other document (corpus document frequency
     * 1). High novelty = unique content; low novelty = boilerplate — the

@@ -809,23 +809,13 @@ object PipelineQueries {
     QueryDef("winnow_overlap_pairs",
       // local-overlap candidates from the winnowing index: doc pairs
       // sharing >= 2 selected fingerprints (MOSS's match step) — an
-      // inverted-index equi-join on fp at winnowed density, never doc x doc
-      (s, dir) => {
-        // persisted: the fingerprint frame feeds BOTH sides of the
-        // self-join — without it the full winnowing expression tree (the
-        // query's dominant cost) evaluates twice
-        val fp = TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
-            "doc_id", "text", k = 3, w = 4)
-          .select(col("doc_id"), col("fp")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val a = fp.select(col("doc_id").as("id_a"), col("fp"))
-        val b = fp.select(col("doc_id").as("id_b"), col("fp"))
-        a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("n_shared_fps"))
-          .filter(col("n_shared_fps") >= 2)
-          .orderBy("id_a", "id_b")
-      },
+      // inverted-index equi-join on fp at winnowed density, never doc x
+      // doc, with identical-content cliques collapsed to one
+      // representative before the join (round-10; winnowing + candidate
+      // counting run at distinct-text level, id pairs expand at the end)
+      (s, dir) => TextAnalysis.winnowOverlapPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4, minShared = 2L)
+        .orderBy("id_a", "id_b"),
       Some {
         val gramHash = md5SliceSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
@@ -854,27 +844,11 @@ object PipelineQueries {
       // 80-char prefixes — candidates only (the fp-keyed inverted index
       // blocks the O(n²)), never doc × doc. Both engines implement the
       // classic unit-cost DP, so the distance is engine-exact
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
-            k = 3, w = 4)
-          .select(col("doc_id"), col("fp")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs = fp.select(col("doc_id").as("id_a"), col("fp"))
-          .join(fp.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("n_shared_fps"))
-          .filter(col("n_shared_fps") >= 2)
-        pairs
-          .join(docs.select(col("doc_id").as("id_a"),
-            substring(col("text"), 1, 80).as("_ta")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"),
-            substring(col("text"), 1, 80).as("_tb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"), col("n_shared_fps"),
-            levenshtein(col("_ta"), col("_tb")).cast("long").as("edit_dist"))
-          .orderBy("id_a", "id_b")
-      },
+      // clique-collapsed (round-10): the Levenshtein DP runs once per
+      // DISTINCT-TEXT pair; within-clique pairs are distance 0 with no DP
+      (s, dir) => TextAnalysis.editVerifiedPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, w = 4, minShared = 2L, prefixLen = 80)
+        .orderBy("id_a", "id_b"),
       Some {
         val gramHash = md5SliceSql("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]")
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk

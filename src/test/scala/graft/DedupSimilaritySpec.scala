@@ -808,6 +808,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"$nSel of $nGrams grams selected") // expected ~2/(w+1) = 0.4
   }
 
+  test("winnowOverlapPairs/editVerifiedPairs: clique-collapsed results " +
+    "equal the raw doc-keyed formulation on a corpus with exact-dup cliques") {
+    import graft.functions.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma" // long run: >= 2 shared fps
+    val base = Seq(
+      1L -> ("one two three " + shared + " four five six"),
+      2L -> ("seven eight " + shared + " nine ten eleven"),
+      3L -> "totally different words with no common run at all here",
+      4L -> "short one")
+    // plant a 3-clique of doc 1 and a 2-clique of doc 3
+    val docs = (base ++ Seq(11L -> base(0)._2, 12L -> base(0)._2,
+      13L -> base(2)._2)).toDF("doc_id", "text")
+    // raw doc-keyed reference formulation (the pre-round-10 plan)
+    val fp = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .select($"doc_id", $"fp").distinct()
+    val rawPairs = fp.select($"doc_id".as("id_a"), $"fp")
+      .join(fp.select($"doc_id".as("id_b"), $"fp"), Seq("fp"))
+      .filter($"id_a" < $"id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_fps"))
+      .filter($"n_shared_fps" >= 2)
+    val rawOverlap = rawPairs.as[(Long, Long, Long)].collect().toSet
+    val gotOverlap = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotOverlap == rawOverlap)
+    // the planted 3-clique must appear as all three within pairs
+    assert(Set((1L, 11L), (1L, 12L), (11L, 12L))
+      .subsetOf(gotOverlap.map(t => (t._1, t._2))))
+    val rawEdit = rawPairs
+      .join(docs.select($"doc_id".as("id_a"),
+        substring($"text", 1, 80).as("_ta")), Seq("id_a"))
+      .join(docs.select($"doc_id".as("id_b"),
+        substring($"text", 1, 80).as("_tb")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"n_shared_fps",
+        levenshtein($"_ta", $"_tb").cast("long").as("edit_dist"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val gotEdit = TextAnalysis.editVerifiedPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotEdit == rawEdit)
+    // within-clique distances are 0; the cross pair (1,2) is nonzero
+    assert(gotEdit.filter(t => Set((1L, 11L), (1L, 12L), (11L, 12L))
+      .contains((t._1, t._2))).forall(_._4 == 0L))
+    assert(gotEdit.find(t => t._1 == 1L && t._2 == 2L).exists(_._4 > 0L))
+    graft.functions.Caches.sweepOperatorCaches()
+  }
+
   test("winnow_select: array<int> input fails at analysis time with a clear error") {
     // the native expression validates its child type up front —
     // array<int> must raise an AnalysisException naming the expected
