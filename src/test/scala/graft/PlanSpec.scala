@@ -206,6 +206,42 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("winnow pairs: clique-collapsed — winnowing and the DP run at distinct-text level") {
+    // the round-10 clique collapse: winnowing, the fp self-join, and (edit
+    // mode) the Levenshtein DP are keyed by md5 content groups, so a clique
+    // of c exact-duplicate docs costs 1x, not c²x. Pinned properties:
+    //  - the winnow Generate's retained child output is the content group
+    //    `_g`, never a doc id (the cached reps plan reprints at every scan
+    //    site, so this is a per-line shape check, not an occurrence count);
+    //  - the Levenshtein runs over the group-level prefix columns
+    //    (_pa/_pb), never doc-level text;
+    //  - both aggregates partial-combine below their exchange (reps' min
+    //    and the shared-fp count), so duplicate texts collapse map-side;
+    //  - no cartesian/nested-loop anywhere in the pair machinery.
+    Seq("winnow_overlap_pairs" -> false, "dedup_edit_verify" -> true)
+      .foreach { case (q, withEdit) =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+        val winnowLines =
+          p.linesIterator.filter(_.contains("explode(winnow_select")).toSeq
+        assert(winnowLines.nonEmpty &&
+          winnowLines.forall(l => l.contains("[_g#") && !l.contains("doc_id")),
+          s"$q:\n$p")
+        val levLines =
+          p.linesIterator.filter(_.contains("levenshtein(")).toSeq
+        assert(levLines.nonEmpty == withEdit &&
+          levLines.forall(l => l.contains("_pa#") && l.contains("_pb#")),
+          s"$q:\n$p")
+        val minExchange = p.indexOf("Exchange hashpartitioning(_g#")
+        val partialMin = p.indexOf("partial_min")
+        assert(minExchange >= 0 && partialMin > minExchange, s"$q:\n$p")
+        val cntExchange = p.indexOf("Exchange hashpartitioning(_ga#")
+        val partialCnt = p.indexOf("partial_count")
+        assert(cntExchange >= 0 && partialCnt > cntExchange, s"$q:\n$p")
+      }
+  }
+
   test("catalog hygiene: unique names; every oracle names every output column") {
     val names = Catalog.all.map(_.name)
     assert(names.distinct.size == names.size,
