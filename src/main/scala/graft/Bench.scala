@@ -125,7 +125,9 @@ object Bench {
     // partial agg), explicit-values pivot, unpivot reshape, and the
     // event-time interval RANGE frame
     "agg_cube_lang_source", "events_pivot_daily", "unpivot_metrics",
-    "events_range_frame_sum", "window_distribution_funcs")
+    "events_range_frame_sum", "window_distribution_funcs",
+    // round-10 second batch: Kneser-Ney continuation-count LM scoring
+    "text_perplexity_kn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

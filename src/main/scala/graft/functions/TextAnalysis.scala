@@ -323,6 +323,88 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Interpolated Kneser-Ney counterpart of [[perplexityBigram]] — the
+    * smoothing real n-gram LMs (KenLM, the CCNet filter's backend) ship,
+    * built from the three classic distributed continuation-count
+    * aggregates over the bigram-type table:
+    *
+    *   p(cur|prev) = (c(prev,cur) - D)/c(prev·)
+    *               + D·N1+(prev,·)/c(prev·) · N1+(·,cur)/N1+(··)
+    *
+    * with absolute discount D = 3/4 kept RATIONAL so the probability is an
+    * exact integer ratio: num = (4·bc − 3)·nb + 3·fol·pre, den = 4·cc·nb
+    * (bc ≥ 1 always here — the model trains on the corpus it scores, so
+    * the discounted term never floors at 0 and interpolation is total).
+    * The cross-moments multiply three corpus-scale counts, so num/den are
+    * assembled in DECIMAL(38,0) (the essReport lesson: 100 TB counts
+    * overflow int64 under multiplication) and only the final ratio drops
+    * to double for the micronat log. Scale shape mirrors perplexityBigram:
+    * one transitions explode (persisted — feeds the type counts and the
+    * score join), all three continuation aggregates derive from the
+    * ALREADY-AGGREGATED bigram-type table (so `fol`/`pre`/`nb` shuffle
+    * bigram TYPES, not occurrences), vocabulary-sized sides stay
+    * shuffle-hash joins, and only the single-row N1+(··) total
+    * broadcasts behind the persisted score frame. */
+  def perplexityKneserNey(df: DataFrame, idCol: String, textCol: String,
+      headPct: Int = 100, tailPct: Int = 102): DataFrame = {
+    val withT = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val trans = withT
+      .select(col(idCol),
+        explode(when(size(col("_toks")) >= 2,
+            sequence(lit(1), size(col("_toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("_i"),
+        col("_toks"))
+      .select(col(idCol), element_at(col("_toks"), col("_i")).as("prev"),
+        element_at(col("_toks"), col("_i") + 1).as("cur"))
+      .transform(Caches.operatorPersist)
+    // bigram TYPE table — the single occurrence-level shuffle; everything
+    // KN needs beyond it aggregates this (much smaller) frame. Persisted:
+    // it feeds the score join, both continuation aggregates, and nb.
+    val bcnt = Caches.operatorPersist(
+      trans.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc")))
+    // per-context: total occurrences c(prev·) and distinct followers
+    // N1+(prev,·) in ONE pass over the type table (sum(bc) == the
+    // occurrence count, count(*) == the type count)
+    val ctx = bcnt.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cc"), count(lit(1)).as("fol"))
+    val pred = bcnt.groupBy(col("cur")).agg(count(lit(1)).as("pre"))
+    val nb = bcnt.agg(count(lit(1)).as("nb"))
+    val dec = "decimal(38,0)"
+    val scored = trans
+      .join(bcnt.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(ctx.hint("shuffle_hash"), Seq("prev"))
+      .join(pred.hint("shuffle_hash"), Seq("cur"))
+      .crossJoin(broadcast(nb))
+      .withColumn("_num",
+        (col("bc").cast(dec) * 4 - 3) * col("nb").cast(dec) +
+          col("fol").cast(dec) * col("pre").cast(dec) * 3)
+      .withColumn("_den", col("cc").cast(dec) * col("nb").cast(dec) * 4)
+      .withColumn("m",
+        floor(log(col("_num").cast("double") / col("_den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"), sum(col("m")).as("_lp"))
+    // agg0 is PER-DOCUMENT — corpus-sized, the left join stays partitioned
+    val agg = df.select(col(idCol))
+      .join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
+      .transform(Caches.operatorPersist)
+    val row = agg.agg(
+      sum(lit(0L) - col("logprob_micronats")).as("slp"),
+      sum(col("n_transitions").cast("long")).as("sn")).head()
+    val (slpNeg, sn) = (row.getLong(0), row.getLong(1))
+    val headCut = (BigInt(headPct) * slpNeg / (BigInt(100) * sn)).toLong
+    val tailCut = (BigInt(tailPct) * slpNeg / (BigInt(100) * sn)).toLong
+    agg.withColumn("ppl_bucket",
+      when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(headCut), lit("head"))
+        .when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(tailCut), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
     * cheap structural rules first, model score last), evaluated in ONE
     * narrow select — token bounds, repetition (type-token ratio),

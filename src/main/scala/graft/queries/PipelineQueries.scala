@@ -686,6 +686,47 @@ object PipelineQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_perplexity_kn",
+      // interpolated Kneser-Ney bigram scoring — the continuation-count
+      // smoothing real LM filters (KenLM/CCNet) use: discounted mass is
+      // redistributed by how many distinct CONTEXTS a word follows, not
+      // raw frequency. D = 3/4 rational, probabilities exact integer
+      // ratios (HUGEINT/DECIMAL(38,0) cross-moments), micronat log only
+      // at the end; oracle retrains all three continuation aggregates
+      (s, dir) => TextAnalysis.perplexityKneserNey(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tr AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             |       FROM (SELECT doc_id, toks,
+             |               unnest(generate_series(1, len(toks) - 1)) AS i
+             |             FROM t WHERE len(toks) >= 2)),
+             |bc AS (SELECT prev, cur, count(*) AS bc FROM tr GROUP BY 1, 2),
+             |ctx AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bc GROUP BY 1),
+             |pre AS (SELECT cur, count(*) AS pre FROM bc GROUP BY 1),
+             |nb AS (SELECT CAST(count(*) AS HUGEINT) AS nb FROM bc),
+             |sc AS (SELECT doc_id,
+             |         CAST(floor(ln(
+             |           CAST((4 * CAST(bc AS HUGEINT) - 3) * nb
+             |                + 3 * CAST(fol AS HUGEINT) * pre AS DOUBLE)
+             |           / CAST(4 * CAST(cc AS HUGEINT) * nb AS DOUBLE))
+             |              * 1000000 + 0.5) AS BIGINT) AS m
+             |       FROM tr JOIN bc USING (prev, cur) JOIN ctx USING (prev)
+             |       JOIN pre USING (cur) CROSS JOIN nb),
+             |agg0 AS (SELECT doc_id, count(*) AS nt, sum(m) AS lp
+             |         FROM sc GROUP BY doc_id),
+             |agg AS (SELECT d.doc_id, coalesce(nt, 0) AS nt, coalesce(lp, 0) AS lp
+             |        FROM documents d LEFT JOIN agg0 ON agg0.doc_id = d.doc_id),
+             |cut AS (SELECT CAST((100 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS hc,
+             |               CAST((102 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS tc
+             |        FROM agg)
+             |SELECT doc_id, CAST(nt AS INT) AS n_transitions,
+             |  CAST(lp AS BIGINT) AS logprob_micronats,
+             |  CASE WHEN -lp <= nt * hc THEN 'head'
+             |       WHEN -lp <= nt * tc THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
+
     QueryDef("grouped_percentiles_scalable",
       // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
       // or window: two bounded-histogram passes + metadata collects

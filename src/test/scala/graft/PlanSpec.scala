@@ -153,7 +153,8 @@ class PlanSpec extends AnyFunSuite {
     // same discipline as salient_terms: the n-gram-count sides ARE the
     // corpus vocabulary — unbounded on a web corpus — so the token x count
     // joins must stay partitioned; only the single-row totals may broadcast
-    Seq("text_perplexity", "text_perplexity_bigram").foreach { q =>
+    Seq("text_perplexity", "text_perplexity_bigram",
+        "text_perplexity_kn").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")

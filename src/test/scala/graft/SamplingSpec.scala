@@ -158,6 +158,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(bi(21L)._1 < bi(1L)._1) // strictly less probable transitions
   }
 
+  test("perplexityKneserNey: hand-computed continuation counts on a 2-doc fixture") {
+    import graft.functions.TextAnalysis
+    // docs: "a b a b" and "b a" — transitions (a,b)x2, (b,a)x2.
+    // bigram types: (a,b) bc=2, (b,a) bc=2; ctx a: cc=2 fol=1, b: cc=2
+    // fol=1; pre b: 1, a: 1; nb=2. Both transitions score
+    // p = (2-3/4)/2 + (3/4)(1/2)(1/2) = 13/16 exactly
+    // (num = (4*2-3)*2 + 3*1*1 = 13, den = 4*2*2 = 16).
+    val docs = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKneserNey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    val m = math.floor(math.log(13.0 / 16.0) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((3, 3 * m, "head")))
+    assert(out(2L) == ((1, m, "head")))
+    graft.functions.Caches.sweepOperatorCaches()
+  }
+
+  test("perplexityKneserNey: the continuation count (not raw frequency) drives backoff mass") {
+    import graft.functions.TextAnalysis
+    // (q1,x) and (q2,w) have IDENTICAL direct statistics (bc=1, cc=1,
+    // fol=1) and differ only in how many distinct contexts their target
+    // follows: pre(x)=5 vs pre(w)=1 — the defining KN quantity. With
+    // nb=6 bigram types: p(x|q1) = (1*6 + 3*1*5)/(4*6) = 21/24,
+    // p(w|q2) = (6 + 3)/(24) = 9/24.
+    val docs = Seq((1L, "p x"), (2L, "r x"), (3L, "s x"), (4L, "t x"),
+      (5L, "q1 x"), (6L, "q2 w")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKneserNey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mA = math.floor(math.log(21.0 / 24.0) * 1e6 + 0.5).toLong
+    val mB = math.floor(math.log(9.0 / 24.0) * 1e6 + 0.5).toLong
+    assert(out(5L) == mA && out(6L) == mB && mA > mB)
+    graft.functions.Caches.sweepOperatorCaches()
+  }
+
   test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val total = docs.count()
