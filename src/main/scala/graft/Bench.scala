@@ -127,7 +127,10 @@ object Bench {
     "agg_cube_lang_source", "events_pivot_daily", "unpivot_metrics",
     "events_range_frame_sum", "window_distribution_funcs",
     // round-10 second batch: Kneser-Ney continuation-count LM scoring
-    "text_perplexity_kn")
+    "text_perplexity_kn",
+    // round-10 third batch: secret scanning (per-token entropy HOFs),
+    // seeded-Laplace DP release, FIM reordering — all narrow scale paths
+    "secret_scan", "governance_dp_release", "seq_fim_transform")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -120,4 +120,43 @@ object Packing {
       .select("bucket", "slice", "batch_id", "n_docs", "max_tok", "n_tokens",
         "pad_tokens")
   }
+
+  /** Fill-in-the-middle (FIM) transformation (Bavarian et al. 2022 — the
+    * code-LM training-data op): deterministically split each document's
+    * token stream into prefix|middle|suffix at two seeded-hash cut points
+    * and re-emit it in PSM order (prefix, <SUF> suffix, <MID> middle), so
+    * an autoregressive model learns infilling. Cuts guarantee a nonempty
+    * prefix and middle (suffix may be empty); documents too short to
+    * split (< 2 tokens) pass through unchanged with `fim_applied = 0` —
+    * the standard FIM-rate carve-out. Entirely narrow per-row expression
+    * work (token slicing + hashes): zero shuffle at any scale. The
+    * emitted stream hashes (not full text) keep gate rows small; the
+    * oracle rebuilds the exact PSM string. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      seed: String = "fim42#"): DataFrame = {
+    def h(tag: String): Column =
+      conv(substring(md5(concat(lit(seed), lit(tag),
+        col(idCol).cast("string"))), 25, 8), 16, 10).cast("long")
+    val toks = split(col(textCol), " ")
+    val n = size(toks).cast("long")
+    val canFim = n >= 2
+    // cut1 in [1, n-1]: prefix = toks[1..cut1] nonempty, rest nonempty
+    val cut1 = when(canFim, pmod(h("|1|"), n - 1) + 1L).otherwise(n)
+    // cut2 in [cut1+1, n]: middle = toks[cut1+1..cut2] nonempty
+    val cut2 = when(canFim, cut1 + 1L + pmod(h("|2|"), n - cut1)).otherwise(n)
+    def joined(from: Column, len: Column): Column =
+      array_join(slice(toks, from.cast("int"), len.cast("int")), " ")
+    val psm = when(canFim,
+      concat(joined(lit(1L), cut1), lit(" <SUF> "),
+        joined(cut2 + 1L, n - cut2), lit(" <MID> "),
+        joined(cut1 + 1L, cut2 - cut1)))
+      .otherwise(col(textCol))
+    df.select(col(idCol), n.cast("int").as("n_tokens"),
+      canFim.cast("int").as("fim_applied"),
+      when(canFim, cut1).otherwise(lit(0L)).cast("int").as("prefix_len"),
+      when(canFim, cut2 - cut1).otherwise(lit(0L)).cast("int")
+        .as("middle_len"),
+      when(canFim, n - cut2).otherwise(lit(0L)).cast("int").as("suffix_len"),
+      md5(psm).as("psm_md5"))
+  }
 }

@@ -774,4 +774,34 @@ object Stats {
         (abs(col("resid_ppm")) > thresholdPpm).cast("int")
           .as("seasonal_anomaly"))
   }
+
+  /** ε-differentially-private count release (Dwork et al.'s Laplace
+    * mechanism over a unit-sensitivity histogram): per-group counts plus
+    * Laplace(1/ε) noise, so a published corpus-composition dashboard
+    * bounds what any single record reveals. The noise is SEEDED AND
+    * DETERMINISTIC — drawn by inverse-CDF from the 32-bit md5 slice of
+    * (seed, group key), the engine's portable hash — which is what makes
+    * the release reproducible across reruns AND lets the DuckDB oracle
+    * verify it bit-exactly; a production deployment that needs
+    * non-reproducible draws swaps the seed per release, nothing else.
+    * u is centered to (−1/2, 1/2) (the +0.5 offset keeps it off both
+    * endpoints, so the log never sees 0) and the noised count is
+    * released in exact micro-units. One partial-aggregable count
+    * shuffle; the noise is a narrow post-aggregation expression. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      epsilonPpm: Long, seed: String): DataFrame = {
+    require(epsilonPpm > 0, s"epsilonPpm must be positive: $epsilonPpm")
+    val b = 1e6 / epsilonPpm // Laplace scale 1/ε
+    val key = concat_ws("|",
+      lit("dp") +: lit(seed) +: groupCols.map(c => col(c).cast("string")): _*)
+    val h = conv(substring(md5(key), 25, 8), 16, 10).cast("long")
+    val centered = (h.cast("double") + 0.5) / 4294967296.0 - 0.5
+    val noise = signum(centered) * lit(-b) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .select(groupCols.map(col) ++ Seq(
+        (col("_n") * 1000000L +
+          floor(noise * 1e6 + 0.5).cast("long")).as("noisy_count_micro"),
+        lit(epsilonPpm).as("epsilon_ppm")): _*)
+  }
 }

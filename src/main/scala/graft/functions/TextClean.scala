@@ -70,4 +70,73 @@ object TextClean {
     df.select(col(idCol),
         blocklistHits(col(textCol), terms).as("n_blocklist_hits"))
       .withColumn("keep", col("n_blocklist_hits") === 0)
+
+  /** AWS-style access key ids: `AKIA` + 16 uppercase alphanumerics. */
+  val AwsKeyPattern = "^AKIA[0-9A-Z]{16}$"
+
+  /** JWT-shaped tokens: the `eyJ` base64url header prefix + 17+ token
+    * chars (every real JWT starts with base64url of `{"` = `eyJ`). */
+  val JwtPattern = "^eyJ[A-Za-z0-9._-]{17,}$"
+
+  /** 40-hex-char blobs (SHA-1s, many API token formats). */
+  val Hex40Pattern = "^[0-9a-f]{40}$"
+
+  /** Charset of generic machine-generated tokens (base64/base64url/hex). */
+  val SecretCharsetPattern = "^[A-Za-z0-9+/=_-]+$"
+
+  /** Shannon char entropy of one token, in micronats, quantize-then-sum
+    * (the charEntropy/perplexity exactness discipline): H = qln(len) −
+    * Σ n_c·qln(n_c) div len over the per-character counts. Pure
+    * expression — O(distinct²) per token via HOFs, no shuffle. */
+  def tokenEntropyMicronats(tok: Column): Column = {
+    def qln(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val chars = split(tok, "")
+    val counts = transform(array_distinct(chars),
+      d => size(filter(chars, c => c === d)).cast("long"))
+    val s = aggregate(counts, lit(0L), (acc, n) => acc + n * qln(n))
+    val len = length(tok).cast("long")
+    // s div len, expressed usable inside a lambda (expr() can't see
+    // lambda variables): s ≥ 0, len ≥ 1, s ≤ 40·qln(40) ≪ 2^53, so the
+    // double division is exact after subtracting the remainder
+    qln(len) - ((s - pmod(s, len)) / len).cast("long")
+  }
+
+  /** Secret/credential scanning census + scrub — the pretraining-corpus
+    * hygiene step PII redaction does not cover (leaked API keys and
+    * tokens in crawled code/docs are a memorization liability, distinct
+    * from emails/phones). Three explicit pattern classes (AWS key id,
+    * JWT, 40-hex) plus the generic detector real scanners rely on:
+    * long (≥ `minLen`) single-charset tokens whose character entropy
+    * clears `minEntropyMicronats` (machine-generated randomness scores
+    * near ln(alphabet); natural words are short and repetitive).
+    * Classes overlap by design — the census counts each independently;
+    * `n_secret_tokens` and the scrub use the union. Everything is one
+    * narrow codegen'd select over the token array (HOF filters + the
+    * per-token entropy expression): zero shuffle, embarrassingly
+    * parallel at 100 TB. */
+  def secretScan(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minLen: Int = 20,
+      minEntropyMicronats: Long = 2300000L): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    def highEntropy(t: Column): Column =
+      (length(t) >= minLen) && t.rlike(SecretCharsetPattern) &&
+        (tokenEntropyMicronats(t) >= minEntropyMicronats)
+    def isSecret(t: Column): Column =
+      t.rlike(AwsKeyPattern) || t.rlike(JwtPattern) ||
+        t.rlike(Hex40Pattern) || highEntropy(t)
+    df.select(col(idCol),
+      size(filter(toks, isSecret(_))).cast("int").as("n_secret_tokens"),
+      size(filter(toks, t => t.rlike(AwsKeyPattern))).cast("int")
+        .as("n_aws_keys"),
+      size(filter(toks, t => t.rlike(JwtPattern))).cast("int").as("n_jwt"),
+      size(filter(toks, t => t.rlike(Hex40Pattern))).cast("int")
+        .as("n_hex40"),
+      size(filter(toks, highEntropy(_))).cast("int").as("n_high_entropy"),
+      array_max(transform(toks, tokenEntropyMicronats(_)))
+        .as("max_token_entropy_micronats"),
+      md5(array_join(transform(toks,
+          t => when(isSecret(t), lit("[SECRET]")).otherwise(t)), " "))
+        .as("scrubbed_md5"))
+  }
 }

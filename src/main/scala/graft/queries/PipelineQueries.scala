@@ -1612,6 +1612,131 @@ object PipelineQueries {
               |  md5(regexp_replace(no_email, '${TextClean.PhonePattern}', '[PHONE]', 'g')) AS redacted_md5
               |FROM r ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("secret_scan",
+      // credential/secret scanning census + scrub — the corpus-hygiene
+      // step PII redaction does not cover. The synthetic corpus carries
+      // no secrets, so the query injects deterministic ones (AWS key id
+      // on doc_id%7, JWT-shaped on %11, 40-hex on %13 — both engines
+      // build the identical input, the pii_redact fixture discipline);
+      // classes overlap by design and the high-entropy detector uses the
+      // exact quantize-then-sum micronat entropy
+      (s, dir) => {
+        def idS = col("doc_id").cast("string")
+        def aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" AKIA"),
+              upper(substring(md5(concat(lit("sk"), idS)), 1, 16))))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" eyJ"),
+              substring(md5(concat(lit("jwt"), idS)), 1, 24)))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" "), md5(concat(lit("hex"), idS)),
+              substring(md5(concat(lit("hex2"), idS)), 1, 8)))
+            .otherwise(lit("")))
+        TextClean.secretScan(
+            Tables.documents(s, dir).select(col("doc_id"), aug.as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 7 = 0 THEN ' AKIA' || upper(substr(md5('sk' || CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END
+             |  || CASE WHEN doc_id % 11 = 0 THEN ' eyJ' || substr(md5('jwt' || CAST(doc_id AS VARCHAR)), 1, 24) ELSE '' END
+             |  || CASE WHEN doc_id % 13 = 0 THEN ' ' || md5('hex' || CAST(doc_id AS VARCHAR)) || substr(md5('hex2' || CAST(doc_id AS VARCHAR)), 1, 8) ELSE '' END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM a),
+             |occ AS (SELECT doc_id, i, tk[i] AS tok
+             |        FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)),
+             |toku AS (SELECT DISTINCT tok FROM occ),
+             |cc AS (SELECT tok, c, count(*) AS n
+             |       FROM (SELECT tok, unnest(regexp_extract_all(tok, '.')) AS c FROM toku)
+             |       GROUP BY 1, 2),
+             |ent AS (SELECT tok,
+             |          CAST(CAST(floor(ln(CAST(sum(n) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |            - sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) // sum(n)
+             |            AS BIGINT) AS e
+             |        FROM cc GROUP BY tok),
+             |cls AS (SELECT tok, e,
+             |          regexp_full_match(tok, 'AKIA[0-9A-Z]{16}') AS is_aws,
+             |          regexp_full_match(tok, 'eyJ[A-Za-z0-9._-]{17,}') AS is_jwt,
+             |          regexp_full_match(tok, '[0-9a-f]{40}') AS is_hex40,
+             |          (len(tok) >= 20 AND regexp_full_match(tok, '[A-Za-z0-9+/=_-]+') AND e >= 2300000) AS is_he
+             |        FROM ent),
+             |j AS (SELECT doc_id, i, tok, e, is_aws, is_jwt, is_hex40, is_he,
+             |        (is_aws OR is_jwt OR is_hex40 OR is_he) AS is_sec
+             |      FROM occ JOIN cls USING (tok)),
+             |agg AS (SELECT doc_id,
+             |          CAST(sum(CASE WHEN is_sec THEN 1 ELSE 0 END) AS INT) AS n_secret_tokens,
+             |          CAST(sum(CASE WHEN is_aws THEN 1 ELSE 0 END) AS INT) AS n_aws_keys,
+             |          CAST(sum(CASE WHEN is_jwt THEN 1 ELSE 0 END) AS INT) AS n_jwt,
+             |          CAST(sum(CASE WHEN is_hex40 THEN 1 ELSE 0 END) AS INT) AS n_hex40,
+             |          CAST(sum(CASE WHEN is_he THEN 1 ELSE 0 END) AS INT) AS n_high_entropy,
+             |          max(e) AS max_token_entropy_micronats
+             |        FROM j GROUP BY doc_id),
+             |scr AS (SELECT doc_id,
+             |          md5(string_agg(CASE WHEN is_sec THEN '[SECRET]' ELSE tok END, ' ' ORDER BY i)) AS scrubbed_md5
+             |        FROM j GROUP BY doc_id)
+             |SELECT doc_id, n_secret_tokens, n_aws_keys, n_jwt, n_hex40,
+             |  n_high_entropy, max_token_entropy_micronats, scrubbed_md5
+             |FROM agg JOIN scr USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("governance_dp_release",
+      // ε-differentially-private corpus-composition release (Laplace
+      // mechanism, ε = 0.5): per-(lang, source) counts + seeded
+      // deterministic Laplace noise drawn by inverse CDF from the 32-bit
+      // md5 slice — reproducible across reruns and bit-exactly verified
+      // by the oracle; a production release swaps the seed, nothing else
+      (s, dir) => graft.functions.Stats.dpNoisyCounts(
+          Tables.documents(s, dir), Seq("lang", "source"),
+          epsilonPpm = 500000L, seed = "r10dp")
+        .orderBy("lang", "source"),
+      Some(s"""WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+              |h AS (SELECT lang, source, n,
+              |        ${md5SliceSql("'dp|r10dp|' || lang || '|' || source")} AS hv
+              |      FROM c),
+              |u AS (SELECT lang, source, n,
+              |        (CAST(hv AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS cu
+              |      FROM h)
+              |SELECT lang, source,
+              |  CAST(n * 1000000 + CAST(floor(
+              |    ((CASE WHEN cu >= 0 THEN -1.0 ELSE 1.0 END) * 2.0
+              |      * ln(1 - 2 * abs(cu))) * 1000000 + 0.5) AS BIGINT) AS BIGINT)
+              |    AS noisy_count_micro,
+              |  CAST(500000 AS BIGINT) AS epsilon_ppm
+              |FROM u ORDER BY lang, source""".stripMargin)),
+
+    QueryDef("seq_fim_transform",
+      // fill-in-the-middle (PSM) reordering with seeded-hash cut points —
+      // nonempty prefix/middle guaranteed, suffix may be empty, < 2-token
+      // docs pass through with fim_applied = 0; oracle rebuilds the exact
+      // PSM string from the same 32-bit md5-slice hashes
+      (s, dir) => Packing.fimTransform(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+              |c AS (SELECT doc_id, text, tk, len(tk) AS n,
+              |        ${md5SliceSql("'fim42#|1|' || CAST(doc_id AS VARCHAR)")} AS h1,
+              |        ${md5SliceSql("'fim42#|2|' || CAST(doc_id AS VARCHAR)")} AS h2
+              |      FROM t),
+              |d AS (SELECT doc_id, text, tk, n, h2,
+              |        CASE WHEN n >= 2 THEN h1 % (n - 1) + 1 ELSE n END AS cut1
+              |      FROM c),
+              |e AS (SELECT doc_id, text, tk, n, cut1,
+              |        CASE WHEN n >= 2 THEN cut1 + 1 + h2 % (n - cut1) ELSE n END AS cut2
+              |      FROM d)
+              |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+              |  CAST(n >= 2 AS INT) AS fim_applied,
+              |  CAST(CASE WHEN n >= 2 THEN cut1 ELSE 0 END AS INT) AS prefix_len,
+              |  CAST(CASE WHEN n >= 2 THEN cut2 - cut1 ELSE 0 END AS INT) AS middle_len,
+              |  CAST(CASE WHEN n >= 2 THEN n - cut2 ELSE 0 END AS INT) AS suffix_len,
+              |  md5(CASE WHEN n >= 2
+              |      THEN array_to_string(tk[1:CAST(cut1 AS INT)], ' ') || ' <SUF> '
+              |        || coalesce(array_to_string(tk[CAST(cut2 + 1 AS INT):CAST(n AS INT)], ' '), '') || ' <MID> '
+              |        || array_to_string(tk[CAST(cut1 + 1 AS INT):CAST(cut2 AS INT)], ' ')
+              |      ELSE text END) AS psm_md5
+              |FROM e ORDER BY doc_id""".stripMargin)),
+
     QueryDef("text_strip_markup",
       // HTML-to-text gate: wrap each doc in deterministic markup, strip it,
       // and prove the round trip recovers the original text exactly

@@ -181,4 +181,70 @@ class ClassifierSpec extends AnyFunSuite {
     assert(starts / toks > 0.02 && starts / toks < 0.10,
       s"start rate ${starts / toks}")
   }
+
+  test("secretScan: pattern classes, entropy detector, and scrub on a hand fixture") {
+    import graft.functions.TextClean
+    val awsKey = "AKIA" + "ABCD1234EFGH5678" // 20 chars, matches AKIA class
+    val jwt = "eyJhbGciOiJIUzI1NiJ9.payload" // eyJ prefix, > 20 token chars
+    val hex40 = "a" * 4 + "0123456789abcdef0123456789abcdef0123" // 40 hex
+    val highEnt = "Zq3Xw9Lp2Mn7Rt5Vk8Jd" // 20 chars, all distinct -> ln(20)
+    val docs = Seq(
+      (1L, s"normal words then $awsKey appears"),
+      (2L, s"token $jwt and blob $hex40"),
+      (3L, s"entropy bomb $highEnt here"),
+      (4L, "just plain low entropy words")).toDF("doc_id", "text")
+    val out = TextClean.secretScan(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getLong(6)))).toMap
+    // (n_secret, n_aws, n_jwt, n_hex40, n_high_entropy, max_entropy)
+    assert(out(1L)._2 == 1 && out(1L)._1 == 1)
+    assert(out(2L)._3 == 1 && out(2L)._4 == 1 && out(2L)._1 == 2)
+    // 20 distinct chars: entropy exactly ln(20) micronats, clears 2.3
+    val ln20 = math.floor(math.log(20.0) * 1e6 + 0.5).toLong
+    assert(out(3L)._5 == 1 && out(3L)._6 == ln20)
+    assert(out(4L)._1 == 0 && out(4L)._5 == 0)
+    // the scrub replaces exactly the flagged tokens
+    val scrubbed = TextClean.secretScan(docs, "doc_id", "text")
+      .filter($"doc_id" === 2L).select("scrubbed_md5").head().getString(0)
+    val expect = docs.filter($"doc_id" === 2L)
+      .select(md5(lit("token [SECRET] and blob [SECRET]"))).head().getString(0)
+    assert(scrubbed == expect)
+  }
+
+  test("fimTransform: cut invariants, passthrough carve-out, and the exact PSM hash") {
+    import graft.functions.Packing
+    val docs = Seq((1L, "one"), (2L, "a b"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val out = Packing.fimTransform(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getString(6)))).toMap
+    // 1-token doc: passthrough, md5 of the original text
+    assert(out(1L)._1 == 1 && out(1L)._2 == 0 &&
+      out(1L)._6 == docs.sparkSession.range(1)
+        .select(md5(lit("one"))).head().getString(0))
+    // applied docs: nonempty prefix and middle, lens partition n
+    Seq(2L, 3L).foreach { id =>
+      val (n, applied, p, m, s, _) = out(id)
+      assert(applied == 1 && p >= 1 && m >= 1 && s >= 0 && p + m + s == n)
+    }
+    // replicate the seeded cuts in plain JVM md5 and pin the exact PSM
+    def slice32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(24, 32), 16)
+    }
+    val toks = "w1 w2 w3 w4 w5 w6 w7 w8".split(" ")
+    val n = toks.length.toLong
+    val cut1 = (slice32("fim42#|1|3") % (n - 1) + 1).toInt
+    val cut2 = (cut1 + 1 + slice32("fim42#|2|3") % (n - cut1)).toInt
+    val psm = toks.take(cut1).mkString(" ") + " <SUF> " +
+      toks.drop(cut2).mkString(" ") + " <MID> " +
+      toks.slice(cut1, cut2).mkString(" ")
+    val expect = docs.sparkSession.range(1)
+      .select(md5(lit(psm))).head().getString(0)
+    assert(out(3L)._6 == expect, s"cut1=$cut1 cut2=$cut2 psm='$psm'")
+    assert(out(3L)._3 == cut1 && out(3L)._4 == cut2 - cut1)
+  }
 }

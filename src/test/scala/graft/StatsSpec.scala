@@ -471,4 +471,28 @@ class StatsSpec extends AnyFunSuite {
       .select("cusum_peak", "peak_day").as[(Long, String)].head()
     assert(got == ((4L, "2024-05-01")))
   }
+
+  test("dpNoisyCounts: seeded Laplace release — reproducible, seed-sensitive, bounded noise") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    def release(seed: String) =
+      Stats.dpNoisyCounts(df, Seq("g"), epsilonPpm = 500000L, seed = seed)
+        .select("g", "noisy_count_micro").as[(String, Long)]
+        .collect().toMap
+    val a = release("s1")
+    // deterministic: the same seed reproduces the release bit-exactly
+    assert(release("s1") == a)
+    // a different seed draws different noise (3 groups — collision odds nil)
+    assert(release("s2") != a)
+    // every noised count = true*1e6 + noise with |noise| <= b*ln(2^32)
+    // micro-units (the inverse-CDF tail bound at 32-bit resolution)
+    val bound = (2.0 * math.log(4294967296.0) * 1e6).toLong
+    a.foreach { case (g, noisy) =>
+      val err = noisy - 100L * 1000000L
+      assert(math.abs(err) <= bound && err != 0L, s"$g: $err")
+    }
+    // epsilon rides the release for auditability
+    val eps = Stats.dpNoisyCounts(df, Seq("g"), 500000L, "s1")
+      .select("epsilon_ppm").distinct().as[Long].collect().toSeq
+    assert(eps == Seq(500000L))
+  }
 }
