@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a session built with spark.sql.extensions=graft.plans.GraftExtensions
     // plans TopKPerKey nodes without any runtime registration
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // and the optimizer rewrite that routes USER-written window top-k
+    // (filter(row_number().over(...) <= k)) onto that operator
+    e.injectOptimizerRule(_ => TopKRewrite)
   }
 }
 

@@ -320,6 +320,72 @@ class PipelineJoinsSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.topk.partialMaxKeys")
   }
 
+  test("TopKRewrite: user-written window top-k rewrites to the heap operator, results identical") {
+    import org.apache.spark.sql.expressions.Window
+    // isolated session: experimental rules/strategies are per-session
+    // state, so the shared suite session's plans stay untouched
+    val s2 = spark.newSession()
+    graft.plans.TopKRewrite.enable(s2)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def topk(s: org.apache.spark.sql.SparkSession) =
+      Tables.orders(s, GraftTestSpark.Sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    val rewritten = topk(s2)
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    // Spark's own InferWindowGroupLimit leaves a WindowGroupLimit below —
+    // a bonus partial stage; "Window [" matches only the full window node
+    assert(opt.contains("TopKPerKey") && !opt.contains("Window ["), opt)
+    val phys = rewritten.queryExecution.executedPlan.toString
+    assert(phys.contains("TopKPerKey") && !phys.contains("+- Sort") &&
+      !phys.contains("Window ["), phys)
+    val got = rewritten.as[(Long, Long, Int)].collect().sorted.toSeq
+    val want = topk(spark).as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("TopKRewrite: residual predicates survive on top (pagination), rank refs resolve") {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark.newSession()
+    graft.plans.TopKRewrite.enable(s2)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def page(s: org.apache.spark.sql.SparkSession) =
+      Tables.orders(s, GraftTestSpark.Sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4 && col("rn") >= 2 &&
+          col("o_orderstatus") =!= "Z")
+        .select(col("o_custkey"), col("o_orderkey"), (col("rn") * 10).as("r10"))
+    val rewritten = page(s2)
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    assert(opt.contains("TopKPerKey") && !opt.contains("Window ["), opt)
+    val got = rewritten.as[(Long, Long, Int)].collect().sorted.toSeq
+    val want = page(spark).as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("TopKRewrite guards: rank(), huge k, and global windows are left alone") {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = spark.newSession()
+    graft.plans.TopKRewrite.enable(s2)
+    val orders = Tables.orders(s2, GraftTestSpark.Sf0001)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rank() has different tie semantics — must not rewrite
+    val r1 = orders.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    assert(r1.queryExecution.optimizedPlan.toString.contains("Window ["))
+    // k beyond the heap-memory guard — must not rewrite
+    val r2 = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10000000)
+    assert(r2.queryExecution.optimizedPlan.toString.contains("Window ["))
+    // always-false bound (rn <= 0) — left to Spark's own simplification
+    val r3 = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 0)
+    assert(!r3.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+  }
+
   test("rangeJoin == brute-force inequality join on randomized data") {
     import graft.operators.Joins
     val rnd = new scala.util.Random(7)
