@@ -130,7 +130,8 @@ object Bench {
     "text_perplexity_kn",
     // round-10 third batch: secret scanning (per-token entropy HOFs),
     // seeded-Laplace DP release, FIM reordering — all narrow scale paths
-    "secret_scan", "governance_dp_release", "seq_fim_transform")
+    "secret_scan", "governance_dp_release", "seq_fim_transform",
+    "cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

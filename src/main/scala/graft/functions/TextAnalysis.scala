@@ -1071,6 +1071,46 @@ object TextAnalysis {
           lit(width)), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC family, at word
+    * granularity): a chunk boundary falls AFTER token i wherever the hash
+    * of the w-token window ending at i is ≡ 0 (mod `modulus`), plus a
+    * forced boundary at the end — so boundaries are determined by LOCAL
+    * content, and an insertion near the start of a document shifts every
+    * fixed-width chunk but leaves all content-defined chunks beyond the
+    * edit identical. That self-synchronization is why storage dedup and
+    * incremental corpus sync chunk this way instead of [[chunk]]'s fixed
+    * windows: re-crawled pages with small edits re-share all but O(1)
+    * chunks. Expected chunk length ≈ `modulus` tokens. One row per chunk
+    * with its span and content hash — groupBy(chunk_md5) downstream gives
+    * the corpus dedup ratio. Entirely narrow expression work (window
+    * hashes + boundary filter per doc) then one explode: linear, zero
+    * shuffle, embarrassingly parallel at 100 TB. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, modulus: Int = 16): DataFrame = {
+    require(w >= 1 && modulus >= 2, "w >= 1; modulus >= 2")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // interior boundary candidates: window positions w..n-1 (sequence()
+    // runs DESCENDING when its bounds invert, hence the n > w guard)
+    val interior = filter(
+      when(n > w, sequence(lit(w), n - 1))
+        .otherwise(array().cast("array<int>")),
+      i => pmod(Sampling.hashSlice32(concat_ws(" ",
+          (0 until w).map(o => element_at(toks, i - lit(w - 1) + lit(o))): _*)),
+        lit(modulus.toLong)) === 0L)
+    val bpos = concat(interior, array(n))
+    df.select(col(idCol), toks.as("_tk"), bpos.as("_b"))
+      .select(col(idCol), col("_tk"), col("_b"),
+        posexplode(col("_b")).as(Seq("_j", "_end")))
+      .withColumn("_start", when(col("_j") === 0, lit(1))
+        .otherwise(element_at(col("_b"), col("_j")) + 1))
+      .select(col(idCol), (col("_j") + 1).as("chunk_idx"),
+        col("_start").as("start_pos"),
+        (col("_end") - col("_start") + 1).as("chunk_len"),
+        md5(array_join(slice(col("_tk"), col("_start"),
+          col("_end") - col("_start") + 1), " ")).as("chunk_md5"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene/Okapi
     * scoring every search stack ships): top-k documents per query, where
     * `score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`

@@ -819,6 +819,37 @@ object PipelineQueries {
              |            (a, b) -> (a * 31 + b) % 1000000007) END AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("cdc_chunks",
+      // content-defined chunking (Rabin/FastCDC at word granularity):
+      // boundaries where the 4-token window hash ≡ 0 (mod 16) — local
+      // content decides the cut, so edits only perturb O(1) chunks
+      // (the storage-dedup / incremental-sync property fixed windows
+      // lack); oracle recomputes every window hash, boundary, and span
+      (s, dir) => TextAnalysis.cdcChunks(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx"),
+      Some {
+        val winHash = md5SliceSql(
+          "tk[i-3] || ' ' || tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i]")
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |b AS (SELECT doc_id, tk, len(tk) AS n,
+           |        list_append(
+           |          CASE WHEN len(tk) > 4 THEN
+           |            list_filter(generate_series(4, len(tk) - 1),
+           |              i -> ($winHash) % 16 = 0)
+           |          ELSE CAST([] AS BIGINT[]) END, len(tk)) AS bp
+           |      FROM t),
+           |c AS (SELECT doc_id, tk, bp, unnest(generate_series(1, len(bp))) AS j FROM b),
+           |d AS (SELECT doc_id, tk, bp, j,
+           |        CASE WHEN j = 1 THEN 1 ELSE bp[CAST(j - 1 AS INT)] + 1 END AS st
+           |      FROM c)
+           |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           |  CAST(st AS INT) AS start_pos,
+           |  CAST(bp[CAST(j AS INT)] - st + 1 AS INT) AS chunk_len,
+           |  md5(array_to_string(tk[CAST(st AS INT):CAST(bp[CAST(j AS INT)] AS INT)], ' ')) AS chunk_md5
+           |FROM d ORDER BY doc_id, chunk_idx""".stripMargin
+      }),
+
     QueryDef("winnow_fingerprints",
       // winnowing (Schleimer et al. 2003, MOSS): min-hash of each sliding
       // window of w=4 gram hashes over k=3-word grams, leftmost ties,

@@ -854,6 +854,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     graft.functions.Caches.sweepOperatorCaches()
   }
 
+  test("cdcChunks: chunks tile the document exactly and boundaries are content-local") {
+    import graft.functions.TextAnalysis
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    // same content with 2 tokens inserted at the FRONT: every chunk
+    // beyond the first boundary after the edit must re-appear unchanged
+    val edited = "zzz yyy " + base
+    val docs = Seq((1L, base), (2L, edited), (3L, "short doc"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    // tiling: contiguous spans covering 1..n per doc
+    Seq(1L -> 60, 2L -> 62, 3L -> 2).foreach { case (id, n) =>
+      val cs = rows.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1 && cs.map(_._4).sum == n)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4)
+        case _ =>
+      }
+    }
+    // reconstruct: chunk md5s of doc 1's own slices
+    val toks = base.split(" ")
+    rows.filter(_._1 == 1L).foreach { case (_, _, st, ln, m) =>
+      val expect = docs.sparkSession.range(1)
+        .select(md5(lit(toks.slice(st - 1, st - 1 + ln).mkString(" "))))
+        .head().getString(0)
+      assert(m == expect)
+    }
+    // self-synchronization: the edited doc re-shares every chunk of the
+    // base doc except those overlapping the edit region (first chunk)
+    val baseHashes = rows.filter(_._1 == 1L).map(_._5).toSet
+    val editHashes = rows.filter(_._1 == 2L).map(_._5).toSet
+    val shared = baseHashes intersect editHashes
+    assert(shared.size >= baseHashes.size - 1,
+      s"shared ${shared.size} of ${baseHashes.size}")
+    // a 2-token doc (< w) is exactly one chunk
+    assert(rows.count(_._1 == 3L) == 1)
+  }
+
   test("winnow_select: array<int> input fails at analysis time with a clear error") {
     // the native expression validates its child type up front —
     // array<int> must raise an AnalysisException naming the expected
