@@ -243,6 +243,17 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("cdc_chunks: the inferred generate filter never re-evaluates the boundary expression") {
+    // the InferFiltersFromGenerate trap (SCALING.md round-10): without
+    // the persist barrier, `size(_b) > 0` is pushed into the scan with
+    // the whole boundary lambda inlined — 50x the query's real work.
+    // Pin: no Filter line in the executed plan carries a lambda.
+    val p = planOf("cdc_chunks")
+    val offending = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("lambdafunction"))
+    assert(offending.isEmpty, p)
+  }
+
   test("catalog hygiene: unique names; every oracle names every output column") {
     val names = Catalog.all.map(_.name)
     assert(names.distinct.size == names.size,
