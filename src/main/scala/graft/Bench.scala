@@ -131,7 +131,12 @@ object Bench {
     // round-10 third batch: secret scanning (per-token entropy HOFs),
     // seeded-Laplace DP release, FIM reordering — all narrow scale paths
     "secret_scan", "governance_dp_release", "seq_fim_transform",
-    "cdc_chunks")
+    "cdc_chunks",
+    // round-10 fourth batch: distributed suffix-array construction —
+    // deliberately the catalog's heaviest entries (O(log maxLCP) global
+    // ranking rounds per run); their cost IS the operator, not a plan
+    // defect (see SCALING.md round-10)
+    "suffix_ranks", "suffix_repeats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,183 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling (the
+  * Manber–Myers scheme, the structure behind exact-substring dedup in
+  * Lee et al. 2022's `deduplicate-text-datasets`): every (doc, pos)
+  * suffix of the token stream gets its GLOBAL dense lexicographic rank,
+  * in O(log maxLCP) rounds of pure relational work — each round one
+  * equi-self-join (shift by k) plus one distinct-key ranking. No suffix
+  * string is ever materialized; ranks refine from single tokens (k=1)
+  * by doubling until a fixed point.
+  *
+  * Ordering contract: suffixes compare as token SEQUENCES, which equals
+  * space-joined string order because ' ' sorts below every token
+  * character — the property that lets the DuckDB oracle verify ranks
+  * with one `dense_rank() OVER (ORDER BY suffix_string)`. A suffix that
+  * is a proper prefix of another ranks first (missing rank at pos+k is
+  * the sentinel 0, below every real rank). EQUAL suffixes (exact-dup
+  * documents) share a rank forever — dense_rank semantics — so the loop
+  * terminates on rank-refinement fixed point, not on all-distinct.
+  *
+  * Scale shape: no global window anywhere. Global dense ranks are
+  * assigned by range-partitioning the distinct keys, collecting ONE
+  * long per partition (bounded driver metadata), and numbering within
+  * partitions under a partition-local window — the same bucket-offset
+  * discipline as `Packing.concatBlocks`. Per round: the (doc, pos+k)
+  * shift join and the key ranking both hash/range-shuffle n rows; rounds
+  * are bounded by log2 of the longest repeated prefix, and each round's
+  * frame is eagerly localCheckpoint'd with the previous round's blocks
+  * released immediately (rolling single-checkpoint memory footprint).
+  */
+object SuffixArray {
+
+  /** Dense 1-based global ranks of the DISTINCT key rows, ordered by
+    * `keyCols` lexicographically, with no global window: range-partition,
+    * per-partition counts to the driver (numPartitions longs), offsets +
+    * partition-local row_number. The returned frame must be consumed
+    * while `pinned` stays persisted (range boundaries are sampled; the
+    * persist pins them) — the caller unpersists after its round lands. */
+  private def keyRanks(distinct: DataFrame, keyCols: Seq[String],
+      nParts: Int, pinned: ArrayBuffer[DataFrame]): (DataFrame, Long) = {
+    val parted = distinct
+      .repartitionByRange(nParts, keyCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    pinned += parted
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }.dropRight(1)
+    val offExpr = element_at(array(offs.map(lit): _*), col("_pid") + 1)
+    val w = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
+    // the partial-count collect doubles as the distinct total, so the
+    // fixed-point check costs no extra pass over the rank frame
+    (parted.withColumn("_rank",
+      row_number().over(w).cast("long") + offExpr),
+      counts.values.sum)
+  }
+
+  /** One eagerly-materialized checkpoint per round, releasing the
+    * previous round's blocks as soon as the new one lands. The FINAL
+    * checkpoint is never released here — the returned frame is built on
+    * it (lineage is severed, it could not recompute). */
+  private final class RollingCheckpoint {
+    private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
+    def apply(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = true)
+      val rdd = out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      require(rdd.isDefined,
+        "RollingCheckpoint: no LogicalRDD leaf — release tracking would leak")
+      prev.foreach(_.unpersist(blocking = false))
+      prev = rdd
+      out
+    }
+  }
+
+  /** Global dense lexicographic rank of every within-document token
+    * suffix: (doc, pos 1-based, suffix_rank). See object doc. */
+  def suffixRanks(df: DataFrame, idCol: String, textCol: String,
+      nParts: Int = 32, maxRounds: Int = 64): DataFrame = {
+    val pinned = ArrayBuffer.empty[DataFrame]
+    val ckpt = new RollingCheckpoint
+    try {
+      val suff = df
+        .select(col(idCol).as("_doc"), split(col(textCol), " ").as("_tk"))
+        .select(col("_doc"), posexplode(col("_tk")).as(Seq("_p0", "_tok")))
+        .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_tok"))
+        .persist()
+      pinned += suff
+      // round 0: rank by the single token at each position
+      val (tokRanks, nTok) = keyRanks(suff.select("_tok").distinct(),
+        Seq("_tok"), nParts, pinned)
+      var ranks = ckpt(suff
+        .join(tokRanks.select(col("_tok"), col("_rank")).hint("shuffle_hash"),
+          Seq("_tok"))
+        .select(col("_doc"), col("_pos"), col("_rank")))
+      var nDistinct = nTok
+      var k = 1L
+      var round = 0
+      var fixed = false
+      while (!fixed && round < maxRounds) {
+        round += 1
+        // shift join: rank of the suffix k positions later (0 = past end)
+        val shifted = ranks
+          .join(ranks.select(col("_doc"), (col("_pos") - k).as("_pos"),
+            col("_rank").as("_r2")).hint("shuffle_hash"),
+            Seq("_doc", "_pos"), "left")
+          .select(col("_doc"), col("_pos"), col("_rank").as("_r1"),
+            coalesce(col("_r2"), lit(0L)).as("_r2"))
+        val (pairRanks, nd) = keyRanks(
+          shifted.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"),
+          nParts, pinned)
+        // fixed point: the (r1, r2) partition equals the previous one, and
+        // both numberings are dense in the same order — so the join-back
+        // would reproduce the EXACT same rank values; skip it entirely
+        fixed = nd == nDistinct
+        if (!fixed) {
+          ranks = ckpt(shifted
+            .join(pairRanks
+                .select(col("_r1"), col("_r2"), col("_rank")).hint("shuffle_hash"),
+              Seq("_r1", "_r2"))
+            .select(col("_doc"), col("_pos"), col("_rank")))
+          nDistinct = nd
+        }
+        k *= 2
+      }
+      ranks.select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
+        col("_rank").as("suffix_rank"))
+    } finally {
+      // the final frame is a checkpoint — independent of every pinned
+      // intermediate, so their blocks release here unconditionally
+      pinned.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Adjacent-rank longest-common-prefix census over the suffix array —
+    * the repeated-substring detector exact-substring dedup builds on:
+    * consecutive DISTINCT ranks r, r+1 name lexicographically adjacent
+    * suffix groups, and their LCP is the length of a substring occurring
+    * in both groups' positions. One representative (doc, pos) per rank
+    * (min — any member has the same token sequence... of its own suffix;
+    * equal-rank suffixes are identical sequences, so the representative
+    * is canonical), capped prefix comparison (`cap` tokens), top-`topK`
+    * by (lcp desc, rank asc). */
+  def suffixRepeats(df: DataFrame, idCol: String, textCol: String,
+      cap: Int = 30, topK: Int = 50, nParts: Int = 32): DataFrame = {
+    val ranks = suffixRanks(df, idCol, textCol, nParts)
+    val toks = df.select(col(idCol).as("_d"), split(col(textCol), " ").as("_tk"))
+    // one representative suffix per rank: the (doc, pos) min — members of
+    // a rank are token-identical suffixes, so any member represents
+    val reps = ranks
+      .groupBy(col("suffix_rank"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_m"),
+        count(lit(1)).as("n_suffixes"))
+      .select(col("suffix_rank"), col("_m").getField(idCol).as("_d"),
+        col("_m.pos").as("_pos"), col("n_suffixes"))
+      .join(toks, Seq("_d"))
+      .select(col("suffix_rank"), col("_d"), col("_pos"), col("n_suffixes"),
+        slice(col("_tk"), col("_pos"), lit(cap)).as("_pref"))
+    val a = reps.select(col("suffix_rank"), col("_d").as("doc_a"),
+      col("_pos").as("pos_a"), col("n_suffixes").as("n_a"),
+      col("_pref").as("_pa"))
+    val b = reps.select((col("suffix_rank") - 1).as("suffix_rank"),
+      col("_d").as("doc_b"), col("_pos").as("pos_b"), col("_pref").as("_pb"))
+    val lcp = size(filter(sequence(lit(1), least(size(col("_pa")),
+        size(col("_pb")), lit(cap))),
+      i => slice(col("_pa"), lit(1), i) === slice(col("_pb"), lit(1), i)))
+    a.join(b, Seq("suffix_rank"))
+      .select(col("suffix_rank"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"),
+        greatest(lcp, lit(0)).cast("int").as("lcp_tokens"))
+      .orderBy(col("lcp_tokens").desc, col("suffix_rank").asc)
+      .limit(topK)
+  }
+}

@@ -819,6 +819,55 @@ object PipelineQueries {
              |            (a, b) -> (a * 31 + b) % 1000000007) END AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("suffix_ranks",
+      // distributed suffix-array construction (Manber-Myers prefix
+      // doubling): global dense lexicographic rank of every (doc, pos)
+      // token suffix in O(log maxLCP) relational rounds — the structure
+      // behind Lee et al.'s exact-substring dedup. No global window
+      // (bucket-offset dense ranking); oracle is ONE dense_rank over the
+      // materialized suffix strings, exact because token-sequence order
+      // equals space-joined string order
+      (s, dir) => graft.functions.SuffixArray.suffixRanks(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, i AS pos,
+             |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t))
+             |SELECT doc_id, CAST(pos AS INT) AS pos,
+             |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+             |FROM s ORDER BY doc_id, pos""".stripMargin)),
+
+    QueryDef("suffix_repeats",
+      // adjacent-rank LCP census over the suffix array: the repeated-
+      // substring detector exact-substring dedup builds on — consecutive
+      // ranks are lexicographic neighbors, their common prefix is a
+      // substring occurring at both positions; capped at 30 tokens,
+      // top-50 by (lcp desc, rank)
+      (s, dir) => graft.functions.SuffixArray.suffixRepeats(
+          Tables.documents(s, dir), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, tk, i AS pos,
+             |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)),
+             |r AS (SELECT doc_id, tk, pos,
+             |        CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS rk
+             |      FROM s),
+             |reps AS (SELECT rk, doc_id, pos, pref FROM (
+             |    SELECT rk, doc_id, pos,
+             |      row_number() OVER (PARTITION BY rk ORDER BY doc_id, pos) AS rn,
+             |      tk[CAST(pos AS INT):CAST(least(pos + 29, len(tk)) AS INT)] AS pref
+             |    FROM r) WHERE rn = 1),
+             |j AS (SELECT a.rk AS suffix_rank, a.doc_id AS doc_a, a.pos AS pos_a,
+             |        b.doc_id AS doc_b, b.pos AS pos_b,
+             |        len(list_filter(generate_series(1, least(len(a.pref), len(b.pref), 30)),
+             |          i -> a.pref[1:CAST(i AS INT)] = b.pref[1:CAST(i AS INT)])) AS lcp
+             |      FROM reps a JOIN reps b ON b.rk = a.rk + 1)
+             |SELECT suffix_rank, doc_a, CAST(pos_a AS INT) AS pos_a,
+             |  doc_b, CAST(pos_b AS INT) AS pos_b,
+             |  CAST(greatest(lcp, 0) AS INT) AS lcp_tokens
+             |FROM j ORDER BY lcp_tokens DESC, suffix_rank ASC LIMIT 50""".stripMargin)),
+
     QueryDef("cdc_chunks",
       // content-defined chunking (Rabin/FastCDC at word granularity):
       // boundaries where the 4-token window hash ≡ 0 (mod 16) — local

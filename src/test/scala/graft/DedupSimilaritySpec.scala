@@ -851,7 +851,6 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(gotEdit.filter(t => Set((1L, 11L), (1L, 12L), (11L, 12L))
       .contains((t._1, t._2))).forall(_._4 == 0L))
     assert(gotEdit.find(t => t._1 == 1L && t._2 == 2L).exists(_._4 > 0L))
-    graft.functions.Caches.sweepOperatorCaches()
   }
 
   test("cdcChunks: chunks tile the document exactly and boundaries are content-local") {
@@ -891,6 +890,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"shared ${shared.size} of ${baseHashes.size}")
     // a 2-token doc (< w) is exactly one chunk
     assert(rows.count(_._1 == 3L) == 1)
+  }
+
+  test("suffixRanks: prefix-doubling ranks == brute-force suffix sort, ties on dup docs") {
+    import graft.functions.SuffixArray
+    val docs = Seq(
+      (1L, "b a n a n a"),
+      (2L, "a n a b"),
+      (3L, "b a n a n a"), // exact dup of doc 1 -> tied ranks throughout
+      (4L, "n a b a")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs, "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // brute force: dense rank of space-joined suffix strings
+    val suffixes = Seq(1L -> "b a n a n a", 2L -> "a n a b",
+      3L -> "b a n a n a", 4L -> "n a b a").flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      tk.indices.map(i => (id, i + 1, tk.drop(i).mkString(" ")))
+    }
+    val ordered = suffixes.map(_._3).distinct.sorted
+    val rankOf = ordered.zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    suffixes.foreach { case (id, pos, s) =>
+      assert(got((id, pos)) == rankOf(s), s"($id,$pos) '$s'")
+    }
+    // duplicate docs share every rank
+    (1 to 6).foreach(p => assert(got((1L, p)) == got((3L, p))))
+  }
+
+  test("suffixRepeats: adjacent-rank LCP census surfaces the planted repeat") {
+    import graft.functions.SuffixArray
+    val shared = "x y z w v u t s" // 8-token run planted in two docs
+    val docs = Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"e f g $shared h"),
+      (3L, "p q r unrelated words here")).toDF("doc_id", "text")
+    val rows = SuffixArray.suffixRepeats(docs, "doc_id", "text",
+        cap = 10, topK = 5, nParts = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+    // the top entry is the planted run: suffixes starting at the shared
+    // region in docs 1 and 2 are lexicographic neighbors with LCP >= 8
+    val top = rows.head
+    assert(Set(top._1, top._3) == Set(1L, 2L), top.toString)
+    assert(top._5 >= 8, top.toString)
   }
 
   test("winnow_select: array<int> input fails at analysis time with a clear error") {

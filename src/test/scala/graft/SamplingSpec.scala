@@ -172,7 +172,6 @@ class SamplingSpec extends AnyFunSuite {
     val m = math.floor(math.log(13.0 / 16.0) * 1e6 + 0.5).toLong
     assert(out(1L) == ((3, 3 * m, "head")))
     assert(out(2L) == ((1, m, "head")))
-    graft.functions.Caches.sweepOperatorCaches()
   }
 
   test("perplexityKneserNey: the continuation count (not raw frequency) drives backoff mass") {
@@ -189,7 +188,6 @@ class SamplingSpec extends AnyFunSuite {
     val mA = math.floor(math.log(21.0 / 24.0) * 1e6 + 0.5).toLong
     val mB = math.floor(math.log(9.0 / 24.0) * 1e6 + 0.5).toLong
     assert(out(5L) == mA && out(6L) == mB && mA > mB)
-    graft.functions.Caches.sweepOperatorCaches()
   }
 
   test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
