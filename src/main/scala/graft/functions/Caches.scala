@@ -62,19 +62,21 @@ object Caches {
     * whose RETURNED frame still references the cache, so the operator
     * cannot unpersist before returning. Bench/Verify sweep these per
     * query by RDD-id diff; a long-lived USER session calls
-    * [[sweepOperatorCaches]] between logical units instead. Weak
-    * references: a frame the caller dropped is GC-eligible regardless
-    * of registry retention (its blocks are freed by the sweep or by
-    * Spark's context cleaner, whichever first). */
-  private val operatorCaches = scala.collection.mutable.ArrayBuffer
-    .empty[java.lang.ref.WeakReference[DataFrame]]
+    * [[sweepOperatorCaches]] between logical units instead. STRONG
+    * references, deliberately: the round-9 WeakReference form was
+    * unsound — Spark's CacheManager pins the cached blocks regardless
+    * of the wrapper DataFrame's reachability, so a GC collecting the
+    * operator-local frame object (observed under the full parallel test
+    * suite) silently turned the sweep into a no-op and leaked the
+    * blocks for the session's lifetime. The strong ref costs only the
+    * plan object's memory, held exactly until the next sweep. */
+  private val operatorCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** `df.persist()` plus registration for [[sweepOperatorCaches]]. */
   def operatorPersist(df: DataFrame): DataFrame = {
     df.persist()
-    operatorCaches.synchronized {
-      operatorCaches += new java.lang.ref.WeakReference(df)
-    }
+    operatorCaches.synchronized { operatorCaches += df }
     df
   }
 
@@ -85,10 +87,8 @@ object Caches {
     * the cost of a badly-timed sweep is time, never correctness. */
   def sweepOperatorCaches(): Int = operatorCaches.synchronized {
     var n = 0
-    operatorCaches.foreach { ref =>
-      val df = ref.get
-      if (df != null &&
-          df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+    operatorCaches.foreach { df =>
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
         df.unpersist(blocking = false)
         n += 1
       }

@@ -71,6 +71,35 @@ object TextClean {
         blocklistHits(col(textCol), terms).as("n_blocklist_hits"))
       .withColumn("keep", col("n_blocklist_hits") === 0)
 
+  /** Unicode NFC normalization (canonical composition) — the codepoint-
+    * level twin of [[graft.functions.TextAnalysis.normalize]]'s
+    * whitespace/case pass: decomposed sequences (e + U+0301) fold to
+    * their precomposed forms so that visually-identical strings hash,
+    * dedup, and tokenize identically — a crawl mixing editors/OSes
+    * carries both encodings of the same text, and every hash-keyed
+    * operator upstream silently treats them as different documents.
+    * A UDF by necessity (no Catalyst expression exposes ICU/java.text
+    * normalization — the same justified-UDF class as the Bloom probes);
+    * still a narrow per-row map, zero shuffle. */
+  private val nfcUdf = org.apache.spark.sql.functions.udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  def normalizeNfc(text: Column): Column = nfcUdf(text)
+
+  /** Per-document NFC normalization report: whether normalization
+    * changed the text, codepoint counts before/after, and the hash of
+    * the normalized form (the dedup key a mixed-encoding crawl needs). */
+  def nfcReport(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val norm = normalizeNfc(col(textCol))
+    df.select(col(idCol),
+      (norm =!= col(textCol)).cast("int").as("changed"),
+      length(col(textCol)).cast("int").as("n_chars_before"),
+      length(norm).cast("int").as("n_chars_after"),
+      md5(norm).as("normalized_md5"))
+  }
+
   /** AWS-style access key ids: `AKIA` + 16 uppercase alphanumerics. */
   val AwsKeyPattern = "^AKIA[0-9A-Z]{16}$"
 

@@ -1817,6 +1817,34 @@ object PipelineQueries {
               |      ELSE text END) AS psm_md5
               |FROM e ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_normalize_nfc",
+      // Unicode NFC canonical composition — the ASCII corpus is
+      // augmented with deterministic decomposed (e + combining acute,
+      // doc_id%3) and precomposed (é, doc_id%5) tokens so both the
+      // changed and already-normal paths are oracle-exercised; DuckDB's
+      // nfc_normalize is the reference implementation
+      (s, dir) => {
+        def aug = concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" caf" + "e" + "́")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" caf" + "é")).otherwise(lit("")))
+        TextClean.nfcReport(
+            Tables.documents(s, dir).select(col("doc_id"), aug.as("text")),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(nfc_normalize(t) != t AS INT) AS changed,
+             |  CAST(len(t) AS INT) AS n_chars_before,
+             |  CAST(len(nfc_normalize(t)) AS INT) AS n_chars_after,
+             |  md5(nfc_normalize(t)) AS normalized_md5
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
     QueryDef("text_strip_markup",
       // HTML-to-text gate: wrap each doc in deterministic markup, strip it,
       // and prove the round trip recovers the original text exactly
