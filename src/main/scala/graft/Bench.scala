@@ -136,7 +136,8 @@ object Bench {
     // deliberately the catalog's heaviest entries (O(log maxLCP) global
     // ranking rounds per run); their cost IS the operator, not a plan
     // defect (see SCALING.md round-10)
-    "suffix_ranks", "suffix_repeats", "text_normalize_nfc")
+    "suffix_ranks", "suffix_repeats", "text_normalize_nfc",
+    "suffix_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -141,13 +141,70 @@ object SuffixArray {
     }
   }
 
+  /** Per-document duplicated-span census from the suffix array — the
+    * exact-substring dedup DETECTOR (Lee et al. 2022) at SA precision,
+    * superseding fixed-k-gram approximations: a position STARTS a
+    * duplicated run of ≥ `minRun` tokens iff its suffix shares an LCP
+    * ≥ minRun with any other suffix, and by the classic SA property the
+    * maximum LCP with ANY suffix is attained at a rank NEIGHBOR — so one
+    * adjacent-rank pass suffices. Equal suffixes (rank ties) are whole-
+    * suffix duplicates (LCP = their length). CLIQUE-SAFE: everything is
+    * computed at RANK level (same-rank suffixes are token-identical, so
+    * neighbor LCPs are a rank property) and expanded to positions by one
+    * linear join — never ties x ties. LCPs are capped at `cap` tokens:
+    * `max_lcp_tokens` saturates there, and the ≥ minRun flag is exact
+    * whenever minRun <= cap. Output: (id, n_dup_starts, max_lcp_tokens)
+    * per document. */
+  def suffixDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 8, cap: Int = 30, nParts: Int = 32): DataFrame = {
+    require(minRun >= 1 && cap >= minRun, "1 <= minRun <= cap")
+    val ranks = suffixRanks(df, idCol, textCol, nParts)
+    val toks = df.select(col(idCol).as("_d"),
+      split(col(textCol), " ").as("_tk"))
+    val withPref = ranks
+      .join(toks.withColumnRenamed("_d", idCol), Seq(idCol))
+      .select(col(idCol), col("pos"), col("suffix_rank"),
+        slice(col("_tk"), col("pos"), lit(cap)).as("_pref"),
+        (size(col("_tk")) - col("pos") + 1).as("_slen"))
+    // rank level: one representative prefix + member count per rank.
+    // first() is VALUE-deterministic here: same-rank suffixes are
+    // token-identical, so every member carries the same _pref and _slen
+    val reps = withPref
+      .groupBy(col("suffix_rank"))
+      .agg(count(lit(1)).as("_nm"), first(col("_pref")).as("_pref"),
+        first(col("_slen")).as("_slen"))
+    def lcpOf(pa: Column, pb: Column): Column =
+      size(filter(sequence(lit(1), least(size(pa), size(pb))),
+        i => slice(pa, lit(1), i) === slice(pb, lit(1), i)))
+    val next = reps.select((col("suffix_rank") - 1).as("suffix_rank"),
+      col("_pref").as("_pn"))
+    val stats = reps
+      .join(next, Seq("suffix_rank"), "left")
+      .select(col("suffix_rank"), col("_nm"), col("_slen"),
+        when(col("_pn").isNull, lit(0)).otherwise(lcpOf(col("_pref"),
+          col("_pn"))).as("_lcpn"))
+    // a rank's max neighbor LCP = max(lcp with next, lcp with prev) —
+    // and lcp(r, r-1) is rank r-1's _lcpn, fetched by one shifted join
+    val prevOf = stats.select((col("suffix_rank") + 1).as("suffix_rank"),
+      col("_lcpn").as("_lcpp"))
+    val maxLcp = stats.join(prevOf, Seq("suffix_rank"), "left")
+      .select(col("suffix_rank"),
+        greatest(col("_lcpn"), coalesce(col("_lcpp"), lit(0)),
+          when(col("_nm") > 1, least(col("_slen"), lit(cap)))
+            .otherwise(lit(0))).as("_maxl"))
+    ranks.join(maxLcp.hint("shuffle_hash"), Seq("suffix_rank"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_maxl") >= minRun, 1).otherwise(0)).cast("int")
+          .as("n_dup_starts"),
+        max(col("_maxl")).cast("int").as("max_lcp_tokens"))
+  }
+
   /** Adjacent-rank longest-common-prefix census over the suffix array —
     * the repeated-substring detector exact-substring dedup builds on:
     * consecutive DISTINCT ranks r, r+1 name lexicographically adjacent
     * suffix groups, and their LCP is the length of a substring occurring
     * in both groups' positions. One representative (doc, pos) per rank
-    * (min — any member has the same token sequence... of its own suffix;
-    * equal-rank suffixes are identical sequences, so the representative
+    * (equal-rank suffixes are identical sequences, so the representative
     * is canonical), capped prefix comparison (`cap` tokens), top-`topK`
     * by (lcp desc, rank asc). */
   def suffixRepeats(df: DataFrame, idCol: String, textCol: String,

@@ -868,6 +868,43 @@ object PipelineQueries {
              |  CAST(greatest(lcp, 0) AS INT) AS lcp_tokens
              |FROM j ORDER BY lcp_tokens DESC, suffix_rank ASC LIMIT 50""".stripMargin)),
 
+    QueryDef("suffix_dup_spans",
+      // per-document duplicated-span census at suffix-array precision
+      // (the Lee et al. exact-substring detector): a position starts a
+      // >= 8-token duplicated run iff its suffix's max neighbor LCP in
+      // SA order clears 8 (rank ties = whole-suffix duplicates). All
+      // LCP work at RANK level (clique-safe), one linear expansion join
+      (s, dir) => graft.functions.SuffixArray.suffixDupSpans(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, i AS pos, len(tk) AS n,
+             |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf,
+             |        tk[CAST(i AS INT):CAST(least(i + 29, len(tk)) AS INT)] AS pref
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)),
+             |r AS (SELECT doc_id, pos, n - pos + 1 AS slen, pref,
+             |        CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS rk
+             |      FROM s),
+             |reps AS (SELECT rk, nm, pref, slen FROM (
+             |    SELECT rk, pref, slen,
+             |      row_number() OVER (PARTITION BY rk ORDER BY doc_id, pos) AS rn,
+             |      count(*) OVER (PARTITION BY rk) AS nm
+             |    FROM r) WHERE rn = 1),
+             |nx AS (SELECT a.rk,
+             |         len(list_filter(generate_series(1, least(len(a.pref), len(b.pref))),
+             |           i -> a.pref[1:CAST(i AS INT)] = b.pref[1:CAST(i AS INT)])) AS lcpn
+             |       FROM reps a JOIN reps b ON b.rk = a.rk + 1),
+             |stats AS (SELECT reps.rk,
+             |            greatest(coalesce(nx.lcpn, 0), coalesce(pv.lcpn, 0),
+             |              CASE WHEN reps.nm > 1 THEN least(reps.slen, 30) ELSE 0 END) AS maxl
+             |          FROM reps LEFT JOIN nx ON nx.rk = reps.rk
+             |          LEFT JOIN nx pv ON pv.rk = reps.rk - 1),
+             |j AS (SELECT r.doc_id, stats.maxl FROM r JOIN stats ON stats.rk = r.rk)
+             |SELECT doc_id,
+             |  CAST(sum(CASE WHEN maxl >= 8 THEN 1 ELSE 0 END) AS INT) AS n_dup_starts,
+             |  CAST(max(maxl) AS INT) AS max_lcp_tokens
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("cdc_chunks",
       // content-defined chunking (Rabin/FastCDC at word granularity):
       // boundaries where the 4-token window hash ≡ 0 (mod 16) — local

@@ -934,6 +934,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(top._5 >= 8, top.toString)
   }
 
+  test("suffixDupSpans: planted cross-doc run and dup docs flagged, unique doc clean") {
+    import graft.functions.SuffixArray
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10" // 10-token shared run
+    val docs = Seq(
+      (1L, s"a b $run c"),
+      (2L, s"d $run e f"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"), // all-unique tokens
+      (4L, s"a b $run c")) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val out = SuffixArray.suffixDupSpans(docs, "doc_id", "text",
+        minRun = 8, cap = 30, nParts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // docs 1/4 are identical: EVERY suffix is a whole-suffix duplicate,
+    // so dup starts = positions with >= 8 remaining tokens = 13-8+1 = 6
+    // per the >= 8 maxl rule... every suffix of len >= 8 counts; shorter
+    // suffixes still tie (maxl = slen < 8). 13 tokens -> 6 positions.
+    assert(out(1L) == out(4L))
+    assert(out(1L)._1 == 6 && out(1L)._2 >= 8, out(1L).toString)
+    // doc 2 shares the 10-token run: suffixes starting at 'd'? no —
+    // starting at r1..r3 keep >= 8 common tokens with doc 1's run
+    // (run + differing continuation: LCP 10, 9, 8 at r1, r2, r3)
+    assert(out(2L)._1 == 3 && out(2L)._2 == 10, out(2L).toString)
+    // doc 3 shares nothing 8 tokens long
+    assert(out(3L)._1 == 0, out(3L).toString)
+  }
+
   test("winnow_select: array<int> input fails at analysis time with a clear error") {
     // the native expression validates its child type up front —
     // array<int> must raise an AnalysisException naming the expected
