@@ -83,16 +83,32 @@ object SuffixArray {
   }
 
   /** Global dense lexicographic rank of every within-document token
-    * suffix: (doc, pos 1-based, suffix_rank). See object doc. */
+    * suffix: (doc, pos 1-based, suffix_rank). See object doc.
+    *
+    * IDENTICAL-CONTENT CLIQUE COLLAPSE (the round-10 winnow discipline):
+    * exact-duplicate documents contribute token-identical suffix SETS
+    * whose ranks tie at every position, so the doubling loop runs over
+    * one representative per DISTINCT text (md5 content groups) and the
+    * final (doc, pos, rank) rows come from one members expansion join.
+    * Output is row-identical — dense ranks ignore multiplicity — and on
+    * a pre-dedup crawl (the corpus this operator exists for) every
+    * per-round shuffle shrinks by the duplication factor. */
   def suffixRanks(df: DataFrame, idCol: String, textCol: String,
       nParts: Int = 32, maxRounds: Int = 64): DataFrame = {
     val pinned = ArrayBuffer.empty[DataFrame]
     val ckpt = new RollingCheckpoint
     try {
-      val suff = df
-        .select(col(idCol).as("_doc"), split(col(textCol), " ").as("_tk"))
-        .select(col("_doc"), posexplode(col("_tk")).as(Seq("_p0", "_tok")))
-        .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_tok"))
+      val g = df.select(col(idCol).as("_doc"), md5(col(textCol)).as("_g"),
+        col(textCol).as("_t"))
+      val members = g.select("_doc", "_g").persist()
+      pinned += members
+      // min() is exact (all texts under a key are equal) and partial-
+      // aggregates, so each distinct text shuffles ~once per partition
+      val reps = g.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
+      val suff = reps
+        .select(col("_g"), split(col("_t"), " ").as("_tk"))
+        .select(col("_g"), posexplode(col("_tk")).as(Seq("_p0", "_tok")))
+        .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_tok"))
         .persist()
       pinned += suff
       // round 0: rank by the single token at each position
@@ -101,7 +117,7 @@ object SuffixArray {
       var ranks = ckpt(suff
         .join(tokRanks.select(col("_tok"), col("_rank")).hint("shuffle_hash"),
           Seq("_tok"))
-        .select(col("_doc"), col("_pos"), col("_rank")))
+        .select(col("_g"), col("_pos"), col("_rank")))
       var nDistinct = nTok
       var k = 1L
       var round = 0
@@ -110,10 +126,10 @@ object SuffixArray {
         round += 1
         // shift join: rank of the suffix k positions later (0 = past end)
         val shifted = ranks
-          .join(ranks.select(col("_doc"), (col("_pos") - k).as("_pos"),
+          .join(ranks.select(col("_g"), (col("_pos") - k).as("_pos"),
             col("_rank").as("_r2")).hint("shuffle_hash"),
-            Seq("_doc", "_pos"), "left")
-          .select(col("_doc"), col("_pos"), col("_rank").as("_r1"),
+            Seq("_g", "_pos"), "left")
+          .select(col("_g"), col("_pos"), col("_rank").as("_r1"),
             coalesce(col("_r2"), lit(0L)).as("_r2"))
         val (pairRanks, nd) = keyRanks(
           shifted.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"),
@@ -127,13 +143,17 @@ object SuffixArray {
             .join(pairRanks
                 .select(col("_r1"), col("_r2"), col("_rank")).hint("shuffle_hash"),
               Seq("_r1", "_r2"))
-            .select(col("_doc"), col("_pos"), col("_rank")))
+            .select(col("_g"), col("_pos"), col("_rank")))
           nDistinct = nd
         }
         k *= 2
       }
-      ranks.select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
-        col("_rank").as("suffix_rank"))
+      // expand the distinct-text ranks to every member document. The
+      // members frame unpersists in `finally` — persist never severs
+      // lineage, so downstream actions recompute its narrow md5 scan
+      ranks.join(members, Seq("_g"))
+        .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
+          col("_rank").as("suffix_rank"))
     } finally {
       // the final frame is a checkpoint — independent of every pinned
       // intermediate, so their blocks release here unconditionally
