@@ -916,6 +916,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     (1 to 6).foreach(p => assert(got((1L, p)) == got((3L, p))))
   }
 
+  test("suffixRanks: degenerate corpora — empty, single-token, all-identical") {
+    import graft.functions.SuffixArray
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(empty, "doc_id", "text", nParts = 4)
+      .collect().isEmpty)
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(SuffixArray.suffixRanks(one, "doc_id", "text", nParts = 4)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      == Seq((1L, 1, 1L)))
+    // 3 identical docs: the clique collapse runs the loop on ONE rep;
+    // expansion restores all 9 rows with tied ranks
+    val same = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(same, "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == 9)
+    // ranks by suffix string: "x y z" > "y z" > "z" -> z=1? lexicographic:
+    // "x y z" < "y z" < "z" so pos1 -> 1, pos2 -> 2, pos3 -> 3, same per doc
+    (1L to 3L).foreach { d =>
+      assert(got((d, 1)) == 1L && got((d, 2)) == 2L && got((d, 3)) == 3L)
+    }
+  }
+
   test("suffixRepeats: adjacent-rank LCP census surfaces the planted repeat") {
     import graft.functions.SuffixArray
     val shared = "x y z w v u t s" // 8-token run planted in two docs
