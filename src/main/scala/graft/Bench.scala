@@ -133,11 +133,16 @@ object Bench {
     "secret_scan", "governance_dp_release", "seq_fim_transform",
     "cdc_chunks",
     // round-10 fourth batch: distributed suffix-array construction —
-    // deliberately the catalog's heaviest entries (O(log maxLCP) global
-    // ranking rounds per run); their cost IS the operator, not a plan
-    // defect (see SCALING.md round-10)
+    // deliberately the catalog's heaviest entry (O(log maxLCP) global
+    // ranking rounds); since round 11 the construction is paid ONCE:
+    // suffix_ranks times the build itself, and the derived passes
+    // (repeats / dup_spans / spans_remove) consume the shared offline
+    // build warmed below — the one-SA-many-passes production shape
+    // (round-10 verdict #1; see SCALING.md round-11)
     "suffix_ranks", "suffix_repeats", "text_normalize_nfc",
-    "suffix_dup_spans")
+    "suffix_dup_spans",
+    // round-11: SA-precision span REMOVAL (the Lee et al. loop closed)
+    "suffix_spans_remove")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -217,6 +222,11 @@ object Bench {
       // log-histogram sub-sketch layout: same stance; the timed
       // quantile_rollup_range entry measures the pruned bucket-sum merge
       graft.queries.PipelineQueries.logHistRollupPath(spark, sfDir)
+      // shared suffix-array build: the derived gates (suffix_repeats /
+      // suffix_dup_spans / suffix_spans_remove) read this one offline
+      // build; the CONSTRUCTION cost itself stays on the clock in the
+      // suffix_ranks entry, which runs the doubling loop live
+      graft.queries.PipelineQueries.suffixRanksPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

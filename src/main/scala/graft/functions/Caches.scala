@@ -17,12 +17,14 @@ object Caches {
     private val acquired =
       scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
 
-    /** Eager localCheckpoint of `df`, remembering the materialized RDD
-      * (the `LogicalRDD` leaf the checkpointed frame is built on) for
-      * release when the scope closes. Callers must not let the returned
-      * frame escape the scope — the blocks are gone after it. */
+    /** Eager checkpoint of `df` (local by default, RELIABLE when
+      * `spark.graft.checkpointDir` is set — [[Checkpoints.eager]]),
+      * remembering the materialized RDD (the `LogicalRDD` leaf the
+      * checkpointed frame is built on) for release when the scope
+      * closes. Callers must not let the returned frame escape the scope
+      * — the blocks are gone after it. */
     def checkpoint(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+      val out = Checkpoints.eager(df)
       val rdd = out.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }

@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   * string is ever materialized; ranks refine from single tokens (k=1)
   * by doubling until a fixed point.
   *
-  * Ordering contract: suffixes compare as token SEQUENCES, which equals
-  * space-joined string order because ' ' sorts below every token
-  * character — the property that lets the DuckDB oracle verify ranks
-  * with one `dense_rank() OVER (ORDER BY suffix_string)`. A suffix that
+  * Ordering contract: suffixes compare as token SEQUENCES. INPUT
+  * PRECONDITION (clean tokens): no token may contain a character below
+  * 0x20 — under that precondition token-sequence order equals
+  * space-joined string order (' ' sorts below every remaining token
+  * character), which is what lets the DuckDB oracle verify ranks with
+  * one `dense_rank() OVER (ORDER BY suffix_string)`. A raw crawl with
+  * embedded tabs/control characters must normalize them out first (the
+  * `text_normalize_nfc` / whitespace-cleaning stage that precedes
+  * tokenization in every reference pipeline); a token like "ab\t" would
+  * otherwise sort after "ab" token-wise but before it in joined-string
+  * order, silently diverging from the string oracle. A suffix that
   * is a proper prefix of another ranks first (missing rank at pos+k is
   * the sentinel 0, below every real rank). EQUAL suffixes (exact-dup
   * documents) share a rank forever — dense_rank semantics — so the loop
@@ -31,8 +38,21 @@ import org.apache.spark.sql.functions._
   * discipline as `Packing.concatBlocks`. Per round: the (doc, pos+k)
   * shift join and the key ranking both hash/range-shuffle n rows; rounds
   * are bounded by log2 of the longest repeated prefix, and each round's
-  * frame is eagerly localCheckpoint'd with the previous round's blocks
-  * released immediately (rolling single-checkpoint memory footprint).
+  * frame is eagerly checkpointed with the previous round's blocks
+  * released immediately (rolling single-checkpoint memory footprint);
+  * each round's range-partitioned key frame is likewise released as soon
+  * as that round's checkpoint lands. Round checkpoints go through
+  * [[Checkpoints.eager]]: executor-local by default, RELIABLE (DFS
+  * files, fault-tolerant) when `spark.graft.checkpointDir` is set — the
+  * 100-TB seat, where an hours-long build must survive executor loss.
+  *
+  * SHARED BUILD: the array is built once ([[suffixRanks]]) and every
+  * derived analysis — duplicated-span census ([[suffixDupSpansFrom]]),
+  * adjacent-rank repeat census ([[suffixRepeatsFrom]]), span REMOVAL
+  * ([[suffixSpansRemoveFrom]]) — consumes the same (id, pos,
+  * suffix_rank) frame, exactly the Lee et al. pipeline shape (one SA,
+  * many passes). The df-taking convenience forms rebuild internally and
+  * exist for one-shot use.
   */
 object SuffixArray {
 
@@ -40,15 +60,15 @@ object SuffixArray {
     * `keyCols` lexicographically, with no global window: range-partition,
     * per-partition counts to the driver (numPartitions longs), offsets +
     * partition-local row_number. The returned frame must be consumed
-    * while `pinned` stays persisted (range boundaries are sampled; the
-    * persist pins them) — the caller unpersists after its round lands. */
+    * while the returned `parted` handle stays persisted (range boundaries
+    * are sampled; the persist pins them) — the caller unpersists it as
+    * soon as its round's checkpoint lands. */
   private def keyRanks(distinct: DataFrame, keyCols: Seq[String],
-      nParts: Int, pinned: ArrayBuffer[DataFrame]): (DataFrame, Long) = {
+      nParts: Int): (DataFrame, Long, DataFrame) = {
     val parted = distinct
       .repartitionByRange(nParts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .persist()
-    pinned += parted
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
@@ -60,17 +80,19 @@ object SuffixArray {
     // fixed-point check costs no extra pass over the rank frame
     (parted.withColumn("_rank",
       row_number().over(w).cast("long") + offExpr),
-      counts.values.sum)
+      counts.values.sum, parted)
   }
 
   /** One eagerly-materialized checkpoint per round, releasing the
     * previous round's blocks as soon as the new one lands. The FINAL
     * checkpoint is never released here — the returned frame is built on
-    * it (lineage is severed, it could not recompute). */
+    * it (lineage is severed, it could not recompute). Checkpoints are
+    * local or reliable per [[Checkpoints.eager]]; releasing a reliable
+    * round is a no-op on its files (see there). */
   private final class RollingCheckpoint {
     private var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     def apply(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(eager = true)
+      val out = Checkpoints.eager(df)
       val rdd = out.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
@@ -112,12 +134,17 @@ object SuffixArray {
         .persist()
       pinned += suff
       // round 0: rank by the single token at each position
-      val (tokRanks, nTok) = keyRanks(suff.select("_tok").distinct(),
-        Seq("_tok"), nParts, pinned)
+      val (tokRanks, nTok, tokParted) = keyRanks(
+        suff.select("_tok").distinct(), Seq("_tok"), nParts)
       var ranks = ckpt(suff
         .join(tokRanks.select(col("_tok"), col("_rank")).hint("shuffle_hash"),
           Seq("_tok"))
         .select(col("_g"), col("_pos"), col("_rank")))
+      // round 0's checkpoint severed lineage: the token-rank range frame
+      // and the exploded suffix frame are both fully consumed — release
+      // now instead of at loop end (rolling, not cumulative, footprint)
+      tokParted.unpersist(blocking = false)
+      suff.unpersist(blocking = false)
       var nDistinct = nTok
       var k = 1L
       var round = 0
@@ -131,9 +158,8 @@ object SuffixArray {
             Seq("_g", "_pos"), "left")
           .select(col("_g"), col("_pos"), col("_rank").as("_r1"),
             coalesce(col("_r2"), lit(0L)).as("_r2"))
-        val (pairRanks, nd) = keyRanks(
-          shifted.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"),
-          nParts, pinned)
+        val (pairRanks, nd, parted) = keyRanks(
+          shifted.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"), nParts)
         // fixed point: the (r1, r2) partition equals the previous one, and
         // both numberings are dense in the same order — so the join-back
         // would reproduce the EXACT same rank values; skip it entirely
@@ -146,6 +172,11 @@ object SuffixArray {
             .select(col("_g"), col("_pos"), col("_rank")))
           nDistinct = nd
         }
+        // this round's checkpoint landed (or the frame was never consumed,
+        // on the fixed round) — release its range-partitioned key frame
+        // immediately; memory stays one checkpoint + one key frame, not
+        // O(rounds x distinct keys)
+        parted.unpersist(blocking = false)
         k *= 2
       }
       // expand the distinct-text ranks to every member document. The
@@ -161,38 +192,38 @@ object SuffixArray {
     }
   }
 
-  /** Per-document duplicated-span census from the suffix array — the
-    * exact-substring dedup DETECTOR (Lee et al. 2022) at SA precision,
-    * superseding fixed-k-gram approximations: a position STARTS a
-    * duplicated run of ≥ `minRun` tokens iff its suffix shares an LCP
-    * ≥ minRun with any other suffix, and by the classic SA property the
-    * maximum LCP with ANY suffix is attained at a rank NEIGHBOR — so one
-    * adjacent-rank pass suffices. Equal suffixes (rank ties) are whole-
-    * suffix duplicates (LCP = their length). CLIQUE-SAFE: everything is
-    * computed at RANK level (same-rank suffixes are token-identical, so
-    * neighbor LCPs are a rank property) and expanded to positions by one
-    * linear join — never ties x ties. LCPs are capped at `cap` tokens:
-    * `max_lcp_tokens` saturates there, and the ≥ minRun flag is exact
-    * whenever minRun <= cap. Output: (id, n_dup_starts, max_lcp_tokens)
-    * per document. */
-  def suffixDupSpans(df: DataFrame, idCol: String, textCol: String,
-      minRun: Int = 8, cap: Int = 30, nParts: Int = 32): DataFrame = {
-    require(minRun >= 1 && cap >= minRun, "1 <= minRun <= cap")
-    val ranks = suffixRanks(df, idCol, textCol, nParts)
-    val toks = df.select(col(idCol).as("_d"),
-      split(col(textCol), " ").as("_tk"))
-    val withPref = ranks
-      .join(toks.withColumnRenamed("_d", idCol), Seq(idCol))
-      .select(col(idCol), col("pos"), col("suffix_rank"),
-        slice(col("_tk"), col("pos"), lit(cap)).as("_pref"),
-        (size(col("_tk")) - col("pos") + 1).as("_slen"))
-    // rank level: one representative prefix + member count per rank.
-    // first() is VALUE-deterministic here: same-rank suffixes are
-    // token-identical, so every member carries the same _pref and _slen
-    val reps = withPref
+  /** Tokenized side table (id, token array) for the derived passes. */
+  private def tokensOf(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("_d"), split(col(textCol), " ").as("_tk"))
+
+  /** Rank-level max-neighbor-LCP stats over a prebuilt suffix array:
+    * (suffix_rank, _maxl) where _maxl = the longest prefix (capped at
+    * `cap` tokens) the rank's suffix shares with ANY other suffix — by
+    * the classic SA property attained either at a rank NEIGHBOR or, for
+    * multi-member ranks (exact whole-suffix duplicates), the suffix's own
+    * capped length.
+    *
+    * CLIQUE-SAFE and allocation-lean: one representative (doc, pos) per
+    * rank is chosen BEFORE any prefix materialization (members of a rank
+    * are token-identical suffixes, so the rep's prefix and length are
+    * rank properties), and only those one-row-per-rank reps join the
+    * token table to slice their `cap`-token prefix. The round-10 form
+    * carried the slice through a per-POSITION aggregate — ~cap× byte
+    * amplification on the map side of the rank groupBy; here the groupBy
+    * shuffles bare (rank, id, pos) triples and prefixes exist only at
+    * rank granularity. */
+  private def rankMaxLcp(ranks: DataFrame, toks: DataFrame, idCol: String,
+      cap: Int): DataFrame = {
+    val reps = ranks
       .groupBy(col("suffix_rank"))
-      .agg(count(lit(1)).as("_nm"), first(col("_pref")).as("_pref"),
-        first(col("_slen")).as("_slen"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_m"),
+        count(lit(1)).as("_nm"))
+      .select(col("suffix_rank"), col("_nm"),
+        col("_m").getField(idCol).as("_d"), col("_m.pos").as("_pos"))
+      .join(toks, Seq("_d"))
+      .select(col("suffix_rank"), col("_nm"),
+        slice(col("_tk"), col("_pos"), lit(cap)).as("_pref"),
+        (size(col("_tk")) - col("_pos") + 1).as("_slen"))
     def lcpOf(pa: Column, pb: Column): Column =
       size(filter(sequence(lit(1), least(size(pa), size(pb))),
         i => slice(pa, lit(1), i) === slice(pb, lit(1), i)))
@@ -207,11 +238,29 @@ object SuffixArray {
     // and lcp(r, r-1) is rank r-1's _lcpn, fetched by one shifted join
     val prevOf = stats.select((col("suffix_rank") + 1).as("suffix_rank"),
       col("_lcpn").as("_lcpp"))
-    val maxLcp = stats.join(prevOf, Seq("suffix_rank"), "left")
+    stats.join(prevOf, Seq("suffix_rank"), "left")
       .select(col("suffix_rank"),
         greatest(col("_lcpn"), coalesce(col("_lcpp"), lit(0)),
           when(col("_nm") > 1, least(col("_slen"), lit(cap)))
             .otherwise(lit(0))).as("_maxl"))
+  }
+
+  /** Per-document duplicated-span census from a PREBUILT suffix array —
+    * the exact-substring dedup DETECTOR (Lee et al. 2022) at SA
+    * precision, superseding fixed-k-gram approximations: a position
+    * STARTS a duplicated run of ≥ `minRun` tokens iff its suffix shares
+    * an LCP ≥ minRun with any other suffix (see [[rankMaxLcp]]). LCPs
+    * are capped at `cap` tokens: `max_lcp_tokens` saturates there, and
+    * the ≥ minRun flag is exact whenever minRun <= cap. Output:
+    * (id, n_dup_starts, max_lcp_tokens) per document.
+    *
+    * `ranks` must be the [[suffixRanks]] output over the SAME (df,
+    * idCol, textCol) — typically read back from the persisted offline
+    * build, the one-SA-many-passes production shape. */
+  def suffixDupSpansFrom(ranks: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, minRun: Int = 8, cap: Int = 30): DataFrame = {
+    require(minRun >= 1 && cap >= minRun, "1 <= minRun <= cap")
+    val maxLcp = rankMaxLcp(ranks, tokensOf(df, idCol, textCol), idCol, cap)
     ranks.join(maxLcp.hint("shuffle_hash"), Seq("suffix_rank"))
       .groupBy(col(idCol))
       .agg(sum(when(col("_maxl") >= minRun, 1).otherwise(0)).cast("int")
@@ -219,18 +268,74 @@ object SuffixArray {
         max(col("_maxl")).cast("int").as("max_lcp_tokens"))
   }
 
-  /** Adjacent-rank longest-common-prefix census over the suffix array —
-    * the repeated-substring detector exact-substring dedup builds on:
-    * consecutive DISTINCT ranks r, r+1 name lexicographically adjacent
-    * suffix groups, and their LCP is the length of a substring occurring
-    * in both groups' positions. One representative (doc, pos) per rank
-    * (equal-rank suffixes are identical sequences, so the representative
-    * is canonical), capped prefix comparison (`cap` tokens), top-`topK`
-    * by (lcp desc, rank asc). */
-  def suffixRepeats(df: DataFrame, idCol: String, textCol: String,
-      cap: Int = 30, topK: Int = 50, nParts: Int = 32): DataFrame = {
-    val ranks = suffixRanks(df, idCol, textCol, nParts)
-    val toks = df.select(col(idCol).as("_d"), split(col(textCol), " ").as("_tk"))
+  /** One-shot convenience: build the array, then census. Prefer the
+    * shared-build form when any other SA pass runs on the same corpus. */
+  def suffixDupSpans(df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 8, cap: Int = 30, nParts: Int = 32): DataFrame =
+    suffixDupSpansFrom(suffixRanks(df, idCol, textCol, nParts), df,
+      idCol, textCol, minRun, cap)
+
+  /** REMOVE duplicated spans at suffix-array precision — the removal
+    * half of the Lee et al. 2022 exact-substring pipeline, completing
+    * the loop [[suffixDupSpansFrom]] detects for: every token position
+    * covered by some duplicated run of ≥ `minRun` tokens is dropped and
+    * the text rebuilt from the survivors. A position `p` with
+    * max-neighbor-LCP `L ≥ minRun` (capped at `cap`) starts a duplicated
+    * run, covering positions p .. p+L-1. Returns (id, clean_text,
+    * n_removed) — the same surface as the k-gram approximation
+    * `Dedup.removeDuplicatedSpans`, but span boundaries are exact (up to
+    * the cap) instead of 3-gram-quantized.
+    *
+    * Plan at scale: rank-level LCP stats (see [[rankMaxLcp]]); the
+    * position expansion explodes ≤ cap indices per qualifying START
+    * (bounded amplification); covered indices aggregate per doc (bounded
+    * by the doc's own token count); the rebuild is the same
+    * O(n + |cov|) array_except/transform map as the k-gram form. Never
+    * text×text. */
+  def suffixSpansRemoveFrom(ranks: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, minRun: Int = 8, cap: Int = 30): DataFrame = {
+    require(minRun >= 1 && cap >= minRun, "1 <= minRun <= cap")
+    val withToks = df.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("_toks"))
+    val maxLcp = rankMaxLcp(ranks,
+      withToks.select(col(idCol).as("_d"), col("_toks").as("_tk")),
+      idCol, cap)
+    val covered = ranks.join(maxLcp.hint("shuffle_hash"), Seq("suffix_rank"))
+      .filter(col("_maxl") >= minRun)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + col("_maxl") - 1)).as("_j"))
+      .groupBy(idCol).agg(collect_set(col("_j")).as("_cov"))
+    // rebuild: kept 1-based positions = all minus covered (array_except
+    // preserves the ascending order of its first argument), indexed back
+    // into the token array — O(n + |cov|) per document
+    withToks.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_cov").isNull, col(textCol)).otherwise(concat_ws(" ",
+          transform(
+            array_except(sequence(lit(1), size(col("_toks"))), col("_cov")),
+            j => element_at(col("_toks"), j))))
+          .as("clean_text"),
+        when(col("_cov").isNull, lit(0))
+          .otherwise(size(col("_cov"))).cast("int").as("n_removed"))
+  }
+
+  /** One-shot convenience form of [[suffixSpansRemoveFrom]]. */
+  def suffixSpansRemove(df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 8, cap: Int = 30, nParts: Int = 32): DataFrame =
+    suffixSpansRemoveFrom(suffixRanks(df, idCol, textCol, nParts), df,
+      idCol, textCol, minRun, cap)
+
+  /** Adjacent-rank longest-common-prefix census over a PREBUILT suffix
+    * array — the repeated-substring detector exact-substring dedup
+    * builds on: consecutive DISTINCT ranks r, r+1 name lexicographically
+    * adjacent suffix groups, and their LCP is the length of a substring
+    * occurring in both groups' positions. One representative (doc, pos)
+    * per rank (equal-rank suffixes are identical sequences, so the
+    * representative is canonical), capped prefix comparison (`cap`
+    * tokens), top-`topK` by (lcp desc, rank asc). */
+  def suffixRepeatsFrom(ranks: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, cap: Int = 30, topK: Int = 50): DataFrame = {
+    val toks = tokensOf(df, idCol, textCol)
     // one representative suffix per rank: the (doc, pos) min — members of
     // a rank are token-identical suffixes, so any member represents
     val reps = ranks
@@ -257,4 +362,10 @@ object SuffixArray {
       .orderBy(col("lcp_tokens").desc, col("suffix_rank").asc)
       .limit(topK)
   }
+
+  /** One-shot convenience form of [[suffixRepeatsFrom]]. */
+  def suffixRepeats(df: DataFrame, idCol: String, textCol: String,
+      cap: Int = 30, topK: Int = 50, nParts: Int = 32): DataFrame =
+    suffixRepeatsFrom(suffixRanks(df, idCol, textCol, nParts), df,
+      idCol, textCol, cap, topK)
 }

