@@ -49,8 +49,14 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def limitFrom(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
       if a.exprId == rn => Some(v)
+    // v - 1 wraps to Int.MaxValue at Int.MinValue, turning the always-
+    // false conjunct `rn < MinValue` into an apparent huge bound that the
+    // residual logic would drop as "implied by the heap" — guard the
+    // subtraction and leave pathological literals unrewritten (the
+    // conjunct then stays in the residual filter and correctly yields
+    // zero rows, exactly like the window form)
     case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
-      if a.exprId == rn => Some(v - 1)
+      if a.exprId == rn && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType))
       if a.exprId == rn && v == 1 => Some(1)
     case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference)
@@ -58,7 +64,7 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference)
       if a.exprId == rn => Some(v)
     case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference)
-      if a.exprId == rn => Some(v - 1)
+      if a.exprId == rn && v > Int.MinValue => Some(v - 1)
     case _ => None
   }
 

@@ -1859,9 +1859,19 @@ object PipelineQueries {
              |          regexp_full_match(tok, '[0-9a-f]{40}') AS is_hex40,
              |          (len(tok) >= 20 AND regexp_full_match(tok, '[A-Za-z0-9+/=_-]+') AND e >= 2300000) AS is_he
              |        FROM ent),
-             |j AS (SELECT doc_id, i, tok, e, is_aws, is_jwt, is_hex40, is_he,
-             |        (is_aws OR is_jwt OR is_hex40 OR is_he) AS is_sec
-             |      FROM occ JOIN cls USING (tok)),
+             |-- LEFT join: '' tokens (empty text, consecutive spaces) have no
+             |-- chars, so regexp_extract_all drops them from cc/ent/cls — an
+             |-- inner join would drop their occ rows entirely, shifting
+             |-- scrubbed_md5 and losing empty-text docs. The engine keeps ''
+             |-- tokens, classifies them non-secret, and computes NULL entropy
+             |-- for them (NULLs are ignored by max/array_max on both engines)
+             |j AS (SELECT doc_id, i, tok, e,
+             |        coalesce(is_aws, FALSE) AS is_aws,
+             |        coalesce(is_jwt, FALSE) AS is_jwt,
+             |        coalesce(is_hex40, FALSE) AS is_hex40,
+             |        coalesce(is_he, FALSE) AS is_he,
+             |        coalesce(is_aws OR is_jwt OR is_hex40 OR is_he, FALSE) AS is_sec
+             |      FROM occ LEFT JOIN cls USING (tok)),
              |agg AS (SELECT doc_id,
              |          CAST(sum(CASE WHEN is_sec THEN 1 ELSE 0 END) AS INT) AS n_secret_tokens,
              |          CAST(sum(CASE WHEN is_aws THEN 1 ELSE 0 END) AS INT) AS n_aws_keys,

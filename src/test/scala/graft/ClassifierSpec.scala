@@ -212,6 +212,29 @@ class ClassifierSpec extends AnyFunSuite {
     assert(scrubbed == expect)
   }
 
+  test("secretScan: empty tokens (empty text, consecutive spaces) are non-secret, NULL entropy, scrub-preserved") {
+    import graft.functions.TextClean
+    // the oracle's LEFT-join seat: '' has no characters, so it must be
+    // classified non-secret, contribute NULL (ignored) to the entropy
+    // max, and pass through the scrub verbatim on BOTH engines
+    val docs = Seq(
+      (1L, ""),                       // one '' token
+      (2L, "a  b"),                   // '' between consecutive spaces
+      (3L, "plain words")).toDF("doc_id", "text")
+    val rows = TextClean.secretScan(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val e1 = rows(0)
+    assert(e1.getInt(1) == 0 && e1.getInt(5) == 0)
+    assert(e1.isNullAt(6), "empty text must yield NULL max entropy")
+    assert(e1.getString(7) ==
+      docs.sparkSession.range(1).select(md5(lit(""))).head().getString(0))
+    val e2 = rows(1)
+    assert(e2.getInt(1) == 0 && !e2.isNullAt(6))
+    assert(e2.getString(7) ==
+      docs.sparkSession.range(1).select(md5(lit("a  b"))).head().getString(0),
+      "scrub must preserve the '' token (double space) verbatim")
+  }
+
   test("fimTransform: cut invariants, passthrough carve-out, and the exact PSM hash") {
     import graft.functions.Packing
     val docs = Seq((1L, "one"), (2L, "a b"),

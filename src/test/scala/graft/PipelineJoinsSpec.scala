@@ -384,6 +384,14 @@ class PipelineJoinsSpec extends AnyFunSuite {
     val r3 = orders.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 0)
     assert(!r3.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    // Int.MinValue literal: `rn < MinValue` is always false, but v - 1
+    // WRAPS to Int.MaxValue — an unguarded bound extraction would treat
+    // it as implied-by-the-heap and drop it, emitting rows the window
+    // form never returns. The guarded case leaves it as a residual
+    // predicate: zero rows, window-identical
+    val r4 = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("rn") < Int.MinValue)
+    assert(r4.count() == 0L, "wrapped MinValue bound leaked rows")
   }
 
   test("rangeJoin == brute-force inequality join on randomized data") {
