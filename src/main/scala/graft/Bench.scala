@@ -242,18 +242,30 @@ object Bench {
     // Catalyst join-eliminate or prune the work a query's OUTPUT columns
     // carry (the round-8 pagerank lesson: the "fast" r6/r7 numbers
     // measured a node scan because count() folded the whole left-outer
-    // rank chain away), so every timed query now hash-reduces ALL its
-    // output columns server-side (nothing collected) — a shape that
-    // cannot fold, catalog-wide, by construction. The count-only mode
-    // remains for plan-level comparisons via SPARK_GRAFT_BENCH_COUNT=1;
-    // the catalog-wide A/B between the two modes is in SCALING.md.
+    // rank chain away), so every timed query hash-reduces ALL its
+    // output columns server-side (nothing but one xor collected) — a
+    // shape that cannot fold, catalog-wide, by construction (made
+    // actually true in round 11, see the fix note below). The count-only
+    // mode remains for plan-level comparisons via SPARK_GRAFT_BENCH_COUNT
+    // =1; the catalog-wide A/B between the two modes is in SCALING.md.
     val materialize =
       !sys.env.get("SPARK_GRAFT_BENCH_COUNT").contains("1") ||
         sys.env.get("SPARK_GRAFT_BENCH_MATERIALIZE").contains("1")
+    // ROUND-11 HONESTY FIX: the r9/r10 form ended in `.agg(sum("h"))
+    // .count()` — but count() over an ungrouped aggregate lets Catalyst
+    // prune the sum AND the xxhash projection entirely (the optimized
+    // plan is `Aggregate[count(1)] <- Aggregate[] <- Project[] <- query`,
+    // verified), so output-column work (levenshtein in
+    // dedup_edit_verify, rank values, decode payloads) was silently
+    // skipped — the mode measured row production, not column evaluation.
+    // Reading the aggregate VALUE (head, not count) makes the hash
+    // unprunable; bit_xor replaces sum because summing uniform 64-bit
+    // hashes overflows long ~immediately under ANSI mode (and xor is the
+    // standard order-independent hash combiner anyway).
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       if (materialize)
         df.select(org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*).as("h"))
-          .agg(org.apache.spark.sql.functions.sum("h")).count()
+          .agg(org.apache.spark.sql.functions.bit_xor(org.apache.spark.sql.functions.col("h"))).head()
       else df.count()
     // ENVIRONMENT SELF-EVIDENCE (round-8 verdict #1): a contended box made
     // ~38 s of phantom cost indistinguishable from a regression until a
@@ -350,6 +362,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // SENTINEL-NORMALIZED TOTAL (round-10 verdict #6): the healing pass
+    // re-runs only the retryN slowest queries, so on a contended box the
+    // healed total still carries the inflation of every NON-retried entry
+    // (~13% residual on the round-10 driver artifact). The retried pairs
+    // are a measured A/B of exactly that inflation: take the median
+    // first-pass / healed ratio across the retried queries (1.0 on a
+    // box that was actually clean) and discount each non-retried entry by
+    // it. An estimate, clearly labeled as one — retried medians stay
+    // as-measured; on an uncontended run total_normalized == total.
+    val totalNormalized =
+      if (retried.isEmpty) total
+      else {
+        val healedMap = results.toMap
+        val ratios = retried.map { case (n, first) =>
+          first / math.max(healedMap.getOrElse(n, first), 1e-9)
+        }.sorted
+        val factor = math.max(1.0, ratios(ratios.size / 2))
+        val retriedNames = retried.map(_._1).toSet
+        results.map { case (n, t) =>
+          if (retriedNames.contains(n)) t else t / factor
+        }.sum
+      }
     val sentinelFailed =
       if (sentinelOk) "" else ""","sentinel_failed":true"""
     val retryJson =
@@ -357,7 +391,7 @@ object Bench {
       else retried.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""","first_pass":{""", ",", "}") +
         s""","sentinel_retry":${fmt(sentinelRetry)}"""
-    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},"contended":$contended$sentinelFailed$retryJson"""
+    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -864,8 +864,10 @@ object TextAnalysis {
     * exact dedup) this is the difference between quadratic-in-clique and
     * linear-in-clique candidate work; output is row-identical. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, minShared: Long = 2L): DataFrame =
-    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen = 0)
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      collapseCliques: Option[Boolean] = None): DataFrame =
+    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen = 0,
+      collapseCliques)
 
   /** Edit-distance verification of the winnow candidates: the survivors
     * re-checked with exact Levenshtein over the `prefixLen`-char
@@ -875,13 +877,39 @@ object TextAnalysis {
     * construction, no DP at all. */
   def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 2L,
-      prefixLen: Int = 80): DataFrame =
-    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen)
+      prefixLen: Int = 80,
+      collapseCliques: Option[Boolean] = None): DataFrame =
+    winnowCliquePairs(df, idCol, textCol, k, w, minShared, prefixLen,
+      collapseCliques)
+
+  /** Duplication factor above which the clique-collapsed plan wins.
+    * Measured crossover bounds (ProfileWinnow, materialize action): at
+    * dup factor 1.0 the collapse machinery costs ~2-3x constant (extra
+    * md5 grouping, reps aggregate, expansion joins); at 10x it wins ~5x
+    * and the advantage is quadratic-in-clique beyond. 1.3 is
+    * deliberately LOW: mispicking collapse costs a small constant,
+    * mispicking raw on a dup-heavy crawl costs c² join blowup. */
+  private val CliqueCollapseMinDup = 1.3
 
   private def winnowCliquePairs(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int, minShared: Long,
-      prefixLen: Int): DataFrame = {
+      prefixLen: Int, collapseCliques: Option[Boolean]): DataFrame = {
     val withEdit = prefixLen > 0
+    // ADAPTIVE PLAN CHOICE (the boilerplateNgrams discipline — a bounded
+    // driver action at build time picks the plan the corpus deserves):
+    // the clique collapse exists for crawls with exact-duplicate
+    // subpopulations; on an already-deduped corpus its grouping/expansion
+    // machinery is pure constant overhead (2-3x at sf0.1). One combined
+    // aggregate measures the duplication factor — approx_count_distinct
+    // (~2% rsd) is plenty for a 1.3-threshold decision and keeps the
+    // decision pass partial-aggregable at 100 TB. Callers that know
+    // their corpus force the choice via `collapseCliques`.
+    val collapse = collapseCliques.getOrElse {
+      val r = df.agg(count(lit(1)), approx_count_distinct(col(textCol))).head()
+      r.getLong(0) >= CliqueCollapseMinDup * math.max(r.getLong(1), 1L)
+    }
+    if (!collapse) return winnowRawPairs(df, idCol, textCol, k, w,
+      minShared, prefixLen)
     val g = df.select(col(idCol).as("_id"), md5(col(textCol)).as("_g"),
       col(textCol).as("_t"))
     // persisted: members feeds both expansion sides + the within-clique
@@ -932,6 +960,35 @@ object TextAnalysis {
     crossBase.select(outCols.map(col): _*).unionByName(
       (if (withEdit) withinBase.withColumn("edit_dist", lit(0L))
        else withinBase).select(outCols.map(col): _*))
+  }
+
+  /** Doc-keyed winnow pair plan — the shape for corpora WITHOUT exact-dup
+    * subpopulations (post-exact-dedup, or measured dup factor below
+    * [[CliqueCollapseMinDup]]): winnow every doc, fp-keyed inverted-index
+    * self-join, optional Levenshtein over doc prefixes. Row-identical to
+    * the clique-collapsed form (identical texts share entire fp sets and
+    * have distance 0 under the DP) — ProfileWinnow asserts output-hash
+    * equality of the two plans. */
+  private def winnowRawPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long, prefixLen: Int): DataFrame = {
+    val withEdit = prefixLen > 0
+    // persisted: fp feeds both sides of the candidate self-join
+    val fp = Caches.operatorPersist(
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col(idCol).as("_id"), col("fp")).distinct())
+    val pairs = fp.select(col("_id").as("id_a"), col("fp"))
+      .join(fp.select(col("_id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+    if (!withEdit) pairs
+    else pairs
+      .join(df.select(col(idCol).as("id_a"),
+        substring(col(textCol), 1, prefixLen).as("_pa")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"),
+        substring(col(textCol), 1, prefixLen).as("_pb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared_fps"),
+        levenshtein(col("_pa"), col("_pb")).cast("long").as("edit_dist"))
   }
 
   /** Per-document novelty: the fraction of a document's distinct k-word

@@ -830,7 +830,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared_fps"))
       .filter($"n_shared_fps" >= 2)
     val rawOverlap = rawPairs.as[(Long, Long, Long)].collect().toSet
-    val gotOverlap = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text")
+    // dup factor 7/4 = 1.75 clears the 1.3 threshold, so auto picks the
+    // collapsed plan here; force it anyway so this parity pin survives
+    // threshold tuning
+    val gotOverlap = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        collapseCliques = Some(true))
       .as[(Long, Long, Long)].collect().toSet
     assert(gotOverlap == rawOverlap)
     // the planted 3-clique must appear as all three within pairs
@@ -844,8 +848,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select($"id_a", $"id_b", $"n_shared_fps",
         levenshtein($"_ta", $"_tb").cast("long").as("edit_dist"))
       .as[(Long, Long, Long, Long)].collect().toSet
-    val gotEdit = TextAnalysis.editVerifiedPairs(docs, "doc_id", "text")
+    val gotEdit = TextAnalysis.editVerifiedPairs(docs, "doc_id", "text",
+        collapseCliques = Some(true))
       .as[(Long, Long, Long, Long)].collect().toSet
+    // and the RAW path the adaptive chooser picks on deduped corpora is
+    // the reference formulation itself — pin it through the public API
+    val gotEditRaw = TextAnalysis.editVerifiedPairs(docs, "doc_id", "text",
+        collapseCliques = Some(false))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotEditRaw == rawEdit)
     assert(gotEdit == rawEdit)
     // within-clique distances are 0; the cross pair (1,2) is nonzero
     assert(gotEdit.filter(t => Set((1L, 11L), (1L, 12L), (11L, 12L))

@@ -219,6 +219,41 @@ class PlanSpec extends AnyFunSuite {
     //  - both aggregates partial-combine below their exchange (reps' min
     //    and the shared-fp count), so duplicate texts collapse map-side;
     //  - no cartesian/nested-loop anywhere in the pair machinery.
+    // round-11: the collapse is ADAPTIVE (measured dup factor vs the
+    // 1.3 threshold; callers can force it) — pin the collapsed shape on
+    // the FORCED form, then pin that auto picks the raw doc-keyed plan
+    // on the dup-free fixture corpus
+    val docs = graft.sources.Tables.documents(spark, GraftTestSpark.Sf0001)
+    Seq(false, true).foreach { withEdit =>
+      val q = if (withEdit) "dedup_edit_verify(forced)" else "winnow_overlap_pairs(forced)"
+      val df =
+        if (withEdit) graft.functions.TextAnalysis.editVerifiedPairs(docs, "doc_id", "text",
+          collapseCliques = Some(true))
+        else graft.functions.TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+          collapseCliques = Some(true))
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      val winnowLines =
+        p.linesIterator.filter(_.contains("explode(winnow_select")).toSeq
+      assert(winnowLines.nonEmpty &&
+        winnowLines.forall(l => l.contains("[_g#") && !l.contains("doc_id")),
+        s"$q:\n$p")
+      val levLines =
+        p.linesIterator.filter(_.contains("levenshtein(")).toSeq
+      assert(levLines.nonEmpty == withEdit &&
+        levLines.forall(l => l.contains("_pa#") && l.contains("_pb#")),
+        s"$q:\n$p")
+      val minExchange = p.indexOf("Exchange hashpartitioning(_g#")
+      val partialMin = p.indexOf("partial_min")
+      assert(minExchange >= 0 && partialMin > minExchange, s"$q:\n$p")
+      val cntExchange = p.indexOf("Exchange hashpartitioning(_ga#")
+      val partialCnt = p.indexOf("partial_count")
+      assert(cntExchange >= 0 && partialCnt > cntExchange, s"$q:\n$p")
+    }
+    // the catalog gates run in auto mode: on the dup-free fixture the
+    // measured factor is ~1.0, so the plan must be the doc-keyed raw
+    // shape — no content-group machinery, winnowing keyed by doc_id
     Seq("winnow_overlap_pairs" -> false, "dedup_edit_verify" -> true)
       .foreach { case (q, withEdit) =>
         val p = planOf(q)
@@ -227,17 +262,9 @@ class PlanSpec extends AnyFunSuite {
         val winnowLines =
           p.linesIterator.filter(_.contains("explode(winnow_select")).toSeq
         assert(winnowLines.nonEmpty &&
-          winnowLines.forall(l => l.contains("[_g#") && !l.contains("doc_id")),
-          s"$q:\n$p")
-        val levLines =
-          p.linesIterator.filter(_.contains("levenshtein(")).toSeq
-        assert(levLines.nonEmpty == withEdit &&
-          levLines.forall(l => l.contains("_pa#") && l.contains("_pb#")),
-          s"$q:\n$p")
-        val minExchange = p.indexOf("Exchange hashpartitioning(_g#")
-        val partialMin = p.indexOf("partial_min")
-        assert(minExchange >= 0 && partialMin > minExchange, s"$q:\n$p")
-        val cntExchange = p.indexOf("Exchange hashpartitioning(_ga#")
+          winnowLines.forall(l => !l.contains("[_g#")), s"$q:\n$p")
+        assert(p.contains("levenshtein(") == withEdit, s"$q:\n$p")
+        val cntExchange = p.indexOf("Exchange hashpartitioning(id_a#")
         val partialCnt = p.indexOf("partial_count")
         assert(cntExchange >= 0 && partialCnt > cntExchange, s"$q:\n$p")
       }
