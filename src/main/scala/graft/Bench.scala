@@ -142,7 +142,8 @@ object Bench {
     "suffix_ranks", "suffix_repeats", "text_normalize_nfc",
     "suffix_dup_spans",
     // round-11: SA-precision span REMOVAL (the Lee et al. loop closed)
-    "suffix_spans_remove")
+    // and the interpolated trigram Kneser-Ney scorer
+    "suffix_spans_remove", "text_perplexity_kn3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -405,6 +405,120 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** Interpolated trigram Kneser-Ney — the next rung of
+    * [[perplexityKneserNey]] and the order CCNet-style LM filters
+    * actually run at (KenLM defaults to 5; 3 is where the
+    * continuation-count recursion becomes fully general, every lower
+    * order being a continuation distribution rather than raw ML). The
+    * classic Chen & Goodman recursion with absolute discount D = 3/4 at
+    * both discounted levels, scored on the training corpus (so every
+    * trigram is observed, tc >= 1, n1 >= 1 — the discounted terms never
+    * floor and interpolation is total):
+    *
+    *   p(w3|w1w2) = (tc − D)/cc2 + D·f12/cc2 · p₂(w3|w2)
+    *   p₂(w3|w2)  = (n1 − D)/m2  + D·f2/m2   · p₁(w3)
+    *   p₁(w3)     = pre3/nbp
+    *
+    * over the trigram TYPE table and its derived continuation tables:
+    * tc = c(w1w2w3); cc2 = c(w1w2·), f12 = N1+(w1w2·) (per trigram
+    * context); n1 = N1+(·w2w3) (distinct predecessors — the continuation
+    * count); m2 = Σₓ N1+(·w2x), f2 = |{x : (·w2x)}| (per middle token);
+    * pre3 = |{w2 : (·w2w3)}|, nbp = |distinct (w2,w3)| (the unigram
+    * continuation distribution). With D = 3/4 everything stays an exact
+    * integer ratio:
+    *
+    *   num = (4·tc − 3)·4·m2·nbp + 3·f12·((4·n1 − 3)·nbp + 3·f2·pre3)
+    *   den = 16·cc2·m2·nbp
+    *
+    * assembled in DECIMAL(38,0) (the [[perplexityKneserNey]] /
+    * essReport discipline) and dropped to double only for the micronat
+    * log. EXACTNESS BOUND, stated honestly: num is a product of THREE
+    * corpus-scale counts, so the exact-decimal window is
+    * tc·m2·nbp < ~6·10³⁶ — comfortably any natural corpus (per-middle
+    * type counts and the continuation-type total are each ≲ 10¹²
+    * even at 100 TB); a pathological corpus beyond it fails loudly with
+    * a decimal-overflow error, never a silently rounded probability.
+    *
+    * Scale shape mirrors the bigram form: ONE occurrence-level shuffle
+    * (the trigram type aggregate); every continuation table derives from
+    * the already-aggregated TYPE tables (shuffling types, not
+    * occurrences); vocabulary-sized sides stay shuffle-hash joins; only
+    * the single-row nbp total broadcasts. */
+  def perplexityKneserNey3(df: DataFrame, idCol: String, textCol: String,
+      headPct: Int = 100, tailPct: Int = 102): DataFrame = {
+    val withT = df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    val trans = withT
+      .select(col(idCol),
+        explode(when(size(col("_toks")) >= 3,
+            sequence(lit(1), size(col("_toks")) - 2))
+          .otherwise(array().cast("array<int>"))).as("_i"),
+        col("_toks"))
+      .select(col(idCol), element_at(col("_toks"), col("_i")).as("w1"),
+        element_at(col("_toks"), col("_i") + 1).as("w2"),
+        element_at(col("_toks"), col("_i") + 2).as("w3"))
+      .transform(Caches.operatorPersist)
+    // trigram TYPE table — the single occurrence-level shuffle; persisted:
+    // feeds the score join, the context aggregate, and the continuation
+    // table
+    val tcnt = Caches.operatorPersist(trans
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc")))
+    // highest order: context occurrences c(w1w2·) + distinct followers
+    // N1+(w1w2·), one pass over the type table
+    val ctx2 = tcnt.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tc")).as("cc2"), count(lit(1)).as("f12"))
+    // continuation-bigram table: N1+(·w2w3) = distinct predecessors =
+    // the type count per (w2,w3) (types are distinct by construction).
+    // Persisted: feeds the score join, the middle normalizers, and both
+    // unigram-continuation aggregates
+    val cont = Caches.operatorPersist(tcnt
+      .groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("n1")))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("n1")).as("m2"), count(lit(1)).as("f2"))
+    val pre3 = cont.groupBy(col("w3")).agg(count(lit(1)).as("pre3"))
+    val nbp = cont.agg(count(lit(1)).as("nbp"))
+    val dec = "decimal(38,0)"
+    val scored = trans
+      .join(tcnt.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+      .join(ctx2.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(cont.hint("shuffle_hash"), Seq("w2", "w3"))
+      .join(mid.hint("shuffle_hash"), Seq("w2"))
+      .join(pre3.hint("shuffle_hash"), Seq("w3"))
+      .crossJoin(broadcast(nbp))
+      .withColumn("_num",
+        (col("tc").cast(dec) * 4 - 3) * col("m2").cast(dec) * 4 *
+          col("nbp").cast(dec) +
+        col("f12").cast(dec) * 3 *
+          ((col("n1").cast(dec) * 4 - 3) * col("nbp").cast(dec) +
+            col("f2").cast(dec) * col("pre3").cast(dec) * 3))
+      .withColumn("_den",
+        col("cc2").cast(dec) * 16 * col("m2").cast(dec) *
+          col("nbp").cast(dec))
+      .withColumn("m",
+        floor(log(col("_num").cast("double") / col("_den").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"), sum(col("m")).as("_lp"))
+    // agg0 is PER-DOCUMENT — corpus-sized, the left join stays partitioned
+    val agg = df.select(col(idCol))
+      .join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
+      .transform(Caches.operatorPersist)
+    val row = agg.agg(
+      sum(lit(0L) - col("logprob_micronats")).as("slp"),
+      sum(col("n_transitions").cast("long")).as("sn")).head()
+    val (slpNeg, sn) = (row.getLong(0), row.getLong(1))
+    val headCut = (BigInt(headPct) * slpNeg / (BigInt(100) * sn)).toLong
+    val tailCut = (BigInt(tailPct) * slpNeg / (BigInt(100) * sn)).toLong
+    agg.withColumn("ppl_bucket",
+      when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(headCut), lit("head"))
+        .when((lit(0L) - col("logprob_micronats")) <=
+          col("n_transitions") * lit(tailCut), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
     * cheap structural rules first, model score last), evaluated in ONE
     * narrow select — token bounds, repetition (type-token ratio),

@@ -751,6 +751,52 @@ object PipelineQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_perplexity_kn3",
+      // interpolated TRIGRAM Kneser-Ney (Chen & Goodman recursion, D=3/4
+      // at both discounted levels): the full continuation-count ladder —
+      // trigram ML discounted, bigram level FROM continuation counts
+      // N1+(·w2w3), unigram from the continuation-bigram type table.
+      // Exact integer ratios in DECIMAL(38,0)/HUGEINT, micronat log at
+      // the end; oracle retrains every table from scratch
+      (s, dir) => TextAnalysis.perplexityKneserNey3(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tr AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+             |       FROM (SELECT doc_id, toks,
+             |               unnest(generate_series(1, len(toks) - 2)) AS i
+             |             FROM t WHERE len(toks) >= 3)),
+             |tcn AS (SELECT w1, w2, w3, count(*) AS tc FROM tr GROUP BY 1, 2, 3),
+             |ctx2 AS (SELECT w1, w2, sum(tc) AS cc2, count(*) AS f12 FROM tcn GROUP BY 1, 2),
+             |cont AS (SELECT w2, w3, count(*) AS n1 FROM tcn GROUP BY 1, 2),
+             |mid AS (SELECT w2, sum(n1) AS m2, count(*) AS f2 FROM cont GROUP BY 1),
+             |pre AS (SELECT w3, count(*) AS pre3 FROM cont GROUP BY 1),
+             |nbp AS (SELECT CAST(count(*) AS HUGEINT) AS nbp FROM cont),
+             |sc AS (SELECT doc_id,
+             |         CAST(floor(ln(
+             |           CAST((4 * CAST(tc AS HUGEINT) - 3) * 4 * CAST(m2 AS HUGEINT) * nbp
+             |                + 3 * CAST(f12 AS HUGEINT)
+             |                  * ((4 * CAST(n1 AS HUGEINT) - 3) * nbp
+             |                     + 3 * CAST(f2 AS HUGEINT) * pre3) AS DOUBLE)
+             |           / CAST(16 * CAST(cc2 AS HUGEINT) * CAST(m2 AS HUGEINT) * nbp AS DOUBLE))
+             |              * 1000000 + 0.5) AS BIGINT) AS m
+             |       FROM tr JOIN tcn USING (w1, w2, w3) JOIN ctx2 USING (w1, w2)
+             |       JOIN cont USING (w2, w3) JOIN mid USING (w2)
+             |       JOIN pre USING (w3) CROSS JOIN nbp),
+             |agg0 AS (SELECT doc_id, count(*) AS nt, sum(m) AS lp
+             |         FROM sc GROUP BY doc_id),
+             |agg AS (SELECT d.doc_id, coalesce(nt, 0) AS nt, coalesce(lp, 0) AS lp
+             |        FROM documents d LEFT JOIN agg0 ON agg0.doc_id = d.doc_id),
+             |cut AS (SELECT CAST((100 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS hc,
+             |               CAST((102 * sum(-lp)) // (100 * sum(nt)) AS BIGINT) AS tc
+             |        FROM agg)
+             |SELECT doc_id, CAST(nt AS INT) AS n_transitions,
+             |  CAST(lp AS BIGINT) AS logprob_micronats,
+             |  CASE WHEN -lp <= nt * hc THEN 'head'
+             |       WHEN -lp <= nt * tc THEN 'middle'
+             |       ELSE 'tail' END AS ppl_bucket
+             |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
+
     QueryDef("grouped_percentiles_scalable",
       // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
       // or window: two bounded-histogram passes + metadata collects

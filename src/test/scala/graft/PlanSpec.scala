@@ -154,7 +154,7 @@ class PlanSpec extends AnyFunSuite {
     // corpus vocabulary — unbounded on a web corpus — so the token x count
     // joins must stay partitioned; only the single-row totals may broadcast
     Seq("text_perplexity", "text_perplexity_bigram",
-        "text_perplexity_kn").foreach { q =>
+        "text_perplexity_kn", "text_perplexity_kn3").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")

@@ -190,6 +190,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(5L) == mA && out(6L) == mB && mA > mB)
   }
 
+  test("perplexityKneserNey3: hand-computed trigram continuation ladder") {
+    import graft.functions.TextAnalysis
+    // trigram types: (a,b,c) tc=2; (b,c,a), (c,a,b), (a,b,d) tc=1.
+    // ctx2 (a,b): cc2=3 f12=2; (b,c)/(c,a): cc2=1 f12=1.
+    // cont types all n1=1; mid b: m2=2 f2=2; a,c: m2=1 f2=1;
+    // pre3=1 everywhere; nbp=4. Exact ratios:
+    //   p(c|a,b) = 220/384 (= 5/4·1/3 + 3/4·2/3·(1/8 + 3/4·1/4))
+    //   p(a|b,c) = p(b|c,a) = 37/64
+    //   p(d|a,b) = 92/384
+    // doc 3 is sub-trigram: zero transitions, zero logprob, head bucket
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKneserNey3(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    val lp1 = 2 * m(220, 384) + 2 * m(37, 64)
+    val lp2 = m(92, 384)
+    assert(out(1L)._1 == 4 && out(1L)._2 == lp1, out(1L).toString)
+    assert(out(2L)._1 == 1 && out(2L)._2 == lp2, out(2L).toString)
+    assert(out(3L) == ((0, 0L, "head")), out(3L).toString)
+    // buckets replay the published cut rule (positive-value floor division)
+    val slp = -(lp1 + lp2); val sn = 5L
+    val hc = slp / sn; val tc = 102 * slp / (100 * sn)
+    def bucket(lp: Long, nt: Long) =
+      if (-lp <= nt * hc) "head" else if (-lp <= nt * tc) "middle" else "tail"
+    assert(out(1L)._3 == bucket(lp1, 4) && out(2L)._3 == bucket(lp2, 1))
+  }
+
   test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val total = docs.count()
