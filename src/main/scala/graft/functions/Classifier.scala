@@ -50,27 +50,46 @@ object Classifier {
     concat(toks, bigrams)
   }
 
+  /** The default weight table as a stable reference — [[linearScore]]
+    * branches on it to pick the fused native scorer; a custom trained
+    * table takes the pluggable HOF path. */
+  val DefaultWeight: Column => Column = hashWeight
+
   /** The linear score as a single column expression over a feature array —
-    * composable into filter chains without a separate pass. */
+    * composable into filter chains without a separate pass. Pluggable
+    * weight tables only; the default-table hot path is [[scoreTokens]]. */
   def scoreExpr(features: Column, dim: Int,
-      weightExpr: Column => Column = hashWeight): Column =
+      weightExpr: Column => Column = DefaultWeight): Column =
     aggregate(transform(features, f => weightExpr(bucket(f, dim))),
       lit(0L), (acc, w) => acc + w)
+
+  /** Fused native score over the TOKEN array with the default weight
+    * table — one JIT-compiled pass, no feature-array materialization
+    * ([[graft.plans.LinearScore]]; bit-exact to
+    * `scoreExpr(featuresExpr(toks), dim)`, parity pinned in
+    * ClassifierSpec). */
+  def scoreTokens(toks: Column, dim: Int): Column =
+    graft.plans.LinearScore(toks, dim)
 
   /** Per-document linear score over hashed unigram+bigram features.
     * Output: (id, n_features, score_micronats, accept = score ≥ 0). */
   def linearScore(df: DataFrame, idCol: String, textCol: String,
-      dim: Int, weightExpr: Column => Column = hashWeight,
+      dim: Int, weightExpr: Column => Column = DefaultWeight,
       keep: Seq[String] = Nil): DataFrame = {
     require(dim > 0, "dim must be positive")
     val keepCols = keep.map(col)
     val withT = df.select(col(idCol) +: split(col(textCol), " ").as("_toks")
       +: keepCols: _*)
-    withT.select(col(idCol) +: featuresExpr(col("_toks")).as("_f")
-        +: keepCols: _*)
-      .select(col(idCol) +:
-        size(col("_f")).cast("long").as("n_features") +:
-        scoreExpr(col("_f"), dim, weightExpr).as("score_micronats") +:
+    // n_features without materializing the feature array: n unigrams +
+    // (n − 1) bigrams when n >= 2
+    val nFeat = when(size(col("_toks")) >= 2,
+      size(col("_toks")) * 2 - 1).otherwise(size(col("_toks")))
+    val score =
+      if (weightExpr eq DefaultWeight) scoreTokens(col("_toks"), dim)
+      else scoreExpr(featuresExpr(col("_toks")), dim, weightExpr)
+    withT.select(col(idCol) +:
+        nFeat.cast("long").as("n_features") +:
+        score.as("score_micronats") +:
         keepCols: _*)
       .withColumn("accept", col("score_micronats") >= 0L)
   }

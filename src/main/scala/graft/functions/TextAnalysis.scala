@@ -537,7 +537,7 @@ object TextAnalysis {
     val nTok = size(col("_toks"))
     val ttr = size(array_distinct(col("_toks"))).cast("double") / nTok
     val hits = TextClean.blocklistHits(col("_text"), blocklist)
-    val score = Classifier.scoreExpr(Classifier.featuresExpr(col("_toks")), dim)
+    val score = Classifier.scoreTokens(col("_toks"), dim)
     withT.select(col(idCol),
         nTok.as("n_tokens"),
         ttr.as("type_token_ratio"),

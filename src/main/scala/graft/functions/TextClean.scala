@@ -115,21 +115,16 @@ object TextClean {
 
   /** Shannon char entropy of one token, in micronats, quantize-then-sum
     * (the charEntropy/perplexity exactness discipline): H = qln(len) −
-    * Σ n_c·qln(n_c) div len over the per-character counts. Pure
-    * expression — O(distinct²) per token via HOFs, no shuffle. */
-  def tokenEntropyMicronats(tok: Column): Column = {
-    def qln(c: Column): Column =
-      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
-    val chars = split(tok, "")
-    val counts = transform(array_distinct(chars),
-      d => size(filter(chars, c => c === d)).cast("long"))
-    val s = aggregate(counts, lit(0L), (acc, n) => acc + n * qln(n))
-    val len = length(tok).cast("long")
-    // s div len, expressed usable inside a lambda (expr() can't see
-    // lambda variables): s ≥ 0, len ≥ 1, s ≤ 40·qln(40) ≪ 2^53, so the
-    // double division is exact after subtracting the remainder
-    qln(len) - ((s - pmod(s, len)) / len).cast("long")
-  }
+    * Σ n_c·qln(n_c) div len over the per-character counts; empty token
+    * → NULL. Since round 11 this is the NATIVE codegen'd expression
+    * [[graft.plans.TokenEntropy]] — the previous HOF chain was
+    * interpreted and O(distinct²) per token, which the honest bench
+    * action priced at 2.8 s for secret_scan at sf0.1; the native O(n)
+    * pass is bit-exact to it (same Math.log, same quantization, same
+    * truncating division — element-for-element parity pinned in
+    * ClassifierSpec). */
+  def tokenEntropyMicronats(tok: Column): Column =
+    graft.plans.TokenEntropy(tok)
 
   /** Secret/credential scanning census + scrub — the pretraining-corpus
     * hygiene step PII redaction does not cover (leaked API keys and

@@ -212,6 +212,56 @@ class ClassifierSpec extends AnyFunSuite {
     assert(scrubbed == expect)
   }
 
+  test("TokenEntropy native expression == the HOF quantize-then-sum formula, element-for-element") {
+    // the round-11 codegen'd replacement must be BIT-exact to the HOF
+    // chain it superseded (same Math.log, quantization, division) —
+    // replay the original formula and compare on edge-heavy tokens:
+    // empty (NULL through pmod-by-zero), single char, all-same, all-
+    // distinct, hex blobs, non-ASCII, symbol-only
+    val toks = Seq("", "a", "aa", "ab", "Zq3Xw9Lp2Mn7Rt5Vk8Jd",
+      "aaaaaaaaaabbbbbbbbbb", "0123456789abcdef0123456789abcdef01234567",
+      "äöüßäöü", "==--__++//",
+      "eyJhbGciOiJIUzI1NiJ9.payload")
+    val df = toks.toDF("tok")
+    def qln(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+    val chars = split($"tok", "")
+    val counts = transform(array_distinct(chars),
+      d => size(filter(chars, c => c === d)).cast("long"))
+    val s = aggregate(counts, lit(0L), (acc, n) => acc + n * qln(n))
+    val len = length($"tok").cast("long")
+    val hof = qln(len) - ((s - pmod(s, len)) / len).cast("long")
+    val rows = df.select(graft.plans.TokenEntropy($"tok").as("native"),
+      hof.as("hof")).collect()
+    rows.zip(toks).foreach { case (r, t) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch on '$t'")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1),
+        s"'$t': native ${r.getLong(0)} != hof ${r.getLong(1)}")
+    }
+  }
+
+  test("LinearScore native expression == HOF scoreExpr(featuresExpr) with the default table") {
+    // edge-heavy token arrays: empty text ([''] after split), single
+    // token, two tokens (first bigram), repeats, unicode, long docs
+    val texts = Seq("", "solo", "a b", "a a a a", "the quick brown fox",
+      "äöü ß tokens mixed", ("x " * 50).trim)
+    val df = texts.toDF("text")
+      .select(split(col("text"), " ").as("toks"))
+    val rows = df.select(
+      graft.plans.LinearScore(col("toks"), 64).as("native"),
+      Classifier.scoreExpr(Classifier.featuresExpr(col("toks")), 64)
+        .as("hof")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"'$t': native ${r.getLong(0)} != hof ${r.getLong(1)}")
+    }
+    // and the precomputed weight table equals the column-expression table
+    val wantW = spark.range(64)
+      .select(Classifier.hashWeight(col("id").cast("int"))).as[Long]
+      .collect()
+    assert(graft.plans.LinearScore.weights(64).toSeq == wantW.toSeq)
+  }
+
   test("secretScan: empty tokens (empty text, consecutive spaces) are non-secret, NULL entropy, scrub-preserved") {
     import graft.functions.TextClean
     // the oracle's LEFT-join seat: '' has no characters, so it must be
