@@ -196,6 +196,25 @@ object SuffixArray {
   private def tokensOf(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("_d"), split(col(textCol), " ").as("_tk"))
 
+  /** Token-level longest common prefix of two capped prefix arrays:
+    * position of the first elementwise mismatch minus one, or the
+    * shorter length when one is a prefix of the other. O(cap) — one
+    * linear zip_with plus the NATIVE array_position scan. The round-10
+    * form counted `slice(1,i) === slice(1,i)` over every i (the set of
+    * matching prefix lengths is exactly {1..LCP}, so the count equals
+    * the LCP) — same value, but O(cap²) element comparisons inside
+    * interpreted HOFs; under the honest bench action that was most of
+    * the dup-span/removal gates' cost. Length-mismatch tail: zip_with
+    * pads with null, x === null is null, and array_position skips
+    * non-equal (incl. null) elements, so a pure-prefix pair correctly
+    * falls through to least(size, size). */
+  private def lcpOf(pa: Column, pb: Column): Column = {
+    val firstMismatch = array_position(
+      zip_with(pa, pb, (x, y) => x === y), lit(false))
+    when(firstMismatch > 0, firstMismatch - 1)
+      .otherwise(least(size(pa), size(pb))).cast("int")
+  }
+
   /** Rank-level max-neighbor-LCP stats over a prebuilt suffix array:
     * (suffix_rank, _maxl) where _maxl = the longest prefix (capped at
     * `cap` tokens) the rank's suffix shares with ANY other suffix — by
@@ -224,9 +243,6 @@ object SuffixArray {
       .select(col("suffix_rank"), col("_nm"),
         slice(col("_tk"), col("_pos"), lit(cap)).as("_pref"),
         (size(col("_tk")) - col("_pos") + 1).as("_slen"))
-    def lcpOf(pa: Column, pb: Column): Column =
-      size(filter(sequence(lit(1), least(size(pa), size(pb))),
-        i => slice(pa, lit(1), i) === slice(pb, lit(1), i)))
     val next = reps.select((col("suffix_rank") - 1).as("suffix_rank"),
       col("_pref").as("_pn"))
     val stats = reps
@@ -352,9 +368,8 @@ object SuffixArray {
       col("_pref").as("_pa"))
     val b = reps.select((col("suffix_rank") - 1).as("suffix_rank"),
       col("_d").as("doc_b"), col("_pos").as("pos_b"), col("_pref").as("_pb"))
-    val lcp = size(filter(sequence(lit(1), least(size(col("_pa")),
-        size(col("_pb")), lit(cap))),
-      i => slice(col("_pa"), lit(1), i) === slice(col("_pb"), lit(1), i)))
+    // prefixes are already cap-sliced, so the O(cap) shared lcpOf applies
+    val lcp = lcpOf(col("_pa"), col("_pb"))
     a.join(b, Seq("suffix_rank"))
       .select(col("suffix_rank"), col("doc_a"), col("pos_a"),
         col("doc_b"), col("pos_b"),
