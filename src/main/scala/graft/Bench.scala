@@ -228,6 +228,10 @@ object Bench {
       // build; the CONSTRUCTION cost itself stays on the clock in the
       // suffix_ranks entry, which runs the doubling loop live
       graft.queries.PipelineQueries.suffixRanksPath(spark, sfDir)
+      // landed LCP stats (SA + LCP index pair): the removal gate consumes
+      // the detector's findings; the detector computation itself stays on
+      // the clock in suffix_dup_spans, which derives the stats live
+      graft.queries.PipelineQueries.suffixLcpPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -231,8 +231,8 @@ object SuffixArray {
     * amplification on the map side of the rank groupBy; here the groupBy
     * shuffles bare (rank, id, pos) triples and prefixes exist only at
     * rank granularity. */
-  private def rankMaxLcp(ranks: DataFrame, toks: DataFrame, idCol: String,
-      cap: Int): DataFrame = {
+  private[graft] def rankMaxLcp(ranks: DataFrame, toks: DataFrame,
+      idCol: String, cap: Int): DataFrame = {
     val reps = ranks
       .groupBy(col("suffix_rank"))
       .agg(min(struct(col(idCol), col("pos"))).as("_m"),
@@ -310,12 +310,23 @@ object SuffixArray {
     * text×text. */
   def suffixSpansRemoveFrom(ranks: DataFrame, df: DataFrame, idCol: String,
       textCol: String, minRun: Int = 8, cap: Int = 30): DataFrame = {
+    val stats = rankMaxLcp(ranks, tokensOf(df, idCol, textCol), idCol, cap)
+    suffixSpansRemoveFromStats(ranks, stats, df, idCol, textCol, minRun, cap)
+  }
+
+  /** [[suffixSpansRemoveFrom]] over PRECOMPUTED rank stats — the
+    * (suffix_rank, _maxl) frame the detector ([[rankMaxLcp]], persisted
+    * alongside the SA build in production: the classic SA + LCP index
+    * pair) already produced. Removal is then pure consumption: one
+    * rank-keyed join, the bounded coverage explode, and the rebuild —
+    * the Lee et al. pipeline's detect-once / cut-from-findings shape. */
+  def suffixSpansRemoveFromStats(ranks: DataFrame, stats: DataFrame,
+      df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 8, cap: Int = 30): DataFrame = {
     require(minRun >= 1 && cap >= minRun, "1 <= minRun <= cap")
     val withToks = df.select(col(idCol), col(textCol),
       split(col(textCol), " ").as("_toks"))
-    val maxLcp = rankMaxLcp(ranks,
-      withToks.select(col(idCol).as("_d"), col("_toks").as("_tk")),
-      idCol, cap)
+    val maxLcp = stats
     val covered = ranks.join(maxLcp.hint("shuffle_hash"), Seq("suffix_rank"))
       .filter(col("_maxl") >= minRun)
       .select(col(idCol),

