@@ -143,7 +143,10 @@ object Bench {
     "suffix_dup_spans",
     // round-11: SA-precision span REMOVAL (the Lee et al. loop closed)
     // and the interpolated trigram Kneser-Ney scorer
-    "suffix_spans_remove", "text_perplexity_kn3")
+    "suffix_spans_remove", "text_perplexity_kn3",
+    // round-11 second batch: pretrained-LM scoring (train/apply split
+    // with open-vocabulary smoothing — the production CCNet seat)
+    "text_perplexity_pretrained")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

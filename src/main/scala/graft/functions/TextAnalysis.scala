@@ -405,6 +405,92 @@ object TextAnalysis {
         .otherwise(lit("tail")))
   }
 
+  /** TRAIN/APPLY Kneser-Ney bigram scoring — the production CCNet shape
+    * the self-trained gates deliberately avoid: the LM is trained ONCE
+    * on a reference corpus and then scores ARBITRARY text, so unseen
+    * events must receive mass. Interpolated KN with D = 3/4 over the
+    * TRAIN bigram-type table, extended to open vocabulary with one
+    * pseudo-count on the continuation distribution:
+    *
+    *   p_cont(cur)  = (pre + 1)/(nb + vc + 1)        — Laplace over the
+    *                  continuation types; vc = |distinct continuations|,
+    *                  the +1 class absorbing every unseen word
+    *   p(cur|prev)  = max(4·bc − 3, 0)/(4·cc)
+    *                  + 3·fol/(4·cc) · p_cont(cur)    when cc > 0
+    *                = p_cont(cur)                     when prev unseen
+    *
+    * (bc may be 0 now — the discounted term floors, unlike the
+    * self-trained forms; an unseen context backs off to the continuation
+    * distribution with weight 1.) Everything stays an exact integer
+    * ratio in DECIMAL(38,0)/HUGEINT, micronat log last. Output per
+    * APPLY document: (id, n_transitions, n_unseen_bigrams,
+    * logprob_micronats) — the unseen count is the OOV-rate diagnostic a
+    * filtering run reads next to the score.
+    *
+    * Scale shape: ONE occurrence-level shuffle over the TRAIN corpus
+    * (the bigram type aggregate — the offline LM build), one over the
+    * APPLY corpus (its transitions); all model-side joins are
+    * vocabulary-sized LEFT shuffle-hash joins (never broadcast — the
+    * vocabulary is unbounded on a web corpus); the single-row totals
+    * broadcast. */
+  def perplexityKneserNeyApply(train: DataFrame, apply: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def transitionsOf(df: DataFrame, withId: Boolean) = {
+      val base = df.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++ Seq(
+          explode(when(size(split(col(textCol), " ")) >= 2,
+              sequence(lit(1), size(split(col(textCol), " ")) - 1))
+            .otherwise(array().cast("array<int>"))).as("_i"),
+          split(col(textCol), " ").as("_toks")): _*)
+      base.select(
+        (if (withId) Seq(col(idCol)) else Seq.empty[Column]) ++ Seq(
+          element_at(col("_toks"), col("_i")).as("prev"),
+          element_at(col("_toks"), col("_i") + 1).as("cur")): _*)
+    }
+    val transA = transitionsOf(apply, withId = true)
+      .transform(Caches.operatorPersist)
+    // the OFFLINE LM build: one occurrence-level shuffle over TRAIN
+    val bcnt = Caches.operatorPersist(transitionsOf(train, withId = false)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("bc")))
+    val ctx = bcnt.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cc"), count(lit(1)).as("fol"))
+    val pre = bcnt.groupBy(col("cur")).agg(count(lit(1)).as("pre"))
+    val tot = bcnt.agg(count(lit(1)).as("nb"),
+      countDistinct(col("cur")).as("vc"))
+    val dec = "decimal(38,0)"
+    val scored = transA
+      .join(bcnt.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(ctx.hint("shuffle_hash"), Seq("prev"), "left")
+      .join(pre.hint("shuffle_hash"), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_bc", coalesce(col("bc"), lit(0L)))
+      .withColumn("_cc", coalesce(col("cc"), lit(0L)))
+      .withColumn("_fol", coalesce(col("fol"), lit(0L)))
+      .withColumn("_pre", coalesce(col("pre"), lit(0L)))
+      .withColumn("_nbv", (col("nb") + col("vc") + 1).cast(dec))
+      .withColumn("_num",
+        greatest(col("_bc").cast(dec) * 4 - 3, lit(0).cast(dec)) * col("_nbv") +
+          col("_fol").cast(dec) * 3 * (col("_pre").cast(dec) + 1))
+      .withColumn("_den", col("_cc").cast(dec) * 4 * col("_nbv"))
+      .withColumn("m", when(col("_cc") > 0,
+          floor(log(col("_num").cast("double") / col("_den").cast("double"))
+            * 1e6 + 0.5).cast("long"))
+        .otherwise(
+          floor(log((col("_pre").cast("double") + 1.0) /
+              col("_nbv").cast("double")) * 1e6 + 0.5).cast("long")))
+    val agg0 = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"),
+        sum(when(col("_bc") === 0, 1).otherwise(0)).as("_nu"),
+        sum(col("m")).as("_lp"))
+    // agg0 is per-APPLY-document — corpus-sized, the join stays partitioned
+    apply.select(col(idCol))
+      .join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_nu"), lit(0L)).cast("int").as("n_unseen_bigrams"),
+        coalesce(col("_lp"), lit(0L)).as("logprob_micronats"))
+  }
+
   /** Interpolated trigram Kneser-Ney — the next rung of
     * [[perplexityKneserNey]] and the order CCNet-style LM filters
     * actually run at (KenLM defaults to 5; 3 is where the

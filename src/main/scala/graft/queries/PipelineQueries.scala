@@ -817,6 +817,62 @@ object PipelineQueries {
              |       ELSE 'tail' END AS ppl_bucket
              |FROM agg CROSS JOIN cut ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("text_perplexity_pretrained",
+      // the TRAIN/APPLY split every other perplexity gate deliberately
+      // avoids — the production CCNet shape: the LM (KN bigram, D=3/4)
+      // trains on the even-doc_id half and scores the odd half, so
+      // unseen bigrams/contexts/words must receive mass (one
+      // pseudo-count on the continuation distribution; unseen context
+      // backs off to it with weight 1). Emits the per-doc unseen-bigram
+      // count next to the score — the OOV diagnostic. Exact integer
+      // ratios; oracle retrains the LM from the even half
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.perplexityKneserNeyApply(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |trA AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT doc_id, toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 1 AND len(toks) >= 2)),
+             |trT AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+             |bc AS (SELECT prev, cur, count(*) AS bc FROM trT GROUP BY 1, 2),
+             |ctx AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bc GROUP BY 1),
+             |pre AS (SELECT cur, count(*) AS pre FROM bc GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+             |               CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bc),
+             |sc AS (SELECT doc_id, coalesce(bc.bc, 0) AS bcv,
+             |         CASE WHEN coalesce(ctx.cc, 0) > 0 THEN
+             |           CAST(floor(ln(
+             |             CAST(greatest(4 * CAST(coalesce(bc.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+             |                  + 3 * CAST(coalesce(ctx.fol, 0) AS HUGEINT)
+             |                    * (CAST(coalesce(pre.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |             / CAST(4 * CAST(ctx.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+             |               * 1000000 + 0.5) AS BIGINT)
+             |         ELSE
+             |           CAST(floor(ln((CAST(coalesce(pre.pre, 0) AS DOUBLE) + 1.0)
+             |             / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |         END AS m
+             |       FROM trA LEFT JOIN bc USING (prev, cur)
+             |       LEFT JOIN ctx USING (prev) LEFT JOIN pre USING (cur)
+             |       CROSS JOIN tot),
+             |agg0 AS (SELECT doc_id, count(*) AS nt,
+             |           sum(CASE WHEN bcv = 0 THEN 1 ELSE 0 END) AS nu,
+             |           sum(m) AS lp
+             |         FROM sc GROUP BY 1)
+             |SELECT a.doc_id, CAST(coalesce(nt, 0) AS INT) AS n_transitions,
+             |  CAST(coalesce(nu, 0) AS INT) AS n_unseen_bigrams,
+             |  CAST(coalesce(lp, 0) AS BIGINT) AS logprob_micronats
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+             |LEFT JOIN agg0 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     QueryDef("grouped_percentiles_scalable",
       // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
       // or window: two bounded-histogram passes + metadata collects

@@ -21,6 +21,19 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("native scorers: classifier and entropy run as the fused expressions, not HOF chains") {
+    // the round-11 codegen'd replacements must actually be in the plan —
+    // a refactor that silently reverts to the interpreted HOF chains
+    // costs 4-7x on the honest bench (SCALING.md round 11)
+    val pc = planOf("quality_classifier")
+    assert(pc.contains("linearscore("), pc)
+    assert(!pc.contains("aggregate(") && !pc.contains("transform("), pc)
+    val ps = planOf("secret_scan")
+    assert(ps.contains("tokenentropy("), ps)
+    val pf = planOf("quality_filter_chain")
+    assert(pf.contains("linearscore("), pf)
+  }
+
   test("filter_solr: predicate is pushed to the parquet scan") {
     val p = formattedPlanOf("filter_solr")
     assert(p.contains("PushedFilters") &&
@@ -154,7 +167,8 @@ class PlanSpec extends AnyFunSuite {
     // corpus vocabulary — unbounded on a web corpus — so the token x count
     // joins must stay partitioned; only the single-row totals may broadcast
     Seq("text_perplexity", "text_perplexity_bigram",
-        "text_perplexity_kn", "text_perplexity_kn3").foreach { q =>
+        "text_perplexity_kn", "text_perplexity_kn3",
+        "text_perplexity_pretrained").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")

@@ -220,6 +220,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(1L)._3 == bucket(lp1, 4) && out(2L)._3 == bucket(lp2, 1))
   }
 
+  test("perplexityKneserNeyApply: pretrained LM, unseen events get continuation mass") {
+    import graft.functions.TextAnalysis
+    // TRAIN: "a b", "a b", "a c" -> bc (a,b)=2, (a,c)=1; ctx a: cc=3
+    // fol=2; pre b=1, c=1; nb=2, vc=2 -> smoothing denom nbv=5.
+    // APPLY "a b d": (a,b) seen -> p = 5/12 + (1/2)(2/5) = 37/60;
+    //                (b,d) unseen context -> p = (0+1)/5 = 1/5.
+    // APPLY "e": sub-bigram -> zeros.
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val app = Seq((1L, "a b d"), (3L, "e")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKneserNeyApply(train, app, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((2, 1, m(37, 60) + m(1, 5))), out(1L).toString)
+    assert(out(3L) == ((0, 0, 0L)), out(3L).toString)
+  }
+
   test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val total = docs.count()
