@@ -146,7 +146,7 @@ object Bench {
     "suffix_spans_remove", "text_perplexity_kn3",
     // round-11 second batch: pretrained-LM scoring (train/apply split
     // with open-vocabulary smoothing — the production CCNet seat)
-    "text_perplexity_pretrained")
+    "text_perplexity_pretrained", "mixture_unimax")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -493,6 +493,49 @@ object Sampling {
     * sum_w2 REPORT columns stay BIGINT for schema parity; past Long.Max
     * they go NULL (visible) where the old form wrapped (invisible) and
     * the oracle's BIGINT cast errors. */
+  /** UniMax per-language budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): given a total token budget and a max
+    * epoch cap, languages are visited SMALLEST-FIRST and each receives
+    * `min(its corpus size × maxEpochs, remaining ÷ languages-left)` —
+    * the water-filling that gives every language its fair share unless
+    * the epoch cap binds first, with capped languages' unused share
+    * flowing to larger ones. All arithmetic is INTEGER (floor division
+    * on non-negative longs), so the allocation is engine-exact;
+    * `epochs_micro` = 10⁶·budget/corpus reports the resulting per-lang
+    * epoch count (BigInt intermediate — 10⁶×a 100 TB budget overflows
+    * long).
+    *
+    * Scale shape: ONE corpus pass (lang-keyed token-count aggregate,
+    * partial map-side combine); the water-filling itself runs on the
+    * driver over |languages| rows — bounded model metadata, the
+    * ivfModel/vocab discipline. Output: (lang, n_tokens, budget_tokens,
+    * epochs_micro), one row per language. */
+  def unimaxBudgets(df: DataFrame, langCol: String, textCol: String,
+      totalBudget: Long, maxEpochs: Int): DataFrame = {
+    require(totalBudget >= 0 && maxEpochs >= 1,
+      "totalBudget >= 0, maxEpochs >= 1")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(langCol))
+      .agg(sum(graft.functions.TextAnalysis.tokenCountWs(col(textCol))
+        .cast("long")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, c) => (c, l) }
+    var rem = totalBudget
+    var left = counts.length
+    val rows = counts.map { case (l, c) =>
+      val fair = rem / math.max(left, 1)
+      val b = math.min(math.multiplyExact(c, maxEpochs.toLong), fair)
+      rem -= b
+      left -= 1
+      val epochsMicro =
+        if (c == 0) 0L else (BigInt(1000000) * b / c).toLong
+      (l, c, b, epochsMicro)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(langCol, "n_tokens", "budget_tokens", "epochs_micro")
+  }
+
   def essReport(df: DataFrame, groupCol: String, weight: Column): DataFrame =
     df.select(col(groupCol), weight.cast("long").cast("decimal(38,0)").as("_w"))
       .groupBy(groupCol)

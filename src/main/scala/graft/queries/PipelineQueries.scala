@@ -873,6 +873,39 @@ object PipelineQueries {
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
              |LEFT JOIN agg0 USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("mixture_unimax",
+      // UniMax budget allocation (Chung et al. 2023): total budget 25000
+      // tokens, epoch cap 1 — languages visited smallest-first, each gets
+      // min(corpus x cap, remaining / langs-left); capped languages' slack
+      // flows to larger ones. Integer floor arithmetic throughout; the
+      // oracle replays the sequential water-filling with a recursive CTE
+      (s, dir) => graft.functions.Sampling.unimaxBudgets(
+          Tables.documents(s, dir), "lang", "text",
+          totalBudget = 25000L, maxEpochs = 1)
+        .orderBy("lang"),
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |o AS (SELECT lang, n_tokens,
+             |        CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS rn,
+             |        CAST(count(*) OVER () AS BIGINT) AS n
+             |      FROM c),
+             |a(rn, lang, n_tokens, b, rem, n) AS (
+             |  SELECT rn, lang, n_tokens,
+             |    least(n_tokens * 1, 25000 // n) AS b,
+             |    25000 - least(n_tokens * 1, 25000 // n) AS rem, n
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.rn, o.lang, o.n_tokens,
+             |    least(o.n_tokens * 1, a.rem // (a.n - a.rn)) AS b,
+             |    a.rem - least(o.n_tokens * 1, a.rem // (a.n - a.rn)), a.n
+             |  FROM a JOIN o ON o.rn = a.rn + 1)
+             |SELECT lang, n_tokens, CAST(b AS BIGINT) AS budget_tokens,
+             |  CASE WHEN n_tokens = 0 THEN 0
+             |       ELSE CAST((1000000 * CAST(b AS HUGEINT)) // n_tokens AS BIGINT)
+             |  END AS epochs_micro
+             |FROM a ORDER BY lang""".stripMargin)),
+
     QueryDef("grouped_percentiles_scalable",
       // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
       // or window: two bounded-histogram passes + metadata collects

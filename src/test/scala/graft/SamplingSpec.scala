@@ -238,6 +238,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0L)), out(3L).toString)
   }
 
+  test("unimaxBudgets: water-filling — caps bind smallest-first, slack flows upward") {
+    // counts a=3, b=10, c=100; budget 30, epoch cap 2:
+    //  a: fair 30/3=10, cap 6 -> 6 (cap), rem 24
+    //  b: fair 24/2=12, cap 20 -> 12 (fair), rem 12
+    //  c: fair 12/1=12, cap 200 -> 12 (fair)
+    val docs = Seq(
+      ("a", "t1 t2 t3"),
+      ("b", ("w " * 10).trim),
+      ("c", ("v " * 100).trim)).toDF("lang", "text")
+    val out = Sampling.unimaxBudgets(docs, "lang", "text",
+        totalBudget = 30L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((3L, 6L, 2000000L)), out("a").toString)
+    assert(out("b") == ((10L, 12L, 1200000L)), out("b").toString)
+    assert(out("c") == ((100L, 12L, 120000L)), out("c").toString)
+  }
+
   test("temperatureSample: T=1 reproduces the observed mixture (keeps ~everything)") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val total = docs.count()
