@@ -346,7 +346,13 @@ class PlanSpec extends AnyFunSuite {
     "split_temporal_embargo",
     // freshness joins the ONE-ROW global-max aggregate onto the per-group
     // maxes (explicit crossJoin of a broadcast 1-row frame)
-    "events_freshness")
+    "events_freshness",
+    // pretrained-LM scoring crossJoins the ONE-ROW (nb, vc) smoothing
+    // totals of the TRAIN type table — the same single-row-totals seat as
+    // events_freshness; unlike text_perplexity/_bigram there is no
+    // internal persist to hide it behind (the apply side is scored in one
+    // uncached pass), so it stays allowlisted by design
+    "text_perplexity_pretrained")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
