@@ -318,9 +318,19 @@ object Similarity {
   def semanticPairsAgainstIndex(incoming: DataFrame, corpus: DataFrame,
       vecCol: String, idCol: String, model: IVF.Model,
       threshold: Double): DataFrame = {
-    val in = incoming.select(col(idCol).as("id_new"), col(vecCol).as("_vn"))
-      .withColumn("ivf_cell", IVF.assign(col("_vn"), model))
-      .withColumn("_nn", norm(col("_vn")))
+    // PERSIST BARRIER, deliberately (round 11): the cell assignment is a
+    // large inline expression (k centroid literals, k vecdots, an
+    // array_min over k structs). Left unmaterialized it is inlined into
+    // the probe join's codegen stage, where the generated code
+    // re-evaluates it pathologically — measured 67 s vs 1.3 s on the 10x
+    // vintage for the SAME plan with the assignment materialized (or
+    // codegen off). Assign-once-per-batch is also the production
+    // semantics: the increment is batch-sized, and the `touched` collect
+    // below materializes the persist before the join plans.
+    val in = Caches.operatorPersist(
+      incoming.select(col(idCol).as("id_new"), col(vecCol).as("_vn"))
+        .withColumn("ivf_cell", IVF.assign(col("_vn"), model))
+        .withColumn("_nn", norm(col("_vn"))))
     val touched = in.select("ivf_cell").distinct()
       .collect().map(_.getInt(0)).toSeq // <= k cell ids — metadata, not data
     val base = corpus.filter(col("ivf_cell").isin(touched: _*))
