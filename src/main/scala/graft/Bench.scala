@@ -345,16 +345,40 @@ object Bench {
     val contended = loadavgStart > 2.0 ||
       (sentinelOk && (drift < 0.5 || drift > 2.0))
     val retryN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_N", "15").toInt
-    val (results, retried, sentinelRetry) =
-      if (!contended || firstPass.isEmpty) (firstPass, Seq.empty[(String, Double)], -1.0)
+    // CALIBRATION SAMPLE (round-11 verdict #1): the healing pass retries
+    // the top-N SLOWEST queries — exactly the ones whose medians inflate
+    // most under transient load — so their first/healed ratio OVER-states
+    // the inflation of the other ~187 entries (r11 artifact: factor 1.70
+    // -> total_normalized 73.1 s vs 109.2 s measured idle at the same
+    // HEAD, a ~33% flattering error). The discount factor must come from
+    // an UNBIASED sample: stratify the non-slowest queries by first-pass
+    // time (inflation correlates with query size) and draw one per
+    // stratum with a FIXED-seed RNG (deterministic artifact, no
+    // position-in-stratum bias). Those calibration retries also min-heal
+    // their own entries for free.
+    val calN = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_N", "8").toInt
+    val (results, retried, calibration, sentinelRetry) =
+      if (!contended || firstPass.isEmpty)
+        (firstPass, Seq.empty[(String, Double)], Seq.empty[(String, Double)], -1.0)
       else {
         val slowest = firstPass.sortBy(-_._2).take(retryN).map(_._1).toSet
-        System.err.println(s"[bench] contended run detected (loadavg_start=$loadavgStart, drift=$drift); re-running ${slowest.size} slowest queries")
-        val second = firstPass.collect { case (n, _) if slowest.contains(n) => timeQuery(n) }
+        val rest = firstPass.filterNot(p => slowest.contains(p._1)).sortBy(_._2)
+        val rng = new scala.util.Random(0x67726166L) // fixed seed: deterministic sample
+        val calSample =
+          if (rest.isEmpty) Seq.empty[String]
+          else (0 until math.min(calN, rest.size)).map { s =>
+            val lo = s * rest.size / math.min(calN, rest.size)
+            val hi = (s + 1) * rest.size / math.min(calN, rest.size)
+            rest(lo + rng.nextInt(math.max(hi - lo, 1)))._1
+          }
+        val toRetry = slowest ++ calSample
+        System.err.println(s"[bench] contended run detected (loadavg_start=$loadavgStart, drift=$drift); re-running ${slowest.size} slowest + ${calSample.size} calibration queries")
+        val second = firstPass.collect { case (n, _) if toRetry.contains(n) => timeQuery(n) }
           .collect { case (n, t, false) => n -> t }.toMap
         val healed = firstPass.map { case (n, t) =>
           n -> math.min(t, second.getOrElse(n, t)) }
-        (healed, firstPass.filter(p => slowest.contains(p._1)), timeSentinel())
+        (healed, firstPass.filter(p => toRetry.contains(p._1)),
+          firstPass.filter(p => calSample.contains(p._1)), timeSentinel())
       }
     // stdout line is tail-captured by the driver with a bounded buffer; at
     // 115+ queries full-precision doubles overflowed it (round-6 BENCH was
@@ -370,23 +394,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // SENTINEL-NORMALIZED TOTAL (round-10 verdict #6): the healing pass
-    // re-runs only the retryN slowest queries, so on a contended box the
-    // healed total still carries the inflation of every NON-retried entry
-    // (~13% residual on the round-10 driver artifact). The retried pairs
-    // are a measured A/B of exactly that inflation: take the median
-    // first-pass / healed ratio across the retried queries (1.0 on a
-    // box that was actually clean) and discount each non-retried entry by
-    // it. An estimate, clearly labeled as one — retried medians stay
-    // as-measured; on an uncontended run total_normalized == total.
+    // SENTINEL-NORMALIZED TOTAL (round-10 verdict #6, re-calibrated by
+    // round-11 verdict #1): on a contended box the healed total still
+    // carries the inflation of every NON-retried entry. The discount
+    // factor is the median first-pass/healed ratio of the STRATIFIED
+    // RANDOM calibration sample — NOT of the top-N slowest (whose
+    // medians inflate most under load; using them over-discounted the
+    // r11 artifact by ~33% vs the idle close at the same HEAD). Retried
+    // entries (slowest + calibration) keep their min-healed measurement;
+    // only never-retried entries are discounted. An estimate, clearly
+    // labeled as one — on an uncontended run total_normalized == total.
     val totalNormalized =
       if (retried.isEmpty) total
       else {
         val healedMap = results.toMap
-        val ratios = retried.map { case (n, first) =>
+        val ratios = calibration.map { case (n, first) =>
           first / math.max(healedMap.getOrElse(n, first), 1e-9)
         }.sorted
-        val factor = math.max(1.0, ratios(ratios.size / 2))
+        val factor =
+          if (ratios.isEmpty) 1.0
+          else math.max(1.0, ratios(ratios.size / 2))
         val retriedNames = retried.map(_._1).toSet
         results.map { case (n, t) =>
           if (retriedNames.contains(n)) t else t / factor
@@ -396,9 +423,20 @@ object Bench {
       if (sentinelOk) "" else ""","sentinel_failed":true"""
     val retryJson =
       if (retried.isEmpty) ""
-      else retried.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString(""","first_pass":{""", ",", "}") +
-        s""","sentinel_retry":${fmt(sentinelRetry)}"""
+      else {
+        val healedMap = results.toMap
+        val calRatios = calibration.map { case (n, first) =>
+          first / math.max(healedMap.getOrElse(n, first), 1e-9) }.sorted
+        val calFactor =
+          if (calRatios.isEmpty) 1.0
+          else math.max(1.0, calRatios(calRatios.size / 2))
+        retried.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString(""","first_pass":{""", ",", "}") +
+          calibration.map("\"" + _._1 + "\"")
+            .mkString(""","cal_queries":[""", ",", "]") +
+          s""","cal_factor":${fmt(calFactor)}""" +
+          s""","sentinel_retry":${fmt(sentinelRetry)}"""
+      }
     val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -906,6 +906,41 @@ object PipelineQueries {
              |  END AS epochs_micro
              |FROM a ORDER BY lang""".stripMargin)),
 
+    QueryDef("mixture_unimax_epochs",
+      // the round-11 verdict #6 gate: UniMax where the EPOCH CAP binds —
+      // budget 40000 with cap 2 epochs makes the smaller languages hit
+      // min(2 x corpus, fair share) on the cap side (at sf0.01 four of
+      // five languages cap and their slack water-fills into en; at
+      // sf0.001 two cap mid-walk), oracle-pinning the cap-then-slack
+      // redistribution branch the maxEpochs=1 gate never enters. Same
+      // recursive-CTE replay, epoch multiplier 2
+      (s, dir) => graft.functions.Sampling.unimaxBudgets(
+          Tables.documents(s, dir), "lang", "text",
+          totalBudget = 40000L, maxEpochs = 2)
+        .orderBy("lang"),
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |o AS (SELECT lang, n_tokens,
+             |        CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS rn,
+             |        CAST(count(*) OVER () AS BIGINT) AS n
+             |      FROM c),
+             |a(rn, lang, n_tokens, b, rem, n) AS (
+             |  SELECT rn, lang, n_tokens,
+             |    least(n_tokens * 2, 40000 // n) AS b,
+             |    40000 - least(n_tokens * 2, 40000 // n) AS rem, n
+             |  FROM o WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.rn, o.lang, o.n_tokens,
+             |    least(o.n_tokens * 2, a.rem // (a.n - a.rn)) AS b,
+             |    a.rem - least(o.n_tokens * 2, a.rem // (a.n - a.rn)), a.n
+             |  FROM a JOIN o ON o.rn = a.rn + 1)
+             |SELECT lang, n_tokens, CAST(b AS BIGINT) AS budget_tokens,
+             |  CASE WHEN n_tokens = 0 THEN 0
+             |       ELSE CAST((1000000 * CAST(b AS HUGEINT)) // n_tokens AS BIGINT)
+             |  END AS epochs_micro
+             |FROM a ORDER BY lang""".stripMargin)),
+
     QueryDef("grouped_percentiles_scalable",
       // EXACT per-language p50/p90/p99 of n_chars WITHOUT a per-group sort
       // or window: two bounded-histogram passes + metadata collects
