@@ -146,7 +146,10 @@ object Bench {
     "suffix_spans_remove", "text_perplexity_kn3",
     // round-11 second batch: pretrained-LM scoring (train/apply split
     // with open-vocabulary smoothing — the production CCNet seat)
-    "text_perplexity_pretrained", "mixture_unimax")
+    "text_perplexity_pretrained", "mixture_unimax",
+    // round-12: trigram pretrained scoring (landed-LM apply, like the
+    // bigram gate since r12) and the epoch-cap UniMax branch
+    "text_perplexity_pretrained3", "mixture_unimax_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,6 +238,11 @@ object Bench {
       // the detector's findings; the detector computation itself stays on
       // the clock in suffix_dup_spans, which derives the stats live
       graft.queries.PipelineQueries.suffixLcpPath(spark, sfDir)
+      // pretrained KN LMs (bigram + trigram): trained once offline like
+      // bpeMerges/ivfModel — the timed text_perplexity_pretrained*
+      // entries measure APPLY only, the per-crawl CCNet cost
+      graft.queries.PipelineQueries.knModelPath(spark, sfDir)
+      graft.queries.PipelineQueries.kn3ModelPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -266,6 +266,39 @@ object PipelineQueries {
       path
     })
 
+  /** Landed KN bigram LM (train = even-doc_id half), written once per
+    * (dir, JVM) — the pretrained scorer's PRODUCTION seat (round-11
+    * verdict #3): the LM is a build artifact like [[bpeMerges]] /
+    * [[ivfModel]], and the timed pretrained gates measure APPLY only,
+    * the CCNet per-crawl cost. */
+  private val knModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def knModelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    knModelDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("kn-bigram", dir)
+      TextAnalysis.knBigramModelWrite(
+        TextAnalysis.knBigramTrain(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text"), path)
+      path
+    })
+
+  /** Landed trigram KN LM — same train half and stance as
+    * [[knModelPath]], one order up. */
+  private val kn3ModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def kn3ModelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    kn3ModelDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("kn-trigram", dir)
+      TextAnalysis.kn3ModelWrite(
+        TextAnalysis.kn3Train(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text"), path)
+      path
+    })
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -825,11 +858,15 @@ object PipelineQueries {
       // pseudo-count on the continuation distribution; unseen context
       // backs off to it with weight 1). Emits the per-doc unseen-bigram
       // count next to the score — the OOV diagnostic. Exact integer
-      // ratios; oracle retrains the LM from the even half
+      // ratios; oracle retrains the LM from the even half.
+      // Since round 12 the LM is a LANDED artifact ([[knModelPath]],
+      // built offline like bpeMerges/ivfModel) and the timed query is
+      // APPLY ONLY — the per-crawl production cost the gate's doc
+      // always described (round-11 verdict #3)
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        TextAnalysis.perplexityKneserNeyApply(
-            docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        TextAnalysis.perplexityKneserNeyApplyModel(
+            TextAnalysis.knBigramModelRead(s, knModelPath(s, dir)),
             docs.filter(pmod(col("doc_id"), lit(2)) === 1),
             "doc_id", "text")
           .orderBy("doc_id")
@@ -869,6 +906,78 @@ object PipelineQueries {
              |         FROM sc GROUP BY 1)
              |SELECT a.doc_id, CAST(coalesce(nt, 0) AS INT) AS n_transitions,
              |  CAST(coalesce(nu, 0) AS INT) AS n_unseen_bigrams,
+             |  CAST(coalesce(lp, 0) AS BIGINT) AS logprob_micronats
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+             |LEFT JOIN agg0 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("text_perplexity_pretrained3",
+      // the pretrained split at TRIGRAM order (round-11 verdict #3's
+      // second half): the kn3 continuation ladder composed with the
+      // open-vocabulary smoothing — discounted terms floor at 0 on
+      // unseen apply-side counts, the unigram continuation distribution
+      // carries one Laplace unseen-word class, unseen (w2) backs off to
+      // it, unseen (w1,w2) to the middle distribution. LM landed
+      // offline ([[kn3ModelPath]]); timed query = apply only. Oracle
+      // retrains from the even half and replays every branch
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.perplexityKneserNey3ApplyModel(
+            TextAnalysis.kn3ModelRead(s, kn3ModelPath(s, dir)),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |trA AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+             |        FROM (SELECT doc_id, toks,
+             |                unnest(generate_series(1, len(toks) - 2)) AS i
+             |              FROM d WHERE doc_id % 2 = 1 AND len(toks) >= 3)),
+             |trT AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 2)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 3)),
+             |tcn AS (SELECT w1, w2, w3, count(*) AS tc FROM trT GROUP BY 1, 2, 3),
+             |ctx2 AS (SELECT w1, w2, sum(tc) AS cc2, count(*) AS f12 FROM tcn GROUP BY 1, 2),
+             |cont AS (SELECT w2, w3, count(*) AS n1 FROM tcn GROUP BY 1, 2),
+             |mid AS (SELECT w2, sum(n1) AS m2, count(*) AS f2 FROM cont GROUP BY 1),
+             |pre AS (SELECT w3, count(*) AS pre3 FROM cont GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nbp,
+             |               CAST(count(DISTINCT w3) AS HUGEINT) AS vc3 FROM cont),
+             |sc AS (SELECT doc_id, coalesce(tcn.tc, 0) AS tcv,
+             |         CASE WHEN coalesce(ctx2.cc2, 0) > 0 THEN
+             |           CAST(floor(ln(
+             |             CAST(greatest(4 * CAST(coalesce(tcn.tc, 0) AS HUGEINT) - 3, 0)
+             |                    * 4 * CAST(mid.m2 AS HUGEINT) * (nbp + vc3 + 1)
+             |                  + 3 * CAST(ctx2.f12 AS HUGEINT)
+             |                    * (greatest(4 * CAST(coalesce(cont.n1, 0) AS HUGEINT) - 3, 0)
+             |                         * (nbp + vc3 + 1)
+             |                       + 3 * CAST(coalesce(mid.f2, 0) AS HUGEINT)
+             |                         * (CAST(coalesce(pre.pre3, 0) AS HUGEINT) + 1)) AS DOUBLE)
+             |             / CAST(16 * CAST(ctx2.cc2 AS HUGEINT) * CAST(mid.m2 AS HUGEINT)
+             |                    * (nbp + vc3 + 1) AS DOUBLE))
+             |               * 1000000 + 0.5) AS BIGINT)
+             |         WHEN coalesce(mid.m2, 0) > 0 THEN
+             |           CAST(floor(ln(
+             |             CAST(greatest(4 * CAST(coalesce(cont.n1, 0) AS HUGEINT) - 3, 0)
+             |                    * (nbp + vc3 + 1)
+             |                  + 3 * CAST(mid.f2 AS HUGEINT)
+             |                    * (CAST(coalesce(pre.pre3, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |             / CAST(4 * CAST(mid.m2 AS HUGEINT) * (nbp + vc3 + 1) AS DOUBLE))
+             |               * 1000000 + 0.5) AS BIGINT)
+             |         ELSE
+             |           CAST(floor(ln((CAST(coalesce(pre.pre3, 0) AS DOUBLE) + 1.0)
+             |             / CAST(nbp + vc3 + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |         END AS m
+             |       FROM trA LEFT JOIN tcn USING (w1, w2, w3)
+             |       LEFT JOIN ctx2 USING (w1, w2) LEFT JOIN cont USING (w2, w3)
+             |       LEFT JOIN mid USING (w2) LEFT JOIN pre USING (w3)
+             |       CROSS JOIN tot),
+             |agg0 AS (SELECT doc_id, count(*) AS nt,
+             |           sum(CASE WHEN tcv = 0 THEN 1 ELSE 0 END) AS nu,
+             |           sum(m) AS lp
+             |         FROM sc GROUP BY 1)
+             |SELECT a.doc_id, CAST(coalesce(nt, 0) AS INT) AS n_transitions,
+             |  CAST(coalesce(nu, 0) AS INT) AS n_unseen_trigrams,
              |  CAST(coalesce(lp, 0) AS BIGINT) AS logprob_micronats
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
              |LEFT JOIN agg0 USING (doc_id) ORDER BY doc_id""".stripMargin)),

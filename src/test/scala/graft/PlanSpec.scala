@@ -168,7 +168,7 @@ class PlanSpec extends AnyFunSuite {
     // joins must stay partitioned; only the single-row totals may broadcast
     Seq("text_perplexity", "text_perplexity_bigram",
         "text_perplexity_kn", "text_perplexity_kn3",
-        "text_perplexity_pretrained").foreach { q =>
+        "text_perplexity_pretrained", "text_perplexity_pretrained3").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")
@@ -352,7 +352,10 @@ class PlanSpec extends AnyFunSuite {
     // events_freshness; unlike text_perplexity/_bigram there is no
     // internal persist to hide it behind (the apply side is scored in one
     // uncached pass), so it stays allowlisted by design
-    "text_perplexity_pretrained")
+    "text_perplexity_pretrained",
+    // trigram pretrained: same ONE-ROW (nbp, vc3) smoothing-totals
+    // crossJoin as the bigram form
+    "text_perplexity_pretrained3")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}

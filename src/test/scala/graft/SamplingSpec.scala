@@ -238,6 +238,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0L)), out(3L).toString)
   }
 
+  test("perplexityKneserNey3Apply: every smoothing branch on a hand fixture") {
+    import graft.functions.TextAnalysis
+    // TRAIN "a b c", "a b d": tc=1 each; ctx2(a,b) cc2=2 f12=2;
+    // cont (b,c)=(b,d)=1; mid b: m2=2 f2=2; pre3 c=d=1; nbp=2 vc3=2
+    // -> NBV=5, p1(c)=2/5, p2(c|b)=17/40.
+    // APPLY "a b c x b c" trigrams:
+    //  (a,b,c) seen ctx     -> p = 1/8 + (3/8)(17/40)       = 71/160
+    //  (b,c,x) unseen w2=c  -> p1(x) = 1/5     (m2(c)=0)
+    //  (c,x,b) unseen w2=x  -> p1(b) = 1/5
+    //  (x,b,c) unseen ctx, seen w2=b -> p2(c|b) = 17/40
+    // unseen trigrams: 3.  APPLY "q r": sub-trigram -> zeros.
+    val train = Seq((0L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val app = Seq((1L, "a b c x b c"), (3L, "q r")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityKneserNey3Apply(train, app, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    assert(out(1L) == ((4, 3, m(71, 160) + 2 * m(1, 5) + m(17, 40))),
+      out(1L).toString)
+    assert(out(3L) == ((0, 0, 0L)), out(3L).toString)
+  }
+
   test("unimaxBudgets: water-filling — caps bind smallest-first, slack flows upward") {
     // counts a=3, b=10, c=100; budget 30, epoch cap 2:
     //  a: fair 30/3=10, cap 6 -> 6 (cap), rem 24
