@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * Lee et al. 2022's `deduplicate-text-datasets`): every (doc, pos)
   * suffix of the token stream gets its GLOBAL dense lexicographic rank,
   * in O(log maxLCP) rounds of pure relational work — each round one
-  * equi-self-join (shift by k) plus one distinct-key ranking. No suffix
-  * string is ever materialized; ranks refine from single tokens (k=1)
-  * by doubling until a fixed point.
+  * per-document lead-window (shift by k: positions are contiguous, so
+  * k positions = k rows) plus one in-place range ranking. No full
+  * suffix string is ever materialized; ranks seed from seedK-token
+  * capped prefixes and refine by doubling until a fixed point.
   *
   * Ordering contract: suffixes compare as token SEQUENCES. INPUT
   * PRECONDITION (clean tokens): no token may contain a character below
@@ -32,15 +33,18 @@ import org.apache.spark.sql.functions._
   * terminates on rank-refinement fixed point, not on all-distinct.
   *
   * Scale shape: no global window anywhere. Global dense ranks are
-  * assigned by range-partitioning the distinct keys, collecting ONE
-  * long per partition (bounded driver metadata), and numbering within
-  * partitions under a partition-local window — the same bucket-offset
-  * discipline as `Packing.concatBlocks`. Per round: the (doc, pos+k)
-  * shift join and the key ranking both hash/range-shuffle n rows; rounds
-  * are bounded by log2 of the longest repeated prefix, and each round's
+  * assigned by range-partitioning the FRAME ITSELF (equal keys share a
+  * partition by range-partitioner contract), collecting ONE distinct-
+  * count long per partition (bounded driver metadata), and dense-
+  * ranking within partitions under a partition-local window — the same
+  * bucket-offset discipline as `Packing.concatBlocks`, fused so no
+  * separate distinct pass or rank join-back ever re-shuffles the frame.
+  * Per round: exactly TWO n-row exchanges — the per-doc lead window
+  * (hash on doc) and the key range exchange; rounds are bounded by
+  * log2(longest repeated prefix / seedK), and each round's
   * frame is eagerly checkpointed with the previous round's blocks
   * released immediately (rolling single-checkpoint memory footprint);
-  * each round's range-partitioned key frame is likewise released as soon
+  * each round's range-partitioned frame is likewise released as soon
   * as that round's checkpoint lands. Round checkpoints go through
   * [[Checkpoints.eager]]: executor-local by default, RELIABLE (DFS
   * files, fault-tolerant) when `spark.graft.checkpointDir` is set — the
@@ -56,20 +60,25 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Dense 1-based global ranks of the DISTINCT key rows, ordered by
-    * `keyCols` lexicographically, with no global window: range-partition,
-    * per-partition counts to the driver (numPartitions longs), offsets +
-    * partition-local row_number. The returned frame must be consumed
-    * while the returned `parted` handle stays persisted (range boundaries
-    * are sampled; the persist pins them) — the caller unpersists it as
-    * soon as its round's checkpoint lands. */
-  private def keyRanks(distinct: DataFrame, keyCols: Seq[String],
+  /** Dense 1-based global ranks of `keyCols` assigned IN PLACE on the
+    * full frame (no distinct pass, no rank join-back — round-11 verdict
+    * #4's fusion: the distinct + join-back pair re-shuffled the whole
+    * frame twice on the same keys this single range exchange already
+    * orders), with no global window: range-partition the frame itself
+    * (equal keys land in one partition by range-partitioner contract),
+    * per-partition DISTINCT-key counts to the driver (numPartitions
+    * longs), offsets + partition-local dense_rank. The returned frame
+    * must be consumed while the returned `parted` handle stays persisted
+    * (range boundaries are sampled; the persist pins them) — the caller
+    * unpersists it as soon as its round's checkpoint lands. */
+  private def denseRanksInline(frame: DataFrame, keyCols: Seq[String],
       nParts: Int): (DataFrame, Long, DataFrame) = {
-    val parted = distinct
+    val parted = frame
       .repartitionByRange(nParts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .persist()
-    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+    val counts = parted.groupBy("_pid")
+      .agg(countDistinct(keyCols.head, keyCols.tail: _*).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
       acc + counts.getOrElse(p, 0L)
@@ -79,7 +88,7 @@ object SuffixArray {
     // the partial-count collect doubles as the distinct total, so the
     // fixed-point check costs no extra pass over the rank frame
     (parted.withColumn("_rank",
-      row_number().over(w).cast("long") + offExpr),
+      dense_rank().over(w).cast("long") + offExpr),
       counts.values.sum, parted)
   }
 
@@ -116,7 +125,8 @@ object SuffixArray {
     * a pre-dedup crawl (the corpus this operator exists for) every
     * per-round shuffle shrinks by the duplication factor. */
   def suffixRanks(df: DataFrame, idCol: String, textCol: String,
-      nParts: Int = 32, maxRounds: Int = 64): DataFrame = {
+      nParts: Int = 32, maxRounds: Int = 64, seedK: Int = 8): DataFrame = {
+    require(seedK >= 1, "seedK >= 1")
     val pinned = ArrayBuffer.empty[DataFrame]
     val ckpt = new RollingCheckpoint
     try {
@@ -127,55 +137,77 @@ object SuffixArray {
       // min() is exact (all texts under a key are equal) and partial-
       // aggregates, so each distinct text shuffles ~once per partition
       val reps = g.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
-      val suff = reps
+      // SEEDED round 0 (round-11 verdict #4): rank the seedK-token capped
+      // prefix at each position instead of the single token, entering the
+      // doubling loop at k = seedK — log2(seedK) fewer global (shift-join
+      // + key-rank) rounds, the dominant cost. The prefix key is the
+      // SPACE-JOINED string: under the object's clean-token INPUT
+      // PRECONDITION (no chars below 0x20 — which the DuckDB string
+      // oracle already required) joined-string order EQUALS token-
+      // sequence order, and a suffix shorter than seedK yields its whole
+      // suffix as the key, so equal keys of sub-seedK suffixes are truly
+      // equal suffixes (ranks tie forever — correct) while equal
+      // seedK-length keys refine in later rounds. Trade, stated: the
+      // exploded round-0 frame carries ~seedK tokens per position
+      // (bounded ~seedK x corpus bytes for one round) instead of one.
+      //
+      // Two persist barriers around the Generate (the cdc_chunks lesson,
+      // SCALING.md round-10): materializing (_g, _prefs) keeps projection
+      // collapse from inlining split() into the slice lambda (no CSE in
+      // interpreted HOFs — O(n^2) re-splits) and keeps
+      // InferFiltersFromGenerate's size() filter a cheap attribute check.
+      val prefs = reps
         .select(col("_g"), split(col("_t"), " ").as("_tk"))
-        .select(col("_g"), posexplode(col("_tk")).as(Seq("_p0", "_tok")))
-        .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_tok"))
+        .select(col("_g"),
+          transform(sequence(lit(1), size(col("_tk"))),
+            p => concat_ws(" ", slice(col("_tk"), p, lit(seedK)))).as("_prefs"))
         .persist()
-      pinned += suff
-      // round 0: rank by the single token at each position
-      val (tokRanks, nTok, tokParted) = keyRanks(
-        suff.select("_tok").distinct(), Seq("_tok"), nParts)
-      var ranks = ckpt(suff
-        .join(tokRanks.select(col("_tok"), col("_rank")).hint("shuffle_hash"),
-          Seq("_tok"))
-        .select(col("_g"), col("_pos"), col("_rank")))
-      // round 0's checkpoint severed lineage: the token-rank range frame
-      // and the exploded suffix frame are both fully consumed — release
-      // now instead of at loop end (rolling, not cumulative, footprint)
-      tokParted.unpersist(blocking = false)
-      suff.unpersist(blocking = false)
-      var nDistinct = nTok
-      var k = 1L
+      pinned += prefs
+      val suff = prefs
+        .select(col("_g"), posexplode(col("_prefs")).as(Seq("_p0", "_pref")))
+        .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_pref"))
+      // round 0: dense ranks assigned in place on the range exchange
+      val (ranked0, nPref, parted0) = denseRanksInline(suff,
+        Seq("_pref"), nParts)
+      var ranks = ckpt(ranked0.select(col("_g"), col("_pos"), col("_rank")))
+      // round 0's checkpoint severed lineage: the range frame and the
+      // prefix-array frame are fully consumed — release now instead of
+      // at loop end (rolling, not cumulative, footprint)
+      parted0.unpersist(blocking = false)
+      prefs.unpersist(blocking = false)
+      var nDistinct = nPref
+      var k = seedK.toLong
       var round = 0
       var fixed = false
       while (!fixed && round < maxRounds) {
         round += 1
-        // shift join: rank of the suffix k positions later (0 = past end)
-        val shifted = ranks
-          .join(ranks.select(col("_g"), (col("_pos") - k).as("_pos"),
-            col("_rank").as("_r2")).hint("shuffle_hash"),
-            Seq("_g", "_pos"), "left")
-          .select(col("_g"), col("_pos"), col("_rank").as("_r1"),
-            coalesce(col("_r2"), lit(0L)).as("_r2"))
-        val (pairRanks, nd, parted) = keyRanks(
-          shifted.select("_r1", "_r2").distinct(), Seq("_r1", "_r2"), nParts)
+        // rank of the suffix k positions later (0 = past end): positions
+        // are CONTIGUOUS 1..len per doc (posexplode of every token), so
+        // "k positions later" is "k ROWS later" under one per-document
+        // window — a single hash exchange on _g, replacing the former
+        // (_g, _pos) equi-self-join's two. Per-doc window, partition-
+        // local sort, group size = the doc's token count (bounded; one
+        // rep per distinct text by the clique collapse above).
+        val wDoc = Window.partitionBy("_g").orderBy("_pos")
+        val shifted = ranks.select(col("_g"), col("_pos"),
+          col("_rank").as("_r1"),
+          coalesce(lead(col("_rank"),
+              k.min(Int.MaxValue.toLong).toInt).over(wDoc),
+            lit(0L)).as("_r2"))
+        val (ranked, nd, parted) = denseRanksInline(shifted,
+          Seq("_r1", "_r2"), nParts)
         // fixed point: the (r1, r2) partition equals the previous one, and
-        // both numberings are dense in the same order — so the join-back
-        // would reproduce the EXACT same rank values; skip it entirely
+        // both numberings are dense in the same order — so the refined
+        // ranks would reproduce the EXACT same values; skip the round
         fixed = nd == nDistinct
         if (!fixed) {
-          ranks = ckpt(shifted
-            .join(pairRanks
-                .select(col("_r1"), col("_r2"), col("_rank")).hint("shuffle_hash"),
-              Seq("_r1", "_r2"))
-            .select(col("_g"), col("_pos"), col("_rank")))
+          ranks = ckpt(ranked.select(col("_g"), col("_pos"), col("_rank")))
           nDistinct = nd
         }
         // this round's checkpoint landed (or the frame was never consumed,
-        // on the fixed round) — release its range-partitioned key frame
-        // immediately; memory stays one checkpoint + one key frame, not
-        // O(rounds x distinct keys)
+        // on the fixed round) — release its range-partitioned frame
+        // immediately; memory stays one checkpoint + one range frame, not
+        // O(rounds x rows)
         parted.unpersist(blocking = false)
         k *= 2
       }
