@@ -148,8 +148,10 @@ object Bench {
     // with open-vocabulary smoothing — the production CCNet seat)
     "text_perplexity_pretrained", "mixture_unimax",
     // round-12: trigram pretrained scoring (landed-LM apply, like the
-    // bigram gate since r12) and the epoch-cap UniMax branch
-    "text_perplexity_pretrained3", "mixture_unimax_epochs")
+    // bigram gate since r12), the epoch-cap UniMax branch, and
+    // incremental SA maintenance (delta merge into the landed build)
+    "text_perplexity_pretrained3", "mixture_unimax_epochs",
+    "suffix_ranks_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -238,6 +240,10 @@ object Bench {
       // the detector's findings; the detector computation itself stays on
       // the clock in suffix_dup_spans, which derives the stats live
       graft.queries.PipelineQueries.suffixLcpPath(spark, sfDir)
+      // merge sidecar (rank reps + seed prefixes): derived at build time
+      // with the SA; the timed suffix_ranks_incremental entry measures
+      // the delta MERGE, not the index derivation
+      graft.queries.PipelineQueries.suffixMergeRepsPath(spark, sfDir)
       // pretrained KN LMs (bigram + trigram): trained once offline like
       // bpeMerges/ivfModel — the timed text_perplexity_pretrained*
       // entries measure APPLY only, the per-crawl CCNet cost

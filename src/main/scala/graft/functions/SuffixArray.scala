@@ -72,16 +72,26 @@ object SuffixArray {
     * (range boundaries are sampled; the persist pins them) — the caller
     * unpersists it as soon as its round's checkpoint lands. */
   private def denseRanksInline(frame: DataFrame, keyCols: Seq[String],
-      nParts: Int): (DataFrame, Long, DataFrame) = {
+      nParts: Int): (DataFrame, Long, DataFrame) =
+    denseRanksInlineCounted(frame, keyCols, nParts) match {
+      case (df, nDistinct, _, parted) => (df, nDistinct, parted)
+    }
+
+  /** [[denseRanksInline]] also returning the frame's ROW count — read off
+    * the same per-partition collect, so emptiness/size checks cost no
+    * extra job (the incremental merge loop's termination test). */
+  private def denseRanksInlineCounted(frame: DataFrame, keyCols: Seq[String],
+      nParts: Int): (DataFrame, Long, Long, DataFrame) = {
     val parted = frame
       .repartitionByRange(nParts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
       .persist()
     val counts = parted.groupBy("_pid")
-      .agg(countDistinct(keyCols.head, keyCols.tail: _*).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(countDistinct(keyCols.head, keyCols.tail: _*).as("_c"),
+        count(lit(1)).as("_r"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
-      acc + counts.getOrElse(p, 0L)
+      acc + counts.get(p).map(_._1).getOrElse(0L)
     }.dropRight(1)
     val offExpr = element_at(array(offs.map(lit): _*), col("_pid") + 1)
     val w = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
@@ -89,7 +99,7 @@ object SuffixArray {
     // fixed-point check costs no extra pass over the rank frame
     (parted.withColumn("_rank",
       dense_rank().over(w).cast("long") + offExpr),
-      counts.values.sum, parted)
+      counts.values.map(_._1).sum, counts.values.map(_._2).sum, parted)
   }
 
   /** One eagerly-materialized checkpoint per round, releasing the
@@ -220,6 +230,273 @@ object SuffixArray {
     } finally {
       // the final frame is a checkpoint — independent of every pinned
       // intermediate, so their blocks release here unconditionally
+      pinned.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** INCREMENTAL maintenance of a landed suffix array (round-11 verdict
+    * #5): merge a delta batch into an existing [[suffixRanks]] build
+    * WITHOUT re-running the doubling loop over the corpus — the
+    * probe-new-against-persisted form every other index in the repo
+    * (band index, dHash, IVF cells) already has, closing the daily-crawl
+    * seat where a 100-TB SA would otherwise rebuild from scratch.
+    * Output: exact (id, pos, suffix_rank) over oldDf ∪ newDf, EQUAL to a
+    * full rebuild (the gate's oracle is exactly that rebuild).
+    *
+    * Shape: (1) delta docs whose text md5 already exists in the old
+    * corpus copy their rows from an old member — zero comparisons, the
+    * dominant crawl case. (2) Genuinely-new distinct texts explode to
+    * suffixes and MERGE with one representative row per OLD RANK (equal-
+    * rank old suffixes are identical, so the rep stands for the class):
+    * one capped-prefix range ranking over (old ranks + new suffixes),
+    * then groups still tied at the cap ESCALATE — the next
+    * next segment is fetched (windows stay token-aligned because tied
+    * rows share their compared prefix exactly) and the group re-ranks,
+    * the compared span growing 4x per round. Only groups containing a
+    * NEW row ever fetch more tokens ("affected rank neighborhoods");
+    * tied pure-old groups order by their landed rank (rank order IS
+    * content order) with no content fetched. Comparison keys are
+    * space-joined segment strings under the object's clean-token INPUT
+    * PRECONDITION; per-row rank paths (array<bigint>, one dense rank
+    * appended per round) compare lexicographically across groups
+    * because refinement only reorders within a group. (3) One final
+    * range ranking over the frozen rows yields the union's dense ranks;
+    * old documents map through their rank class, new ones through their
+    * text group.
+    *
+    * Cost at scale: one pass over the landed index + delta (the round-1
+    * range exchange — unavoidable: a merge must see the index order
+    * once), then per-round work proportional to unresolved NEIGHBORHOOD
+    * rows only (delta-proportional; rounds bounded by log2 of the
+    * longest old-new shared prefix / seedK), then the union-sized final
+    * ranking — which is the size of the OUTPUT artifact itself. A full
+    * rebuild instead pays O(log maxLCP) rounds of two corpus-position-
+    * sized exchanges each. */
+  def suffixRanksIncremental(ranks: DataFrame, oldDf: DataFrame,
+      newDf: DataFrame, idCol: String, textCol: String,
+      nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame =
+    suffixRanksIncrementalFrom(suffixMergeReps(ranks, oldDf, idCol,
+      textCol, seedK), ranks, oldDf, newDf, idCol, textCol, nParts,
+      seedK, maxRounds)
+
+  /** The MERGE SIDECAR of a landed suffix array: one row per rank with
+    * its representative (doc, pos), suffix token length, and seedK-token
+    * joined prefix — everything round 1 of [[suffixRanksIncremental]]
+    * needs, derived in one pass at build time and landed next to the SA
+    * (the [[rankMaxLcp]]-stats discipline: SA + LCP + merge-reps are the
+    * production artifact triple). The delta merge then never aggregates
+    * the index or re-tokenizes the corpus for round 1. */
+  def suffixMergeReps(ranks: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, seedK: Int = 8): DataFrame = {
+    val reps = ranks.groupBy(col("suffix_rank"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_m"))
+      .select(col("suffix_rank").as("_or"),
+        col("_m").getField(idCol).as("_doc"), col("_m.pos").as("_pos"))
+    val toks = df.select(col(idCol).as("_doc"),
+      split(col(textCol), " ").as("_tk"))
+    reps.join(toks, Seq("_doc"))
+      .select(col("_or"), col("_doc"),
+        col("_pos").cast("long").as("_pos"),
+        (size(col("_tk")) - col("_pos") + 1).cast("long").as("_slen"),
+        concat_ws(" ", slice(col("_tk"), col("_pos").cast("int"),
+          lit(seedK))).as("_seg"))
+  }
+
+  /** [[suffixRanksIncremental]] over a PRELANDED [[suffixMergeReps]]
+    * sidecar — the timed production shape: the index side of round 1 is
+    * a plain scan of the sidecar. `seedK` must match the sidecar's. */
+  def suffixRanksIncrementalFrom(mergeReps: DataFrame, ranks: DataFrame,
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
+      nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame = {
+    require(seedK >= 1, "seedK >= 1")
+    // segment growth per escalation: 4x empties groups in half the
+    // rounds of 2x (round overhead is jobs, not bytes, at the tail) for
+    // at most a 4x overshoot on the final fetched segment
+    val growth = 4L
+    val pinned = ArrayBuffer.empty[DataFrame]
+    // frozen rounds checkpoint once each and stay live to the final
+    // ranking (total held = one union-sized artifact, the output's size)
+    val frozenParts = ArrayBuffer.empty[DataFrame]
+    try {
+      val oldG = oldDf.select(col(idCol).as("_doc"),
+        md5(col(textCol)).as("_g"), col(textCol).as("_t"))
+      val newG = newDf.select(col(idCol).as("_doc"),
+        md5(col(textCol)).as("_g"), col(textCol).as("_t"))
+      val newMembers = newG.select("_doc", "_g").persist()
+      pinned += newMembers
+      // fresh = delta texts the old corpus has never seen
+      val newFresh = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
+        .join(oldG.select("_g").distinct(), Seq("_g"), "left_anti")
+        .persist()
+      pinned += newFresh
+      // token arrays for the sources an ESCALATING row can probe — built
+      // once, AFTER round 1, restricted to round-1 escalators (groups
+      // only refine, so later rounds' escalating sources are a subset):
+      // the corpus tokenization pass is NEIGHBORHOOD-sized, not
+      // corpus-sized, and a delta that resolves at the seedK prefix
+      // never tokenizes anything
+      var tokTable: DataFrame = null
+      def buildTokTable(escSrcs: DataFrame): DataFrame = {
+        val t = escSrcs
+          .join(oldG.select(concat(lit("d:"), col("_doc").cast("string"))
+              .as("_src"), col("_t")).hint("shuffle_hash"), Seq("_src"))
+          .select(col("_src"), split(col("_t"), " ").as("_tk"))
+          .unionAll(escSrcs
+            .join(newFresh.select(concat(lit("g:"), col("_g")).as("_src"),
+              col("_t")).hint("shuffle_hash"), Seq("_src"))
+            .select(col("_src"), split(col("_t"), " ").as("_tk")))
+          .persist()
+        pinned += t
+        t
+      }
+      val oldBase = mergeReps.select(lit(0).as("_new"), col("_or"),
+        concat(lit("d:"), col("_doc").cast("string")).as("_src"),
+        col("_pos"), col("_slen"),
+        array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
+        col("_seg"))
+      // fresh-text suffix rows (persist barrier before the Generate,
+      // the cdc_chunks discipline)
+      val freshTk = newFresh
+        .select(col("_g"), split(col("_t"), " ").as("_tk")).persist()
+      pinned += freshTk
+      val newBase = freshTk
+        .select(col("_g"), col("_tk"),
+          explode(sequence(lit(1), size(col("_tk")))).as("_pos"))
+        .select(lit(1).as("_new"), lit(null).cast("long").as("_or"),
+          concat(lit("g:"), col("_g")).as("_src"),
+          col("_pos").cast("long").as("_pos"),
+          (size(col("_tk")) - col("_pos") + 1).cast("long").as("_slen"),
+          array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
+          concat_ws(" ", slice(col("_tk"), col("_pos"),
+            lit(seedK))).as("_seg"))
+      // the loop ranks on SCALAR (prev-round rank, next segment) keys:
+      // a round's dense rank completely encodes the row's group path —
+      // two rows differing at ANY earlier element carry different ranks
+      // — so the hot exchanges never sort the array column; `_path`
+      // rides along as a passenger (one appended element per round) and
+      // is only compared ONCE, padded into long columns, at the final
+      // union ranking (array orderings are interpreted — keying the
+      // per-round range exchange on them cost ~4x, measured).
+      var covered = seedK.toLong
+      var pending = oldBase.unionAll(newBase)
+      val debugTiming = oldDf.sparkSession.conf
+        .getOption("spark.graft.debugTiming").contains("true")
+      var round = 0
+      var done = false
+      while (!done && round < maxRounds) {
+        val t0 = System.nanoTime()
+        val (ranked, _, nRows, parted) = denseRanksInlineCounted(pending,
+          Seq("_kr", "_seg"), nParts)
+        if (nRows == 0) { done = true; parted.unpersist(blocking = false) }
+        else {
+          round += 1
+          // group stats as WINDOW aggregates over the range frame: a
+          // group's rows share (_pid, _rank) — already co-partitioned
+          // and sorted by the ranking window — so n/hasNew/maxLen cost
+          // no exchange and no join-back
+          val wg = Window.partitionBy(col("_pid"), col("_rank"))
+          val stepped = ranked.select(col("_new"), col("_or"), col("_src"),
+            col("_pos"), col("_slen"),
+            concat(col("_path"), array(col("_rank"))).as("_path"),
+            col("_rank").as("_kr"),
+            count(lit(1)).over(wg).as("_n"),
+            max(col("_new")).over(wg).as("_hasNew"),
+            max(col("_slen")).over(wg).as("_maxLen"))
+          // ONE checkpoint per round carries both halves; it stays live
+          // to the final ranking (the frozen part is read there), so the
+          // per-round held total is one union-sized artifact — the size
+          // of the output itself
+          val landed = Checkpoints.eager(stepped
+            .withColumn("_esc", col("_n") > 1 && col("_hasNew") === 1 &&
+              col("_maxLen") > covered))
+          // a tied PURE-OLD group needs no content: landed rank order is
+          // content order — appended as the group's final path element
+          frozenParts += landed.filter(!col("_esc"))
+            .select(col("_new"), col("_or"), col("_src"), col("_pos"),
+              when(col("_n") > 1 && col("_hasNew") === 0,
+                  concat(col("_path"), array(col("_or"))))
+                .otherwise(col("_path")).as("_path"))
+          val segLen = (covered * (growth - 1)).min(Int.MaxValue.toLong)
+          if (tokTable == null)
+            tokTable = buildTokTable(
+              landed.filter(col("_esc")).select("_src").distinct())
+          pending = landed.filter(col("_esc"))
+            .join(tokTable.hint("shuffle_hash"), Seq("_src"))
+            .select(col("_new"), col("_or"), col("_src"), col("_pos"),
+              col("_slen"), col("_path"), col("_kr"),
+              concat_ws(" ", slice(col("_tk"),
+                (col("_pos") + covered).cast("int"),
+                lit(segLen.toInt))).as("_seg"))
+          parted.unpersist(blocking = false)
+          // termination read off the landed checkpoint (no join, no
+          // extra empty round through the range exchange)
+          done = landed.filter(col("_esc")).isEmpty
+          covered *= growth
+          if (debugTiming) System.err.println(
+            f"[sa-incr] round $round covered=${covered / growth} " +
+              f"rows=$nRows ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+              f"done=$done")
+        }
+      }
+      require(done,
+        s"suffixRanksIncremental: ties unresolved after $maxRounds rounds")
+      // final union ranking: paths padded to fixed long columns (rows
+      // sharing a path prefix share its length — groups escalate or
+      // freeze as a whole — so zero-padding never decides a comparison)
+      val maxPathLen = math.max(round, 1) + 1
+      val keyCols = (1 to maxPathLen).map(i => s"_k$i")
+      val empty = oldBase.filter(lit(false))
+        .select(Seq(col("_new"), col("_or"), col("_src"),
+          col("_pos")) ++ keyCols.map(k => lit(0L).as(k)): _*)
+      val all = frozenParts.foldLeft(empty) { (acc, f) =>
+        acc.unionAll(f.select(
+          Seq(col("_new"), col("_or"), col("_src"), col("_pos")) ++
+            (1 to maxPathLen).map(i =>
+              coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
+                .as(s"_k$i")): _*))
+      }
+      val (finalRanked, _, fparted) = denseRanksInline(all,
+        keyCols, nParts)
+      // the output below is returned lazily — pin the final range frame
+      // for the caller (released with the others in finally is WRONG
+      // here: the result still reads it), so sever lineage instead
+      val resolved = Checkpoints.eager(finalRanked
+        .select(col("_new"), col("_or"), col("_src"), col("_pos"),
+          col("_rank")))
+      fparted.unpersist(blocking = false)
+      // the per-round frozen checkpoints are fully consumed by `resolved`
+      // (lineage severed) — release their blocks now
+      frozenParts.foreach { f =>
+        f.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+      val oldMapping = resolved.filter(col("_or").isNotNull)
+        .select(col("_or").as("suffix_rank"), col("_rank"))
+      // old docs: landed rows re-ranked through their rank class
+      val oldOut = ranks
+        .join(oldMapping.hint("shuffle_hash"), Seq("suffix_rank"))
+        .select(col(idCol), col("pos"), col("_rank").as("suffix_rank"))
+      // fresh delta texts: merge rows expanded to their member docs
+      val freshOut = resolved.filter(col("_new") === 1)
+        .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
+          col("_rank"))
+        .join(newMembers.hint("shuffle_hash"), Seq("_g"))
+        .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
+          col("_rank").as("suffix_rank"))
+      // delta docs duplicating an OLD text: copy one old member's rows
+      val dupOut = newMembers
+        .join(newFresh.select("_g"), Seq("_g"), "left_anti")
+        .join(oldG.groupBy(col("_g")).agg(min(col("_doc")).as("_odoc"))
+          .hint("shuffle_hash"), Seq("_g"))
+        .join(ranks.withColumnRenamed(idCol, "_odoc").hint("shuffle_hash"),
+          Seq("_odoc"))
+        .join(oldMapping.withColumnRenamed("_rank", "_nr")
+          .hint("shuffle_hash"), Seq("suffix_rank"))
+        .select(col("_doc").as(idCol), col("pos"),
+          col("_nr").as("suffix_rank"))
+      oldOut.unionAll(freshOut).unionAll(dupOut)
+    } finally {
       pinned.foreach(_.unpersist(blocking = false))
     }
   }

@@ -299,6 +299,22 @@ object PipelineQueries {
       path
     })
 
+  /** Merge sidecar of the SA build (one row per rank: rep doc/pos,
+    * suffix length, seed prefix) — landed next to the array like the LCP
+    * stats, so the incremental merge's round 1 is a plain sidecar scan.
+    * Derived once per (dir, JVM) at build time. */
+  private val suffixMergeRepsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def suffixMergeRepsPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    suffixMergeRepsDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("suffix-merge-reps", dir)
+      graft.functions.SuffixArray.suffixMergeReps(suffixRanksFrame(s, dir),
+          Tables.documents(s, dir), "doc_id", "text")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      path
+    })
+
   /** Key-bucketed documents table for the point-lookup gate, written once
     * per (dir, JVM); the pid-suffixed name keeps concurrent JVMs off each
     * other's warehouse entries. */
@@ -1154,6 +1170,39 @@ object PipelineQueries {
           Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id", "pos"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |s AS (SELECT doc_id, i AS pos,
+             |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf
+             |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t))
+             |SELECT doc_id, CAST(pos AS INT) AS pos,
+             |  CAST(dense_rank() OVER (ORDER BY suf) AS BIGINT) AS suffix_rank
+             |FROM s ORDER BY doc_id, pos""".stripMargin)),
+
+    QueryDef("suffix_ranks_incremental",
+      // INCREMENTAL SA maintenance (round-11 verdict #5): a synthetic
+      // crawl delta — half exact re-crawls (doc_id%14=3, text verbatim),
+      // half genuinely-new near-variants (doc_id%14=10, one appended
+      // token, so every suffix is fresh and shares its whole old doc as
+      // prefix — the escalation worst case) — merges into the LANDED
+      // corpus build ([[suffixRanksFrame]], the same artifact the
+      // derived passes consume). Oracle: the full rebuild over the
+      // union, which the merge must equal exactly
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val delta = docs.filter(pmod(col("doc_id"), lit(14)) === 3)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+          .unionAll(docs.filter(pmod(col("doc_id"), lit(14)) === 10)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(col("text"), lit(" zzqx")).as("text")))
+        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+            s.read.parquet(suffixMergeRepsPath(s, dir)),
+            suffixRanksFrame(s, dir), docs, delta, "doc_id", "text")
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 14 = 3
+             |  UNION ALL SELECT doc_id + 10000000, text || ' zzqx' FROM documents WHERE doc_id % 14 = 10),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM u),
              |s AS (SELECT doc_id, i AS pos,
              |        array_to_string(tk[CAST(i AS INT):CAST(len(tk) AS INT)], ' ') AS suf
              |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t))

@@ -950,6 +950,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("suffixRanksIncremental: merge == full rebuild across every delta shape") {
+    import graft.functions.SuffixArray
+    val oldDocs = Seq(
+      (1L, "b a n a n a"),
+      (2L, "a n a b"),
+      (3L, "b a n a n a"), // old-internal exact dup
+      (4L, "n a b a")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "b a n a n a"),       // exact dup of an old text (fast path)
+      (11L, "b a n a n a q"),     // shares the whole old doc as prefix
+      (12L, "a n a b"),           // another old dup
+      (13L, "c c c"),             // entirely new vocabulary
+      (14L, "b a n a n a q"),     // new-new exact dup
+      (15L, "n a b")).toDF("doc_id", "text") // proper prefix of an old text
+    val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
+    val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = SuffixArray.suffixRanks(oldDocs.unionAll(delta),
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("suffixRanksIncremental: degenerate deltas — empty delta, all-dup delta") {
+    import graft.functions.SuffixArray
+    val oldDocs = Seq((1L, "x y z"), (2L, "y z x")).toDF("doc_id", "text")
+    val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val gotEmpty = SuffixArray.suffixRanksIncremental(base, oldDocs, empty,
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = base.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotEmpty == want)
+    val dups = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val gotDup = SuffixArray.suffixRanksIncremental(base, oldDocs, dups,
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotDup == want ++ Seq((9L, 1) -> want((1L, 1)),
+      (9L, 2) -> want((1L, 2)), (9L, 3) -> want((1L, 3))))
+  }
+
   test("suffixRepeats: adjacent-rank LCP census surfaces the planted repeat") {
     import graft.functions.SuffixArray
     val shared = "x y z w v u t s" // 8-token run planted in two docs
