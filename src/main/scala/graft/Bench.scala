@@ -151,7 +151,7 @@ object Bench {
     // bigram gate since r12), the epoch-cap UniMax branch, and
     // incremental SA maintenance (delta merge into the landed build)
     "text_perplexity_pretrained3", "mixture_unimax_epochs",
-    "suffix_ranks_incremental")
+    "suffix_ranks_incremental", "moore_lewis_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -249,6 +249,7 @@ object Bench {
       // entries measure APPLY only, the per-crawl CCNet cost
       graft.queries.PipelineQueries.knModelPath(spark, sfDir)
       graft.queries.PipelineQueries.kn3ModelPath(spark, sfDir)
+      graft.queries.PipelineQueries.knDomainModelPath(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 

@@ -805,6 +805,43 @@ object TextAnalysis {
     perplexityKneserNey3ApplyModel(kn3Train(train, textCol), apply,
       idCol, textCol)
 
+  /** Moore–Lewis contrastive data selection (Moore & Lewis 2010, the
+    * intelligent-selection method behind most domain-adapted pretraining
+    * mixes): score every document by the CROSS-ENTROPY DIFFERENCE
+    * between an IN-DOMAIN LM and a GENERAL LM — keep documents the
+    * domain model finds easier than the general model finds them
+    * (positive difference), i.e. domain-like text that is not merely
+    * frequent boilerplate. Both LMs are the open-vocabulary KN bigram
+    * models of [[KnBigramModel]] (landed artifacts in production; the
+    * same smoothing makes the two logprobs commensurable, and identical
+    * transition sets make the difference length-normalizable by one
+    * shared n_transitions).
+    *
+    * Output per apply document: (id, n_transitions,
+    * lp_domain_micronats, lp_general_micronats, ml_score_micronats =
+    * lp_domain − lp_general, selected = score > 0). Sub-bigram
+    * documents carry zeros and are not selected.
+    *
+    * Scale shape: each scoring pass is the [[perplexityKneserNeyApplyModel]]
+    * plan (one apply-transition shuffle + type-table-sized shuffle-hash
+    * joins); the two per-doc frames join on the id — corpus-partitioned,
+    * never broadcast. */
+  def mooreLewisSelect(domainModel: KnBigramModel,
+      generalModel: KnBigramModel, apply: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val d = perplexityKneserNeyApplyModel(domainModel, apply, idCol, textCol)
+      .select(col(idCol), col("n_transitions"),
+        col("logprob_micronats").as("lp_domain_micronats"))
+    val g = perplexityKneserNeyApplyModel(generalModel, apply, idCol, textCol)
+      .select(col(idCol),
+        col("logprob_micronats").as("lp_general_micronats"))
+    d.join(g.hint("shuffle_hash"), Seq(idCol))
+      .withColumn("ml_score_micronats",
+        col("lp_domain_micronats") - col("lp_general_micronats"))
+      .withColumn("selected",
+        col("n_transitions") > 0 && col("ml_score_micronats") > 0)
+  }
+
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
     * cheap structural rules first, model score last), evaluated in ONE
     * narrow select — token bounds, repetition (type-token ratio),

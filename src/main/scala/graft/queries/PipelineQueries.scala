@@ -284,6 +284,24 @@ object PipelineQueries {
       path
     })
 
+  /** Landed IN-DOMAIN KN bigram LM (train = even-doc_id half, lang='en')
+    * — the Moore-Lewis domain side; the general side is [[knModelPath]].
+    * Same offline-artifact stance. */
+  private val knDomainModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def knDomainModelPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    knDomainModelDirs.computeIfAbsent(dir, _ => {
+      val path = scratchPath("kn-bigram-domain", dir)
+      TextAnalysis.knBigramModelWrite(
+        TextAnalysis.knBigramTrain(
+          Tables.documents(s, dir)
+            .filter(pmod(col("doc_id"), lit(2)) === 0 &&
+              col("lang") === "en"),
+          "text"), path)
+      path
+    })
+
   /** Landed trigram KN LM — same train half and stance as
     * [[knModelPath]], one order up. */
   private val kn3ModelDirs =
@@ -997,6 +1015,90 @@ object PipelineQueries {
              |  CAST(coalesce(lp, 0) AS BIGINT) AS logprob_micronats
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
              |LEFT JOIN agg0 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("moore_lewis_select",
+      // Moore-Lewis contrastive selection (Moore & Lewis 2010): score
+      // the odd-doc_id half by cross-entropy DIFFERENCE between the
+      // landed in-domain LM (even half, lang='en' — [[knDomainModelPath]])
+      // and the landed general LM (even half — [[knModelPath]]); keep
+      // docs the domain model finds easier (positive difference). Both
+      // LMs are landed artifacts; the timed query is apply-only x2.
+      // Oracle retrains both and replays every smoothing branch
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.mooreLewisSelect(
+            TextAnalysis.knBigramModelRead(s, knDomainModelPath(s, dir)),
+            TextAnalysis.knBigramModelRead(s, knModelPath(s, dir)),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+             |trA AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT doc_id, toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 1 AND len(toks) >= 2)),
+             |trG AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+             |trD AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND lang = 'en'
+             |                AND len(toks) >= 2)),
+             |bcG AS (SELECT prev, cur, count(*) AS bc FROM trG GROUP BY 1, 2),
+             |ctxG AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bcG GROUP BY 1),
+             |preG AS (SELECT cur, count(*) AS pre FROM bcG GROUP BY 1),
+             |totG AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+             |                CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bcG),
+             |bcD AS (SELECT prev, cur, count(*) AS bc FROM trD GROUP BY 1, 2),
+             |ctxD AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bcD GROUP BY 1),
+             |preD AS (SELECT cur, count(*) AS pre FROM bcD GROUP BY 1),
+             |totD AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+             |                CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bcD),
+             |scG AS (SELECT doc_id,
+             |          CASE WHEN coalesce(ctxG.cc, 0) > 0 THEN
+             |            CAST(floor(ln(
+             |              CAST(greatest(4 * CAST(coalesce(bcG.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+             |                   + 3 * CAST(coalesce(ctxG.fol, 0) AS HUGEINT)
+             |                     * (CAST(coalesce(preG.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |              / CAST(4 * CAST(ctxG.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+             |                * 1000000 + 0.5) AS BIGINT)
+             |          ELSE
+             |            CAST(floor(ln((CAST(coalesce(preG.pre, 0) AS DOUBLE) + 1.0)
+             |              / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |          END AS m
+             |        FROM trA LEFT JOIN bcG USING (prev, cur)
+             |        LEFT JOIN ctxG USING (prev) LEFT JOIN preG USING (cur)
+             |        CROSS JOIN totG),
+             |scD AS (SELECT doc_id,
+             |          CASE WHEN coalesce(ctxD.cc, 0) > 0 THEN
+             |            CAST(floor(ln(
+             |              CAST(greatest(4 * CAST(coalesce(bcD.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+             |                   + 3 * CAST(coalesce(ctxD.fol, 0) AS HUGEINT)
+             |                     * (CAST(coalesce(preD.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |              / CAST(4 * CAST(ctxD.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+             |                * 1000000 + 0.5) AS BIGINT)
+             |          ELSE
+             |            CAST(floor(ln((CAST(coalesce(preD.pre, 0) AS DOUBLE) + 1.0)
+             |              / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |          END AS m
+             |        FROM trA LEFT JOIN bcD USING (prev, cur)
+             |        LEFT JOIN ctxD USING (prev) LEFT JOIN preD USING (cur)
+             |        CROSS JOIN totD),
+             |aggG AS (SELECT doc_id, count(*) AS nt, sum(m) AS lp FROM scG GROUP BY 1),
+             |aggD AS (SELECT doc_id, sum(m) AS lp FROM scD GROUP BY 1)
+             |SELECT a.doc_id, CAST(coalesce(nt, 0) AS INT) AS n_transitions,
+             |  CAST(coalesce(aggD.lp, 0) AS BIGINT) AS lp_domain_micronats,
+             |  CAST(coalesce(aggG.lp, 0) AS BIGINT) AS lp_general_micronats,
+             |  CAST(coalesce(aggD.lp, 0) - coalesce(aggG.lp, 0) AS BIGINT)
+             |    AS ml_score_micronats,
+             |  coalesce(nt, 0) > 0
+             |    AND coalesce(aggD.lp, 0) - coalesce(aggG.lp, 0) > 0 AS selected
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a
+             |LEFT JOIN aggG USING (doc_id) LEFT JOIN aggD USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("mixture_unimax",
       // UniMax budget allocation (Chung et al. 2023): total budget 25000

@@ -168,7 +168,8 @@ class PlanSpec extends AnyFunSuite {
     // joins must stay partitioned; only the single-row totals may broadcast
     Seq("text_perplexity", "text_perplexity_bigram",
         "text_perplexity_kn", "text_perplexity_kn3",
-        "text_perplexity_pretrained", "text_perplexity_pretrained3").foreach { q =>
+        "text_perplexity_pretrained", "text_perplexity_pretrained3",
+        "moore_lewis_select").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")
@@ -355,7 +356,10 @@ class PlanSpec extends AnyFunSuite {
     "text_perplexity_pretrained",
     // trigram pretrained: same ONE-ROW (nbp, vc3) smoothing-totals
     // crossJoin as the bigram form
-    "text_perplexity_pretrained3")
+    "text_perplexity_pretrained3",
+    // Moore-Lewis: TWO apply passes, each with its model's one-row
+    // smoothing-totals crossJoin
+    "moore_lewis_select")
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}

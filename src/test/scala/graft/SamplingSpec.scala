@@ -238,6 +238,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0L)), out(3L).toString)
   }
 
+  test("mooreLewisSelect: cross-entropy difference on a hand fixture") {
+    import graft.functions.TextAnalysis
+    // GENERAL (the bigram-apply fixture): lp_gen("a b d") = m(37/60) +
+    // m(1/5). DOMAIN trains on "a b" alone: bc(a,b)=1, cc=1, fol=1,
+    // pre(b)=1, nb=1, vc=1 -> nbv=3; (a,b) -> 1/4 + (3/4)(2/3) = 3/4;
+    // (b,d) unseen ctx -> (0+1)/3. Domain finds the doc easier ->
+    // positive score, selected.
+    val general = Seq((0L, "a b"), (2L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val domain = Seq((0L, "a b")).toDF("doc_id", "text")
+    val app = Seq((1L, "a b d"), (3L, "e")).toDF("doc_id", "text")
+    val out = TextAnalysis.mooreLewisSelect(
+        TextAnalysis.knBigramTrain(domain, "text"),
+        TextAnalysis.knBigramTrain(general, "text"),
+        app, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    val lpD = m(3, 4) + m(1, 3)
+    val lpG = m(37, 60) + m(1, 5)
+    assert(out(1L) == ((2, lpD, lpG, lpD - lpG, true)), out(1L).toString)
+    assert(out(3L) == ((0, 0L, 0L, 0L, false)), out(3L).toString)
+  }
+
   test("perplexityKneserNey3Apply: every smoothing branch on a hand fixture") {
     import graft.functions.TextAnalysis
     // TRAIN "a b c", "a b d": tc=1 each; ctx2(a,b) cc2=2 f12=2;
