@@ -151,7 +151,10 @@ object Bench {
     // bigram gate since r12), the epoch-cap UniMax branch, and
     // incremental SA maintenance (delta merge into the landed build)
     "text_perplexity_pretrained3", "mixture_unimax_epochs",
-    "suffix_ranks_incremental", "moore_lewis_select")
+    "suffix_ranks_incremental", "moore_lewis_select",
+    // in-engine classifier TRAINING (the gate's point IS the training
+    // loop — it stays on the clock, unlike the landed-LM apply gates)
+    "classifier_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

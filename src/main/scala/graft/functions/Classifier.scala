@@ -94,6 +94,84 @@ object Classifier {
       .withColumn("accept", col("score_micronats") >= 0L)
   }
 
+  /** Distributed TRAINING of the linear quality filter — the half the
+    * reference pipelines do offline on a sample and this engine can run
+    * on the full corpus: full-batch gradient descent on logistic loss
+    * over the SAME hashed unigram+bigram features [[linearScore]]
+    * scores with, so the trained table plugs straight into
+    * `linearScore(..., weightExpr = trained)`. Engine-exact at any
+    * parallelism by the quantize-then-sum discipline:
+    *
+    *   margin_i = bias + Σ_b w[b]·x_i[b]          (exact long fold)
+    *   p_i      = floor(1e6·σ(margin_i/1e6)+0.5)  (the ONLY double op,
+    *              quantized per doc BEFORE any aggregation)
+    *   resid_i  = p_i − y_i·1e6                   (ppm units)
+    *   grad[b]  = Σ_i resid_i·x_i[b]              (exact long sum)
+    *   Δw[b]    = sgn(grad)·((lrNum·|grad|) div (lrDen·n))
+    *              (toward-zero division over non-negative operands —
+    *              the engine-parity form, Spark div == DuckDB //)
+    *
+    * Weights live in integer micronats on the DRIVER between iterations
+    * (dim+1 longs — bounded model metadata, the IVF-centroid pattern)
+    * and re-enter each pass as a literal array lookup: per iteration the
+    * only distributed work is two partial-aggregable shuffles over the
+    * persisted (doc, bucket, cnt) frame — margin by doc, gradient by
+    * bucket — and one dim-sized collect. Label is any boolean column
+    * expression (weak labels: lang flags, source flags, heuristic
+    * rules — the CCNet/fastText setup).
+    *
+    * Returns (bucket, weight_micronats): rows 0..dim−1 plus the bias as
+    * bucket −1. */
+  def train(df: DataFrame, idCol: String, textCol: String, label: Column,
+      dim: Int = 64, iters: Int = 3, lrNum: Long = 1L,
+      lrDen: Long = 4L): DataFrame = {
+    require(dim > 0 && iters >= 1 && lrNum > 0 && lrDen > 0,
+      "dim, iters, lr must be positive")
+    val spark = df.sparkSession
+    // persist barrier before the Generate (the cdc_chunks discipline)
+    val withFs = Caches.operatorPersist(df.select(col(idCol).as("_d"),
+      label.cast("boolean").as("_y"),
+      featuresExpr(split(col(textCol), " ")).as("_fs")))
+    val docs = Caches.operatorPersist(withFs.select("_d", "_y"))
+    val feat = Caches.operatorPersist(withFs
+      .select(col("_d"), col("_y"), explode(col("_fs")).as("_f"))
+      .select(col("_d"), col("_y"), bucket(col("_f"), dim).as("_b"))
+      .groupBy(col("_d"), col("_y"), col("_b"))
+      .agg(count(lit(1)).as("_cnt")))
+    val nDocs = docs.count()
+    require(nDocs > 0, "train: empty corpus")
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    for (_ <- 1 to iters) {
+      val wExpr = element_at(array(w.map(lit).toIndexedSeq: _*),
+        col("_b") + 1)
+      val margins = feat.groupBy(col("_d"))
+        .agg(sum(col("_cnt") * wExpr).as("_fs"))
+      val resid = docs
+        .join(margins.hint("shuffle_hash"), Seq("_d"), "left")
+        .select(col("_d"),
+          (floor(lit(1e6) /
+              (lit(1.0) + exp((lit(0L) - (lit(bias) +
+                coalesce(col("_fs"), lit(0L)))).cast("double") / lit(1e6)))
+            + lit(0.5)).cast("long")
+            - when(col("_y"), 1000000L).otherwise(0L)).as("_r"))
+      val grads = feat
+        .join(resid.hint("shuffle_hash"), Seq("_d"))
+        .groupBy(col("_b")).agg(sum(col("_r") * col("_cnt")).as("_g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val biasGrad = resid.agg(sum(col("_r"))).head().getLong(0)
+      def delta(g: Long): Long = {
+        val mag = (BigInt(g).abs * lrNum) / (BigInt(lrDen) * nDocs)
+        (if (g < 0) -mag else mag).toLong
+      }
+      (0 until dim).foreach(b => w(b) -= delta(grads.getOrElse(b, 0L)))
+      bias -= delta(biasGrad)
+    }
+    import spark.implicits._
+    ((-1, bias) +: (0 until dim).map(b => (b, w(b))))
+      .toDF("bucket", "weight_micronats")
+  }
+
   /** Precision/recall sweep of a scored corpus against a (weak) boolean
     * label, at a fixed list of micronat thresholds — the calibration table
     * a pipeline reads before picking its filter cutoff. Engine shape: the

@@ -637,6 +637,56 @@ object PipelineQueries {
        |        CAST(sum(w) AS BIGINT) AS score_micronats
        |      FROM wt GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of [[graft.functions.Classifier.train]]: hashed
+    * unigram+bigram count features, then `iters` UNROLLED full-batch
+    * GD steps — margin sum, ppm-quantized sigmoid residual, exact
+    * integer gradient, toward-zero lr-scaled update (positive-operand
+    * `//` == Spark's `div`) — weights carried between steps as
+    * MATERIALIZED 64-row CTEs. */
+  private def classifierTrainOracleSql(iters: Int): String = {
+    val head = s"""tk AS (SELECT doc_id, lang = 'en' AS y,
+       |              string_split(text, ' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, t,
+       |         unnest(generate_series(1, len(t) - 1)) AS i FROM tk),
+       |fe AS (
+       |  SELECT doc_id, unnest(t) AS f FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f FROM bg),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${md5SliceSql("f")} % 64 AS INT) AS b,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM fe GROUP BY 1, 2),
+       |docs AS MATERIALIZED (SELECT doc_id, y FROM tk),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+       |w0 AS MATERIALIZED (SELECT unnest(generate_series(0, 63)) AS b,
+       |      CAST(0 AS BIGINT) AS w),
+       |bb0 AS (SELECT CAST(0 AS BIGINT) AS bw)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""s$k AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS fs
+         |       FROM feat f JOIN w$p w USING (b) GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |    CAST(floor(1000000.0 / (1.0 +
+         |        exp(-(CAST(bb.bw + coalesce(s.fs, 0) AS DOUBLE))
+         |            / 1000000.0)) + 0.5) AS BIGINT)
+         |      - CASE WHEN d.y THEN 1000000 ELSE 0 END AS r
+         |  FROM docs d LEFT JOIN s$k s USING (doc_id) CROSS JOIN bb$p bb),
+         |g$k AS (SELECT f.b, CAST(sum(r.r * f.cnt) AS BIGINT) AS g
+         |       FROM feat f JOIN r$k r USING (doc_id) GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.b, w.w - (CASE WHEN coalesce(g.g, 0) < 0
+         |      THEN -((-coalesce(g.g, 0)) // (4 * n))
+         |      ELSE coalesce(g.g, 0) // (4 * n) END) AS w
+         |  FROM w$p w LEFT JOIN g$k g USING (b) CROSS JOIN nd),
+         |bb$k AS (SELECT bb.bw - (CASE WHEN gb.g < 0
+         |      THEN -((-gb.g) // (4 * n)) ELSE gb.g // (4 * n) END) AS bw
+         |    FROM bb$p bb CROSS JOIN (SELECT CAST(coalesce(sum(r), 0)
+         |      AS BIGINT) AS g FROM r$k) gb CROSS JOIN nd)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   /** Mixing weights for the `sample_stratified` gate query (ListMap: the
     * CASE chain must fold in a stable order in both engines). */
   private val StratRates = scala.collection.immutable.ListMap(
@@ -3787,6 +3837,30 @@ object PipelineQueries {
               |SELECT doc_id, n_features, score_micronats,
               |  score_micronats >= 0 AS accept
               |FROM d ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("classifier_train",
+      // fastText-style quality-filter TRAINING in-engine (the half the
+      // reference does offline on a sample): 3 full-batch logistic-GD
+      // steps over the SAME hashed unigram+bigram features the
+      // inference gate scores with, weak label lang='en', lr 1/4.
+      // Engine-exact: the sigmoid is ppm-quantized per doc BEFORE any
+      // sum, gradients are exact long sums, updates use toward-zero
+      // division over non-negative operands. Weights live on the driver
+      // between iterations (65 longs — bounded model metadata); per
+      // iteration the distributed work is two partial-aggregable
+      // shuffles over the persisted (doc, bucket, cnt) frame. Oracle
+      // unrolls the same 3 steps as materialized weight CTEs
+      (s, dir) => graft.functions.Classifier.train(
+          Tables.documents(s, dir), "doc_id", "text",
+          col("lang") === "en", dim = 64, iters = 3)
+        .orderBy("bucket"),
+      Some(s"""WITH ${classifierTrainOracleSql(3)}
+              |SELECT CAST(-1 AS INT) AS bucket,
+              |  CAST(bw AS BIGINT) AS weight_micronats FROM bb3
+              |UNION ALL
+              |SELECT b AS bucket, CAST(w AS BIGINT) AS weight_micronats
+              |FROM w3
+              |ORDER BY bucket""".stripMargin)),
 
     QueryDef("classifier_pr_curve",
       // calibration sweep of the classifier against a weak label

@@ -37,6 +37,32 @@ class ClassifierSpec extends AnyFunSuite {
     assert(keep.columns.contains("text"), "passthrough columns survive")
   }
 
+  test("train: learns a separable weak label; trained table plugs into linearScore") {
+    // two disjoint vocabularies -> positives and negatives hash to
+    // disjoint bucket sets -> 3 GD steps must separate the scores
+    val pos = (0 until 20).map(i => (i.toLong, "alpha beta gamma delta", true))
+    val neg = (0 until 20).map(i => (100L + i, "omega sigma tau rho", false))
+    val docs = (pos ++ neg).toDF("doc_id", "text", "y")
+    val trained = Classifier.train(docs, "doc_id", "text", col("y"),
+      dim = 16, iters = 3)
+    val rows = trained.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.size == 17 && rows.contains(-1), "dim weights + bias")
+    // determinism across runs
+    val again = Classifier.train(docs, "doc_id", "text", col("y"),
+      dim = 16, iters = 3).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == again)
+    // plug the trained table back into the inference path
+    val w = rows
+    val scored = Classifier.linearScore(docs, "doc_id", "text", dim = 16,
+        weightExpr = b => element_at(
+          array((0 until 16).map(i => lit(w(i))): _*), b + 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val posScores = pos.map(p => scored(p._1))
+    val negScores = neg.map(n => scored(n._1))
+    assert(posScores.min > negScores.max,
+      s"separable: pos ${posScores.min} vs neg ${negScores.max}")
+  }
+
   test("blocklistHits counts occurrences, not distinct matches") {
     import graft.functions.TextClean
     val docs = Seq((1L, "bad good bad bad"), (2L, "all clean here"))
