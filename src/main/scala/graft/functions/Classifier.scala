@@ -113,10 +113,18 @@ object Classifier {
     *
     * Weights live in integer micronats on the DRIVER between iterations
     * (dim+1 longs — bounded model metadata, the IVF-centroid pattern)
-    * and re-enter each pass as a literal array lookup: per iteration the
-    * only distributed work is two partial-aggregable shuffles over the
-    * persisted (doc, bucket, cnt) frame — margin by doc, gradient by
-    * bucket — and one dim-sized collect. Label is any boolean column
+    * and re-enter each pass as a BROADCAST dim-row (bucket, weight)
+    * join — exactness unchanged (the same long weights), but unlike the
+    * round-12 dim-literal `element_at(array(...))` lookup the plan stays
+    * a BroadcastHashJoin at production hashing-trick dims (2^18+), where
+    * a million-literal expression tree would break whole-stage codegen's
+    * 64KB method limit and bloat every task's serialized plan. Per
+    * iteration the distributed work is two partial-aggregable shuffles
+    * over the persisted (doc, bucket, cnt) frame — margin by doc,
+    * gradient by bucket — and one dim-sized collect; the residual frame
+    * is PERSISTED per iteration so the margin shuffle and sigmoid pass
+    * run once, not once per downstream action (the bucket gradients and
+    * the bias gradient both read it). Label is any boolean column
     * expression (weak labels: lang flags, source flags, heuristic
     * rules — the CCNet/fastText setup).
     *
@@ -140,26 +148,25 @@ object Classifier {
       .agg(count(lit(1)).as("_cnt")))
     val nDocs = docs.count()
     require(nDocs > 0, "train: empty corpus")
+    import spark.implicits._
     val w = Array.fill(dim)(0L)
     var bias = 0L
     for (_ <- 1 to iters) {
-      val wExpr = element_at(array(w.map(lit).toIndexedSeq: _*),
-        col("_b") + 1)
-      val margins = feat.groupBy(col("_d"))
-        .agg(sum(col("_cnt") * wExpr).as("_fs"))
-      val resid = docs
+      val margins = marginsOf(feat, w)
+      val resid = Caches.operatorPersist(docs
         .join(margins.hint("shuffle_hash"), Seq("_d"), "left")
         .select(col("_d"),
           (floor(lit(1e6) /
               (lit(1.0) + exp((lit(0L) - (lit(bias) +
                 coalesce(col("_fs"), lit(0L)))).cast("double") / lit(1e6)))
             + lit(0.5)).cast("long")
-            - when(col("_y"), 1000000L).otherwise(0L)).as("_r"))
+            - when(col("_y"), 1000000L).otherwise(0L)).as("_r")))
       val grads = feat
         .join(resid.hint("shuffle_hash"), Seq("_d"))
         .groupBy(col("_b")).agg(sum(col("_r") * col("_cnt")).as("_g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val biasGrad = resid.agg(sum(col("_r"))).head().getLong(0)
+      resid.unpersist(blocking = false)
       def delta(g: Long): Long = {
         val mag = (BigInt(g).abs * lrNum) / (BigInt(lrDen) * nDocs)
         (if (g < 0) -mag else mag).toLong
@@ -167,9 +174,22 @@ object Classifier {
       (0 until dim).foreach(b => w(b) -= delta(grads.getOrElse(b, 0L)))
       bias -= delta(biasGrad)
     }
-    import spark.implicits._
     ((-1, bias) +: (0 until dim).map(b => (b, w(b))))
       .toDF("bucket", "weight_micronats")
+  }
+
+  /** One training iteration's per-doc margin frame: driver-held weights
+    * re-enter as a BROADCAST dim-row (bucket, weight) table — every feat
+    * bucket is in [0, dim), so the inner join drops nothing and the plan
+    * is a BroadcastHashJoin at ANY dim (the large-dim seat ClassifierSpec
+    * pins at 4096; a dim-literal array lookup would break codegen's 64KB
+    * method limit at hashing-trick dims). Exposed for that plan pin. */
+  private[graft] def marginsOf(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(w.indices.map(b => (b, w(b))).toDF("_b", "_w"))
+    feat.join(wdf, Seq("_b"))
+      .groupBy(col("_d")).agg(sum(col("_cnt") * col("_w")).as("_fs"))
   }
 
   /** Precision/recall sweep of a scored corpus against a (weak) boolean

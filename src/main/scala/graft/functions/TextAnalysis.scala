@@ -822,20 +822,81 @@ object TextAnalysis {
     * lp_domain − lp_general, selected = score > 0). Sub-bigram
     * documents carry zeros and are not selected.
     *
-    * Scale shape: each scoring pass is the [[perplexityKneserNeyApplyModel]]
-    * plan (one apply-transition shuffle + type-table-sized shuffle-hash
-    * joins); the two per-doc frames join on the id — corpus-partitioned,
-    * never broadcast. */
+    * Scale shape: the apply corpus is tokenized and exploded ONCE (the
+    * transitions are IDENTICAL for both models — extracting them twice,
+    * as two [[perplexityKneserNeyApplyModel]] passes would, doubles the
+    * heaviest I/O of the selection run for no information), repartitioned
+    * once by (prev, cur) and persisted. Scoring then happens at the
+    * bigram TYPE level: the distinct (prev, cur) pairs — an aggregate
+    * over the already-co-partitioned frame, no second occurrence
+    * exchange — join both models' tables and evaluate BOTH micronat
+    * logprobs once per TYPE (the decimal/log arithmetic runs
+    * vocabulary-many times, not corpus-many), and the scored type table
+    * joins back to the co-partitioned transitions with no further
+    * occurrence exchange. Total occurrence-level exchanges: the one
+    * repartition plus the per-doc aggregation — versus six transition
+    * shuffles plus a per-doc id join in the two-pass form. Model sides
+    * stay vocabulary-sized LEFT shuffle-hash joins (never broadcast);
+    * only the two one-row smoothing totals broadcast. */
   def mooreLewisSelect(domainModel: KnBigramModel,
       generalModel: KnBigramModel, apply: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val d = perplexityKneserNeyApplyModel(domainModel, apply, idCol, textCol)
-      .select(col(idCol), col("n_transitions"),
-        col("logprob_micronats").as("lp_domain_micronats"))
-    val g = perplexityKneserNeyApplyModel(generalModel, apply, idCol, textCol)
+    val transP = Caches.operatorPersist(
+      bigramTransitions(apply, textCol, Some(idCol))
+        .repartition(col("prev"), col("cur")))
+    val types = transP.select(col("prev"), col("cur")).distinct()
+    val dec = "decimal(38,0)"
+    // suffix every model-side column so both models ride one joined frame
+    def sided(m: KnBigramModel, sfx: String) = (
+      m.bigrams.select(col("prev"), col("cur"), col("bc").as("bc" + sfx)),
+      m.ctx.select(col("prev"), col("cc").as("cc" + sfx),
+        col("fol").as("fol" + sfx)),
+      m.pre.select(col("cur"), col("pre").as("pre" + sfx)),
+      m.tot.select(col("nb").as("nb" + sfx), col("vc").as("vc" + sfx)))
+    val (bcD, ctxD, preD, totD) = sided(domainModel, "_d")
+    val (bcG, ctxG, preG, totG) = sided(generalModel, "_g")
+    // per-type micronat logprob under model `sfx` — the exact
+    // open-vocabulary KN form of [[perplexityKneserNeyApplyModel]]
+    def mExpr(sfx: String): Column = {
+      val bc = coalesce(col("bc" + sfx), lit(0L))
+      val cc = coalesce(col("cc" + sfx), lit(0L))
+      val fol = coalesce(col("fol" + sfx), lit(0L))
+      val pre = coalesce(col("pre" + sfx), lit(0L))
+      val nbv = (col("nb" + sfx) + col("vc" + sfx) + 1).cast(dec)
+      val num = greatest(bc.cast(dec) * 4 - 3, lit(0).cast(dec)) * nbv +
+        fol.cast(dec) * 3 * (pre.cast(dec) + 1)
+      val den = cc.cast(dec) * 4 * nbv
+      when(cc > 0,
+        floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5)
+          .cast("long"))
+        .otherwise(floor(log((pre.cast("double") + 1.0) /
+          nbv.cast("double")) * 1e6 + 0.5).cast("long"))
+    }
+    val scoredTypes = types
+      .join(bcD.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(bcG.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(ctxD.hint("shuffle_hash"), Seq("prev"), "left")
+      .join(ctxG.hint("shuffle_hash"), Seq("prev"), "left")
+      .join(preD.hint("shuffle_hash"), Seq("cur"), "left")
+      .join(preG.hint("shuffle_hash"), Seq("cur"), "left")
+      .crossJoin(broadcast(totD))
+      .crossJoin(broadcast(totG))
+      .select(col("prev"), col("cur"),
+        mExpr("_d").as("_md"), mExpr("_g").as("_mg"))
+    // join-back is type-sized on the build side; the stream side is the
+    // co-partitioned transition frame (every type exists there — inner)
+    val agg0 = transP
+      .join(scoredTypes.hint("shuffle_hash"), Seq("prev", "cur"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"), sum(col("_md")).as("_lpd"),
+        sum(col("_mg")).as("_lpg"))
+    // agg0 is per-APPLY-document — corpus-sized, the join stays partitioned
+    apply.select(col(idCol))
+      .join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol),
-        col("logprob_micronats").as("lp_general_micronats"))
-    d.join(g.hint("shuffle_hash"), Seq(idCol))
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_lpd"), lit(0L)).as("lp_domain_micronats"),
+        coalesce(col("_lpg"), lit(0L)).as("lp_general_micronats"))
       .withColumn("ml_score_micronats",
         col("lp_domain_micronats") - col("lp_general_micronats"))
       .withColumn("selected",

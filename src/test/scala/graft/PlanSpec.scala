@@ -176,6 +176,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("moore_lewis_select: ONE tokenize/explode feeds both model scores") {
+    // the round-12 two-pass form re-tokenized, re-exploded, and
+    // re-shuffled the SAME apply transitions once per model, then joined
+    // the two per-doc frames back on the id; the shared-pass form has
+    // exactly one Generate (the transition explode), one per-doc score
+    // aggregation folding both micronat sums, and no doc-id join of two
+    // scored frames
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = Catalog.queries("moore_lewis_select")(spark,
+      GraftTestSpark.Sf0001)
+    val plan = df.queryExecution.optimizedPlan
+    // no explode outside the shared persisted transition frame...
+    assert(plan.collect { case g: Generate => g }.isEmpty, plan.toString)
+    // ...and every cache reference is the SAME relation (the one
+    // transition frame, read by the type scoring and the join-back)
+    val caches = plan.collect { case r: InMemoryRelation => r.cacheBuilder }
+    assert(caches.nonEmpty && caches.distinct.size == 1, plan.toString)
+    // one per-doc score aggregation folding both micronat sums
+    val p = df.queryExecution.executedPlan.toString
+    assert("partial_count\\(1\\)".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup_exact_rows: partial min_by aggregate keyed by digest, no window") {
     // an exact-dup clique (one boilerplate text x 10^8 copies) must never
     // funnel through one task: the digest-keyed window is banned, and the
@@ -357,8 +380,8 @@ class PlanSpec extends AnyFunSuite {
     // trigram pretrained: same ONE-ROW (nbp, vc3) smoothing-totals
     // crossJoin as the bigram form
     "text_perplexity_pretrained3",
-    // Moore-Lewis: TWO apply passes, each with its model's one-row
-    // smoothing-totals crossJoin
+    // Moore-Lewis: ONE shared apply pass carrying BOTH models' one-row
+    // smoothing-totals crossJoins
     "moore_lewis_select")
 
   test("no unconditioned join outside the documented bounded set") {
