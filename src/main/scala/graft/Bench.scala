@@ -343,7 +343,17 @@ object Bench {
         .values.foreach(_.unpersist(blocking = false))
       (name, times(times.size / 2), failed)
     }
-    val rawResults = queryList.filter(SparkEntry.queries.contains).map(timeQuery)
+    // MID-SWEEP SENTINEL SERIES (round-12 verdict #7): the first/last
+    // sentinel bracket is blind to a transient that starts AND ends
+    // mid-sweep — time the same sentinel every ~50 queries so a spike is
+    // at least VISIBLE in the artifact (the conservative no-discount
+    // rule is unchanged; the series is evidence, not an estimator input)
+    val sentinelSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val rawResults = queryList.filter(SparkEntry.queries.contains)
+      .zipWithIndex.map { case (n, i) =>
+        if (i > 0 && i % 50 == 0) sentinelSeries += timeSentinel()
+        timeQuery(n)
+      }
     val sentinelLast = timeSentinel()
     val loadavgEnd = loadavgRead()
     val failedQueries = rawResults.collect { case (n, _, true) => n }
@@ -478,7 +488,11 @@ object Bench {
             .mkString(""","cal_second":{""", ",", "}") +
           s""","cal_factor":${fmt(calFactor)}""" +
           s""","sentinel_retry":${fmt(sentinelRetry)}"""
-    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson"""
+    val seriesJson =
+      if (sentinelSeries.isEmpty) ""
+      else sentinelSeries.map(fmt)
+        .mkString(""","sentinel_series":[""", ",", "]")
+    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}$seriesJson,"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

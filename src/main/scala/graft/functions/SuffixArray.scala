@@ -102,6 +102,50 @@ object SuffixArray {
       counts.values.map(_._1).sum, counts.values.map(_._2).sum, parted)
   }
 
+  /** Order-consistent, tie-equal — but NOT dense — global numbering: the
+    * incremental merge's cheaper sibling of [[denseRanksInlineCounted]].
+    * rank() with per-partition ROW-count offsets skips the per-partition
+    * countDistinct pass entirely (a full string-keyed hash aggregation
+    * when the keys are prefix segments — pure waste in the merge loop,
+    * which never needs density: group keys, path elements, and the
+    * running-count _nor only need order + tie-equality, and the OUTPUT's
+    * density comes from the insertion arithmetic, not loop ranks).
+    * Returns (ranked frame, row count, the pinned range frame). */
+  private def rankedInlineRows(frame: DataFrame, keyCols: Seq[String],
+      nParts: Int): (DataFrame, Long, DataFrame) = {
+    val parted = frame.repartitionByRange(nParts, keyCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id()).persist()
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_r"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
+      acc + counts.getOrElse(p, 0L)
+    }.dropRight(1)
+    val offExpr = element_at(array(offs.map(lit): _*), col("_pid") + 1)
+    val w = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
+    (parted.withColumn("_rank", rank().over(w).cast("long") + offExpr),
+      counts.values.sum, parted)
+  }
+
+  /** Cross-partition suffix-minimum stitch for a range-partitioned frame
+    * carrying `_pid`: returns the expression "min of `valueCol` over all
+    * partitions AFTER mine" — nParts longs collected to the driver (the
+    * bounded-metadata discipline of [[denseRanksInline]]'s offsets),
+    * re-entered as an array literal. Combined with a partition-local
+    * reverse-running-min window this yields exact "min over all FOLLOWING
+    * rows" with no global window and no extra exchange. `default` fills
+    * partitions with nothing after them (and null-only tails). */
+  private def tailMinExpr(parted: DataFrame, valueCol: String,
+      nParts: Int, default: Long): Column = {
+    val mins = parted.filter(col(valueCol).isNotNull).groupBy("_pid")
+      .agg(min(col(valueCol)).as("_m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tails = (0 until nParts).map { p =>
+      ((p + 1) until nParts).flatMap(mins.get)
+        .reduceOption(_ min _).getOrElse(default)
+    }
+    element_at(array(tails.map(lit): _*), col("_pid") + 1)
+  }
+
   /** One eagerly-materialized checkpoint per round, releasing the
     * previous round's blocks as soon as the new one lands. The FINAL
     * checkpoint is never released here — the returned frame is built on
@@ -264,14 +308,23 @@ object SuffixArray {
     * old documents map through their rank class, new ones through their
     * text group.
     *
-    * Cost at scale: one pass over the landed index + delta (the round-1
-    * range exchange — unavoidable: a merge must see the index order
-    * once), then per-round work proportional to unresolved NEIGHBORHOOD
-    * rows only (delta-proportional; rounds bounded by log2 of the
-    * longest old-new shared prefix / seedK), then the union-sized final
-    * ranking — which is the size of the OUTPUT artifact itself. A full
-    * rebuild instead pays O(log maxLCP) rounds of two corpus-position-
-    * sized exchanges each. */
+    * Cost at scale (round-13 form): ONE pass over the landed index +
+    * delta (the round-1 range exchange — unavoidable: a merge must see
+    * the index order once; the same pass computes, per row, the next old
+    * rank after its group — a partition-local window stitched across
+    * partitions by nParts driver longs). Everything after round 1 is
+    * DELTA-NEIGHBORHOOD-sized: pure-old round-1 groups are DROPPED —
+    * their relative order IS the landed rank, so they never checkpoint
+    * and never enter the final ranking (the round-12 form pushed every
+    * index row through a union-sized checkpoint AND a union-sized final
+    * range exchange — the two fixed passes that kept the merge ~flat at
+    * ~2x the rebuild). Final ranks come from the insertion arithmetic:
+    * new_rank(old class r) = r + ins(r), where ins = #new-only classes
+    * ordered before r — a step function with one jump per new class,
+    * expanded to the (old rank -> offset) table by a chunked narrow
+    * generate (no exchange) and joined to the landed rows (output-sized,
+    * the artifact itself). A full rebuild instead pays O(log maxLCP)
+    * rounds of two corpus-position-sized exchanges each. */
   def suffixRanksIncremental(ranks: DataFrame, oldDf: DataFrame,
       newDf: DataFrame, idCol: String, textCol: String,
       nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame =
@@ -299,7 +352,13 @@ object SuffixArray {
         col("_pos").cast("long").as("_pos"),
         (size(col("_tk")) - col("_pos") + 1).cast("long").as("_slen"),
         concat_ws(" ", slice(col("_tk"), col("_pos").cast("int"),
-          lit(seedK))).as("_seg"))
+          lit(seedK))).as("_seg"),
+        // the sidecar CARRIES its seedK (a constant column): the merge's
+        // round-1 grouping is only correct when old `_seg` and new-row
+        // prefixes were cut at the SAME cap, and a silent mismatch would
+        // produce wrong ranks, not an error — so the consumer validates
+        // against this instead of trusting the caller's default to match
+        lit(seedK).as("_seedk"))
   }
 
   /** [[suffixRanksIncremental]] over a PRELANDED [[suffixMergeReps]]
@@ -309,24 +368,63 @@ object SuffixArray {
       oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String,
       nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame = {
     require(seedK >= 1, "seedK >= 1")
+    // sidecar seedK validation (the sidecar carries it since round 13):
+    // a cap mismatch between old `_seg` and new-row prefixes would put
+    // equal suffixes in different round-1 groups — wrong output, no
+    // error — so fail loudly instead. head(1) reads one row, not the
+    // index; older sidecars without the column skip the check.
+    val reps0 =
+      if (mergeReps.columns.contains("_seedk")) {
+        mergeReps.select(col("_seedk")).head(1).foreach { r =>
+          require(r.getInt(0) == seedK,
+            s"sidecar was built with seedK=${r.getInt(0)}, caller passed " +
+              s"$seedK — rebuild the sidecar or pass its seedK")
+        }
+        mergeReps.drop("_seedk")
+      } else mergeReps
     // segment growth per escalation: 4x empties groups in half the
     // rounds of 2x (round overhead is jobs, not bytes, at the tail) for
     // at most a 4x overshoot on the final fetched segment
     val growth = 4L
     val pinned = ArrayBuffer.empty[DataFrame]
     // frozen rounds checkpoint once each and stay live to the final
-    // ranking (total held = one union-sized artifact, the output's size)
+    // ranking — AFFECTED rows only (round-1 groups containing a new
+    // row), so the held total is delta-neighborhood-sized
     val frozenParts = ArrayBuffer.empty[DataFrame]
     try {
       val oldG = oldDf.select(col(idCol).as("_doc"),
         md5(col(textCol)).as("_g"), col(textCol).as("_t"))
       val newG = newDf.select(col(idCol).as("_doc"),
         md5(col(textCol)).as("_g"), col(textCol).as("_t"))
-      val newMembers = newG.select("_doc", "_g").persist()
-      pinned += newMembers
+      // the returned frame reads newMembers / the dup anchors lazily —
+      // CHECKPOINT these small frames (delta-doc-sized) so the `finally`
+      // sweep of loop-internal persists can never pull materialization
+      // out from under the caller (they'd silently recompute otherwise)
+      val newMembers = Checkpoints.eager(newG.select("_doc", "_g"))
+      // adaptive probe-side placement: a DELTA-sized key frame joining
+      // the corpus broadcasts when small (the overwhelmingly common
+      // crawl case — the corpus side then never exchanges, only scans),
+      // and falls back to a shuffle-hash join when the delta is itself
+      // corpus-scale. The count is one job over an already-persisted
+      // small frame.
+      def probeSide(keys: DataFrame, n: Long): DataFrame =
+        if (n <= 4000000L) broadcast(keys) else keys.hint("shuffle_hash")
+      val newKeys = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
+        .persist()
+      pinned += newKeys
+      val nNewKeys = newKeys.count()
+      // ONE corpus pass serves both md5 fast-path consumers: the old
+      // anchor per duplicated delta text (dupOut) and the fresh-text
+      // anti-join — the corpus is SCANNED and probed against the
+      // broadcast delta keys, never exchanged (the round-12 form paid
+      // two corpus-sized exchanges here: a distinct for the anti-join
+      // and a groupBy for the dup anchors)
+      val oldDupDocs = Checkpoints.eager(
+        oldG.join(probeSide(newKeys.select("_g"), nNewKeys), Seq("_g"))
+          .groupBy(col("_g")).agg(min(col("_doc")).as("_odoc")))
       // fresh = delta texts the old corpus has never seen
-      val newFresh = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
-        .join(oldG.select("_g").distinct(), Seq("_g"), "left_anti")
+      val newFresh = newKeys
+        .join(oldDupDocs.select("_g"), Seq("_g"), "left_anti")
         .persist()
       pinned += newFresh
       // token arrays for the sources an ESCALATING row can probe — built
@@ -334,22 +432,27 @@ object SuffixArray {
       // only refine, so later rounds' escalating sources are a subset):
       // the corpus tokenization pass is NEIGHBORHOOD-sized, not
       // corpus-sized, and a delta that resolves at the seedK prefix
-      // never tokenizes anything
+      // never tokenizes anything. The escalator-source key set is
+      // delta-neighborhood-sized, so it takes the adaptive probe side:
+      // broadcast keeps the corpus text scan exchange-free.
       var tokTable: DataFrame = null
       def buildTokTable(escSrcs: DataFrame): DataFrame = {
-        val t = escSrcs
-          .join(oldG.select(concat(lit("d:"), col("_doc").cast("string"))
-              .as("_src"), col("_t")).hint("shuffle_hash"), Seq("_src"))
+        val esc = escSrcs.persist()
+        pinned += esc
+        val escProbe = probeSide(esc, esc.count())
+        val t = oldG.select(concat(lit("d:"), col("_doc").cast("string"))
+            .as("_src"), col("_t"))
+          .join(escProbe, Seq("_src"))
           .select(col("_src"), split(col("_t"), " ").as("_tk"))
-          .unionAll(escSrcs
-            .join(newFresh.select(concat(lit("g:"), col("_g")).as("_src"),
-              col("_t")).hint("shuffle_hash"), Seq("_src"))
+          .unionAll(newFresh
+            .select(concat(lit("g:"), col("_g")).as("_src"), col("_t"))
+            .join(escProbe, Seq("_src"))
             .select(col("_src"), split(col("_t"), " ").as("_tk")))
           .persist()
         pinned += t
         t
       }
-      val oldBase = mergeReps.select(lit(0).as("_new"), col("_or"),
+      val oldBase = reps0.select(lit(0).as("_new"), col("_or"),
         concat(lit("d:"), col("_doc").cast("string")).as("_src"),
         col("_pos"), col("_slen"),
         array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
@@ -375,17 +478,20 @@ object SuffixArray {
       // — so the hot exchanges never sort the array column; `_path`
       // rides along as a passenger (one appended element per round) and
       // is only compared ONCE, padded into long columns, at the final
-      // union ranking (array orderings are interpreted — keying the
-      // per-round range exchange on them cost ~4x, measured).
+      // AFFECTED-only ranking (array orderings are interpreted — keying
+      // the per-round range exchange on them cost ~4x, measured).
       var covered = seedK.toLong
       var pending = oldBase.unionAll(newBase)
       val debugTiming = oldDf.sparkSession.conf
         .getOption("spark.graft.debugTiming").contains("true")
       var round = 0
       var done = false
+      // R = highest landed rank; read off round 1's per-partition stats
+      // (no extra pass over the index)
+      var rMax = 0L
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
-        val (ranked, _, nRows, parted) = denseRanksInlineCounted(pending,
+        val (ranked, nRows, parted) = rankedInlineRows(pending,
           Seq("_kr", "_seg"), nParts)
         if (nRows == 0) { done = true; parted.unpersist(blocking = false) }
         else {
@@ -395,27 +501,76 @@ object SuffixArray {
           // and sorted by the ranking window — so n/hasNew/maxLen cost
           // no exchange and no join-back
           val wg = Window.partitionBy(col("_pid"), col("_rank"))
-          val stepped = ranked.select(col("_new"), col("_or"), col("_src"),
-            col("_pos"), col("_slen"),
-            concat(col("_path"), array(col("_rank"))).as("_path"),
-            col("_rank").as("_kr"),
+          val statCols = Seq(
             count(lit(1)).over(wg).as("_n"),
             max(col("_new")).over(wg).as("_hasNew"),
             max(col("_slen")).over(wg).as("_maxLen"))
-          // ONE checkpoint per round carries both halves; it stays live
-          // to the final ranking (the frozen part is read there), so the
-          // per-round held total is one union-sized artifact — the size
-          // of the output itself
+          val stepped =
+            if (round == 1) {
+              // ROUND 1 ONLY: the one pass that sees the whole index. Two
+              // extra rank-properties ride the same range frame for free:
+              //   rMax — the landed rank count (per-partition max to the
+              //          driver, nParts longs);
+              //   _nor — the next OLD rank strictly after my round-1
+              //          group in index order. Old reps' round-1 order is
+              //          their landed-rank order (seedK prefixes of
+              //          sorted suffixes are non-decreasing) and their
+              //          _or values are dense 1..R, so _nor = (#old rows
+              //          with round-1 rank <= mine, ties included) + 1 —
+              //          a partition-local RUNNING COUNT whose required
+              //          sort (_pid, _rank asc) is the group-stats
+              //          window's own ordering (one sort feeds both;
+              //          the round-13 draft's reverse-min formulation
+              //          forced a second, descending sort of the whole
+              //          index), stitched across partitions by nParts
+              //          driver longs (prefix sums).
+              // Pure-old groups (no new row) are then DROPPED: their
+              // relative order IS the landed rank, recovered at the end
+              // by the insertion-offset arithmetic — they never
+              // checkpoint and never enter the final ranking.
+              val pstats = parted.groupBy("_pid")
+                .agg(sum(when(col("_or").isNotNull, 1L).otherwise(0L))
+                  .as("_c"), max(col("_or")).as("_mx"))
+                .collect()
+                .map(r => (r.getInt(0), r.getLong(1),
+                  if (r.isNullAt(2)) 0L else r.getLong(2)))
+              rMax = if (pstats.isEmpty) 0L else pstats.map(_._3).max
+              val offs = (0 until nParts).map { p =>
+                pstats.filter(_._1 < p).map(_._2).sum
+              }
+              val offE =
+                element_at(array(offs.map(lit): _*), col("_pid") + 1)
+              val wCnt = Window.partitionBy(col("_pid"))
+                .orderBy(col("_rank"))
+                .rangeBetween(Window.unboundedPreceding, 0)
+              ranked.select(Seq(col("_new"), col("_or"), col("_src"),
+                col("_pos"), col("_slen"),
+                concat(col("_path"), array(col("_rank"))).as("_path"),
+                col("_rank").as("_kr"),
+                (sum(when(col("_or").isNotNull, 1L).otherwise(0L))
+                  .over(wCnt) + offE + 1L).as("_nor"))
+                ++ statCols: _*)
+                .filter(col("_hasNew") === 1)
+            } else ranked.select(Seq(col("_new"), col("_or"), col("_src"),
+              col("_pos"), col("_slen"),
+              concat(col("_path"), array(col("_rank"))).as("_path"),
+              col("_rank").as("_kr"), col("_nor")) ++ statCols: _*)
+          // ONE checkpoint per round, AFFECTED rows only — the held
+          // total across rounds is delta-neighborhood-sized, not the
+          // union (pure-old rows never land anywhere)
           val landed = Checkpoints.eager(stepped
             .withColumn("_esc", col("_n") > 1 && col("_hasNew") === 1 &&
               col("_maxLen") > covered))
-          // a tied PURE-OLD group needs no content: landed rank order is
-          // content order — appended as the group's final path element
+          // a subgroup that split PURE-OLD in a later round needs no
+          // content: landed rank order is content order — appended as
+          // the subgroup's final path element (these rows stay in the
+          // affected ranking as ANCHORS for their neighborhood)
           frozenParts += landed.filter(!col("_esc"))
             .select(col("_new"), col("_or"), col("_src"), col("_pos"),
               when(col("_n") > 1 && col("_hasNew") === 0,
                   concat(col("_path"), array(col("_or"))))
-                .otherwise(col("_path")).as("_path"))
+                .otherwise(col("_path")).as("_path"),
+              col("_nor"))
           val segLen = (covered * (growth - 1)).min(Int.MaxValue.toLong)
           if (tokTable == null)
             tokTable = buildTokTable(
@@ -423,7 +578,7 @@ object SuffixArray {
           pending = landed.filter(col("_esc"))
             .join(tokTable.hint("shuffle_hash"), Seq("_src"))
             .select(col("_new"), col("_or"), col("_src"), col("_pos"),
-              col("_slen"), col("_path"), col("_kr"),
+              col("_slen"), col("_path"), col("_kr"), col("_nor"),
               concat_ws(" ", slice(col("_tk"),
                 (col("_pos") + covered).cast("int"),
                 lit(segLen.toInt))).as("_seg"))
@@ -431,70 +586,158 @@ object SuffixArray {
           // termination read off the landed checkpoint (no join, no
           // extra empty round through the range exchange)
           done = landed.filter(col("_esc")).isEmpty
-          covered *= growth
+          // clamp: covered only compares against token counts (INT-sized)
+          // — unclamped it would overflow Long after ~30 rounds, and the
+          // escalation slice start casts (_pos + covered) to int
+          covered = math.min(covered * growth, (Int.MaxValue / 2).toLong)
           if (debugTiming) System.err.println(
-            f"[sa-incr] round $round covered=${covered / growth} " +
-              f"rows=$nRows ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-              f"done=$done")
+            f"[sa-incr] round $round rows=$nRows " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s done=$done")
         }
       }
       require(done,
         s"suffixRanksIncremental: ties unresolved after $maxRounds rounds")
-      // final union ranking: paths padded to fixed long columns (rows
-      // sharing a path prefix share its length — groups escalate or
-      // freeze as a whole — so zero-padding never decides a comparison)
+      // ---- final ranking over AFFECTED rows only (delta-sized): paths
+      // padded to fixed long columns (rows sharing a path prefix share
+      // its length — groups escalate or freeze as a whole — so
+      // zero-padding never decides a comparison). `_lr` is the globally
+      // dense LOCAL order of affected classes, consistent with index
+      // order because path[0] is the round-1 rank.
       val maxPathLen = math.max(round, 1) + 1
       val keyCols = (1 to maxPathLen).map(i => s"_k$i")
       val empty = oldBase.filter(lit(false))
         .select(Seq(col("_new"), col("_or"), col("_src"),
-          col("_pos")) ++ keyCols.map(k => lit(0L).as(k)): _*)
+          col("_pos"), lit(0L).as("_nor")) ++
+          keyCols.map(k => lit(0L).as(k)): _*)
       val all = frozenParts.foldLeft(empty) { (acc, f) =>
         acc.unionAll(f.select(
-          Seq(col("_new"), col("_or"), col("_src"), col("_pos")) ++
+          Seq(col("_new"), col("_or"), col("_src"), col("_pos"),
+            col("_nor")) ++
             (1 to maxPathLen).map(i =>
               coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
                 .as(s"_k$i")): _*))
       }
-      val (finalRanked, _, fparted) = denseRanksInline(all,
-        keyCols, nParts)
-      // the output below is returned lazily — pin the final range frame
-      // for the caller (released with the others in finally is WRONG
-      // here: the result still reads it), so sever lineage instead
-      val resolved = Checkpoints.eager(finalRanked
+      val (localRanked, _, fparted) = rankedInlineRows(all, keyCols, nParts)
+      // the output below is returned lazily — sever lineage so the
+      // range frame and the per-round checkpoints can release now
+      val local = Checkpoints.eager(localRanked
         .select(col("_new"), col("_or"), col("_src"), col("_pos"),
-          col("_rank")))
+          col("_nor"), col("_rank").as("_lr")))
       fparted.unpersist(blocking = false)
-      // the per-round frozen checkpoints are fully consumed by `resolved`
-      // (lineage severed) — release their blocks now
       frozenParts.foreach { f =>
         f.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }.foreach(_.unpersist(blocking = false))
       }
-      val oldMapping = resolved.filter(col("_or").isNotNull)
-        .select(col("_or").as("suffix_rank"), col("_rank"))
-      // old docs: landed rows re-ranked through their rank class
+      // ---- class table: one row per affected CLASS (equal full paths =
+      // rows tied forever = one dense-rank class). A class holds at most
+      // one old rank (landed ranks are dense over distinct suffixes).
+      val ct = local.groupBy(col("_lr")).agg(min(col("_or")).as("_cor"),
+        min(col("_nor")).as("_nor2"), max(col("_new")).as("_hasN"))
+      val cparted = ct.repartitionByRange(nParts, col("_lr"))
+        .withColumn("_pid", spark_partition_id()).persist()
+      // one per-partition collect serves BOTH cross-partition stitches:
+      // suffix-min of _cor (the next-anchor lookup) and prefix-sum of
+      // the new-only class counts (their 1..N numbering)
+      val cstats = cparted.groupBy("_pid")
+        .agg(min(col("_cor")).as("_mn"),
+          sum(when(col("_cor").isNull, 1L).otherwise(0L)).as("_nc"))
+        .collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      val naTails = (0 until nParts).map { p =>
+        cstats.filter(_._1 > p).flatMap(_._2)
+          .reduceOption(_ min _).getOrElse(rMax + 1)
+      }
+      val iOffs = (0 until nParts).map { p =>
+        cstats.filter(_._1 < p).map(_._3).sum
+      }
+      val naTailE =
+        element_at(array(naTails.map(lit): _*), col("_pid") + 1)
+      val iOffE = element_at(array(iOffs.map(lit): _*), col("_pid") + 1)
+      // next ANCHORED class after mine in local order (covers in-group
+      // anchors); the true next old class is min(that, my group's _nor):
+      // an anchor outside my round-1 group always ranks >= _nor. The
+      // ascending twin numbers new-only classes 1..N in the same pass.
+      val wNa = Window.partitionBy(col("_pid")).orderBy(col("_lr").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wI = Window.partitionBy(col("_pid")).orderBy(col("_lr"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val ct2 = cparted
+        .withColumn("_na", least(min(col("_cor")).over(wNa), naTailE))
+        .withColumn("_i",
+          sum(when(col("_cor").isNull, 1L).otherwise(0L)).over(wI) + iOffE)
+      // ---- new-only classes, numbered 1..N in local order. Their
+      // global rank is (t - 1) + i: t-1 old classes and i-1 new-only
+      // classes sort before them (t is NON-DECREASING in local order, so
+      // i already counts every new-only class before mine across all t)
+      val newIdx = Checkpoints.eager(ct2.filter(col("_cor").isNull)
+        .select(col("_lr"), least(col("_na"), col("_nor2")).as("_t"),
+          col("_i")))
+      // ---- insertion-offset table: ins(r) = #new-only classes ordered
+      // strictly before old class r = max i at insertion point t <= r —
+      // a step function with one jump per distinct t, expanded to a full
+      // (old rank -> offset) column by a CHUNKED narrow generate: chunk
+      // starts shuffle (tiny), each task expands <= 64k ranks, so one
+      // giant gap never serializes into one task
+      val jump = newIdx.groupBy(col("_t")).agg(max(col("_i")).as("_ins"))
+      val jparted = jump.repartitionByRange(nParts, col("_t"))
+        .withColumn("_pid", spark_partition_id()).persist()
+      val wLead = Window.partitionBy(col("_pid")).orderBy(col("_t"))
+      val jump2 = jparted.withColumn("_tn",
+        coalesce(lead(col("_t"), 1).over(wLead),
+          tailMinExpr(jparted, "_t", nParts, rMax + 1)))
+      val chunk = 65536L
+      val mapping = Checkpoints.eager(jump2.filter(col("_t") <= rMax)
+        .select(col("_ins"), least(col("_tn") - 1, lit(rMax)).as("_hi"),
+          explode(sequence(col("_t"), least(col("_tn") - 1, lit(rMax)),
+            lit(chunk))).as("_s"))
+        .repartition(nParts)
+        .select(explode(sequence(col("_s"),
+            least(col("_s") + lit(chunk - 1), col("_hi"))))
+            .as("suffix_rank"),
+          col("_ins")))
+      jparted.unpersist(blocking = false)
+      // ---- final ranks per affected class: an ANCHORED class (>= one
+      // old member; tying new rows share it) maps through its anchor's
+      // offset; a new-only class is (t - 1) + i
+      val anch = ct2.filter(col("_cor").isNotNull && col("_hasN") === 1)
+        .select(col("_lr"), col("_cor").as("suffix_rank"))
+        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
+        .select(col("_lr"),
+          (col("suffix_rank") + coalesce(col("_ins"), lit(0L))).as("_fr"))
+      val classRanks = Checkpoints.eager(anch.unionAll(
+        newIdx.select(col("_lr"), (col("_t") - 1 + col("_i")).as("_fr"))))
+      cparted.unpersist(blocking = false)
+      // ---- outputs. Old docs: landed rows shifted by the insertion
+      // offset (old ranks below every insertion point keep their rank —
+      // the left join's null offset)
       val oldOut = ranks
-        .join(oldMapping.hint("shuffle_hash"), Seq("suffix_rank"))
-        .select(col(idCol), col("pos"), col("_rank").as("suffix_rank"))
-      // fresh delta texts: merge rows expanded to their member docs
-      val freshOut = resolved.filter(col("_new") === 1)
+        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
+        .select(col(idCol), col("pos"),
+          (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
+            .as("suffix_rank"))
+      // fresh delta texts: affected new rows -> class rank -> member docs
+      val freshOut = local.filter(col("_new") === 1)
+        .join(classRanks.hint("shuffle_hash"), Seq("_lr"))
         .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
-          col("_rank"))
+          col("_fr"))
         .join(newMembers.hint("shuffle_hash"), Seq("_g"))
         .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
-          col("_rank").as("suffix_rank"))
-      // delta docs duplicating an OLD text: copy one old member's rows
+          col("_fr").as("suffix_rank"))
+      // delta docs duplicating an OLD text: copy one old member's rows,
+      // shifted by the same offset table. Membership and the old anchor
+      // come from ONE frame (oldDupDocs — delta keys that matched the
+      // corpus), so the round-12 anti-join + corpus groupBy pair
+      // collapses into a single delta-sized inner join
       val dupOut = newMembers
-        .join(newFresh.select("_g"), Seq("_g"), "left_anti")
-        .join(oldG.groupBy(col("_g")).agg(min(col("_doc")).as("_odoc"))
-          .hint("shuffle_hash"), Seq("_g"))
+        .join(oldDupDocs.hint("shuffle_hash"), Seq("_g"))
         .join(ranks.withColumnRenamed(idCol, "_odoc").hint("shuffle_hash"),
           Seq("_odoc"))
-        .join(oldMapping.withColumnRenamed("_rank", "_nr")
-          .hint("shuffle_hash"), Seq("suffix_rank"))
+        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
         .select(col("_doc").as(idCol), col("pos"),
-          col("_nr").as("suffix_rank"))
+          (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
+            .as("suffix_rank"))
       oldOut.unionAll(freshOut).unionAll(dupOut)
     } finally {
       pinned.foreach(_.unpersist(blocking = false))

@@ -432,6 +432,111 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming SUFFIX-ARRAY maintenance — the streaming seat of
+    * [[graft.functions.SuffixArray.suffixRanksIncrementalFrom]], closing
+    * the daily-crawl loop the incremental merge exists for: each
+    * micro-batch of (id, text) documents merges into the landed SA +
+    * sidecar instead of re-running the doubling loop over the corpus.
+    *
+    * State layout under `stateDir` (all parquet, no executor-memory
+    * state — the index is corpus-sized, which no state store should
+    * carry at 100 TB):
+    *   docs/                (id, text, _batch) — batch-partitioned corpus
+    *   b<batchId>/ranks     the SA as of that batch
+    *   b<batchId>/reps      its merge sidecar
+    *
+    * Idempotency is STRUCTURAL, version-per-batch (the rollupMaintenance
+    * discipline): a batch reads the corpus at `_batch < batchId` and the
+    * newest COMMITTED version `< batchId` (commit marker = parquet's own
+    * _SUCCESS), recomputes the same merge on replay, overwrites exactly
+    * its own version dir + docs partition — so a checkpoint replay after
+    * restart adds nothing (pinned by StreamingSpec). Superseded version
+    * dirs are left for a TTL sweep in production (bounded: one ranks +
+    * reps pair per batch, never rewritten). */
+  def saMaintenance(stateDir: String, idCol: String, textCol: String,
+      nParts: Int = 32): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import graft.functions.SuffixArray
+      val docsDir = s"$stateDir/docs"
+      def committed(v: Long): Boolean =
+        Files.exists(Paths.get(stateDir, s"b$v", "ranks", "_SUCCESS")) &&
+          Files.exists(Paths.get(stateDir, s"b$v", "reps", "_SUCCESS"))
+      val prev: Option[Long] = {
+        val d = Paths.get(stateDir)
+        if (!Files.exists(d)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Files.list(d).iterator().asScala.map(_.getFileName.toString)
+            .filter(_.matches("b\\d+")).map(_.drop(1).toLong)
+            .filter(v => v < batchId && committed(v))
+            .maxOption
+        }
+      }
+      val delta = batch.select(col(idCol), col(textCol))
+      // corpus as of batches STRICTLY before this one — the replay-safe
+      // read: a re-delivered batch never sees its own earlier partition
+      val oldDocs =
+        if (Files.exists(Paths.get(docsDir)))
+          spark.read.parquet(docsDir).filter(col("_batch") < batchId)
+            .select(col(idCol), col(textCol))
+        else delta.filter(lit(false))
+      val merged = prev match {
+        case None => SuffixArray.suffixRanks(oldDocs.unionAll(delta),
+          idCol, textCol, nParts)
+        case Some(p) => SuffixArray.suffixRanksIncrementalFrom(
+          spark.read.parquet(s"$stateDir/b$p/reps"),
+          spark.read.parquet(s"$stateDir/b$p/ranks"),
+          oldDocs, delta, idCol, textCol, nParts)
+      }
+      merged.write.mode("overwrite").parquet(s"$stateDir/b$batchId/ranks")
+      // sidecar derives from the LANDED ranks (read back — the merge
+      // frame is consumed once) + the full corpus including this delta
+      SuffixArray.suffixMergeReps(
+          spark.read.parquet(s"$stateDir/b$batchId/ranks"),
+          oldDocs.unionAll(delta), idCol, textCol)
+        .write.mode("overwrite").parquet(s"$stateDir/b$batchId/reps")
+      // docs partition lands LAST: a crash anywhere above replays into
+      // identical overwrites because this batch's partition is excluded
+      // from every read
+      val prevMode =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try delta.withColumn("_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("_batch").parquet(docsDir)
+      finally prevMode match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+  }
+
+  /** Newest committed SA version under a [[saMaintenance]] state dir. */
+  def readSaRanks(spark: SparkSession, stateDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = Files.list(Paths.get(stateDir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("b\\d+"))
+      .map(_.drop(1).toLong)
+      .filter(v => Files.exists(
+        Paths.get(stateDir, s"b$v", "ranks", "_SUCCESS")))
+      .toSeq
+    require(vs.nonEmpty, s"no committed SA version under $stateDir")
+    spark.read.parquet(s"$stateDir/b${vs.max}/ranks")
+  }
+
+  /** Wire [[saMaintenance]] into a streaming query: file-source batches
+    * merge into the landed SA; restart resume comes from the checkpoint,
+    * replayed batches rebuild their own version dirs verbatim. */
+  def startSaMaintenance(df: DataFrame, stateDir: String,
+      checkpointDir: String, idCol: String, textCol: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(saMaintenance(stateDir, idCol, textCol))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Idempotent per-batch sink: one output dir per batchId, skipped if it
     * already committed — the `foreachBatch` replay-suppression analogue of
     * the reference's page-DONE state (`worker.py:164-188`). */

@@ -6,10 +6,21 @@ import org.apache.spark.sql.functions._
 
 /** Dev profiler for suffixRanksIncremental: times the merge against the
   * landed build and the equivalent full rebuild on the same union, at a
-  * given sf dir. usage: runMain graft.tools.ProfileSaIncr [sfDir] */
+  * given sf dir and an optional DISTINCT-TEXT scale factor.
+  *
+  * usage: runMain graft.tools.ProfileSaIncr [sfDir] [distinctFactor]
+  *
+  * distinctFactor > 1 builds a corpus of factor x DISTINCT texts: copy c
+  * tags every token with "~c", so copies share no vocabulary. Unlike
+  * ScaleUp's exact duplication — where the identical-content clique
+  * collapse runs the doubling loop over the SAME distinct texts and the
+  * rebuild is artificially flat — every copy here adds real suffix
+  * ranks, the rebuild's corpus-sized rounds grow with the corpus, and
+  * the merge's delta-proportional claim meets an honest opponent. */
 object ProfileSaIncr {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length >= 2) args(1).toInt else 1
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -23,54 +34,65 @@ object ProfileSaIncr {
       println(f"PROFILE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val docs = Tables.documents(spark, dir)
-    val delta = docs.filter(pmod(col("doc_id"), lit(14)) === 3)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      .unionAll(docs.filter(pmod(col("doc_id"), lit(14)) === 10)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
+    val docs =
+      if (factor <= 1) docs0
+      else {
+        val path = s"target/tmp/profile-sa-distinct-$factor"
+        (0 until factor).map { c =>
+          val text =
+            if (c == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"~$c"))))
+          docs0.select((col("doc_id") * factor + c).as("doc_id"),
+            text.as("text"))
+        }.reduce(_ unionAll _).write.mode(mode).parquet(path)
+        spark.read.parquet(path)
+      }
+    println(s"corpus rows=${docs.count()} (factor=$factor)")
+    // same half-dup/half-variant crawl mix as the gate, at two sizes:
+    // ~14% (mod 14) and ~1.4% (mod 140) of the corpus
+    def deltaOf(m: Int) = docs.filter(pmod(col("doc_id"), lit(m)) === 3)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(m)) === 10)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
           concat(col("text"), lit(" zzqx")).as("text")))
-    // a ~10x smaller delta, same half-dup/half-variant mix: quantifies
-    // the fixed index-pass cost vs the delta-proportional part
-    val deltaSmall = docs.filter(pmod(col("doc_id"), lit(140)) === 3)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      .unionAll(docs.filter(pmod(col("doc_id"), lit(140)) === 10)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(col("text"), lit(" zzqx")).as("text")))
-    val base = time("base build") {
+    val delta = deltaOf(14)
+    val deltaSmall = deltaOf(140)
+    val base = time("base build (offline)") {
       val b = graft.functions.SuffixArray.suffixRanks(docs, "doc_id", "text")
-      b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet("target/tmp/profile-sa-base")
+      b.write.mode(mode).parquet("target/tmp/profile-sa-base")
       spark.read.parquet("target/tmp/profile-sa-base")
     }
     val reps = time("merge sidecar (offline)") {
       graft.functions.SuffixArray.suffixMergeReps(base, docs,
           "doc_id", "text")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet("target/tmp/profile-sa-reps")
+        .write.mode(mode).parquet("target/tmp/profile-sa-reps")
       spark.read.parquet("target/tmp/profile-sa-reps")
     }
+    def hashOf(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(col("doc_id"), col("pos"), col("suffix_rank"))
+        .as("h")).agg(bit_xor(col("h"))).head()
+      ()
+    }
     (1 to 2).foreach { i =>
-      time(s"incremental merge run$i") {
-        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
-            reps, base, docs, delta, "doc_id", "text")
-          .select(xxhash64(col("doc_id"), col("pos"), col("suffix_rank"))
-            .as("h"))
-          .agg(bit_xor(col("h"))).head()
+      time(s"incremental merge 14pct run$i") {
+        hashOf(graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+          reps, base, docs, delta, "doc_id", "text"))
       }
     }
-    time("incremental merge SMALL delta") {
-      graft.functions.SuffixArray.suffixRanksIncrementalFrom(
-          reps, base, docs, deltaSmall, "doc_id", "text")
-        .select(xxhash64(col("doc_id"), col("pos"), col("suffix_rank"))
-          .as("h"))
-        .agg(bit_xor(col("h"))).head()
+    time("incremental merge 1.4pct") {
+      hashOf(graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+        reps, base, docs, deltaSmall, "doc_id", "text"))
     }
-    time("full union rebuild") {
-      graft.functions.SuffixArray.suffixRanks(
-          docs.select("doc_id", "text").unionAll(delta), "doc_id", "text")
-        .select(xxhash64(col("doc_id"), col("pos"), col("suffix_rank"))
-          .as("h"))
-        .agg(bit_xor(col("h"))).head()
+    time("full union rebuild 14pct") {
+      hashOf(graft.functions.SuffixArray.suffixRanks(
+        docs.unionAll(delta), "doc_id", "text"))
+    }
+    time("full union rebuild 1.4pct") {
+      hashOf(graft.functions.SuffixArray.suffixRanks(
+        docs.unionAll(deltaSmall), "doc_id", "text"))
     }
     spark.stop()
   }

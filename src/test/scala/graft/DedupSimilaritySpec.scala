@@ -963,7 +963,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (12L, "a n a b"),           // another old dup
       (13L, "c c c"),             // entirely new vocabulary
       (14L, "b a n a n a q"),     // new-new exact dup
-      (15L, "n a b")).toDF("doc_id", "text") // proper prefix of an old text
+      (15L, "n a b"),             // proper prefix of an old text
+      (16L, "A a n")).toDF("doc_id", "text") // 'A' < 'a': suffixes
+      // inserting BEFORE every old rank (the t=1 / offset-at-origin seat)
     val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
     val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
         "doc_id", "text", nParts = 4)

@@ -338,6 +338,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == want)
   }
 
+  test("SA maintenance: per-batch merge == full rebuild; checkpoint replay adds nothing") {
+    import graft.functions.SuffixArray
+    val dir = tmp("sa-maint").toString
+    val gate = Incremental.saMaintenance(dir, "doc_id", "text", nParts = 4)
+    val b0 = Seq((1L, "b a n a n a"), (2L, "a n a b")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "b a n a n a"),   // exact dup of doc 1 (md5 fast path)
+      (11L, "c c c"),         // fresh vocabulary
+      (12L, "n a b")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "b a n a n a q")).toDF("doc_id", "text")
+    gate(b0, 0L); gate(b1, 1L); gate(b2, 2L)
+    def state() = Incremental.readSaRanks(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = SuffixArray.suffixRanks(b0.unionAll(b1).unionAll(b2),
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(state() == want, "streamed merges == one-shot rebuild")
+    // checkpoint replay after restart: the last batch re-delivers with
+    // the same batchId — version dir and docs partition overwrite
+    // themselves, the state is bit-identical (restart adds nothing)
+    gate(b2, 2L)
+    assert(state() == want, "replayed batch is a structural no-op")
+    // the corpus partition log holds each batch exactly once
+    val batches = spark.read.parquet(s"$dir/docs")
+      .groupBy("_batch").count().as[(Long, Long)].collect().toMap
+    assert(batches == Map(0L -> 2L, 1L -> 3L, 2L -> 1L))
+  }
+
   test("quality gate: violating rows quarantined, clean rows accepted, nothing lost; replay no-op") {
     import graft.functions.Expectations._
     val dir = tmp("qgate").toString
