@@ -192,6 +192,38 @@ object Classifier {
       .groupBy(col("_d")).agg(sum(col("_cnt") * col("_w")).as("_fs"))
   }
 
+  /** Inference with a TRAINED weight TABLE (the [[train]] output, or any
+    * landed (bucket, weight_micronats) frame with the bias at bucket −1)
+    * — the join-based seat that stays planable at hashing-trick dims
+    * where a literal-array `weightExpr` cannot: features explode, bucket,
+    * and BROADCAST-join the dim-row table; the per-doc fold is a
+    * map-side-partial long sum (rows for a doc are scan-contiguous, so
+    * the exchange carries ~one row per doc); the single bias row rides a
+    * broadcast crossJoin. Same output surface as [[linearScore]]. */
+  def linearScoreWith(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val wdf = broadcast(weights.filter(col("bucket") >= 0)
+      .select(col("bucket").cast("int").as("_b"),
+        col("weight_micronats").as("_w")))
+    val bias = broadcast(weights.filter(col("bucket") === -1)
+      .select(col("weight_micronats").as("_bias")))
+    // persist barrier before the Generate (the cdc_chunks discipline:
+    // keeps the split() out of the feature lambdas under projection
+    // collapse — no CSE in interpreted HOFs)
+    val withFs = Caches.operatorPersist(df.select(col(idCol),
+      featuresExpr(split(col(textCol), " ")).as("_fs")))
+    withFs.select(col(idCol), explode(col("_fs")).as("_f"))
+      .select(col(idCol), bucket(col("_f"), dim).as("_b"))
+      .join(wdf, Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"), sum(col("_w")).as("_s"))
+      .crossJoin(bias)
+      .select(col(idCol), col("n_features"),
+        (col("_s") + col("_bias")).as("score_micronats"))
+      .withColumn("accept", col("score_micronats") >= 0L)
+  }
+
   /** Precision/recall sweep of a scored corpus against a (weak) boolean
     * label, at a fixed list of micronat thresholds — the calibration table
     * a pipeline reads before picking its filter cutoff. Engine shape: the

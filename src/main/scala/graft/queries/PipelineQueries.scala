@@ -3862,6 +3862,33 @@ object PipelineQueries {
               |FROM w3
               |ORDER BY bucket""".stripMargin)),
 
+    QueryDef("classifier_train_apply",
+      // the COMPOSED loop: train in-engine (3 GD steps, weak label
+      // lang='en'), then score the same corpus THROUGH THE TRAINED
+      // TABLE via the join-based inference seat (linearScoreWith — the
+      // plan that survives hashing-trick dims, unlike a literal-array
+      // weightExpr). Oracle unrolls the identical 3 steps and applies
+      // w3/bb3 — end-to-end engine exactness of train+apply together
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val trained = graft.functions.Classifier.train(docs, "doc_id",
+          "text", col("lang") === "en", dim = 64, iters = 3)
+        graft.functions.Classifier.linearScoreWith(docs, "doc_id", "text",
+            trained, dim = 64)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${classifierTrainOracleSql(3)},
+              |sc AS (SELECT f.doc_id,
+              |         CAST(sum(f.cnt) AS BIGINT) AS n_features,
+              |         CAST(sum(f.cnt * w.w) AS BIGINT) AS s
+              |       FROM feat f JOIN w3 w USING (b) GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+              |  CAST(coalesce(s, 0) + bb.bw AS BIGINT) AS score_micronats,
+              |  coalesce(s, 0) + bb.bw >= 0 AS accept
+              |FROM docs d LEFT JOIN sc USING (doc_id) CROSS JOIN bb3 bb
+              |ORDER BY doc_id""".stripMargin)),
+
     QueryDef("classifier_pr_curve",
       // calibration sweep of the classifier against a weak label
       // (lang = 'en') at five fixed micronat thresholds: exact long

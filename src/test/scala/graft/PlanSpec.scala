@@ -358,6 +358,9 @@ class PlanSpec extends AnyFunSuite {
     // is persisted, so the inherited single-row totals join now hides
     // behind the InMemoryRelation and the optimized plan is clean
     "decontam_semantic", "classifier_pr_curve",
+    // the trained table's ONE-ROW bias (bucket -1) rides a broadcast
+    // crossJoin onto the per-doc scores — bounded by construction
+    "classifier_train_apply",
     "bitext_margin_mine",
     // ONE-ROW broadcast totals: the recall report joins its two count
     // aggregates (Dedup.scala:921-922), the salting advisor joins the
