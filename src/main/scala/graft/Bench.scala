@@ -152,9 +152,14 @@ object Bench {
     // incremental SA maintenance (delta merge into the landed build)
     "text_perplexity_pretrained3", "mixture_unimax_epochs",
     "suffix_ranks_incremental", "moore_lewis_select",
+    // round-13: min-K% membership audit (landed-LM apply + one per-doc
+    // window) and the DoReMi domain-reweighting step (domain-keyed agg)
+    "decontam_minkprob", "mixture_doremi_weights",
     // in-engine classifier TRAINING (the gate's point IS the training
-    // loop — it stays on the clock, unlike the landed-LM apply gates)
-    "classifier_train")
+    // loop — it stays on the clock, unlike the landed-LM apply gates),
+    // round-13: plus the composed train+apply loop through the trained
+    // table (join-based inference seat)
+    "classifier_train", "classifier_train_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

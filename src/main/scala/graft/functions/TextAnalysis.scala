@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.plans.RollingHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the `documents`
@@ -901,6 +902,143 @@ object TextAnalysis {
         col("lp_domain_micronats") - col("lp_general_micronats"))
       .withColumn("selected",
         col("n_transitions") > 0 && col("ml_score_micronats") > 0)
+  }
+
+  /** Append the open-vocabulary KN bigram micronat logprob `m` to a
+    * transitions frame (passenger columns ride along) — the scoring
+    * chain of [[perplexityKneserNeyApplyModel]] factored for consumers
+    * that need PER-TRANSITION scores (min-K%, DoReMi) rather than the
+    * per-doc fold. Model sides are vocabulary-sized LEFT shuffle-hash
+    * joins; only the one-row total broadcasts. */
+  private def knScoreTransitions(model: KnBigramModel,
+      trans: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    trans
+      .join(model.bigrams.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(model.ctx.hint("shuffle_hash"), Seq("prev"), "left")
+      .join(model.pre.hint("shuffle_hash"), Seq("cur"), "left")
+      .crossJoin(broadcast(model.tot))
+      .withColumn("_bc", coalesce(col("bc"), lit(0L)))
+      .withColumn("_cc", coalesce(col("cc"), lit(0L)))
+      .withColumn("_fol", coalesce(col("fol"), lit(0L)))
+      .withColumn("_pre", coalesce(col("pre"), lit(0L)))
+      .withColumn("_nbv", (col("nb") + col("vc") + 1).cast(dec))
+      .withColumn("_num",
+        greatest(col("_bc").cast(dec) * 4 - 3, lit(0).cast(dec)) * col("_nbv") +
+          col("_fol").cast(dec) * 3 * (col("_pre").cast(dec) + 1))
+      .withColumn("_den", col("_cc").cast(dec) * 4 * col("_nbv"))
+      .withColumn("m", when(col("_cc") > 0,
+          floor(log(col("_num").cast("double") / col("_den").cast("double"))
+            * 1e6 + 0.5).cast("long"))
+        .otherwise(
+          floor(log((col("_pre").cast("double") + 1.0) /
+              col("_nbv").cast("double")) * 1e6 + 0.5).cast("long")))
+  }
+
+  /** Min-K% probability membership score (Shi et al. 2023, "Detecting
+    * Pretraining Data from Large Language Models") — the contamination
+    * AUDIT that runs after decontamination: a document the model has
+    * memorized has no low-probability outlier tokens, so the mean NLL of
+    * its k% MOST-SURPRISING transitions (lowest logprob under the landed
+    * LM) separates members from non-members better than full perplexity.
+    * Low `mink_avg_nll_micronats` => likely member (trained-on /
+    * contaminated); high => unseen text.
+    *
+    * Engine-exact: per-transition micronat logprobs (the
+    * [[perplexityKneserNeyApplyModel]] integer-rational scoring), the
+    * k% cutoff is `ceil(n * k / 100)` in integer arithmetic, selection
+    * ties break on (logprob, transition index) — deterministic in both
+    * engines — and the mean is toward-zero division of the NON-NEGATIVE
+    * NLL sum (logprobs are <= 0, so -m >= 0: `div` == DuckDB `//`).
+    * Output: (id, n_transitions, n_lowest, mink_nll_micronats,
+    * mink_avg_nll_micronats); sub-bigram docs carry zeros.
+    *
+    * Scale shape: one shuffle over the apply transitions (the scoring
+    * joins), then ONE per-doc window (hash on the id; partition-local
+    * sort; group size = the doc's own transition count — bounded) whose
+    * row_number/count feed a partial-aggregable per-doc fold. */
+  def minKProbScore(model: KnBigramModel, apply: DataFrame, idCol: String,
+      textCol: String, kPct: Int = 20): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct in [1, 100]")
+    // transitions WITH their position index — the deterministic
+    // tie-break for boundary selection
+    val transA = apply.select(col(idCol),
+        explode(when(size(split(col(textCol), " ")) >= 2,
+            sequence(lit(1), size(split(col(textCol), " ")) - 1))
+          .otherwise(array().cast("array<int>"))).as("_i"),
+        split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), col("_i"),
+        element_at(col("_toks"), col("_i")).as("prev"),
+        element_at(col("_toks"), col("_i") + 1).as("cur"))
+    val scored = knScoreTransitions(model, transA)
+    val w = Window.partitionBy(col(idCol))
+    val wOrd = w.orderBy(col("m"), col("_i"))
+    val ranked = scored.select(col(idCol), col("m"),
+      row_number().over(wOrd).as("_rn"),
+      count(lit(1)).over(w).as("_n"))
+      .withColumn("_nl", expr(s"(_n * $kPct + 99) div 100"))
+    val agg0 = ranked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"), max(col("_nl")).as("_nlo"),
+        sum(when(col("_rn") <= col("_nl"), lit(0L) - col("m"))
+          .otherwise(0L)).as("_s"))
+    apply.select(col(idCol))
+      .join(agg0.hint("shuffle_hash"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).cast("int").as("n_transitions"),
+        coalesce(col("_nlo"), lit(0L)).cast("int").as("n_lowest"),
+        coalesce(col("_s"), lit(0L)).as("mink_nll_micronats"))
+      .withColumn("mink_avg_nll_micronats",
+        when(col("n_lowest") > 0,
+          expr("mink_nll_micronats div n_lowest")).otherwise(0L))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * one exponentiated-gradient step of its Group-DRO inner loop,
+    * relationalized): per-domain EXCESS LOSS under the landed reference
+    * LM (domain mean NLL minus the corpus mean — the proxy for "how much
+    * headroom this domain still has") exponentiates into multiplicative
+    * weights, normalized to ppm. Domains the model finds relatively hard
+    * are upweighted; easy/memorized domains shrink.
+    *
+    * Engine-exact by the classifier-train discipline: means are
+    * toward-zero divisions of exact non-negative micronat sums; the ONLY
+    * double op is one exp per DOMAIN (|domains| rows, not corpus rows),
+    * ppm-quantized BEFORE the normalizing sum, and the final weight is
+    * integer `e_d * 1e6 div sum(e)`. Output per domain: (domain,
+    * n_transitions, avg_nll_micronats, excess_micronats, weight_ppm).
+    *
+    * Scale shape: one shuffle over the corpus transitions (the scoring
+    * joins), ONE partial-aggregable groupBy(domain) — the frame is
+    * |domains| rows from there — then two broadcast one-row totals
+    * (corpus mean, normalizer). */
+  def doremiDomainWeights(model: KnBigramModel, corpus: DataFrame,
+      domainCol: String, textCol: String): DataFrame = {
+    val trans = bigramTransitions(corpus, textCol, Some(domainCol))
+    val scored = knScoreTransitions(model, trans)
+    val byDom = scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(lit(0L) - col("m")).as("_nll"))
+      .transform(Caches.operatorPersist)
+    val tot = byDom.agg(sum(col("_nll")).as("_tn"),
+      sum(col("n_transitions")).as("_tc"))
+    val exc = byDom.crossJoin(broadcast(tot))
+      .withColumn("avg_nll_micronats", expr("_nll div n_transitions"))
+      .withColumn("excess_micronats",
+        col("avg_nll_micronats") - expr("_tn div _tc"))
+      // EG-step clip at +13.8 nats of excess (exp <= ~1e6, so
+      // _e * 1e6 stays far inside long range — a pathological all-OOV
+      // domain saturates instead of overflowing; DoReMi's own inner
+      // step clips gradients the same way)
+      .withColumn("_e",
+        floor(exp(least(col("excess_micronats"), lit(13800000L))
+          .cast("double") / lit(1e6)) * 1e6 + 0.5).cast("long"))
+      .transform(Caches.operatorPersist)
+    val norm = exc.agg(sum(col("_e")).as("_z"))
+    exc.crossJoin(broadcast(norm))
+      .select(col(domainCol), col("n_transitions"),
+        col("avg_nll_micronats"), col("excess_micronats"),
+        expr("(_e * 1000000) div _z").as("weight_ppm"))
   }
 
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:

@@ -1299,6 +1299,126 @@ object PipelineQueries {
              |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS INT) AS n_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("decontam_minkprob",
+      // Min-K% probability membership score (Shi et al. 2023): the
+      // contamination AUDIT after decontamination — mean NLL of each
+      // doc's k%=20 most-surprising transitions under the LANDED
+      // general LM (low => likely trained-on). Integer k-cutoff,
+      // (logprob, index) tie-break, toward-zero mean of the
+      // non-negative NLL sum — engine-exact. Timed query = apply only
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextAnalysis.minKProbScore(
+            TextAnalysis.knBigramModelRead(s, knModelPath(s, dir)),
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text", kPct = 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |trA AS (SELECT doc_id, i, toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT doc_id, toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 1 AND len(toks) >= 2)),
+             |trT AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+             |bc AS (SELECT prev, cur, count(*) AS bc FROM trT GROUP BY 1, 2),
+             |ctx AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bc GROUP BY 1),
+             |pre AS (SELECT cur, count(*) AS pre FROM bc GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+             |               CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bc),
+             |sc AS (SELECT doc_id, i,
+             |         CASE WHEN coalesce(ctx.cc, 0) > 0 THEN
+             |           CAST(floor(ln(
+             |             CAST(greatest(4 * CAST(coalesce(bc.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+             |                  + 3 * CAST(coalesce(ctx.fol, 0) AS HUGEINT)
+             |                    * (CAST(coalesce(pre.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |             / CAST(4 * CAST(ctx.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+             |               * 1000000 + 0.5) AS BIGINT)
+             |         ELSE
+             |           CAST(floor(ln((CAST(coalesce(pre.pre, 0) AS DOUBLE) + 1.0)
+             |             / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |         END AS m
+             |       FROM trA LEFT JOIN bc USING (prev, cur)
+             |       LEFT JOIN ctx USING (prev) LEFT JOIN pre USING (cur)
+             |       CROSS JOIN tot),
+             |r AS (SELECT doc_id, m,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY m, i) AS rn,
+             |        count(*) OVER (PARTITION BY doc_id) AS n
+             |      FROM sc),
+             |a AS (SELECT doc_id, count(*) AS nt,
+             |        max((n * 20 + 99) // 100) AS nl,
+             |        sum(CASE WHEN rn <= (n * 20 + 99) // 100
+             |            THEN -m ELSE 0 END) AS s
+             |      FROM r GROUP BY 1)
+             |SELECT a2.doc_id, CAST(coalesce(nt, 0) AS INT) AS n_transitions,
+             |  CAST(coalesce(nl, 0) AS INT) AS n_lowest,
+             |  CAST(coalesce(s, 0) AS BIGINT) AS mink_nll_micronats,
+             |  CAST(CASE WHEN coalesce(nl, 0) > 0 THEN s // nl ELSE 0 END
+             |    AS BIGINT) AS mink_avg_nll_micronats
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) a2
+             |LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("mixture_doremi_weights",
+      // DoReMi-style domain reweighting (Xie et al. 2023): one
+      // exponentiated-gradient step over per-domain EXCESS LOSS under
+      // the landed reference LM — hard domains upweight, memorized
+      // domains shrink. Means are toward-zero integer divisions; the
+      // only double op is one exp per DOMAIN, ppm-quantized before the
+      // normalizing sum; the EG step clips at +13.8 nats
+      (s, dir) => TextAnalysis.doremiDomainWeights(
+          TextAnalysis.knBigramModelRead(s, knModelPath(s, dir)),
+          Tables.documents(s, dir), "lang", "text")
+        .orderBy("lang"),
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+             |trA AS (SELECT lang, toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT lang, toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE len(toks) >= 2)),
+             |trT AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+             |        FROM (SELECT toks,
+             |                unnest(generate_series(1, len(toks) - 1)) AS i
+             |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+             |bc AS (SELECT prev, cur, count(*) AS bc FROM trT GROUP BY 1, 2),
+             |ctx AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bc GROUP BY 1),
+             |pre AS (SELECT cur, count(*) AS pre FROM bc GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+             |               CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bc),
+             |sc AS (SELECT lang,
+             |         CASE WHEN coalesce(ctx.cc, 0) > 0 THEN
+             |           CAST(floor(ln(
+             |             CAST(greatest(4 * CAST(coalesce(bc.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+             |                  + 3 * CAST(coalesce(ctx.fol, 0) AS HUGEINT)
+             |                    * (CAST(coalesce(pre.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+             |             / CAST(4 * CAST(ctx.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+             |               * 1000000 + 0.5) AS BIGINT)
+             |         ELSE
+             |           CAST(floor(ln((CAST(coalesce(pre.pre, 0) AS DOUBLE) + 1.0)
+             |             / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             |         END AS m
+             |       FROM trA LEFT JOIN bc USING (prev, cur)
+             |       LEFT JOIN ctx USING (prev) LEFT JOIN pre USING (cur)
+             |       CROSS JOIN tot),
+             |bd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nt,
+             |         CAST(sum(-m) AS BIGINT) AS nll
+             |       FROM sc GROUP BY 1),
+             |tt AS (SELECT CAST(sum(nll) AS HUGEINT) AS tn,
+             |              CAST(sum(nt) AS HUGEINT) AS tc FROM bd),
+             |ex AS (SELECT lang, nt, CAST(nll // nt AS BIGINT) AS avg_nll,
+             |         CAST(nll // nt AS BIGINT)
+             |           - CAST(tn // tc AS BIGINT) AS excess
+             |       FROM bd CROSS JOIN tt),
+             |ee AS (SELECT lang, nt, avg_nll, excess,
+             |         CAST(floor(exp(CAST(least(excess, 13800000) AS DOUBLE)
+             |           / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS e
+             |       FROM ex),
+             |z AS (SELECT CAST(sum(e) AS HUGEINT) AS z FROM ee)
+             |SELECT lang, nt AS n_transitions, avg_nll AS avg_nll_micronats,
+             |  CAST(excess AS BIGINT) AS excess_micronats,
+             |  CAST((CAST(e AS HUGEINT) * 1000000) // z AS BIGINT) AS weight_ppm
+             |FROM ee CROSS JOIN z ORDER BY lang""".stripMargin)),
+
     QueryDef("doc_fingerprint",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -169,7 +169,8 @@ class PlanSpec extends AnyFunSuite {
     Seq("text_perplexity", "text_perplexity_bigram",
         "text_perplexity_kn", "text_perplexity_kn3",
         "text_perplexity_pretrained", "text_perplexity_pretrained3",
-        "moore_lewis_select").foreach { q =>
+        "moore_lewis_select", "decontam_minkprob",
+        "mixture_doremi_weights").foreach { q =>
       val p = planOf(q)
       assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"$q:\n$p")
@@ -383,6 +384,11 @@ class PlanSpec extends AnyFunSuite {
     // trigram pretrained: same ONE-ROW (nbp, vc3) smoothing-totals
     // crossJoin as the bigram form
     "text_perplexity_pretrained3",
+    // min-K% score: the same landed-LM one-row smoothing-totals crossJoin
+    "decontam_minkprob",
+    // DoReMi weights: TWO one-row broadcast totals (corpus mean NLL, the
+    // exp normalizer) onto a |domains|-row frame
+    "mixture_doremi_weights",
     // Moore-Lewis: ONE shared apply pass carrying BOTH models' one-row
     // smoothing-totals crossJoins
     "moore_lewis_select")

@@ -264,6 +264,69 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0L, 0L, 0L, false)), out(3L).toString)
   }
 
+  test("minKProbScore: k-cutoff, tie-break, and zero seats on a hand fixture") {
+    import graft.functions.TextAnalysis
+    // TRAIN "a b"x2 + "a c": bigram types (a,b) bc=2, (a,c) bc=1;
+    // ctx(a) cc=3 fol=2; pre(b)=pre(c)=1; nb=2 vc=2 -> nbv=5.
+    //   (a,b): (4*2-3)/(4*3) + (3*2)/(4*3) * (1+1)/5 = 37/60
+    //   (a,c): (4*1-3)/12    + (6/12)(2/5)           = 17/60
+    //   unseen cur with seen ctx (a,x): 0 + (1/2)(0+1)/5 = 1/10
+    // APPLY "a b a c a x" transitions: (a,b) (b,a) (a,c) (c,a) (a,x):
+    // (b,a)/(c,a) have unseen ctx -> p = (0+1)/5.
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val app = Seq((1L, "a b a c a x"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.minKProbScore(
+        TextAnalysis.knBigramTrain(train, "text"), app,
+        "doc_id", "text", kPct = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    // per-transition logprobs: (a,b)=m(37/60), (b,a)=m(1/5),
+    // (a,c)=m(17/60), (c,a)=m(1/5), (a,x)=m(1/10). n=5, k=40% ->
+    // nl=ceil(2.0)=2; two lowest = m(1/10) and ONE of the tied m(1/5)s
+    // (tie broken by transition index: (b,a) at i=2 beats (c,a) at i=4)
+    val expectSum = -(m(1, 10) + m(1, 5))
+    assert(out(1L) == ((5, 2, expectSum, expectSum / 2)), out(1L).toString)
+    // sub-bigram doc: all zeros
+    assert(out(3L) == ((0, 0, 0L, 0L)), out(3L).toString)
+  }
+
+  test("doremiDomainWeights: hard domain upweights; ppm weights on a hand fixture") {
+    import graft.functions.TextAnalysis
+    // reference LM trains on "a b" x2 + "a c" (see minK fixture for the
+    // type tables). Corpus: domain EASY = "a b" (the memorized text),
+    // domain HARD = "a x a y" (unseen continuations).
+    val train = Seq((0L, "a b"), (2L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(("easy", "a b"), ("hard", "a x a y"))
+      .toDF("lang", "text")
+    val out = TextAnalysis.doremiDomainWeights(
+        TextAnalysis.knBigramTrain(train, "text"), corpus, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def m(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5).toLong
+    // easy: one transition (a,b) -> nll = -m(37/60). hard: (a,x) seen
+    // ctx unseen cur -> -m(1/10); (x,a) unseen ctx -> -m(1/5); (a,y)
+    // -> -m(1/10). avg = toward-zero div.
+    val nllEasy = -m(37, 60)
+    val nllHard = -(m(1, 10) + m(1, 5) + m(1, 10))
+    val avgEasy = nllEasy / 1
+    val avgHard = nllHard / 3
+    val global = (nllEasy + nllHard) / 4
+    def e(x: Long) = math.floor(math.exp(x / 1e6) * 1e6 + 0.5).toLong
+    val (eE, eH) = (e(avgEasy - global), e(avgHard - global))
+    assert(out("easy") == ((1L, avgEasy, avgEasy - global,
+      eE * 1000000L / (eE + eH))), out("easy").toString)
+    assert(out("hard") == ((3L, avgHard, avgHard - global,
+      eH * 1000000L / (eE + eH))), out("hard").toString)
+    // the hard domain carries the larger weight; weights are ~1e6 total
+    assert(out("hard")._4 > out("easy")._4)
+    assert(out("hard")._4 + out("easy")._4 <= 1000000L)
+  }
+
   test("perplexityKneserNey3Apply: every smoothing branch on a hand fixture") {
     import graft.functions.TextAnalysis
     // TRAIN "a b c", "a b d": tc=1 each; ctx2(a,b) cc2=2 f12=2;
