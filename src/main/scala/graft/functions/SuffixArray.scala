@@ -298,15 +298,19 @@ object SuffixArray {
     * rows share their compared prefix exactly) and the group re-ranks,
     * the compared span growing 4x per round. Only groups containing a
     * NEW row ever fetch more tokens ("affected rank neighborhoods");
-    * tied pure-old groups order by their landed rank (rank order IS
-    * content order) with no content fetched. Comparison keys are
-    * space-joined segment strings under the object's clean-token INPUT
-    * PRECONDITION; per-row rank paths (array<bigint>, one dense rank
-    * appended per round) compare lexicographically across groups
-    * because refinement only reorders within a group. (3) One final
-    * range ranking over the frozen rows yields the union's dense ranks;
-    * old documents map through their rank class, new ones through their
-    * text group.
+    * pure-old subgroups that split off later order by their landed rank
+    * (rank order IS content order) with no content fetched. Comparison
+    * keys are space-joined segment strings under the object's
+    * clean-token INPUT PRECONDITION; per-row rank paths (array<bigint>,
+    * one order-consistent rank appended per round) compare
+    * lexicographically across groups because refinement only reorders
+    * within a group. (3) One final ranking over the AFFECTED frozen rows
+    * only orders the new classes among their old anchors; the union's
+    * dense ranks then come from insertion arithmetic — old ranks shift
+    * by the count of new-only classes inserted before them, new-only
+    * classes land at (next old rank − 1) + their own 1..N number — and
+    * old documents map through the resulting offset table, new ones
+    * through their text group's class.
     *
     * Cost at scale (round-13 form): ONE pass over the landed index +
     * delta (the round-1 range exchange — unavoidable: a merge must see

@@ -1041,6 +1041,75 @@ object TextAnalysis {
         expr("(_e * 1000000) div _z").as("weight_ppm"))
   }
 
+  /** The FULL Gopher rule battery (Rae et al. 2021, Table A1 — the
+    * document-quality rules most production curation stacks start from),
+    * as an AUDIT TABLE: every rule's metric lands next to its verdict,
+    * so per-rule loss rates and threshold sweeps are one aggregation
+    * over this output ([[qualityFilterChain]] gives the composed
+    * first-failure chain; this gives the full evidence row). Metrics are
+    * exact integers (ppm ratios via toward-zero division of non-negative
+    * counts — engine-exact):
+    *
+    *   n_words             word count in [minWords, maxWords]
+    *   mean_word_len_ppm   mean characters/word in [min, max]
+    *   symbol_ratio_ppm    ('#' + '...') occurrences per word <= max
+    *   bullet_line_ppm     lines starting -, *, or a bullet <= max
+    *   ellipsis_line_ppm   lines ending ... or an ellipsis <= max
+    *   alpha_word_ppm      words containing a letter >= min
+    *   n_stopwords         occurrences from the stopword set >= min
+    *
+    * Scale shape: a PURE NARROW MAP — every metric is a row-local array
+    * expression, the whole battery fuses into the scan; no explode, no
+    * join, no shuffle. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 90,
+      minMeanLenPpm: Long = 3000000L, maxMeanLenPpm: Long = 10000000L,
+      maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
+      maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with", "a"),
+      minStopwords: Int = 2): DataFrame = {
+    val t = df.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), " ").as("_w"), split(col(textCol), "\n").as("_l"))
+    val n = size(col("_w")).cast("long")
+    val nl = size(col("_l")).cast("long")
+    val sumLen = aggregate(transform(col("_w"), w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val hashCnt =
+      (length(col("_t")) - length(regexp_replace(col("_t"),
+        lit("#"), lit("")))).cast("long")
+    val ellCnt = ((length(col("_t")) - length(regexp_replace(col("_t"),
+      lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+    val bulletCnt = size(filter(col("_l"),
+      l => l.rlike("^[-*•]"))).cast("long")
+    val ellLineCnt = size(filter(col("_l"),
+      l => l.rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val alphaCnt = size(filter(col("_w"),
+      w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopCnt = size(filter(col("_w"),
+      w => w.isin(stopwords: _*))).cast("long")
+    t.select(col(idCol), n.as("n_words"), sumLen.as("_sl"), nl.as("_nl"),
+        (hashCnt + ellCnt).as("_sy"), bulletCnt.as("_bu"),
+        ellLineCnt.as("_el"), alphaCnt.as("_al"),
+        stopCnt.as("n_stopwords"))
+      .select(col(idCol), col("n_words"),
+        expr("(_sl * 1000000) div n_words").as("mean_word_len_ppm"),
+        expr("(_sy * 1000000) div n_words").as("symbol_ratio_ppm"),
+        expr("(_bu * 1000000) div _nl").as("bullet_line_ppm"),
+        expr("(_el * 1000000) div _nl").as("ellipsis_line_ppm"),
+        expr("(_al * 1000000) div n_words").as("alpha_word_ppm"),
+        col("n_stopwords"))
+      .withColumn("gopher_keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len_ppm") >= minMeanLenPpm &&
+          col("mean_word_len_ppm") <= maxMeanLenPpm &&
+          col("symbol_ratio_ppm") <= maxSymbolPpm &&
+          col("bullet_line_ppm") <= maxBulletPpm &&
+          col("ellipsis_line_ppm") <= maxEllipsisPpm &&
+          col("alpha_word_ppm") >= minAlphaPpm &&
+          col("n_stopwords") >= minStopwords)
+  }
+
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
     * cheap structural rules first, model score last), evaluated in ONE
     * narrow select — token bounds, repetition (type-token ratio),

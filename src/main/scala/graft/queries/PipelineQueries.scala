@@ -4044,6 +4044,59 @@ object PipelineQueries {
               |       THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall
               |FROM c ORDER BY threshold""".stripMargin)),
 
+    QueryDef("quality_gopher_rules",
+      // the FULL Gopher rule battery (Rae et al. 2021, Table A1) as an
+      // audit table: word-count bounds, mean word length, symbol ratio,
+      // bullet/ellipsis line fractions, alpha-word fraction, stopword
+      // floor — every metric an exact integer ppm next to its verdict,
+      // the whole battery one narrow map fused into the scan. Oracle
+      // recomputes every metric and the conjunction
+      (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             |            string_split(text, chr(10)) AS l FROM documents),
+             |m AS (SELECT doc_id,
+             |        CAST(len(w) AS BIGINT) AS n_words,
+             |        CAST(list_reduce(list_transform(w,
+             |            x -> CAST(length(x) AS BIGINT)),
+             |          (a, b) -> a + b) AS BIGINT) AS sl,
+             |        CAST(len(l) AS BIGINT) AS nl,
+             |        CAST(length(text) - length(replace(text, '#', ''))
+             |            AS BIGINT)
+             |          + CAST((length(text)
+             |            - length(replace(text, '...', ''))) // 3
+             |            AS BIGINT) AS sy,
+             |        CAST(len(list_filter(l,
+             |          x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS bu,
+             |        CAST(len(list_filter(l,
+             |          x -> regexp_matches(x, '(\.\.\.|…)$'))) AS BIGINT) AS el,
+             |        CAST(len(list_filter(w,
+             |          x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+             |        CAST(len(list_filter(w,
+             |          x -> x IN ('the','be','to','of','and','that','have',
+             |                     'with','a'))) AS BIGINT) AS ns
+             |      FROM t),
+             |mm AS (SELECT doc_id, n_words,
+             |         CAST((sl * 1000000) // n_words AS BIGINT) AS mean_word_len_ppm,
+             |         CAST((sy * 1000000) // n_words AS BIGINT) AS symbol_ratio_ppm,
+             |         CAST((bu * 1000000) // nl AS BIGINT) AS bullet_line_ppm,
+             |         CAST((el * 1000000) // nl AS BIGINT) AS ellipsis_line_ppm,
+             |         CAST((al * 1000000) // n_words AS BIGINT) AS alpha_word_ppm,
+             |         ns AS n_stopwords
+             |       FROM m)
+             |SELECT doc_id, n_words, mean_word_len_ppm, symbol_ratio_ppm,
+             |  bullet_line_ppm, ellipsis_line_ppm, alpha_word_ppm,
+             |  n_stopwords,
+             |  (n_words BETWEEN 20 AND 90
+             |   AND mean_word_len_ppm BETWEEN 3000000 AND 10000000
+             |   AND symbol_ratio_ppm <= 100000
+             |   AND bullet_line_ppm <= 900000
+             |   AND ellipsis_line_ppm <= 300000
+             |   AND alpha_word_ppm >= 800000
+             |   AND n_stopwords >= 2) AS gopher_keep
+             |FROM mm ORDER BY doc_id""".stripMargin)),
+
     QueryDef("blocklist_filter",
       // C4's badwords filter (Raffel et al. 2020 §2.2): whole-token
       // blocklist occurrence count + keep verdict, a pure narrow map with

@@ -157,6 +157,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got.exists(_.getBoolean(6)))
   }
 
+  test("gopherRules: every metric exact on a hand fixture; keep = the conjunction") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      // 22 words incl. 'the' x2 and 'a': passes every rule
+      (1L, ("the quick brown fox jumps over the lazy dog near a river " +
+        "bank today with calm wind and clear light all morning")),
+      // bullet + ellipsis lines, symbols, too short
+      (2L, "- item one...\n- item two\nplain tail #tag ..."),
+      (3L, "a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    val (n1, m1, sy1, bu1, el1, al1, st1, k1) = out(1L)
+    // stopword OCCURRENCES: the x2 + a + with + and = 5
+    assert(n1 == 22 && sy1 == 0 && bu1 == 0 && el1 == 0 &&
+      al1 == 1000000L && st1 == 5 && k1, out(1L).toString)
+    // mean word len: sum of lengths * 1e6 div 22
+    val sum1 = ("the quick brown fox jumps over the lazy dog near a river " +
+      "bank today with calm wind and clear light all morning")
+      .split(" ").map(_.length.toLong).sum
+    assert(m1 == sum1 * 1000000L / 22)
+    // doc 2: 3 lines; words split on SPACE so lines ride inside tokens.
+    // bullets: lines 1-2 start '-'; ellipsis-enders: lines 1 and 3;
+    // symbols: one '#' and two '...' occurrences
+    val (n2, _, sy2, bu2, el2, _, _, k2) = out(2L)
+    assert(bu2 == 2000000L / 3 && el2 == 2000000L / 3, out(2L).toString)
+    assert(sy2 == (1L + 2L) * 1000000L / n2 && !k2)
+    // doc 3: too short, mean len 1 -> fails several rules
+    assert(!out(3L)._8)
+  }
+
   test("prCurve: confusion counts partition the corpus at every threshold; monotone recall") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val scored = Classifier.linearScore(docs, "doc_id", "text", dim = 64,
