@@ -346,6 +346,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore.contains(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // ALSO drain the operator-cache REGISTRY (round-13): the RDD-id
+      // diff above frees the storage blocks, but the registry held a
+      // STRONG reference to every registered DataFrame — hundreds of
+      // full analyzed/optimized/physical plan trees by sweep end, which
+      // kept the 8g driver heap near-full and quadrupled the
+      // allocation-heavy interpreted-HOF gates at the tail of the run
+      // (classifier_train_apply measured 15.3 s in the 210-query sweep
+      // vs 3.6 s in a 30-query one, same HEAD). Always safe: persist
+      // never severs lineage, so a frame swept mid-flight recomputes.
+      graft.functions.Caches.sweepOperatorCaches()
       (name, times(times.size / 2), failed)
     }
     // MID-SWEEP SENTINEL SERIES (round-12 verdict #7): the first/last

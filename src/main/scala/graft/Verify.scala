@@ -39,6 +39,10 @@ object Verify {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore.contains(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // drain the operator-cache registry too — it strong-refs every
+      // registered frame's plan tree (driver-heap growth across a
+      // 327-query run; see the matching sweep in Bench)
+      graft.functions.Caches.sweepOperatorCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -79,7 +79,9 @@ object SuffixArray {
 
   /** [[denseRanksInline]] also returning the frame's ROW count — read off
     * the same per-partition collect, so emptiness/size checks cost no
-    * extra job (the incremental merge loop's termination test). */
+    * extra job. (The incremental merge loop uses the cheaper
+    * [[rankedInlineRows]] since round 13 — this counted form remains the
+    * builder's, whose fixed-point test needs the DISTINCT total.) */
   private def denseRanksInlineCounted(frame: DataFrame, keyCols: Seq[String],
       nParts: Int): (DataFrame, Long, Long, DataFrame) = {
     val parted = frame
