@@ -206,8 +206,14 @@ object Classifier {
     val wdf = broadcast(weights.filter(col("bucket") >= 0)
       .select(col("bucket").cast("int").as("_b"),
         col("weight_micronats").as("_w")))
-    val bias = broadcast(weights.filter(col("bucket") === -1)
-      .select(col("weight_micronats").as("_bias")))
+    // the bias as a 1-row AGGREGATE, not a filter: an aggregate over an
+    // empty frame still yields one row, so a table landed WITHOUT the
+    // bucket=-1 row scores with bias 0 (documented hashing-trick
+    // semantics) instead of crossJoining an empty frame and silently
+    // wiping every output row
+    val bias = broadcast(weights.agg(coalesce(
+      sum(when(col("bucket") === -1, col("weight_micronats"))),
+      lit(0L)).as("_bias")))
     // persist barrier before the Generate (the cdc_chunks discipline:
     // keeps the split() out of the feature lambdas under projection
     // collapse — no CSE in interpreted HOFs)
@@ -215,9 +221,13 @@ object Classifier {
       featuresExpr(split(col(textCol), " ")).as("_fs")))
     withFs.select(col(idCol), explode(col("_fs")).as("_f"))
       .select(col(idCol), bucket(col("_f"), dim).as("_b"))
-      .join(wdf, Seq("_b"))
+      // LEFT join: a SPARSE landed table (only non-zero weights) means
+      // weight 0 for the missing buckets — n_features must still count
+      // every feature, not just the landed ones
+      .join(wdf, Seq("_b"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_features"), sum(col("_w")).as("_s"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("_w"), lit(0L))).as("_s"))
       .crossJoin(bias)
       .select(col(idCol), col("n_features"),
         (col("_s") + col("_bias")).as("score_micronats"))

@@ -334,9 +334,13 @@ object SuffixArray {
   def suffixRanksIncremental(ranks: DataFrame, oldDf: DataFrame,
       newDf: DataFrame, idCol: String, textCol: String,
       nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame =
+    // drop the sidecar's seedK stamp: the wrapper just built it with the
+    // caller's own seedK, and validating it in the From form would run
+    // the whole (unpersisted) sidecar pipeline once just to read back
+    // the constant it passed in
     suffixRanksIncrementalFrom(suffixMergeReps(ranks, oldDf, idCol,
-      textCol, seedK), ranks, oldDf, newDf, idCol, textCol, nParts,
-      seedK, maxRounds)
+      textCol, seedK).drop("_seedk"), ranks, oldDf, newDf, idCol, textCol,
+      nParts, seedK, maxRounds)
 
   /** The MERGE SIDECAR of a landed suffix array: one row per rank with
     * its representative (doc, pos), suffix token length, and seedK-token

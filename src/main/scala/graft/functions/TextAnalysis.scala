@@ -481,16 +481,37 @@ object TextAnalysis {
       spark.read.parquet(s"$path/tot"))
 
   private def bigramTransitions(df: DataFrame, textCol: String,
-      idCol: Option[String]): DataFrame = {
+      idCol: Option[String], keepIndex: Boolean = false): DataFrame = {
     val idCols = idCol.map(col).toSeq
+    val idxCols = if (keepIndex) Seq(col("_i")) else Seq.empty
     df.select(idCols ++ Seq(
         explode(when(size(split(col(textCol), " ")) >= 2,
             sequence(lit(1), size(split(col(textCol), " ")) - 1))
           .otherwise(array().cast("array<int>"))).as("_i"),
         split(col(textCol), " ").as("_toks")): _*)
-      .select(idCols ++ Seq(
+      .select(idCols ++ idxCols ++ Seq(
         element_at(col("_toks"), col("_i")).as("prev"),
         element_at(col("_toks"), col("_i") + 1).as("cur")): _*)
+  }
+
+  /** The open-vocabulary KN bigram micronat logprob as ONE shared column
+    * expression — the single definition every consumer folds
+    * ([[perplexityKneserNeyApplyModel]] via [[knScoreTransitions]],
+    * [[mooreLewisSelect]] over suffixed columns, the Min-K% audit): a
+    * smoothing change lands once or nowhere. Inputs are the COALESCED
+    * count columns plus the one-row totals. */
+  private def knLogprobMicros(bc: Column, cc: Column, fol: Column,
+      pre: Column, nb: Column, vc: Column): Column = {
+    val dec = "decimal(38,0)"
+    val nbv = (nb + vc + 1).cast(dec)
+    val num = greatest(bc.cast(dec) * 4 - 3, lit(0).cast(dec)) * nbv +
+      fol.cast(dec) * 3 * (pre.cast(dec) + 1)
+    val den = cc.cast(dec) * 4 * nbv
+    when(cc > 0,
+      floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .otherwise(floor(log((pre.cast("double") + 1.0) /
+        nbv.cast("double")) * 1e6 + 0.5).cast("long"))
   }
 
   /** Score an APPLY corpus against a trained (usually landed) bigram
@@ -501,29 +522,7 @@ object TextAnalysis {
       idCol: String, textCol: String): DataFrame = {
     val transA = bigramTransitions(apply, textCol, Some(idCol))
       .transform(Caches.operatorPersist)
-    val (bcnt, ctx, pre, tot) =
-      (model.bigrams, model.ctx, model.pre, model.tot)
-    val dec = "decimal(38,0)"
-    val scored = transA
-      .join(bcnt.hint("shuffle_hash"), Seq("prev", "cur"), "left")
-      .join(ctx.hint("shuffle_hash"), Seq("prev"), "left")
-      .join(pre.hint("shuffle_hash"), Seq("cur"), "left")
-      .crossJoin(broadcast(tot))
-      .withColumn("_bc", coalesce(col("bc"), lit(0L)))
-      .withColumn("_cc", coalesce(col("cc"), lit(0L)))
-      .withColumn("_fol", coalesce(col("fol"), lit(0L)))
-      .withColumn("_pre", coalesce(col("pre"), lit(0L)))
-      .withColumn("_nbv", (col("nb") + col("vc") + 1).cast(dec))
-      .withColumn("_num",
-        greatest(col("_bc").cast(dec) * 4 - 3, lit(0).cast(dec)) * col("_nbv") +
-          col("_fol").cast(dec) * 3 * (col("_pre").cast(dec) + 1))
-      .withColumn("_den", col("_cc").cast(dec) * 4 * col("_nbv"))
-      .withColumn("m", when(col("_cc") > 0,
-          floor(log(col("_num").cast("double") / col("_den").cast("double"))
-            * 1e6 + 0.5).cast("long"))
-        .otherwise(
-          floor(log((col("_pre").cast("double") + 1.0) /
-              col("_nbv").cast("double")) * 1e6 + 0.5).cast("long")))
+    val scored = knScoreTransitions(model, transA)
     val agg0 = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("_nt"),
         sum(when(col("_bc") === 0, 1).otherwise(0)).as("_nu"),
@@ -846,7 +845,6 @@ object TextAnalysis {
       bigramTransitions(apply, textCol, Some(idCol))
         .repartition(col("prev"), col("cur")))
     val types = transP.select(col("prev"), col("cur")).distinct()
-    val dec = "decimal(38,0)"
     // suffix every model-side column so both models ride one joined frame
     def sided(m: KnBigramModel, sfx: String) = (
       m.bigrams.select(col("prev"), col("cur"), col("bc").as("bc" + sfx)),
@@ -856,23 +854,14 @@ object TextAnalysis {
       m.tot.select(col("nb").as("nb" + sfx), col("vc").as("vc" + sfx)))
     val (bcD, ctxD, preD, totD) = sided(domainModel, "_d")
     val (bcG, ctxG, preG, totG) = sided(generalModel, "_g")
-    // per-type micronat logprob under model `sfx` — the exact
-    // open-vocabulary KN form of [[perplexityKneserNeyApplyModel]]
-    def mExpr(sfx: String): Column = {
-      val bc = coalesce(col("bc" + sfx), lit(0L))
-      val cc = coalesce(col("cc" + sfx), lit(0L))
-      val fol = coalesce(col("fol" + sfx), lit(0L))
-      val pre = coalesce(col("pre" + sfx), lit(0L))
-      val nbv = (col("nb" + sfx) + col("vc" + sfx) + 1).cast(dec)
-      val num = greatest(bc.cast(dec) * 4 - 3, lit(0).cast(dec)) * nbv +
-        fol.cast(dec) * 3 * (pre.cast(dec) + 1)
-      val den = cc.cast(dec) * 4 * nbv
-      when(cc > 0,
-        floor(log(num.cast("double") / den.cast("double")) * 1e6 + 0.5)
-          .cast("long"))
-        .otherwise(floor(log((pre.cast("double") + 1.0) /
-          nbv.cast("double")) * 1e6 + 0.5).cast("long"))
-    }
+    // per-type micronat logprob under model `sfx` — the one shared
+    // [[knLogprobMicros]] definition over the suffixed columns
+    def mExpr(sfx: String): Column = knLogprobMicros(
+      coalesce(col("bc" + sfx), lit(0L)),
+      coalesce(col("cc" + sfx), lit(0L)),
+      coalesce(col("fol" + sfx), lit(0L)),
+      coalesce(col("pre" + sfx), lit(0L)),
+      col("nb" + sfx), col("vc" + sfx))
     val scoredTypes = types
       .join(bcD.hint("shuffle_hash"), Seq("prev", "cur"), "left")
       .join(bcG.hint("shuffle_hash"), Seq("prev", "cur"), "left")
@@ -911,8 +900,7 @@ object TextAnalysis {
     * per-doc fold. Model sides are vocabulary-sized LEFT shuffle-hash
     * joins; only the one-row total broadcasts. */
   private def knScoreTransitions(model: KnBigramModel,
-      trans: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
+      trans: DataFrame): DataFrame =
     trans
       .join(model.bigrams.hint("shuffle_hash"), Seq("prev", "cur"), "left")
       .join(model.ctx.hint("shuffle_hash"), Seq("prev"), "left")
@@ -922,18 +910,8 @@ object TextAnalysis {
       .withColumn("_cc", coalesce(col("cc"), lit(0L)))
       .withColumn("_fol", coalesce(col("fol"), lit(0L)))
       .withColumn("_pre", coalesce(col("pre"), lit(0L)))
-      .withColumn("_nbv", (col("nb") + col("vc") + 1).cast(dec))
-      .withColumn("_num",
-        greatest(col("_bc").cast(dec) * 4 - 3, lit(0).cast(dec)) * col("_nbv") +
-          col("_fol").cast(dec) * 3 * (col("_pre").cast(dec) + 1))
-      .withColumn("_den", col("_cc").cast(dec) * 4 * col("_nbv"))
-      .withColumn("m", when(col("_cc") > 0,
-          floor(log(col("_num").cast("double") / col("_den").cast("double"))
-            * 1e6 + 0.5).cast("long"))
-        .otherwise(
-          floor(log((col("_pre").cast("double") + 1.0) /
-              col("_nbv").cast("double")) * 1e6 + 0.5).cast("long")))
-  }
+      .withColumn("m", knLogprobMicros(col("_bc"), col("_cc"),
+        col("_fol"), col("_pre"), col("nb"), col("vc")))
 
   /** Min-K% probability membership score (Shi et al. 2023, "Detecting
     * Pretraining Data from Large Language Models") — the contamination
@@ -962,14 +940,8 @@ object TextAnalysis {
     require(kPct >= 1 && kPct <= 100, "kPct in [1, 100]")
     // transitions WITH their position index — the deterministic
     // tie-break for boundary selection
-    val transA = apply.select(col(idCol),
-        explode(when(size(split(col(textCol), " ")) >= 2,
-            sequence(lit(1), size(split(col(textCol), " ")) - 1))
-          .otherwise(array().cast("array<int>"))).as("_i"),
-        split(col(textCol), " ").as("_toks"))
-      .select(col(idCol), col("_i"),
-        element_at(col("_toks"), col("_i")).as("prev"),
-        element_at(col("_toks"), col("_i") + 1).as("cur"))
+    val transA = bigramTransitions(apply, textCol, Some(idCol),
+      keepIndex = true)
     val scored = knScoreTransitions(model, transA)
     val w = Window.partitionBy(col(idCol))
     val wOrd = w.orderBy(col("m"), col("_i"))

@@ -280,25 +280,19 @@ object Incremental {
   def rollupMaintenance(rollupDir: String, tsCol: String, groupCol: String,
       valueCol: String): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        batch
-          .withColumn("event_date", to_date(col(tsCol)))
-          .groupBy("event_date", groupCol)
-          .agg(count(lit(1)).as("n_events"),
-            sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .partitionBy("event_date", "batch_id")
-          .parquet(rollupDir)
-      } finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // overwrite mode as a WRITER option, not a session-conf mutation:
+      // the set/restore form was visible to every concurrent query on
+      // the shared session for the write's duration
+      batch
+        .withColumn("event_date", to_date(col(tsCol)))
+        .groupBy("event_date", groupCol)
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date", "batch_id")
+        .parquet(rollupDir)
   }
 
   def startRollupMaintenance(df: DataFrame, rollupDir: String,
@@ -320,17 +314,11 @@ object Incremental {
     * snapshot is never read-modify-written on the hot path. */
   def cdcLog(changesDir: String): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try batch.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(changesDir)
-      finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // writer-scoped overwrite mode (see rollupMaintenance)
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(changesDir)
   }
 
   def startCdcLog(df: DataFrame, changesDir: String,
@@ -453,6 +441,24 @@ object Incremental {
     * restart adds nothing (pinned by StreamingSpec). Superseded version
     * dirs are left for a TTL sweep in production (bounded: one ranks +
     * reps pair per batch, never rewritten). */
+  /** Committed-version numbers under a state dir (the Files.list stream
+    * is CLOSED — it holds a directory fd until then, and a long-running
+    * stream calls this every batch). */
+  private def saVersions(stateDir: String, marker: Long => Boolean)
+      : Seq[Long] = {
+    val d = Paths.get(stateDir)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("b\\d+")).map(_.drop(1).toLong)
+          .filter(marker).toSeq
+      } finally s.close()
+    }
+  }
+
   def saMaintenance(stateDir: String, idCol: String, textCol: String,
       nParts: Int = 32): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
@@ -462,65 +468,60 @@ object Incremental {
       def committed(v: Long): Boolean =
         Files.exists(Paths.get(stateDir, s"b$v", "ranks", "_SUCCESS")) &&
           Files.exists(Paths.get(stateDir, s"b$v", "reps", "_SUCCESS"))
-      val prev: Option[Long] = {
-        val d = Paths.get(stateDir)
-        if (!Files.exists(d)) None
-        else {
-          import scala.jdk.CollectionConverters._
-          Files.list(d).iterator().asScala.map(_.getFileName.toString)
-            .filter(_.matches("b\\d+")).map(_.drop(1).toLong)
-            .filter(v => v < batchId && committed(v))
-            .maxOption
+      val prev = saVersions(stateDir,
+        v => v < batchId && committed(v)).maxOption
+      // every block this batch pins (the merge/build leave their final
+      // checkpoints persisted for lazy callers — here everything lands
+      // in parquet, so nothing may stay pinned across batches: a
+      // daily-crawl stream would otherwise accumulate a corpus-scale
+      // block set per micro-batch until executors fill)
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      try {
+        val delta = batch.select(col(idCol), col(textCol))
+        // corpus as of batches STRICTLY before this one — the
+        // replay-safe read: a re-delivered batch never sees its own
+        // earlier partition
+        val oldDocs =
+          if (Files.exists(Paths.get(docsDir)))
+            spark.read.parquet(docsDir).filter(col("_batch") < batchId)
+              .select(col(idCol), col(textCol))
+          else delta.filter(lit(false))
+        val merged = prev match {
+          case None => SuffixArray.suffixRanks(oldDocs.unionAll(delta),
+            idCol, textCol, nParts)
+          case Some(p) => SuffixArray.suffixRanksIncrementalFrom(
+            spark.read.parquet(s"$stateDir/b$p/reps"),
+            spark.read.parquet(s"$stateDir/b$p/ranks"),
+            oldDocs, delta, idCol, textCol, nParts)
         }
-      }
-      val delta = batch.select(col(idCol), col(textCol))
-      // corpus as of batches STRICTLY before this one — the replay-safe
-      // read: a re-delivered batch never sees its own earlier partition
-      val oldDocs =
-        if (Files.exists(Paths.get(docsDir)))
-          spark.read.parquet(docsDir).filter(col("_batch") < batchId)
-            .select(col(idCol), col(textCol))
-        else delta.filter(lit(false))
-      val merged = prev match {
-        case None => SuffixArray.suffixRanks(oldDocs.unionAll(delta),
-          idCol, textCol, nParts)
-        case Some(p) => SuffixArray.suffixRanksIncrementalFrom(
-          spark.read.parquet(s"$stateDir/b$p/reps"),
-          spark.read.parquet(s"$stateDir/b$p/ranks"),
-          oldDocs, delta, idCol, textCol, nParts)
-      }
-      merged.write.mode("overwrite").parquet(s"$stateDir/b$batchId/ranks")
-      // sidecar derives from the LANDED ranks (read back — the merge
-      // frame is consumed once) + the full corpus including this delta
-      SuffixArray.suffixMergeReps(
-          spark.read.parquet(s"$stateDir/b$batchId/ranks"),
-          oldDocs.unionAll(delta), idCol, textCol)
-        .write.mode("overwrite").parquet(s"$stateDir/b$batchId/reps")
-      // docs partition lands LAST: a crash anywhere above replays into
-      // identical overwrites because this batch's partition is excluded
-      // from every read
-      val prevMode =
-        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try delta.withColumn("_batch", lit(batchId))
-        .write.mode("overwrite").partitionBy("_batch").parquet(docsDir)
-      finally prevMode match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        merged.write.mode("overwrite").parquet(s"$stateDir/b$batchId/ranks")
+        // sidecar derives from the LANDED ranks (read back — the merge
+        // frame is consumed once) + the full corpus including this delta
+        SuffixArray.suffixMergeReps(
+            spark.read.parquet(s"$stateDir/b$batchId/ranks"),
+            oldDocs.unionAll(delta), idCol, textCol)
+          .write.mode("overwrite").parquet(s"$stateDir/b$batchId/reps")
+        // docs partition lands LAST: a crash anywhere above replays into
+        // identical overwrites because this batch's partition is
+        // excluded from every read. Overwrite mode is a WRITER option
+        // (the rollupMaintenance form at its call site mutated the
+        // session conf — racy under a shared session)
+        delta.withColumn("_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch").parquet(docsDir)
+      } finally {
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => cachedBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        graft.functions.Caches.sweepOperatorCaches()
       }
   }
 
   /** Newest committed SA version under a [[saMaintenance]] state dir. */
   def readSaRanks(spark: SparkSession, stateDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val vs = Files.list(Paths.get(stateDir)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.matches("b\\d+"))
-      .map(_.drop(1).toLong)
-      .filter(v => Files.exists(
-        Paths.get(stateDir, s"b$v", "ranks", "_SUCCESS")))
-      .toSeq
+    val vs = saVersions(stateDir, v => Files.exists(
+      Paths.get(stateDir, s"b$v", "ranks", "_SUCCESS")))
     require(vs.nonEmpty, s"no committed SA version under $stateDir")
     spark.read.parquet(s"$stateDir/b${vs.max}/ranks")
   }
