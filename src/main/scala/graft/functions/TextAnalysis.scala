@@ -1082,6 +1082,59 @@ object TextAnalysis {
           col("n_stopwords") >= minStopwords)
   }
 
+  /** The Gopher REPETITION filters (Rae et al. 2021, Table A2 — the
+    * within-document half of the battery [[gopherRules]] starts): a page
+    * that repeats itself is boilerplate even when every A1 rule passes.
+    * Exact integer-ppm metrics, each a row-local array expression:
+    *
+    *   dup_line_ppm        duplicate lines / lines (a line counts as
+    *                       duplicate when its text occurs >= 2 times)
+    *   dup_line_char_ppm   characters inside duplicate lines / line chars
+    *   top_2gram_char_ppm  characters covered by the most-repeated word
+    *                       2-gram / text chars — max over grams of
+    *                       count(g) * length(g) (deterministic under
+    *                       ties, unlike "the most common gram")
+    *
+    * The occurrence counts are O(len²) comparisons INSIDE one row's
+    * arrays — bounded by the document's own size, never cross-row — so
+    * the whole battery stays a pure narrow map fused into the scan.
+    * Thresholds default to the paper's (30% / 20% / 20%). */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      maxDupLinePpm: Long = 300000L, maxDupLineCharPpm: Long = 200000L,
+      maxTop2gramPpm: Long = 200000L): DataFrame = {
+    val t = df.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), " ").as("_w"), split(col(textCol), "\n").as("_l"))
+    val nl = size(col("_l")).cast("long")
+    val lineChars = aggregate(transform(col("_l"),
+      l => length(l).cast("long")), lit(0L), (a, x) => a + x)
+    val dupLines = (nl - size(array_distinct(col("_l")))).cast("long")
+    val dupLineChars = aggregate(transform(col("_l"),
+      l => when(size(filter(col("_l"), x => x === l)) >= 2,
+        length(l).cast("long")).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
+    val grams = when(size(col("_w")) >= 2,
+      transform(sequence(lit(1), size(col("_w")) - 1),
+        i => concat_ws(" ", element_at(col("_w"), i),
+          element_at(col("_w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topCover = coalesce(array_max(transform(grams,
+      g => (size(filter(grams, x => x === g)).cast("long") *
+        length(g)).cast("long"))), lit(0L))
+    t.select(col(idCol), nl.as("_nl"), lineChars.as("_lc"),
+        dupLines.as("_dl"), dupLineChars.as("_dlc"),
+        topCover.as("_tc"), length(col("_t")).cast("long").as("_n"))
+      .select(col(idCol),
+        expr("(_dl * 1000000) div _nl").as("dup_line_ppm"),
+        when(col("_lc") > 0, expr("(_dlc * 1000000) div _lc"))
+          .otherwise(0L).as("dup_line_char_ppm"),
+        when(col("_n") > 0, expr("(_tc * 1000000) div _n"))
+          .otherwise(0L).as("top_2gram_char_ppm"))
+      .withColumn("repetition_keep",
+        col("dup_line_ppm") <= maxDupLinePpm &&
+          col("dup_line_char_ppm") <= maxDupLineCharPpm &&
+          col("top_2gram_char_ppm") <= maxTop2gramPpm)
+  }
+
   /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
     * cheap structural rules first, model score last), evaluated in ONE
     * narrow select — token bounds, repetition (type-token ratio),

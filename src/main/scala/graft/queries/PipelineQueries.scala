@@ -4097,6 +4097,52 @@ object PipelineQueries {
              |   AND n_stopwords >= 2) AS gopher_keep
              |FROM mm ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("quality_gopher_repetition",
+      // the Gopher REPETITION half (Rae et al. 2021 Table A2):
+      // duplicate-line fraction, duplicate-line character fraction, and
+      // top word-2-gram character coverage — exact integer ppm, O(len^2)
+      // comparisons INSIDE each row's arrays only (never cross-row), the
+      // whole battery one narrow map. Oracle recomputes every census
+      (s, dir) => TextAnalysis.gopherRepetition(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+             |            string_split(text, chr(10)) AS l FROM documents),
+             |m AS (SELECT doc_id,
+             |        CAST(len(l) AS BIGINT) AS nl,
+             |        CAST(list_reduce(list_transform(l,
+             |            x -> CAST(length(x) AS BIGINT)),
+             |          (a, b) -> a + b) AS BIGINT) AS lc,
+             |        CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS dl,
+             |        CAST(list_reduce(list_transform(l,
+             |            x -> CASE WHEN len(list_filter(l, y -> y = x)) >= 2
+             |                 THEN CAST(length(x) AS BIGINT) ELSE 0 END),
+             |          (a, b) -> a + b) AS BIGINT) AS dlc,
+             |        CASE WHEN len(w) >= 2 THEN
+             |          list_transform(generate_series(1,
+             |            CAST(len(w) - 1 AS INT)),
+             |            i -> w[i] || ' ' || w[i + 1])
+             |        ELSE [] END AS g,
+             |        CAST(length(text) AS BIGINT) AS n
+             |      FROM t),
+             |mm AS (SELECT doc_id, nl, lc, dl, dlc, n,
+             |         CAST(coalesce(list_max(list_transform(g,
+             |           x -> CAST(len(list_filter(g, y -> y = x)) AS BIGINT)
+             |                * length(x))), 0) AS BIGINT) AS tc
+             |       FROM m),
+             |f AS (SELECT doc_id,
+             |        CAST((dl * 1000000) // nl AS BIGINT) AS dup_line_ppm,
+             |        CAST(CASE WHEN lc > 0 THEN (dlc * 1000000) // lc
+             |             ELSE 0 END AS BIGINT) AS dup_line_char_ppm,
+             |        CAST(CASE WHEN n > 0 THEN (tc * 1000000) // n
+             |             ELSE 0 END AS BIGINT) AS top_2gram_char_ppm
+             |      FROM mm)
+             |SELECT doc_id, dup_line_ppm, dup_line_char_ppm,
+             |  top_2gram_char_ppm,
+             |  (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+             |   AND top_2gram_char_ppm <= 200000) AS repetition_keep
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     QueryDef("blocklist_filter",
       // C4's badwords filter (Raffel et al. 2020 §2.2): whole-token
       // blocklist occurrence count + keep verdict, a pure narrow map with

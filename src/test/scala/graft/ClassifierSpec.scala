@@ -189,6 +189,29 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!out(3L)._8)
   }
 
+  test("gopherRepetition: duplicate-line and top-2gram censuses exact on a hand fixture") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      // 4 lines, "x y" twice (4 chars each of 13 line chars);
+      // top 2-gram: grams of the WHOLE text (lines ride inside tokens)
+      (1L, "x y\nx y\nab cd\nq"),
+      // no newlines, "a b" gram repeated with overlap: "a b a b a":
+      // grams: (a b)(b a)(a b)(b a) -> top = 2 * 3 = 6 of 9 chars
+      (2L, "a b a b a"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 1: 4 lines, 2 duplicates? dup lines = nl - distinct = 4-3 = 1;
+    // chars in lines occurring >=2: both "x y" copies = 6 of 3+3+5+1=12
+    assert(out(1L)._1 == 1000000L / 4 && out(1L)._2 == 6000000L / 12,
+      out(1L).toString)
+    // doc 2: single line, no dups -> 0/0; top 2-gram coverage 6 of 9
+    assert(out(2L) == ((0L, 0L, 6000000L / 9, false)), out(2L).toString)
+    // doc 3: one line, one token -> all zeros, keep
+    assert(out(3L) == ((0L, 0L, 0L, true)), out(3L).toString)
+  }
+
   test("prCurve: confusion counts partition the corpus at every threshold; monotone recall") {
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val scored = Classifier.linearScore(docs, "doc_id", "text", dim = 64,
