@@ -153,8 +153,10 @@ object Bench {
     "text_perplexity_pretrained3", "mixture_unimax_epochs",
     "suffix_ranks_incremental", "moore_lewis_select",
     // round-13: min-K% membership audit (landed-LM apply + one per-doc
-    // window) and the DoReMi domain-reweighting step (domain-keyed agg)
+    // window), the DoReMi domain-reweighting step (domain-keyed agg),
+    // and the full Gopher battery (A1 rules + A2 repetition, narrow maps)
     "decontam_minkprob", "mixture_doremi_weights",
+    "quality_gopher_rules", "quality_gopher_repetition",
     // in-engine classifier TRAINING (the gate's point IS the training
     // loop — it stays on the clock, unlike the landed-LM apply gates),
     // round-13: plus the composed train+apply loop through the trained
