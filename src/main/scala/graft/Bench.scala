@@ -333,8 +333,13 @@ object Bench {
       // intermediate their returned frame still references (so they cannot
       // unpersist internally) — sweep what each query left behind before
       // the next one runs. Sequential execution makes the set-diff safe
-      // HERE (the in-operator global diff was not, under parallel suites);
-      // warmup-built state is in the before-set and never swept.
+      // HERE (the in-operator global diff was not, under parallel suites).
+      // NOTE the registry sweep below clears the WHOLE operator-cache
+      // registry, warmup entries included — currently fine because
+      // warmup lands parquet (paths, not operator caches), and always
+      // SAFE because persist never severs lineage (a swept frame
+      // recomputes); but warmup must never come to rely on a registered
+      // shared cache surviving the sweep.
       val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       var failed = false
       val times = (1 to runs).map { _ =>

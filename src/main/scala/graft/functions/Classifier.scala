@@ -219,7 +219,7 @@ object Classifier {
     // collapse — no CSE in interpreted HOFs)
     val withFs = Caches.operatorPersist(df.select(col(idCol),
       featuresExpr(split(col(textCol), " ")).as("_fs")))
-    withFs.select(col(idCol), explode(col("_fs")).as("_f"))
+    val summed = withFs.select(col(idCol), explode(col("_fs")).as("_f"))
       .select(col(idCol), bucket(col("_f"), dim).as("_b"))
       // LEFT join: a SPARSE landed table (only non-zero weights) means
       // weight 0 for the missing buckets — n_features must still count
@@ -228,9 +228,19 @@ object Classifier {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
         sum(coalesce(col("_w"), lit(0L))).as("_s"))
+    // LEFT join back from the INPUT ids: a NULL-text document yields a
+    // null feature array, so explode dropped its rows above — but
+    // [[linearScore]] (and the gate's DuckDB oracle, a LEFT JOIN from
+    // docs) emits a row for EVERY document. Such a document has zero
+    // features and scores at the bare bias (the same
+    // perplexityKneserNeyApplyModel pattern). The exchange carries one
+    // row per doc either way; AQE broadcasts `summed` when it is small.
+    withFs.select(col(idCol))
+      .join(summed, Seq(idCol), "left")
       .crossJoin(bias)
-      .select(col(idCol), col("n_features"),
-        (col("_s") + col("_bias")).as("score_micronats"))
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        (coalesce(col("_s"), lit(0L)) + col("_bias")).as("score_micronats"))
       .withColumn("accept", col("score_micronats") >= 0L)
   }
 

@@ -415,10 +415,22 @@ object SuffixArray {
       // the corpus broadcasts when small (the overwhelmingly common
       // crawl case — the corpus side then never exchanges, only scans),
       // and falls back to a shuffle-hash join when the delta is itself
-      // corpus-scale. The count is one job over an already-persisted
-      // small frame.
-      def probeSide(keys: DataFrame, n: Long): DataFrame =
-        if (n <= 4000000L) broadcast(keys) else keys.hint("shuffle_hash")
+      // corpus-scale. BYTE-gated (round-14): the old 4M-ROW gate let a
+      // frame of 32-char md5 keys (~500 MB as a HashedRelation,
+      // replicated per executor) through; instead measure the exact key
+      // bytes (one sum over the already-persisted frame) plus ~48 B/row
+      // of UTF8String + hash-entry overhead, and broadcast only under an
+      // explicit 128 MB budget — far inside an 8 GB driver heap, and the
+      // shuffle-hash fallback engages where replication would hurt.
+      val probeBudgetBytes = 128L << 20
+      def probeSide(keys: DataFrame, n: Long): DataFrame = {
+        val keyBytes = if (n == 0L) 0L
+          else keys.agg(coalesce(
+              sum(length(col(keys.columns.head)).cast("long")), lit(0L)))
+            .head().getLong(0)
+        if (keyBytes + n * 48L <= probeBudgetBytes) broadcast(keys)
+        else keys.hint("shuffle_hash")
+      }
       val newKeys = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
         .persist()
       pinned += newKeys

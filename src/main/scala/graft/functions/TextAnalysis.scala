@@ -1032,9 +1032,16 @@ object TextAnalysis {
     *
     * Scale shape: a PURE NARROW MAP — every metric is a row-local array
     * expression, the whole battery fuses into the scan; no explode, no
-    * join, no shuffle. */
+    * join, no shuffle.
+    *
+    * Defaults are the PAPER'S thresholds (Table A1: 50..100,000 words,
+    * mean word length 3..10 chars, symbol ratio 0.1, bullet 0.9,
+    * ellipsis 0.3, alpha-word 0.8, >= 2 stopwords). Fixture-sized
+    * corpora (the gate's synthetic documents run ~tens of words) must
+    * pass scaled word bounds EXPLICITLY at the call site — the gate does
+    * — or the word-count rule rejects everything. */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 20, maxWords: Int = 90,
+      minWords: Int = 50, maxWords: Int = 100000,
       minMeanLenPpm: Long = 3000000L, maxMeanLenPpm: Long = 10000000L,
       maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
       maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
@@ -1095,19 +1102,22 @@ object TextAnalysis {
     *                       count(g) * length(g) (deterministic under
     *                       ties, unlike "the most common gram")
     *
-    * The occurrence counts are O(len²) comparisons INSIDE one row's
-    * arrays — bounded by the document's own size, never cross-row — so
-    * the whole battery stays a pure narrow map fused into the scan.
+    * The occurrence censuses run over a SORTED copy of each row's array
+    * (duplicates become adjacent runs), then one linear `aggregate` fold
+    * carries (prev, run-length, total) — O(len log len) per row, never
+    * the naive per-element filter's O(len²), so a single jumbo document
+    * (a 100k-word boilerplate page is routine in a web crawl) cannot
+    * become a task-level straggler; everything stays row-local, the
+    * whole battery a pure narrow map fused into the scan.
     * Thresholds default to the paper's (30% / 20% / 20%). */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
       maxDupLinePpm: Long = 300000L, maxDupLineCharPpm: Long = 200000L,
       maxTop2gramPpm: Long = 200000L): DataFrame = {
-    // persist barrier before the O(len²) lambdas (the cdc_chunks
+    // persist barrier before the fold lambdas (the cdc_chunks
     // discipline): interpreted HOFs have NO common-subexpression
-    // elimination, so a COMPUTED gram array referenced inside a nested
-    // lambda would be rebuilt once per outer element — O(len³) string
-    // work; materializing `_g` makes every inner reference an attribute
-    // read (measured: 12.9 s -> sub-second at sf0.1)
+    // elimination, so the SORTED copies land as materialized attribute
+    // columns — every fold reads an attribute, nothing recomputes the
+    // split/sort per reference
     val grams = when(size(col("_w")) >= 2,
       transform(sequence(lit(1), size(col("_w")) - 1),
         i => concat_ws(" ", element_at(col("_w"), i),
@@ -1116,18 +1126,48 @@ object TextAnalysis {
     val t = Caches.operatorPersist(df.select(col(idCol),
         col(textCol).as("_t"), split(col(textCol), " ").as("_w"),
         split(col(textCol), "\n").as("_l"))
-      .select(col(idCol), col("_t"), col("_l"), grams.as("_g")))
+      .select(col(idCol), col("_t"), col("_l"),
+        array_sort(col("_l")).as("_lsrt"),
+        array_sort(grams).as("_gsrt")))
     val nl = size(col("_l")).cast("long")
     val lineChars = aggregate(transform(col("_l"),
       l => length(l).cast("long")), lit(0L), (a, x) => a + x)
     val dupLines = (nl - size(array_distinct(col("_l")))).cast("long")
-    val dupLineChars = aggregate(transform(col("_l"),
-      l => when(size(filter(col("_l"), x => x === l)) >= 2,
-        length(l).cast("long")).otherwise(0L)),
-      lit(0L), (a, x) => a + x)
-    val topCover = coalesce(array_max(transform(col("_g"),
-      g => (size(filter(col("_g"), x => x === g)).cast("long") *
-        length(g)).cast("long"))), lit(0L))
+    // duplicate-occurrence censuses over the SORTED arrays: equal
+    // elements are adjacent runs, so ONE linear fold with a
+    // (prev, run-length, total) struct accumulator replaces the naive
+    // per-element `filter` count — O(len log len) per row instead of
+    // O(len²), the round-14 jumbo-document hardening (a 100k-word page
+    // under the old form was ~10^10 row-local comparisons: a straggler
+    // task no partitioning can fix). prev seeds NULL; `<=>` makes the
+    // first element start a fresh run (split() never yields nulls).
+    val dupLineChars = aggregate(col("_lsrt"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"),
+        lit(0L).as("t")),
+      (acc, x) => {
+        val same = x <=> acc.getField("p")
+        val run = when(same, acc.getField("r") + 1L).otherwise(lit(1L))
+        // a run's FIRST repeat charges both occurrences (the census
+        // counts characters inside every occurrence of a duplicated
+        // line); later repeats charge one each
+        val add = when(same, when(acc.getField("r") === 1L,
+            length(x).cast("long") * 2L)
+          .otherwise(length(x).cast("long"))).otherwise(lit(0L))
+        struct(x.as("p"), run.as("r"),
+          (acc.getField("t") + add).as("t"))
+      },
+      acc => acc.getField("t"))
+    val topCover = aggregate(col("_gsrt"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"),
+        lit(0L).as("b")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("p"), acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("b"),
+            run * length(x).cast("long")).as("b"))
+      },
+      acc => acc.getField("b"))
     t.select(col(idCol), nl.as("_nl"), lineChars.as("_lc"),
         dupLines.as("_dl"), dupLineChars.as("_dlc"),
         topCover.as("_tc"), length(col("_t")).cast("long").as("_n"))

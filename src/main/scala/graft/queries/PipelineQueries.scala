@@ -4050,9 +4050,12 @@ object PipelineQueries {
       // bullet/ellipsis line fractions, alpha-word fraction, stopword
       // floor — every metric an exact integer ppm next to its verdict,
       // the whole battery one narrow map fused into the scan. Oracle
-      // recomputes every metric and the conjunction
+      // recomputes every metric and the conjunction. Word bounds are
+      // FIXTURE-SCALED here (20..90 — the synthetic documents run ~50
+      // words, the paper's 50..100,000 defaults target web pages); every
+      // other threshold is the paper's default
       (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir),
-          "doc_id", "text")
+          "doc_id", "text", minWords = 20, maxWords = 90)
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
              |            string_split(text, chr(10)) AS l FROM documents),

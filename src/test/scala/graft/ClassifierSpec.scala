@@ -63,6 +63,25 @@ class ClassifierSpec extends AnyFunSuite {
       s"separable: pos ${posScores.min} vs neg ${negScores.max}")
   }
 
+  test("linearScoreWith: NULL-text documents keep their row, scoring at the bare bias") {
+    // the apply path must emit a row per INPUT document (the gate's
+    // DuckDB oracle LEFT JOINs from docs) — a null text yields a null
+    // feature array, which the explode would otherwise silently drop
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val weights = Seq((-1, 250000L), (0, 7L), (1, -3L))
+      .toDF("bucket", "weight_micronats")
+    val out = Classifier.linearScoreWith(docs, "doc_id", "text",
+        weights, dim = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.size == 3, "one row per input document")
+    // null text: zero features, score = bias, accept since bias >= 0
+    assert(out(2L) == ((0L, 250000L, true)), out(2L).toString)
+    // non-null docs still score through the feature path
+    assert(out(1L)._1 > 0L && out(3L)._1 > 0L)
+  }
+
   test("train large-dim seat: weights re-enter as a BroadcastHashJoin at dim 4096, never a dim-literal array") {
     // production hashing-trick dims (2^18+) would break whole-stage
     // codegen's 64KB method limit as an element_at(array(<dim literals>))
@@ -166,7 +185,8 @@ class ClassifierSpec extends AnyFunSuite {
       // bullet + ellipsis lines, symbols, too short
       (2L, "- item one...\n- item two\nplain tail #tag ..."),
       (3L, "a a a")).toDF("doc_id", "text")
-    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 20, maxWords = 90)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
@@ -187,6 +207,12 @@ class ClassifierSpec extends AnyFunSuite {
     assert(sy2 == (1L + 2L) * 1000000L / n2 && !k2)
     // doc 3: too short, mean len 1 -> fails several rules
     assert(!out(3L)._8)
+    // DEFAULTS are the paper's (Rae et al. 2021 Table A1): 50..100,000
+    // words — the 22-word doc 1 now fails on word count ALONE (every
+    // other metric passes, as asserted above with fixture bounds)
+    val defRow = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L).head()
+    assert(!defRow.getBoolean(8))
   }
 
   test("gopherRepetition: duplicate-line and top-2gram censuses exact on a hand fixture") {
@@ -210,6 +236,37 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L, 6000000L / 9, false)), out(2L).toString)
     // doc 3: one line, one token -> all zeros, keep
     assert(out(3L) == ((0L, 0L, 0L, true)), out(3L).toString)
+  }
+
+  test("gopherRepetition: a jumbo document (100k words, 20k lines) is no straggler — sorted-run censuses stay loglinear") {
+    import graft.functions.TextAnalysis
+    // 20k lines of 5 words each; every line text repeats exactly twice
+    // (i and i+10000 share text), so ALL line chars are duplicate chars;
+    // the dominant 2-gram is the within-line ("w<k> w<k+1>") pair family
+    // — compute the expected winner exactly below. Under the old
+    // per-element filter census this is ~10^10 row-local comparisons
+    // (minutes-to-hours for ONE task); the sorted fold finishes with the
+    // suite.
+    val lines = (0 until 20000).map { i =>
+      val k = i % 10000
+      s"w${k}a w${k}b w${k}c w${k}d w${k}e"
+    }
+    val text = lines.mkString("\n")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRepetition(docs, "doc_id", "text").head()
+    // every line occurs exactly twice -> dup lines = 20000 - 10000
+    assert(r.getLong(1) == 10000L * 1000000L / 20000L, r.toString)
+    // all chars sit inside duplicated lines
+    assert(r.getLong(2) == 1000000L, r.toString)
+    // top 2-gram: within-line grams ("w<k>a w<k>b" etc.) occur 2x each;
+    // cross-line grams ("w<k>e\nw<k+1>a" rides inside ONE split-on-space
+    // token pair) also 2x at most — winner = max over grams of
+    // 2 * len(gram); verify against a brute-force census in Scala
+    val words = text.split(" ")
+    val grams = words.sliding(2).map(_.mkString(" ")).toSeq
+    val top = grams.groupBy(identity).map { case (g, o) =>
+      o.size.toLong * g.length }.max
+    assert(r.getLong(3) == top * 1000000L / text.length, r.toString)
   }
 
   test("prCurve: confusion counts partition the corpus at every threshold; monotone recall") {
