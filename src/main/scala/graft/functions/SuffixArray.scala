@@ -112,20 +112,35 @@ object SuffixArray {
     * which never needs density: group keys, path elements, and the
     * running-count _nor only need order + tie-equality, and the OUTPUT's
     * density comes from the insertion arithmetic, not loop ranks).
-    * Returns (ranked frame, row count, the pinned range frame). */
+    * `extraAggs` ride the same per-partition stats job (round 1 of the
+    * merge reads its old-row counts/max-rank off it — one collect, not
+    * two passes over the pinned frame). Returns (ranked frame, row
+    * count, the pinned range frame, the per-pid stat rows:
+    * [_pid, count, extraAggs...]). */
   private def rankedInlineRows(frame: DataFrame, keyCols: Seq[String],
-      nParts: Int): (DataFrame, Long, DataFrame) = {
-    val parted = frame.repartitionByRange(nParts, keyCols.map(col): _*)
+      nParts: Int, extraAggs: Seq[Column] = Nil,
+      persistSrc: Boolean = true)
+      : (DataFrame, Long, DataFrame, Array[org.apache.spark.sql.Row]) = {
+    // the range partitioner SAMPLES its child before exchanging it, so
+    // an unpersisted input evaluates twice (sample + exchange) — for the
+    // merge loop that is the round's whole join/explode chain. Cache it
+    // for the pair of passes, release once the exchange has landed.
+    // (`persistSrc = false` for inputs already backed by checkpoint
+    // blocks, where the cache write costs more than the re-scan.)
+    val src = if (persistSrc) frame.persist() else frame
+    val parted = src.repartitionByRange(nParts, keyCols.map(col): _*)
       .withColumn("_pid", spark_partition_id()).persist()
-    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_r"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val statRows = parted.groupBy("_pid")
+      .agg(count(lit(1)).as("_r"), extraAggs: _*).collect()
+    if (persistSrc) src.unpersist(blocking = false)
+    val counts = statRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offs = (0 until nParts).scanLeft(0L) { (acc, p) =>
       acc + counts.getOrElse(p, 0L)
     }.dropRight(1)
     val offExpr = element_at(array(offs.map(lit): _*), col("_pid") + 1)
     val w = Window.partitionBy("_pid").orderBy(keyCols.map(col): _*)
     (parted.withColumn("_rank", rank().over(w).cast("long") + offExpr),
-      counts.values.sum, parted)
+      counts.values.sum, parted, statRows)
   }
 
   /** Cross-partition suffix-minimum stitch for a range-partitioned frame
@@ -314,7 +329,7 @@ object SuffixArray {
     * old documents map through the resulting offset table, new ones
     * through their text group's class.
     *
-    * Cost at scale (round-13 form): ONE pass over the landed index +
+    * Cost at scale (round-14 form): ONE pass over the landed index +
     * delta (the round-1 range exchange — unavoidable: a merge must see
     * the index order once; the same pass computes, per row, the next old
     * rank after its group — a partition-local window stitched across
@@ -324,13 +339,27 @@ object SuffixArray {
     * and never enter the final ranking (the round-12 form pushed every
     * index row through a union-sized checkpoint AND a union-sized final
     * range exchange — the two fixed passes that kept the merge ~flat at
-    * ~2x the rebuild). Final ranks come from the insertion arithmetic:
-    * new_rank(old class r) = r + ins(r), where ins = #new-only classes
-    * ordered before r — a step function with one jump per new class,
-    * expanded to the (old rank -> offset) table by a chunked narrow
-    * generate (no exchange) and joined to the landed rows (output-sized,
-    * the artifact itself). A full rebuild instead pays O(log maxLCP)
-    * rounds of two corpus-position-sized exchanges each. */
+    * ~2x the rebuild). Escalation fetches a group's whole remaining
+    * need in one round when that is within a bounded (16x) overshoot of
+    * the geometric fetch, so doc-bounded suffixes resolve in exactly TWO
+    * ranked passes — the merge's round count no longer grows with
+    * log(maxLCP) on real corpora; the geometric 3x fetch survives as
+    * the fallback that keeps per-round bytes bounded when one long
+    * group member would force a large over-fetch. Final ranks come from
+    * the insertion arithmetic: new_rank(old class r) = r + ins(r),
+    * where ins = #new-only classes ordered before r — a step function
+    * with one jump per new class, expanded to the (old rank -> offset)
+    * table by a chunked narrow generate (no exchange); old rows AND the
+    * delta's dup-of-old copies (selected by probing the index with the
+    * delta-doc-sized pair table, never exchanging it) shift through
+    * that table in ONE output-sized join — the artifact itself. Driver
+    * jobs are kept off the merge's critical path: round-1 rank stats
+    * ride the ranking job's own per-partition collect, the dup-copy
+    * probe placement overlaps the class-table stitches on a second
+    * thread, and the class/jump/mapping frames are registered lazy
+    * persists that materialize inside the output job instead of one
+    * standalone checkpoint job each. A full rebuild instead pays
+    * O(log maxLCP) rounds of two corpus-position-sized exchanges. */
   def suffixRanksIncremental(ranks: DataFrame, oldDf: DataFrame,
       newDf: DataFrame, idCol: String, textCol: String,
       nParts: Int = 32, seedK: Int = 8, maxRounds: Int = 64): DataFrame =
@@ -392,10 +421,6 @@ object SuffixArray {
         }
         mergeReps.drop("_seedk")
       } else mergeReps
-    // segment growth per escalation: 4x empties groups in half the
-    // rounds of 2x (round overhead is jobs, not bytes, at the tail) for
-    // at most a 4x overshoot on the final fetched segment
-    val growth = 4L
     val pinned = ArrayBuffer.empty[DataFrame]
     // frozen rounds checkpoint once each and stay live to the final
     // ranking — AFFECTED rows only (round-1 groups containing a new
@@ -407,10 +432,12 @@ object SuffixArray {
       val newG = newDf.select(col(idCol).as("_doc"),
         md5(col(textCol)).as("_g"), col(textCol).as("_t"))
       // the returned frame reads newMembers / the dup anchors lazily —
-      // CHECKPOINT these small frames (delta-doc-sized) so the `finally`
-      // sweep of loop-internal persists can never pull materialization
-      // out from under the caller (they'd silently recompute otherwise)
-      val newMembers = Checkpoints.eager(newG.select("_doc", "_g"))
+      // REGISTERED persist (not the loop-internal `pinned` set, which
+      // the `finally` sweeps before the caller evaluates): the frame
+      // stays cached across its two output consumers, lineage stays
+      // recomputable, and no standalone materialization job runs
+      // (round 14 — the eager-checkpoint form paid one job per frame)
+      val newMembers = Caches.operatorPersist(newG.select("_doc", "_g"))
       // adaptive probe-side placement: a DELTA-sized key frame joining
       // the corpus broadcasts when small (the overwhelmingly common
       // crawl case — the corpus side then never exchanges, only scans),
@@ -423,26 +450,32 @@ object SuffixArray {
       // explicit 128 MB budget — far inside an 8 GB driver heap, and the
       // shuffle-hash fallback engages where replication would hurt.
       val probeBudgetBytes = 128L << 20
-      def probeSide(keys: DataFrame, n: Long): DataFrame = {
-        val keyBytes = if (n == 0L) 0L
-          else keys.agg(coalesce(
-              sum(length(col(keys.columns.head)).cast("long")), lit(0L)))
-            .head().getLong(0)
+      // row count and key bytes come out of ONE agg job (round 14: the
+      // split count-then-sum form paid a second pass per probe site)
+      def probeSide(keys: DataFrame): DataFrame = {
+        val keyCol = keys.columns.head
+        val r = keys.agg(count(lit(1)).as("_n"), coalesce(
+            sum(length(col(keyCol)).cast("long")), lit(0L)).as("_b"))
+          .head()
+        val (n, keyBytes) = (r.getLong(0), r.getLong(1))
         if (keyBytes + n * 48L <= probeBudgetBytes) broadcast(keys)
         else keys.hint("shuffle_hash")
       }
       val newKeys = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
         .persist()
       pinned += newKeys
-      val nNewKeys = newKeys.count()
       // ONE corpus pass serves both md5 fast-path consumers: the old
       // anchor per duplicated delta text (dupOut) and the fresh-text
       // anti-join — the corpus is SCANNED and probed against the
       // broadcast delta keys, never exchanged (the round-12 form paid
       // two corpus-sized exchanges here: a distinct for the anti-join
-      // and a groupBy for the dup anchors)
-      val oldDupDocs = Checkpoints.eager(
-        oldG.join(probeSide(newKeys.select("_g"), nNewKeys), Seq("_g"))
+      // and a groupBy for the dup anchors). Registered-persist, not an
+      // eager checkpoint (round 14): every consumer materializes inside
+      // an existing job (newFresh in round 1, dupOut at output), lineage
+      // stays recomputable, and the standalone materialization job
+      // disappears; the harness sweeps the registry per query.
+      val oldDupDocs = Caches.operatorPersist(
+        oldG.join(probeSide(newKeys.select("_g")), Seq("_g"))
           .groupBy(col("_g")).agg(min(col("_doc")).as("_odoc")))
       // fresh = delta texts the old corpus has never seen
       val newFresh = newKeys
@@ -461,7 +494,7 @@ object SuffixArray {
       def buildTokTable(escSrcs: DataFrame): DataFrame = {
         val esc = escSrcs.persist()
         pinned += esc
-        val escProbe = probeSide(esc, esc.count())
+        val escProbe = probeSide(esc)
         val t = oldG.select(concat(lit("d:"), col("_doc").cast("string"))
             .as("_src"), col("_t"))
           .join(escProbe, Seq("_src"))
@@ -478,7 +511,7 @@ object SuffixArray {
         concat(lit("d:"), col("_doc").cast("string")).as("_src"),
         col("_pos"), col("_slen"),
         array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
-        col("_seg"))
+        lit(seedK.toLong).as("_cov"), col("_seg"))
       // fresh-text suffix rows (persist barrier before the Generate,
       // the cdc_chunks discipline)
       val freshTk = newFresh
@@ -492,6 +525,7 @@ object SuffixArray {
           col("_pos").cast("long").as("_pos"),
           (size(col("_tk")) - col("_pos") + 1).cast("long").as("_slen"),
           array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
+          lit(seedK.toLong).as("_cov"),
           concat_ws(" ", slice(col("_tk"), col("_pos"),
             lit(seedK))).as("_seg"))
       // the loop ranks on SCALAR (prev-round rank, next segment) keys:
@@ -502,7 +536,15 @@ object SuffixArray {
       // is only compared ONCE, padded into long columns, at the final
       // AFFECTED-only ranking (array orderings are interpreted — keying
       // the per-round range exchange on them cost ~4x, measured).
-      var covered = seedK.toLong
+      // COVERAGE is per-ROW (`_cov`, group-uniform by induction: every
+      // member of a group shares the same fetch history) since round 14:
+      // a group whose full remaining need (_maxLen - _cov) fits within a
+      // bounded overshoot of the geometric fetch grabs it ALL in one
+      // escalation and resolves next round — for doc-bounded suffixes
+      // (every real corpus) the merge is exactly TWO ranked passes; the
+      // geometric path survives as the fallback for groups where one
+      // long member would force a large over-fetch on the rest (shared
+      // boilerplate prefixes), keeping per-round bytes bounded.
       var pending = oldBase.unionAll(newBase)
       val debugTiming = oldDf.sparkSession.conf
         .getOption("spark.graft.debugTiming").contains("true")
@@ -511,10 +553,14 @@ object SuffixArray {
       // R = highest landed rank; read off round 1's per-partition stats
       // (no extra pass over the index)
       var rMax = 0L
+      // round-1 extra stats ride the ranking job's own per-pid collect
+      val oldStatAggs = Seq(
+        sum(when(col("_or").isNotNull, 1L).otherwise(0L)).as("_c"),
+        max(col("_or")).as("_mx"))
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
-        val (ranked, nRows, parted) = rankedInlineRows(pending,
-          Seq("_kr", "_seg"), nParts)
+        val (ranked, nRows, parted, statRows) = rankedInlineRows(pending,
+          Seq("_kr", "_seg"), nParts, oldStatAggs)
         if (nRows == 0) { done = true; parted.unpersist(blocking = false) }
         else {
           round += 1
@@ -550,12 +596,12 @@ object SuffixArray {
               // relative order IS the landed rank, recovered at the end
               // by the insertion-offset arithmetic — they never
               // checkpoint and never enter the final ranking.
-              val pstats = parted.groupBy("_pid")
-                .agg(sum(when(col("_or").isNotNull, 1L).otherwise(0L))
-                  .as("_c"), max(col("_or")).as("_mx"))
-                .collect()
-                .map(r => (r.getInt(0), r.getLong(1),
-                  if (r.isNullAt(2)) 0L else r.getLong(2)))
+              // pstats come off the ranking job's own per-pid stat rows
+              // (round 14: the separate groupBy pass over the pinned
+              // range frame is gone)
+              val pstats = statRows
+                .map(r => (r.getInt(0), r.getLong(2),
+                  if (r.isNullAt(3)) 0L else r.getLong(3)))
               rMax = if (pstats.isEmpty) 0L else pstats.map(_._3).max
               val offs = (0 until nParts).map { p =>
                 pstats.filter(_._1 < p).map(_._2).sum
@@ -566,7 +612,7 @@ object SuffixArray {
                 .orderBy(col("_rank"))
                 .rangeBetween(Window.unboundedPreceding, 0)
               ranked.select(Seq(col("_new"), col("_or"), col("_src"),
-                col("_pos"), col("_slen"),
+                col("_pos"), col("_slen"), col("_cov"),
                 concat(col("_path"), array(col("_rank"))).as("_path"),
                 col("_rank").as("_kr"),
                 (sum(when(col("_or").isNotNull, 1L).otherwise(0L))
@@ -574,15 +620,17 @@ object SuffixArray {
                 ++ statCols: _*)
                 .filter(col("_hasNew") === 1)
             } else ranked.select(Seq(col("_new"), col("_or"), col("_src"),
-              col("_pos"), col("_slen"),
+              col("_pos"), col("_slen"), col("_cov"),
               concat(col("_path"), array(col("_rank"))).as("_path"),
               col("_rank").as("_kr"), col("_nor")) ++ statCols: _*)
           // ONE checkpoint per round, AFFECTED rows only — the held
           // total across rounds is delta-neighborhood-sized, not the
-          // union (pure-old rows never land anywhere)
+          // union (pure-old rows never land anywhere). A group that
+          // full-need-fetched last round has _maxLen <= _cov and freezes
+          // here: remaining ties are whole-suffix duplicates.
           val landed = Checkpoints.eager(stepped
             .withColumn("_esc", col("_n") > 1 && col("_hasNew") === 1 &&
-              col("_maxLen") > covered))
+              col("_maxLen") > col("_cov")))
           // a subgroup that split PURE-OLD in a later round needs no
           // content: landed rank order is content order — appended as
           // the subgroup's final path element (these rows stay in the
@@ -593,25 +641,42 @@ object SuffixArray {
                   concat(col("_path"), array(col("_or"))))
                 .otherwise(col("_path")).as("_path"),
               col("_nor"))
-          val segLen = (covered * (growth - 1)).min(Int.MaxValue.toLong)
           if (tokTable == null)
             tokTable = buildTokTable(
               landed.filter(col("_esc")).select("_src").distinct())
+          // FULL-NEED fetch with a bounded overshoot: the group's whole
+          // remaining need (_maxLen - _cov, group-uniform — _maxLen is a
+          // group stat, _cov group-uniform) is grabbed when it is within
+          // fullNeedCap x the current coverage — one escalation resolves
+          // the group, whatever the document length. Groups where one
+          // long member would force a > fullNeedCap x over-fetch on
+          // every sibling (a short shared-boilerplate prefix inside one
+          // jumbo page) fall back to the geometric 3x fetch (the
+          // round-13 growth-4 policy), so per-round bytes stay bounded
+          // by a constant factor of the proven-necessary fetch. Clamps:
+          // _cov / segment lengths only ever compare against token
+          // counts (INT-sized); the int casts below need both inside
+          // Int range.
+          val fullNeedCap = 16L
+          val fullNeed = col("_maxLen") - col("_cov")
+          val segLen = least(
+            when(fullNeed <= col("_cov") * fullNeedCap, fullNeed)
+              .otherwise(col("_cov") * 3L),
+            lit((Int.MaxValue / 2).toLong))
           pending = landed.filter(col("_esc"))
             .join(tokTable.hint("shuffle_hash"), Seq("_src"))
             .select(col("_new"), col("_or"), col("_src"), col("_pos"),
-              col("_slen"), col("_path"), col("_kr"), col("_nor"),
+              col("_slen"),
+              least(col("_cov") + segLen, lit((Int.MaxValue / 2).toLong))
+                .as("_cov"),
+              col("_path"), col("_kr"), col("_nor"),
               concat_ws(" ", slice(col("_tk"),
-                (col("_pos") + covered).cast("int"),
-                lit(segLen.toInt))).as("_seg"))
+                (col("_pos") + col("_cov")).cast("int"),
+                segLen.cast("int"))).as("_seg"))
           parted.unpersist(blocking = false)
           // termination read off the landed checkpoint (no join, no
           // extra empty round through the range exchange)
           done = landed.filter(col("_esc")).isEmpty
-          // clamp: covered only compares against token counts (INT-sized)
-          // — unclamped it would overflow Long after ~30 rounds, and the
-          // escalation slice start casts (_pos + covered) to int
-          covered = math.min(covered * growth, (Int.MaxValue / 2).toLong)
           if (debugTiming) System.err.println(
             f"[sa-incr] round $round rows=$nRows " +
               f"${(System.nanoTime() - t0) / 1e9}%.2f s done=$done")
@@ -619,6 +684,23 @@ object SuffixArray {
       }
       require(done,
         s"suffixRanksIncremental: ties unresolved after $maxRounds rounds")
+      var tMark = System.nanoTime()
+      def mark(label: String): Unit = if (debugTiming) {
+        System.err.println(
+          f"[sa-incr] $label ${(System.nanoTime() - tMark) / 1e9}%.2f s")
+        tMark = System.nanoTime()
+      }
+      // dup-output probe placement is INDEPENDENT of the class-table
+      // stitches below — its one agg job (and the newMembers cache fill
+      // it triggers) overlaps them on a second driver thread instead of
+      // serializing after them (Spark job submission is thread-safe;
+      // both inputs are registered-persisted, so a racing fill at worst
+      // computes a block twice)
+      val dupPairs = newMembers
+        .join(oldDupDocs.hint("shuffle_hash"), Seq("_g"))
+        .select(col("_doc"), col("_odoc"))
+      val dupProbeF = scala.concurrent.Future(probeSide(dupPairs))(
+        scala.concurrent.ExecutionContext.global)
       // ---- final ranking over AFFECTED rows only (delta-sized): paths
       // padded to fixed long columns (rows sharing a path prefix share
       // its length — groups escalate or freeze as a whole — so
@@ -639,12 +721,14 @@ object SuffixArray {
               coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
                 .as(s"_k$i")): _*))
       }
-      val (localRanked, _, fparted) = rankedInlineRows(all, keyCols, nParts)
+      val (localRanked, _, fparted, _) =
+        rankedInlineRows(all, keyCols, nParts, persistSrc = false)
       // the output below is returned lazily — sever lineage so the
       // range frame and the per-round checkpoints can release now
       val local = Checkpoints.eager(localRanked
         .select(col("_new"), col("_or"), col("_src"), col("_pos"),
           col("_nor"), col("_rank").as("_lr")))
+      mark("final-rank+local")
       fparted.unpersist(blocking = false)
       frozenParts.foreach { f =>
         f.queryExecution.analyzed.collectFirst {
@@ -656,8 +740,16 @@ object SuffixArray {
       // one old rank (landed ranks are dense over distinct suffixes).
       val ct = local.groupBy(col("_lr")).agg(min(col("_or")).as("_cor"),
         min(col("_nor")).as("_nor2"), max(col("_new")).as("_hasN"))
-      val cparted = ct.repartitionByRange(nParts, col("_lr"))
-        .withColumn("_pid", spark_partition_id()).persist()
+      // REGISTERED persist (round 14): cparted/jparted and the derived
+      // newIdx/mapping/classRanks frames below all stay cached through
+      // the caller's lazy evaluation of the returned output and release
+      // at the harness's per-query registry sweep; the cstats/tailMin
+      // collects below are the only eager jobs left in this phase —
+      // every other frame materializes inside the output job itself
+      // (the eager-checkpoint form paid one standalone job per frame).
+      val cparted = Caches.operatorPersist(
+        ct.repartitionByRange(nParts, col("_lr"))
+          .withColumn("_pid", spark_partition_id()))
       // one per-partition collect serves BOTH cross-partition stitches:
       // suffix-min of _cor (the next-anchor lookup) and prefix-sum of
       // the new-only class counts (their 1..N numbering)
@@ -667,6 +759,7 @@ object SuffixArray {
         .collect()
         .map(r => (r.getInt(0),
           if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      mark("cstats")
       val naTails = (0 until nParts).map { p =>
         cstats.filter(_._1 > p).flatMap(_._2)
           .reduceOption(_ min _).getOrElse(rMax + 1)
@@ -693,7 +786,7 @@ object SuffixArray {
       // global rank is (t - 1) + i: t-1 old classes and i-1 new-only
       // classes sort before them (t is NON-DECREASING in local order, so
       // i already counts every new-only class before mine across all t)
-      val newIdx = Checkpoints.eager(ct2.filter(col("_cor").isNull)
+      val newIdx = Caches.operatorPersist(ct2.filter(col("_cor").isNull)
         .select(col("_lr"), least(col("_na"), col("_nor2")).as("_t"),
           col("_i")))
       // ---- insertion-offset table: ins(r) = #new-only classes ordered
@@ -703,14 +796,16 @@ object SuffixArray {
       // starts shuffle (tiny), each task expands <= 64k ranks, so one
       // giant gap never serializes into one task
       val jump = newIdx.groupBy(col("_t")).agg(max(col("_i")).as("_ins"))
-      val jparted = jump.repartitionByRange(nParts, col("_t"))
-        .withColumn("_pid", spark_partition_id()).persist()
+      val jparted = Caches.operatorPersist(
+        jump.repartitionByRange(nParts, col("_t"))
+          .withColumn("_pid", spark_partition_id()))
       val wLead = Window.partitionBy(col("_pid")).orderBy(col("_t"))
       val jump2 = jparted.withColumn("_tn",
         coalesce(lead(col("_t"), 1).over(wLead),
           tailMinExpr(jparted, "_t", nParts, rMax + 1)))
+      mark("tailmin")
       val chunk = 65536L
-      val mapping = Checkpoints.eager(jump2.filter(col("_t") <= rMax)
+      val mapping = Caches.operatorPersist(jump2.filter(col("_t") <= rMax)
         .select(col("_ins"), least(col("_tn") - 1, lit(rMax)).as("_hi"),
           explode(sequence(col("_t"), least(col("_tn") - 1, lit(rMax)),
             lit(chunk))).as("_s"))
@@ -719,7 +814,6 @@ object SuffixArray {
             least(col("_s") + lit(chunk - 1), col("_hi"))))
             .as("suffix_rank"),
           col("_ins")))
-      jparted.unpersist(blocking = false)
       // ---- final ranks per affected class: an ANCHORED class (>= one
       // old member; tying new rows share it) maps through its anchor's
       // offset; a new-only class is (t - 1) + i
@@ -728,13 +822,26 @@ object SuffixArray {
         .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
         .select(col("_lr"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L))).as("_fr"))
-      val classRanks = Checkpoints.eager(anch.unionAll(
+      val classRanks = Caches.operatorPersist(anch.unionAll(
         newIdx.select(col("_lr"), (col("_t") - 1 + col("_i")).as("_fr"))))
-      cparted.unpersist(blocking = false)
-      // ---- outputs. Old docs: landed rows shifted by the insertion
-      // offset (old ranks below every insertion point keep their rank —
-      // the left join's null offset)
-      val oldOut = ranks
+      // ---- outputs. Old docs AND the delta's dup-of-old copies shift
+      // through the insertion-offset table in ONE join (round 14 — the
+      // split oldOut/dupOut forms paid two corpus-sized exchanges by
+      // suffix_rank plus one by doc id): dup copies select their old
+      // anchor's rows with a PROBE of the landed index (dupPairs is
+      // delta-doc-sized, adaptively broadcast — the index never
+      // exchanges for it), ride the union, and the single shuffle_hash
+      // join against the offset table is output-sized — the artifact
+      // itself.
+      val dupProbe = scala.concurrent.Await.result(dupProbeF,
+        scala.concurrent.duration.Duration.Inf)
+      mark("dup-probe")
+      val dupSel = ranks.withColumnRenamed(idCol, "_odoc")
+        .join(dupProbe, Seq("_odoc"))
+        .select(col("_doc").as(idCol), col("pos"), col("suffix_rank"))
+      val shiftedOut = ranks
+        .select(col(idCol), col("pos"), col("suffix_rank"))
+        .unionAll(dupSel)
         .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
         .select(col(idCol), col("pos"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
@@ -747,20 +854,7 @@ object SuffixArray {
         .join(newMembers.hint("shuffle_hash"), Seq("_g"))
         .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
           col("_fr").as("suffix_rank"))
-      // delta docs duplicating an OLD text: copy one old member's rows,
-      // shifted by the same offset table. Membership and the old anchor
-      // come from ONE frame (oldDupDocs — delta keys that matched the
-      // corpus), so the round-12 anti-join + corpus groupBy pair
-      // collapses into a single delta-sized inner join
-      val dupOut = newMembers
-        .join(oldDupDocs.hint("shuffle_hash"), Seq("_g"))
-        .join(ranks.withColumnRenamed(idCol, "_odoc").hint("shuffle_hash"),
-          Seq("_odoc"))
-        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
-        .select(col("_doc").as(idCol), col("pos"),
-          (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
-            .as("suffix_rank"))
-      oldOut.unionAll(freshOut).unionAll(dupOut)
+      shiftedOut.unionAll(freshOut)
     } finally {
       pinned.foreach(_.unpersist(blocking = false))
     }
