@@ -35,14 +35,24 @@ object Recipe {
 
   /** Per-doc stage flags — the funnel's working frame, exposed so the
     * aggregate views (funnel counts, rejection samples) share one plan:
-    * (_lang_ok, _surv_q, _surv_d, _surv_c, _surv_s) per doc plus the
-    * original columns. See [[pretrainFunnel]] for the plan-shape notes. */
+    * (_lang_ok, _surv_q, _surv_d, _surv_c, _surv_s) per doc plus
+    * doc_id/source/text and the battery's `first_failed` (the per-rule
+    * loss census rides the funnel for free). The quality stage is the
+    * FULL Gopher battery ([[TextAnalysis.gopherChain]], Table A1 rules
+    * then Table A2 repetition filters — upgraded in round 14 from the
+    * A1-ish heuristic subset). `minWords`/`maxWords` default to a
+    * fixture scale (8..100,000); production crawls pass the paper's 50.
+    * See [[pretrainFunnel]] for the plan-shape notes. */
   def stageFlags(docs: DataFrame, lang: String = "en",
-      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
-    // stage 1+2: language + Gopher flags, all narrow columns in one pass
-    val flagged0 = TextAnalysis.gopherFlags(docs)
+      benchMod: Long = 20L, sampleMod: Long = 2L,
+      minWords: Int = 8, maxWords: Int = 100000): DataFrame = {
+    // stage 1+2: language + the full Gopher battery, all narrow columns
+    // in one pass over the battery's persisted projection
+    val flagged0 = TextAnalysis.gopherChain(docs, "doc_id", "text",
+        minWords = minWords, maxWords = maxWords,
+        keepCols = Seq("source", "text"))
       .withColumn("_lang_ok", TextAnalysis.langId(col("text")) === lit(lang))
-      .withColumn("_surv_q", col("_lang_ok") && col("keep"))
+      .withColumn("_surv_q", col("_lang_ok") && col("gopher_keep"))
     // stage 3: exact dedup among quality survivors — min survivor id per
     // content digest, one uniform digest-keyed window
     val wDigest = Window.partitionBy(md5(col("text")))
@@ -73,8 +83,10 @@ object Recipe {
     * form the held-out benchmark slice (the repo-wide decontam fixture
     * convention); `sampleMod`: keep survivors with hash % sampleMod == 0. */
   def pretrainFunnel(docs: DataFrame, lang: String = "en",
-      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
-    val staged = stageFlags(docs, lang, benchMod, sampleMod)
+      benchMod: Long = 20L, sampleMod: Long = 2L,
+      minWords: Int = 8, maxWords: Int = 100000): DataFrame = {
+    val staged = stageFlags(docs, lang, benchMod, sampleMod,
+      minWords, maxWords)
     staged.groupBy(col("source")).agg(
       count(lit(1)).as("n_raw"),
       sum(when(col("_lang_ok"), 1L).otherwise(0L)).as("n_lang"),
@@ -92,14 +104,20 @@ object Recipe {
     * (source, first-failed-stage) the doc count and the smallest doc id
     * as a reproducible example. First-failure attribution follows the
     * stage order (lang, quality, duplicate, contaminated, sampled_out,
-    * kept), so every doc lands in exactly one reason bucket and the
-    * counts reconcile with [[pretrainFunnel]]'s stage deltas. Same
-    * single-scan flag plan + one (source, reason) aggregate. */
+    * kept) — and a quality rejection names the exact battery RULE
+    * (`quality:word_count`, `quality:top_2gram`, ...), the per-rule
+    * loss census composed into the production view — so every doc lands
+    * in exactly one reason bucket and the counts reconcile with
+    * [[pretrainFunnel]]'s stage deltas. Same single-scan flag plan +
+    * one (source, reason) aggregate. */
   def rejectionSamples(docs: DataFrame, lang: String = "en",
-      benchMod: Long = 20L, sampleMod: Long = 2L): DataFrame = {
-    val staged = stageFlags(docs, lang, benchMod, sampleMod)
+      benchMod: Long = 20L, sampleMod: Long = 2L,
+      minWords: Int = 8, maxWords: Int = 100000): DataFrame = {
+    val staged = stageFlags(docs, lang, benchMod, sampleMod,
+      minWords, maxWords)
     val reason = when(!col("_lang_ok"), "lang")
-      .when(!col("keep"), "quality")
+      .when(!col("gopher_keep"),
+        concat(lit("quality:"), col("first_failed")))
       .when(!col("_surv_d"), "duplicate")
       .when(!col("_surv_c"), "contaminated")
       .when(!col("_surv_s"), "sampled_out")

@@ -1183,36 +1183,151 @@ object TextAnalysis {
           col("top_2gram_char_ppm") <= maxTop2gramPpm)
   }
 
-  /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
-    * cheap structural rules first, model score last), evaluated in ONE
-    * narrow select — token bounds, repetition (type-token ratio),
-    * blocklist, then the hashed-feature linear classifier
-    * ([[Classifier.scoreExpr]]) — emitting the FIRST failing rule per
-    * document (`first_failed`, NULL when kept). Recording the verdict
-    * instead of silently dropping is what makes a 100 TB curation run
-    * auditable: per-rule loss rates are one groupBy over this output.
-    * Zero shuffle, zero joins — every rule is a row-local expression, so
-    * the whole chain fuses into the scan. */
-  def qualityFilterChain(df: DataFrame, idCol: String, textCol: String,
-      blocklist: Seq[String], minTokens: Int = 25, maxTokens: Int = 90,
-      minTtr: Double = 0.45, dim: Int = 64): DataFrame = {
-    val withT = df.select(col(idCol), tokens(col(textCol)).as("_toks"),
-      col(textCol).as("_text"))
-    val nTok = size(col("_toks"))
-    val ttr = size(array_distinct(col("_toks"))).cast("double") / nTok
-    val hits = TextClean.blocklistHits(col("_text"), blocklist)
-    val score = Classifier.scoreTokens(col("_toks"), dim)
-    withT.select(col(idCol),
-        nTok.as("n_tokens"),
-        ttr.as("type_token_ratio"),
-        hits.as("n_blocklist_hits"),
-        score.as("score_micronats"))
+  /** The composed Gopher battery — every Table A1 rule then every Table
+    * A2 repetition filter ([[gopherRules]] / [[gopherRepetition]] give
+    * the per-metric audit tables; this is the PRODUCTION verdict) — as a
+    * first-failure chain: `first_failed` names the first rule a document
+    * breaks in the paper's table order (NULL when kept), so the
+    * per-rule loss census of a 100 TB curation run is one groupBy over
+    * this output. One persisted narrow projection (text, words, lines,
+    * and the two SORTED copies the A2 run-folds read — the no-CSE
+    * interpreted-HOF discipline), then every metric is a row-local
+    * expression: no explode, no join, no shuffle. Word bounds default
+    * to the paper's (50..100,000) — fixture-scale callers pass their
+    * own. `keepCols` pass through untouched (the funnel composition
+    * rides them). */
+  def gopherChain(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLenPpm: Long = 3000000L, maxMeanLenPpm: Long = 10000000L,
+      maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 900000L,
+      maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with", "a"),
+      minStopwords: Int = 2,
+      maxDupLinePpm: Long = 300000L, maxDupLineCharPpm: Long = 200000L,
+      maxTop2gramPpm: Long = 200000L,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val passthru = keepCols.map(col)
+    val grams = when(size(col("_w")) >= 2,
+      transform(sequence(lit(1), size(col("_w")) - 1),
+        i => concat_ws(" ", element_at(col("_w"), i),
+          element_at(col("_w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val t = Caches.operatorPersist(df.select(Seq(col(idCol)) ++ passthru ++
+        Seq(col(textCol).as("_t"), split(col(textCol), " ").as("_w"),
+          split(col(textCol), "\n").as("_l")): _*)
+      .select(Seq(col(idCol)) ++ passthru ++ Seq(col("_t"), col("_w"),
+        col("_l"), array_sort(col("_l")).as("_lsrt"),
+        array_sort(grams).as("_gsrt")): _*))
+    // ---- A1 censuses (expressions mirror [[gopherRules]] verbatim)
+    val n = size(col("_w")).cast("long")
+    val nl = size(col("_l")).cast("long")
+    val sumLen = aggregate(transform(col("_w"), w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val hashCnt =
+      (length(col("_t")) - length(regexp_replace(col("_t"),
+        lit("#"), lit("")))).cast("long")
+    val ellCnt = ((length(col("_t")) - length(regexp_replace(col("_t"),
+      lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+    val bulletCnt = size(filter(col("_l"),
+      l => l.rlike("^[-*•]"))).cast("long")
+    val ellLineCnt = size(filter(col("_l"),
+      l => l.rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val alphaCnt = size(filter(col("_w"),
+      w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopCnt = size(filter(col("_w"),
+      w => w.isin(stopwords: _*))).cast("long")
+    // ---- A2 censuses (the sorted-run folds of [[gopherRepetition]])
+    val lineChars = aggregate(transform(col("_l"),
+      l => length(l).cast("long")), lit(0L), (a, x) => a + x)
+    val dupLines = (nl - size(array_distinct(col("_l")))).cast("long")
+    val dupLineChars = aggregate(col("_lsrt"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"),
+        lit(0L).as("t")),
+      (acc, x) => {
+        val same = x <=> acc.getField("p")
+        val run = when(same, acc.getField("r") + 1L).otherwise(lit(1L))
+        val add = when(same, when(acc.getField("r") === 1L,
+            length(x).cast("long") * 2L)
+          .otherwise(length(x).cast("long"))).otherwise(lit(0L))
+        struct(x.as("p"), run.as("r"),
+          (acc.getField("t") + add).as("t"))
+      },
+      acc => acc.getField("t"))
+    val topCover = aggregate(col("_gsrt"),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"),
+        lit(0L).as("b")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("p"), acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("b"),
+            run * length(x).cast("long")).as("b"))
+      },
+      acc => acc.getField("b"))
+    t.select(Seq(col(idCol)) ++ passthru ++ Seq(n.as("n_words"),
+        sumLen.as("_sl"), nl.as("_nl"), (hashCnt + ellCnt).as("_sy"),
+        bulletCnt.as("_bu"), ellLineCnt.as("_el"), alphaCnt.as("_al"),
+        stopCnt.as("_ns"), lineChars.as("_lc"), dupLines.as("_dl"),
+        dupLineChars.as("_dlc"), topCover.as("_tc"),
+        length(col("_t")).cast("long").as("_n")): _*)
+      .select(Seq(col(idCol)) ++ passthru ++ Seq(col("n_words"),
+        expr("(_sl * 1000000) div n_words").as("_mwl"),
+        expr("(_sy * 1000000) div n_words").as("_syp"),
+        expr("(_bu * 1000000) div _nl").as("_bup"),
+        expr("(_el * 1000000) div _nl").as("_elp"),
+        expr("(_al * 1000000) div n_words").as("_alp"),
+        col("_ns"),
+        expr("(_dl * 1000000) div _nl").as("_dlp"),
+        when(col("_lc") > 0, expr("(_dlc * 1000000) div _lc"))
+          .otherwise(0L).as("_dlcp"),
+        when(col("_n") > 0, expr("(_tc * 1000000) div _n"))
+          .otherwise(0L).as("_tcp")): _*)
       .withColumn("first_failed",
-        when(col("n_tokens") < minTokens, lit("too_short"))
-          .when(col("n_tokens") > maxTokens, lit("too_long"))
-          .when(col("type_token_ratio") < minTtr, lit("repetitive"))
-          .when(col("n_blocklist_hits") > 0, lit("blocklisted"))
-          .when(col("score_micronats") < 0, lit("classifier")))
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+            lit("word_count"))
+          .when(col("_mwl") < minMeanLenPpm || col("_mwl") > maxMeanLenPpm,
+            lit("mean_word_len"))
+          .when(col("_syp") > maxSymbolPpm, lit("symbol_ratio"))
+          .when(col("_bup") > maxBulletPpm, lit("bullet_lines"))
+          .when(col("_elp") > maxEllipsisPpm, lit("ellipsis_lines"))
+          .when(col("_alp") < minAlphaPpm, lit("alpha_words"))
+          .when(col("_ns") < minStopwords, lit("stopwords"))
+          .when(col("_dlp") > maxDupLinePpm, lit("dup_lines"))
+          .when(col("_dlcp") > maxDupLineCharPpm, lit("dup_line_chars"))
+          .when(col("_tcp") > maxTop2gramPpm, lit("top_2gram")))
+      .withColumn("gopher_keep", col("first_failed").isNull)
+      .select(Seq(col(idCol)) ++ passthru ++
+        Seq(col("first_failed"), col("gopher_keep")): _*)
+  }
+
+  /** The production filter CHAIN (the C4 / Gopher / FineWeb pattern:
+    * cheap structural rules first, model score last): the FULL
+    * [[gopherChain]] battery (Table A1 rules then Table A2 repetition
+    * filters — upgraded in round 14 from the token-bounds+TTR subset),
+    * then the whole-token blocklist, then the hashed-feature linear
+    * classifier ([[Classifier.scoreExpr]]) — emitting the FIRST failing
+    * rule per document (`first_failed`, NULL when kept). Recording the
+    * verdict instead of silently dropping is what makes a 100 TB
+    * curation run auditable: per-rule loss rates are one groupBy over
+    * this output. One persisted narrow projection (the battery's), zero
+    * joins, zero shuffle — every rule is a row-local expression fused
+    * into the scan. Word bounds default to the paper's. */
+  def qualityFilterChain(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
+      dim: Int = 64): DataFrame = {
+    val battery = gopherChain(df, idCol, textCol, minWords = minWords,
+      maxWords = maxWords, keepCols = Seq(textCol))
+    battery.select(col(idCol), col("first_failed").as("_gf"),
+        TextClean.blocklistHits(col(textCol), blocklist)
+          .as("n_blocklist_hits"),
+        Classifier.scoreTokens(tokens(col(textCol)), dim)
+          .as("score_micronats"))
+      .withColumn("first_failed",
+        coalesce(col("_gf"),
+          when(col("n_blocklist_hits") > 0, lit("blocklisted")),
+          when(col("score_micronats") < 0, lit("classifier"))))
+      .drop("_gf")
       .withColumn("keep", col("first_failed").isNull)
   }
 

@@ -367,30 +367,24 @@ object PipelineQueries {
 
   /** Shared DuckDB CTE chain for the pretraining-recipe gates
     * ([[graft.functions.Recipe.stageFlags]] replayed from raw text):
-    * yields `s4` with one row per doc carrying doc_id, source, n_tokens
-    * and the five stage flags. Final SELECTs differ per gate. */
+    * yields `s4` with one row per doc carrying doc_id, source, n_tokens,
+    * the five stage flags, and the battery's first_failed. The quality
+    * stage is the FULL Gopher battery ([[gopherBatterySql]]) at the
+    * funnel's fixture word bounds (8..100,000). Final SELECTs differ
+    * per gate. */
   private def recipeStageCtes: String = {
-    val en = TextAnalysis.Langs.head._2.map("'" + _ + "'").mkString(",")
-    s"""m AS (
+    s"""${gopherBatterySql(8, 100000)},
+       |m AS (
        |  SELECT doc_id, source, text,
        |    len(string_split(text,' ')) AS n_tokens,
-       |    len(list_distinct(string_split(text,' '))) AS n_uniq,
-       |    len(list_intersect(string_split(text,' '), [$en])) AS n_stop,
-       |    length(text) AS n_chars,
-       |    CASE WHEN len(string_split(text,' ')) - 2 <= 0 THEN 0.0
-       |         ELSE 1.0 - CAST(len($ShinglesSql) AS DOUBLE)
-       |                / (len(string_split(text,' ')) - 2) END AS rep3,
        |    $langScoreSql
        |  FROM documents),
        |f AS (
-       |  SELECT doc_id, source, text, n_tokens,
+       |  SELECT m.doc_id, m.source, m.text, m.n_tokens,
        |    ($langCaseSql) = 'en' AS lang_ok,
-       |    ((n_tokens >= 8 AND n_tokens <= 100000)
-       |     AND (CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens >= 2.0
-       |          AND CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12.0)
-       |     AND (rep3 <= 0.5)
-       |     AND (CAST(n_stop AS DOUBLE) / n_uniq >= 0.02)) AS gopher_ok
-       |  FROM m),
+       |    gv.first_failed,
+       |    gv.first_failed IS NULL AS gopher_ok
+       |  FROM m JOIN gv USING (doc_id)),
        |s2 AS (
        |  SELECT *, (lang_ok AND gopher_ok) AS surv_q,
        |    ((lang_ok AND gopher_ok) AND doc_id = min(CASE
@@ -407,7 +401,7 @@ object PipelineQueries {
        |  JOIN bg USING (gram)),
        |s4 AS (
        |  SELECT s2.doc_id, s2.source, s2.n_tokens, s2.lang_ok, s2.gopher_ok,
-       |    s2.surv_q, s2.surv_d,
+       |    s2.first_failed, s2.surv_q, s2.surv_d,
        |    (s2.surv_d AND c.cid IS NULL) AS surv_c,
        |    (s2.surv_d AND c.cid IS NULL AND ($DocHashSql) % 2 = 0) AS surv_s
        |  FROM s2 LEFT JOIN contam c ON s2.doc_id = c.cid)""".stripMargin
@@ -615,6 +609,84 @@ object PipelineQueries {
     s"""list_reduce(list_transform(
        |    regexp_extract_all(substr(md5($expr), 25, 8), '.'),
        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
+
+  /** DuckDB CTE chain recomputing the FULL Gopher battery verdict
+    * ([[graft.functions.TextAnalysis.gopherChain]]): every Table A1
+    * census, every Table A2 repetition census, the exact integer ppm
+    * ratios, and the first-failure precedence in the paper's table
+    * order. Yields `gv` (doc_id, first_failed). Word bounds are the
+    * caller's; every other threshold is the paper's. (Regexes avoid
+    * backslashes — `[.]` == `\.` — because this is an interpolated
+    * Scala string.) */
+  private def gopherBatterySql(minWords: Int, maxWords: Int): String =
+    s"""gt AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+       |         string_split(text, chr(10)) AS l FROM documents),
+       |gm AS (SELECT doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_words,
+       |        CAST(list_reduce(list_transform(w,
+       |            x -> CAST(length(x) AS BIGINT)),
+       |          (a, b) -> a + b) AS BIGINT) AS sl,
+       |        CAST(len(l) AS BIGINT) AS nl,
+       |        CAST(length(text) - length(replace(text, '#', ''))
+       |            AS BIGINT)
+       |          + CAST((length(text)
+       |            - length(replace(text, '...', ''))) // 3
+       |            AS BIGINT) AS sy,
+       |        CAST(len(list_filter(l,
+       |          x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS bu,
+       |        CAST(len(list_filter(l,
+       |          x -> regexp_matches(x, '([.][.][.]|…)$$'))) AS BIGINT) AS el,
+       |        CAST(len(list_filter(w,
+       |          x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS al,
+       |        CAST(len(list_filter(w,
+       |          x -> x IN ('the','be','to','of','and','that','have',
+       |                     'with','a'))) AS BIGINT) AS ns,
+       |        CAST(list_reduce(list_transform(l,
+       |            x -> CAST(length(x) AS BIGINT)),
+       |          (a, b) -> a + b) AS BIGINT) AS lc,
+       |        CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS dl,
+       |        CAST(list_reduce(list_transform(l,
+       |            x -> CASE WHEN len(list_filter(l, y -> y = x)) >= 2
+       |                 THEN CAST(length(x) AS BIGINT) ELSE 0 END),
+       |          (a, b) -> a + b) AS BIGINT) AS dlc,
+       |        CASE WHEN len(w) >= 2 THEN
+       |          list_transform(generate_series(1,
+       |            CAST(len(w) - 1 AS INT)),
+       |            i -> w[i] || ' ' || w[i + 1])
+       |        ELSE [] END AS g,
+       |        CAST(length(text) AS BIGINT) AS n
+       |      FROM gt),
+       |gmm AS (SELECT doc_id, n_words,
+       |         CAST((sl * 1000000) // n_words AS BIGINT) AS mwl,
+       |         CAST((sy * 1000000) // n_words AS BIGINT) AS syp,
+       |         CAST((bu * 1000000) // nl AS BIGINT) AS bup,
+       |         CAST((el * 1000000) // nl AS BIGINT) AS elp,
+       |         CAST((al * 1000000) // n_words AS BIGINT) AS alp,
+       |         ns,
+       |         CAST((dl * 1000000) // nl AS BIGINT) AS dlp,
+       |         CAST(CASE WHEN lc > 0 THEN (dlc * 1000000) // lc
+       |              ELSE 0 END AS BIGINT) AS dlcp,
+       |         CAST(CASE WHEN n > 0 THEN
+       |             (coalesce(list_max(list_transform(g,
+       |                x -> CAST(len(list_filter(g, y -> y = x)) AS BIGINT)
+       |                     * length(x))), 0) * 1000000) // n
+       |              ELSE 0 END AS BIGINT) AS tcp
+       |       FROM gm),
+       |gv AS (SELECT doc_id,
+       |        CASE WHEN n_words < $minWords OR n_words > $maxWords
+       |               THEN 'word_count'
+       |             WHEN mwl < 3000000 OR mwl > 10000000
+       |               THEN 'mean_word_len'
+       |             WHEN syp > 100000 THEN 'symbol_ratio'
+       |             WHEN bup > 900000 THEN 'bullet_lines'
+       |             WHEN elp > 300000 THEN 'ellipsis_lines'
+       |             WHEN alp < 800000 THEN 'alpha_words'
+       |             WHEN ns < 2 THEN 'stopwords'
+       |             WHEN dlp > 300000 THEN 'dup_lines'
+       |             WHEN dlcp > 200000 THEN 'dup_line_chars'
+       |             WHEN tcp > 200000 THEN 'top_2gram'
+       |        END AS first_failed
+       |      FROM gmm)""".stripMargin
 
   /** DuckDB CTE chain recomputing [[graft.functions.Classifier.linearScore]]
     * from scratch — unigram+bigram features, md5-slice bucket, the
@@ -4185,33 +4257,34 @@ object PipelineQueries {
       }),
 
     QueryDef("quality_filter_chain",
-      // the C4/Gopher/FineWeb-shaped production chain — structural rules
-      // first, model score last — in ONE narrow select, emitting the FIRST
-      // failing rule per doc (the auditability contract: per-rule loss
-      // rates are one groupBy over this output). Oracle re-derives every
-      // metric, the classifier score, and the rule precedence
+      // the C4/Gopher/FineWeb-shaped production chain — the FULL Gopher
+      // battery (Table A1 rules then Table A2 repetition filters) first,
+      // then blocklist, model score last — emitting the FIRST failing
+      // rule per doc (the auditability contract: per-rule loss rates are
+      // one groupBy over this output). Word bounds fixture-scaled
+      // (20..90); every other threshold the paper's. Oracle re-derives
+      // every battery census, the blocklist count, the classifier score,
+      // and the full rule precedence
       (s, dir) => TextAnalysis.qualityFilterChain(Tables.documents(s, dir),
-          "doc_id", "text", blocklist = Seq("dup", "spill"))
+          "doc_id", "text", blocklist = Seq("dup", "spill"),
+          minWords = 20, maxWords = 90)
         .orderBy("doc_id"),
       Some(s"""WITH $classifierScoreCteSql,
-              |m AS (SELECT doc_id,
-              |        len(string_split(text, ' ')) AS nt,
-              |        len(list_distinct(string_split(text, ' '))) AS nu,
-              |        len(list_filter(string_split(text, ' '),
-              |          t -> t IN ('dup', 'spill'))) AS nb
-              |      FROM documents),
-              |v AS (SELECT m.doc_id, nt, nu, nb, d.score_micronats,
-              |        CASE WHEN nt < 25 THEN 'too_short'
-              |             WHEN nt > 90 THEN 'too_long'
-              |             WHEN CAST(nu AS DOUBLE) / nt < 0.45 THEN 'repetitive'
-              |             WHEN nb > 0 THEN 'blocklisted'
+              |${gopherBatterySql(20, 90)},
+              |nb AS (SELECT doc_id,
+              |         len(list_filter(string_split(text, ' '),
+              |           t -> t IN ('dup', 'spill'))) AS nb
+              |       FROM documents),
+              |v AS (SELECT gv.doc_id, nb.nb, d.score_micronats,
+              |        CASE WHEN gv.first_failed IS NOT NULL
+              |               THEN gv.first_failed
+              |             WHEN nb.nb > 0 THEN 'blocklisted'
               |             WHEN d.score_micronats < 0 THEN 'classifier'
               |        END AS first_failed
-              |      FROM m JOIN d USING (doc_id))
-              |SELECT doc_id, CAST(nt AS INT) AS n_tokens,
-              |  CAST(nu AS DOUBLE) / nt AS type_token_ratio,
-              |  CAST(nb AS INT) AS n_blocklist_hits, score_micronats,
-              |  first_failed, first_failed IS NULL AS keep
+              |      FROM gv JOIN nb USING (doc_id) JOIN d USING (doc_id))
+              |SELECT doc_id, CAST(nb AS INT) AS n_blocklist_hits,
+              |  score_micronats, first_failed,
+              |  first_failed IS NULL AS keep
               |FROM v ORDER BY doc_id""".stripMargin)),
 
     QueryDef("bm25_topk",
@@ -5644,7 +5717,7 @@ object PipelineQueries {
            |r AS (
            |  SELECT source, doc_id,
            |    CASE WHEN NOT lang_ok THEN 'lang'
-           |         WHEN NOT gopher_ok THEN 'quality'
+           |         WHEN NOT gopher_ok THEN 'quality:' || first_failed
            |         WHEN NOT surv_d THEN 'duplicate'
            |         WHEN NOT surv_c THEN 'contaminated'
            |         WHEN NOT surv_s THEN 'sampled_out'

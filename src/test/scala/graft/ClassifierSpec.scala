@@ -148,32 +148,49 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(2L) == 0)
   }
 
-  test("qualityFilterChain: rule precedence, keep consistency, auditable verdicts") {
+  test("qualityFilterChain: full-battery precedence, keep consistency, auditable verdicts") {
     import graft.functions.TextAnalysis
     val docs = Tables.documents(spark, GraftTestSpark.Sf0001)
     val got = TextAnalysis.qualityFilterChain(docs, "doc_id", "text",
-        blocklist = Seq("dup", "spill"))
+        blocklist = Seq("dup", "spill"), minWords = 20, maxWords = 90)
       .collect()
     assert(got.length == docs.count())
+    // cross-check against the two independent audit tables: the chain's
+    // battery verdict must agree with gopherRules × gopherRepetition,
+    // and a battery pass can only fail on blocklist or classifier
+    val a1 = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 20, maxWords = 90)
+      .select("doc_id", "gopher_keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val a2 = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .select("doc_id", "repetition_keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batteryRules = Set("word_count", "mean_word_len", "symbol_ratio",
+      "bullet_lines", "ellipsis_lines", "alpha_words", "stopwords",
+      "dup_lines", "dup_line_chars", "top_2gram")
     got.foreach { r =>
-      val (nt, ttr, nb, score) = (r.getInt(1), r.getDouble(2), r.getInt(3),
-        r.getLong(4))
-      val failed = Option(r.getString(5))
-      val keep = r.getBoolean(6)
+      val id = r.getLong(0)
+      val (nb, score) = (r.getInt(1), r.getLong(2))
+      val failed = Option(r.getString(3))
+      val keep = r.getBoolean(4)
       assert(keep == failed.isEmpty)
-      val expect =
-        if (nt < 25) Some("too_short")
-        else if (nt > 90) Some("too_long")
-        else if (ttr < 0.45) Some("repetitive")
-        else if (nb > 0) Some("blocklisted")
-        else if (score < 0) Some("classifier")
-        else None
-      assert(failed == expect, s"doc ${r.getLong(0)}")
+      val batteryPass = a1(id) && a2(id)
+      failed match {
+        case Some(rule) if batteryRules(rule) =>
+          assert(!batteryPass, s"doc $id failed $rule but audits pass")
+        case Some("blocklisted") =>
+          assert(batteryPass && nb > 0, s"doc $id")
+        case Some("classifier") =>
+          assert(batteryPass && nb == 0 && score < 0, s"doc $id")
+        case Some(other) => fail(s"doc $id: unknown verdict $other")
+        case None =>
+          assert(batteryPass && nb == 0 && score >= 0, s"doc $id")
+      }
     }
     // the fixture exercises several rules and keeps a nonempty remainder
-    val verdicts = got.flatMap(r => Option(r.getString(5))).distinct
+    val verdicts = got.flatMap(r => Option(r.getString(3))).distinct
     assert(verdicts.length >= 3, verdicts.mkString(","))
-    assert(got.exists(_.getBoolean(6)))
+    assert(got.exists(_.getBoolean(4)))
   }
 
   test("gopherRules: every metric exact on a hand fixture; keep = the conjunction") {

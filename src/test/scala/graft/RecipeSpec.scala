@@ -68,7 +68,37 @@ class RecipeSpec extends AnyFunSuite {
       "kept" -> ((1L, 10L)),
       "duplicate" -> ((1L, 11L)),
       "lang" -> ((1L, 12L)),
-      "quality" -> ((1L, 14L))))
+      // the battery names the exact failing rule ("tiny doc" = 2 words)
+      "quality:word_count" -> ((1L, 14L))))
+  }
+
+  test("funnel quality stage IS the full Gopher battery: counts reconcile, rejection names the rule") {
+    val docs = Seq(
+      (1L, goodText(1), "s"),
+      // passes every A1 rule (12 words, mean len exactly 3.0, stopwords
+      // 'the'+'and') but the repeated "zz zz" 2-gram covers 15 of 47
+      // chars (319148 ppm > 200000) -> first A2 coverage failure
+      (2L, "the and wolf pack ran far over hill zz zz zz zz", "s"),
+      (3L, "tiny doc", "s")) // 2 words -> word_count
+      .toDF("doc_id", "text", "source")
+    val battery = TextAnalysis.gopherChain(docs, "doc_id", "text",
+        minWords = 8, maxWords = 100000)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(battery(1L).isEmpty, battery.toString)
+    assert(battery(2L).contains("top_2gram"), battery.toString)
+    assert(battery(3L).contains("word_count"), battery.toString)
+    // funnel's n_quality equals the battery's survivor count (all en)
+    val funnel = Recipe.pretrainFunnel(docs, benchMod = 1000L,
+        sampleMod = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(funnel._4 == 1L, funnel.toString)
+    // rejection census carries the per-rule loss labels
+    val reasons = Recipe.rejectionSamples(docs, benchMod = 1000L,
+        sampleMod = 1L)
+      .as[(String, String, Long, Long)].collect()
+      .map(t => t._2 -> t._4).toMap
+    assert(reasons == Map("kept" -> 1L, "quality:top_2gram" -> 2L,
+      "quality:word_count" -> 3L), reasons.toString)
   }
 
   test("funnel: sample gate applies the repo-standard md5-slice predicate") {
