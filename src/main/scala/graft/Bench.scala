@@ -161,7 +161,12 @@ object Bench {
     // loop — it stays on the clock, unlike the landed-LM apply gates),
     // round-13: plus the composed train+apply loop through the trained
     // table (join-based inference seat)
-    "classifier_train", "classifier_train_apply")
+    "classifier_train", "classifier_train_apply",
+    // round-14: the DoReMi fixed-point trajectory (corpus touched once,
+    // EG steps are driver BigInt arithmetic) and the composed
+    // full-battery production chain (battery + blocklist + classifier,
+    // one fused narrow map)
+    "mixture_doremi_trajectory", "quality_filter_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

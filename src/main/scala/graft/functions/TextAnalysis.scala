@@ -1013,6 +1013,66 @@ object TextAnalysis {
         expr("(_e * 1000000) div _z").as("weight_ppm"))
   }
 
+  /** DoReMi's Group-DRO weight TRAJECTORY (Xie et al. 2023) — `steps`
+    * exponentiated-gradient iterations, where [[doremiDomainWeights]] is
+    * the single step: each round the per-domain excess is measured
+    * against the CURRENT-MIXTURE-weighted mean loss (the coupling that
+    * makes iteration meaningful — as a hard domain gains weight it pulls
+    * the reference mean toward itself, shrinking its own excess), the
+    * weights multiply by the clipped exp and renormalize to ppm. The
+    * returned mixture carries both the final weights and the trajectory
+    * AVERAGE (`avg_weight_ppm` — the paper returns the average of the
+    * alpha iterates, its eq. 2 output).
+    *
+    * Scale shape — the [[Classifier.train]] driver-weights discipline,
+    * taken to its limit: the corpus is touched ONCE (one transition
+    * shuffle into a \|domains\|-row aggregate, collected — bounded
+    * driver metadata); every EG step is then pure driver arithmetic on
+    * \|domains\| BigInts, zero Spark jobs per step. Engine-exact: sums
+    * and means are integer (BigInt == DuckDB HUGEINT, toward-zero
+    * division on non-negative operands), the only double op is one exp
+    * per (domain, step), ppm-quantized, clipped at +13.8 nats. The
+    * domain column must be string-typed. */
+  def doremiWeightTrajectory(model: KnBigramModel, corpus: DataFrame,
+      domainCol: String, textCol: String, steps: Int = 5): DataFrame = {
+    require(steps >= 1, "steps >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trans = bigramTransitions(corpus, textCol, Some(domainCol))
+    val scored = knScoreTransitions(model, trans)
+    val byDom = scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(lit(0L) - col("m")).as("_nll"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(byDom.nonEmpty, "doremiWeightTrajectory: no scorable domains")
+    val nD = byDom.length
+    // avg NLL per domain: toward-zero division of non-negative longs
+    val avg = byDom.map { case (_, nt, nll) => BigInt(nll / nt) }
+    var a = Array.fill(nD)(BigInt(1000000L / nD))
+    val trajSum = Array.fill(nD)(BigInt(0))
+    for (_ <- 1 to steps) {
+      val sa = a.sum
+      val sm = avg.indices.map(i => a(i) * avg(i)).sum
+      val wmean = sm / sa
+      val e = avg.map { v =>
+        val clipped = (v - wmean).min(BigInt(13800000L))
+        BigInt(math.floor(
+          math.exp(clipped.toDouble / 1e6) * 1e6 + 0.5).toLong)
+      }
+      val prod = a.indices.map(i => a(i) * e(i))
+      val z = prod.sum
+      a = prod.map(p => (p * 1000000) / z).toArray
+      a.indices.foreach(i => trajSum(i) += a(i))
+    }
+    byDom.indices.map { i =>
+      (byDom(i)._1, byDom(i)._2, avg(i).toLong,
+        a(i).toLong, (trajSum(i) / steps).toLong)
+    }.toSeq.toDF(domainCol, "n_transitions", "avg_nll_micronats",
+      "weight_ppm", "avg_weight_ppm")
+  }
+
   /** The FULL Gopher rule battery (Rae et al. 2021, Table A1 — the
     * document-quality rules most production curation stacks start from),
     * as an AUDIT TABLE: every rule's metric lands next to its verdict,

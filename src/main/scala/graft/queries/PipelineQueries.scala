@@ -610,6 +610,77 @@ object PipelineQueries {
        |    regexp_extract_all(substr(md5($expr), 25, 8), '.'),
        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16 + b)""".stripMargin
 
+  /** DuckDB replay of [[graft.functions.TextAnalysis
+    * .doremiWeightTrajectory]]: the landed-LM per-domain NLL aggregate,
+    * then `steps` UNROLLED EG iterations — weighted-mean excess, clipped
+    * exp, ppm renormalization — carried between steps as MATERIALIZED
+    * HUGEINT weight CTEs (w{i}/e{i} are each referenced twice per step;
+    * inlined they would go exponential — the BPE/pagerank oracle
+    * lesson). Final SELECT joins every w{i} for the trajectory average. */
+  private def doremiTrajectoryOracleSql(steps: Int): String = {
+    val head =
+      s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |trA AS (SELECT lang, toks[i] AS prev, toks[i + 1] AS cur
+         |        FROM (SELECT lang, toks,
+         |                unnest(generate_series(1, len(toks) - 1)) AS i
+         |              FROM d WHERE len(toks) >= 2)),
+         |trT AS (SELECT toks[i] AS prev, toks[i + 1] AS cur
+         |        FROM (SELECT toks,
+         |                unnest(generate_series(1, len(toks) - 1)) AS i
+         |              FROM d WHERE doc_id % 2 = 0 AND len(toks) >= 2)),
+         |bc AS MATERIALIZED (SELECT prev, cur, count(*) AS bc FROM trT GROUP BY 1, 2),
+         |ctx AS (SELECT prev, sum(bc) AS cc, count(*) AS fol FROM bc GROUP BY 1),
+         |pre AS (SELECT cur, count(*) AS pre FROM bc GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nb,
+         |               CAST(count(DISTINCT cur) AS HUGEINT) AS vc FROM bc),
+         |sc AS (SELECT lang,
+         |         CASE WHEN coalesce(ctx.cc, 0) > 0 THEN
+         |           CAST(floor(ln(
+         |             CAST(greatest(4 * CAST(coalesce(bc.bc, 0) AS HUGEINT) - 3, 0) * (nb + vc + 1)
+         |                  + 3 * CAST(coalesce(ctx.fol, 0) AS HUGEINT)
+         |                    * (CAST(coalesce(pre.pre, 0) AS HUGEINT) + 1) AS DOUBLE)
+         |             / CAST(4 * CAST(ctx.cc AS HUGEINT) * (nb + vc + 1) AS DOUBLE))
+         |               * 1000000 + 0.5) AS BIGINT)
+         |         ELSE
+         |           CAST(floor(ln((CAST(coalesce(pre.pre, 0) AS DOUBLE) + 1.0)
+         |             / CAST(nb + vc + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         |         END AS m
+         |       FROM trA LEFT JOIN bc USING (prev, cur)
+         |       LEFT JOIN ctx USING (prev) LEFT JOIN pre USING (cur)
+         |       CROSS JOIN tot),
+         |bd AS (SELECT lang, CAST(count(*) AS BIGINT) AS nt,
+         |         CAST(sum(-m) AS BIGINT) AS nll
+         |       FROM sc GROUP BY 1),
+         |av AS (SELECT lang, nt, CAST(nll // nt AS HUGEINT) AS v FROM bd),
+         |nd AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM av),
+         |w0 AS MATERIALIZED (SELECT lang, nt, v,
+         |        CAST(1000000 // nd AS HUGEINT) AS a
+         |      FROM av CROSS JOIN nd)""".stripMargin
+    val stepCtes = (1 to steps).map { i =>
+      s"""m$i AS (SELECT CAST(sum(a * v) AS HUGEINT) AS sm,
+         |          CAST(sum(a) AS HUGEINT) AS sa FROM w${i - 1}),
+         |e$i AS MATERIALIZED (SELECT lang, nt, v, a,
+         |        CAST(floor(exp(CAST(least(v - sm // sa, 13800000)
+         |            AS DOUBLE) / 1000000.0) * 1000000 + 0.5)
+         |          AS HUGEINT) AS e
+         |      FROM w${i - 1} CROSS JOIN m$i),
+         |z$i AS (SELECT CAST(sum(a * e) AS HUGEINT) AS z FROM e$i),
+         |w$i AS MATERIALIZED (SELECT lang, nt, v,
+         |        CAST((a * e * 1000000) // z AS HUGEINT) AS a
+         |      FROM e$i CROSS JOIN z$i)""".stripMargin
+    }.mkString(",\n")
+    val trajSum = (1 to steps).map(i => s"t$i.a").mkString(" + ")
+    val joins = (2 to steps).map(i => s"JOIN w$i t$i USING (lang)")
+      .mkString(" ")
+    s"""WITH $head,
+       |$stepCtes
+       |SELECT t1.lang, t1.nt AS n_transitions,
+       |  CAST(t1.v AS BIGINT) AS avg_nll_micronats,
+       |  CAST(t$steps.a AS BIGINT) AS weight_ppm,
+       |  CAST(($trajSum) // $steps AS BIGINT) AS avg_weight_ppm
+       |FROM w1 t1 $joins ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB CTE chain recomputing the FULL Gopher battery verdict
     * ([[graft.functions.TextAnalysis.gopherChain]]): every Table A1
     * census, every Table A2 repetition census, the exact integer ppm
@@ -1490,6 +1561,22 @@ object PipelineQueries {
              |  CAST(excess AS BIGINT) AS excess_micronats,
              |  CAST((CAST(e AS HUGEINT) * 1000000) // z AS BIGINT) AS weight_ppm
              |FROM ee CROSS JOIN z ORDER BY lang""".stripMargin)),
+
+    QueryDef("mixture_doremi_trajectory",
+      // the DoReMi fixed-point loop (Xie et al. 2023): 5 EG steps with
+      // driver-held |domains| weights — each step measures excess
+      // against the CURRENT-mixture-weighted mean (the coupling), clips
+      // at +13.8 nats, exponentiates, renormalizes to ppm; output
+      // carries the final weights AND the trajectory average (the
+      // paper's eq. 2 output). Corpus touched ONCE (one transition
+      // shuffle -> |domains| rows collected); every step is driver
+      // BigInt arithmetic. Oracle unrolls all 5 steps as MATERIALIZED
+      // weight CTEs in HUGEINT
+      (s, dir) => TextAnalysis.doremiWeightTrajectory(
+          TextAnalysis.knBigramModelRead(s, knModelPath(s, dir)),
+          Tables.documents(s, dir), "lang", "text", steps = 5)
+        .orderBy("lang"),
+      Some(doremiTrajectoryOracleSql(5))),
 
     QueryDef("doc_fingerprint",
       (s, dir) => Tables.documents(s, dir)
