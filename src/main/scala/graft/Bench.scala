@@ -166,7 +166,11 @@ object Bench {
     // EG steps are driver BigInt arithmetic) and the composed
     // full-battery production chain (battery + blocklist + classifier,
     // one fused narrow map)
-    "mixture_doremi_trajectory", "quality_filter_chain")
+    "mixture_doremi_trajectory", "quality_filter_chain",
+    // round-14 second batch: C4's line-level cleaning pass (re-paged
+    // fixture text, pure narrow map) and the unigram-LM Viterbi
+    // segmenter (type-level DP folds over distinct words)
+    "quality_c4_rules", "tokenize_unigram_viterbi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

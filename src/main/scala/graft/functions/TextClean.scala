@@ -71,6 +71,72 @@ object TextClean {
         blocklistHits(col(textCol), terms).as("n_blocklist_hits"))
       .withColumn("keep", col("n_blocklist_hits") === 0)
 
+  /** C4's LINE-LEVEL cleaning pass (Raffel et al. 2020 §2.2) — the half
+    * of C4 the whole-token blocklist ([[blocklistFilter]]) and the
+    * three-sentence-span dedup (`Dedup.dedupSpans`) don't cover. C4 is a
+    * TRANSFORMER, not just a verdict: it rewrites each page to its kept
+    * lines, then judges the page on what survived. Per the paper:
+    *
+    *   - a line is RETAINED iff it ends in a terminal punctuation mark
+    *     (`.` `!` `?` or a closing quote), has at least `minLineWords`
+    *     words, and contains none of `dropLineSubstrings`
+    *     (case-insensitive; the paper drops lines with "javascript")
+    *   - the PAGE is kept iff its cleaned text has at least
+    *     `minSentences` sentences (terminal-punctuation census over the
+    *     kept lines) and the ORIGINAL text contains none of
+    *     `dropDocSubstrings` (the paper: "lorem ipsum" placeholder text,
+    *     case-insensitive, and the literal `{` that marks leaked code)
+    *
+    * Output: (id, n_lines, n_lines_kept, text_clean, n_sentences,
+    * has_lorem_ipsum, has_brace, c4_keep) — the cleaned text rides along
+    * so the funnel's next stage reads the REWRITTEN page, and the
+    * per-rule counts make loss censuses one aggregation.
+    *
+    * Scale shape: a PURE NARROW MAP — every census is a row-local array
+    * expression over the line split, no explode, no join, no shuffle;
+    * the whole pass fuses into the scan. Word counting ignores empty
+    * tokens (runs of spaces), so the census is whitespace-robust. */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minLineWords: Int = 3, minSentences: Int = 5,
+      dropLineSubstrings: Seq[String] = Seq("javascript"),
+      dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"))
+      : org.apache.spark.sql.DataFrame = {
+    def lineKept(l: Column): Column = {
+      // last-char test instead of a `$`-anchored regex: Java's `$` also
+      // matches before a trailing line terminator while RE2's does not —
+      // substring(-1) is identical in every engine
+      val term = substring(trim(l), -1, 1).isin(".", "!", "?", "\"")
+      val words = size(filter(split(l, " "), w => length(w) > 0))
+      val blocked = dropLineSubstrings
+        .map(s => lower(l).contains(s.toLowerCase))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      term && words >= minLineWords && !blocked
+    }
+    def flagName(s: String): String =
+      if (s == "{") "has_brace"
+      else "has_" + s.toLowerCase.map(c =>
+        if (c.isLetterOrDigit) c else '_')
+    val t = df.select(col(idCol), col(textCol).as("_t"),
+      split(col(textCol), "\n").as("_l"))
+    // the kept-line array is referenced twice (count + join); both reads
+    // are O(lines) row-local so recomputation under projection collapse
+    // is harmless — no persist barrier needed (contrast gopherRepetition,
+    // whose folds read SORTED copies worth materializing)
+    val keptArr = filter(col("_l"), lineKept(_))
+    val cleaned = array_join(keptArr, "\n")
+    val flags = dropDocSubstrings.map(s =>
+      lower(col("_t")).contains(s.toLowerCase).as(flagName(s)))
+    val nSent = (length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))).cast("long")
+    t.select(Seq(col(idCol), size(col("_l")).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_lines_kept"),
+        cleaned.as("text_clean"), nSent.as("n_sentences")) ++
+        flags: _*)
+      .withColumn("c4_keep",
+        dropDocSubstrings.map(s => !col(flagName(s)))
+          .foldLeft(col("n_sentences") >= minSentences)(_ && _))
+  }
+
   /** Unicode NFC normalization (canonical composition) — the codepoint-
     * level twin of [[graft.functions.TextAnalysis.normalize]]'s
     * whitespace/case pass: decomposed sequences (e + U+0301) fold to

@@ -4305,6 +4305,141 @@ object PipelineQueries {
              |   AND top_2gram_char_ppm <= 200000) AS repetition_keep
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    QueryDef("tokenize_unigram_viterbi",
+      // unigram-LM subword segmentation (Kudo 2018 — SentencePiece's
+      // Viterbi decode): every distinct word segmented into the
+      // maximum-likelihood piece sequence under a corpus-count unigram
+      // piece LM (micronat-quantized), ties to the longest last piece.
+      // Type-level: one corpus shuffle (word histogram), then the gram
+      // census, score join, and the row-local (best[], ptr[]) DP fold
+      // all run over DISTINCT words. Oracle replays the DP and the
+      // backward walk as recursive CTEs carrying the same arrays
+      (s, dir) => graft.functions.Unigram.viterbiSegment(
+          Tables.documents(s, dir), "text")
+        .orderBy("word"),
+      Some("""WITH RECURSIVE
+             |wh AS MATERIALIZED (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+             |        FROM documents)
+             |  WHERE word <> '' GROUP BY word),
+             |g AS MATERIALIZED (
+             |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq,
+             |      substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+             |    FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+             |         unnest(generate_series(1, 4)) AS t2(l)
+             |    WHERE i + l - 1 <= length(word))
+             |  GROUP BY piece),
+             |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM g),
+             |sc AS MATERIALIZED (
+             |  SELECT piece,
+             |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+             |      AS BIGINT) AS s
+             |  FROM g, tt),
+             |wm AS MATERIALIZED (
+             |  SELECT word, map_from_entries(list({'k': piece, 'v': s})) AS m
+             |  FROM (SELECT DISTINCT word,
+             |          substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+             |        FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+             |             unnest(generate_series(1, 4)) AS t2(l)
+             |        WHERE i + l - 1 <= length(word))
+             |  JOIN sc USING (piece) GROUP BY word),
+             |st AS (
+             |  SELECT word, m, 0 AS i, [CAST(0 AS BIGINT)] AS best,
+             |         CAST([] AS INT[]) AS ptr
+             |  FROM wm
+             |  UNION ALL
+             |  SELECT word, m, i + 1,
+             |         list_append(best, cand[1]),
+             |         list_append(ptr, CAST(cand[2] AS INT))
+             |  FROM (
+             |    SELECT *, list_max(list_transform(
+             |      generate_series(1, least(4, i + 1)),
+             |      l -> [best[i + 2 - l]
+             |              + m[substr(word, CAST(i + 2 - l AS INT),
+             |                  CAST(l AS INT))][1],
+             |            CAST(l AS BIGINT)])) AS cand
+             |    FROM st WHERE i < length(word))),
+             |fin AS (
+             |  SELECT word, best[length(word) + 1] AS score_micronats, ptr,
+             |         CAST(length(word) AS INT) AS n
+             |  FROM st WHERE i = length(word)),
+             |wk AS (
+             |  SELECT word, ptr, n AS pos, CAST([] AS VARCHAR[]) AS ps
+             |  FROM fin
+             |  UNION ALL
+             |  SELECT word, ptr, pos - ptr[pos] AS pos,
+             |         list_prepend(substr(word, CAST(pos - ptr[pos] + 1 AS INT),
+             |           CAST(ptr[pos] AS INT)), ps) AS ps
+             |  FROM wk WHERE pos > 0)
+             |SELECT w.word, h.freq, CAST(len(k.ps) AS INT) AS n_pieces,
+             |  w.score_micronats, array_to_string(k.ps, ' ') AS segmented
+             |FROM fin w JOIN wh h ON w.word = h.word
+             |JOIN (SELECT word, ps FROM wk WHERE pos = 0) k
+             |  ON w.word = k.word
+             |ORDER BY w.word""".stripMargin)),
+
+    QueryDef("quality_c4_rules",
+      // C4's LINE-LEVEL cleaning pass (Raffel et al. 2020 §2.2 — the
+      // transformer half; blocklist_filter is its badwords rule,
+      // dedup_spans its span dedup): keep lines ending in terminal
+      // punctuation with >= 3 words and no blocked substring, then judge
+      // the page on the KEPT lines (>= 5 sentences) plus the lorem-ipsum
+      // / brace page rules. The fixture's documents are single-line
+      // punctuation-free word soup, so the gate first RE-PAGES each text
+      // deterministically (8-word lines, every 4th line unterminated)
+      // and exercises the line-substring rule on a real corpus word
+      // ('vector') — the operator itself takes any text. Oracle replays
+      // the paging and every census
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nc = expr("(size(split(text, ' ')) + 7) div 8").cast("int")
+        val paged = array_join(transform(sequence(lit(0), nc - 1),
+          i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "),
+            when(i % 4 =!= 3, lit(".")).otherwise(lit("")))), "\n")
+        graft.functions.TextClean.c4Clean(
+            Tables.documents(s, dir).withColumn("text", paged),
+            "doc_id", "text", dropLineSubstrings = Seq("vector"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |            CAST((len(string_split(text, ' ')) + 7) // 8
+             |              AS INT) AS nc FROM documents),
+             |pg AS (SELECT doc_id,
+             |         array_to_string(list_transform(
+             |           generate_series(0, nc - 1),
+             |           i -> array_to_string(w[i*8+1 : i*8+8], ' ')
+             |                || CASE WHEN i % 4 <> 3 THEN '.'
+             |                   ELSE '' END), chr(10)) AS text
+             |       FROM w),
+             |t AS (SELECT doc_id, text,
+             |        string_split(text, chr(10)) AS l FROM pg),
+             |k AS (SELECT doc_id, text, l,
+             |        list_filter(l, x ->
+             |          right(trim(x), 1) IN ('.', '!', '?', '"')
+             |          AND len(list_filter(string_split(x, ' '),
+             |                y -> length(y) > 0)) >= 3
+             |          AND NOT contains(lower(x), 'vector')) AS kl
+             |      FROM t),
+             |c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+             |        CAST(len(kl) AS BIGINT) AS n_lines_kept,
+             |        -- array_to_string([]) is NULL in DuckDB, '' in Spark
+             |        coalesce(array_to_string(kl, chr(10)), '')
+             |          AS text_clean,
+             |        contains(lower(text), 'lorem ipsum')
+             |          AS has_lorem_ipsum,
+             |        contains(text, '{') AS has_brace
+             |      FROM k)
+             |SELECT doc_id, n_lines, n_lines_kept, text_clean,
+             |  CAST(length(text_clean) - length(regexp_replace(
+             |    text_clean, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+             |  has_lorem_ipsum, has_brace,
+             |  (length(text_clean) - length(regexp_replace(
+             |     text_clean, '[.!?]', '', 'g')) >= 5
+             |   AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     QueryDef("blocklist_filter",
       // C4's badwords filter (Raffel et al. 2020 §2.2): whole-token
       // blocklist occurrence count + keep verdict, a pure narrow map with

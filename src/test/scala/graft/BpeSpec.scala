@@ -143,4 +143,51 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("low") == Seq("low"))
     assert(seg("west") == Seq("w", "e", "s", "t"))
   }
+
+  test("unigramSegment: Viterbi DP == a plain-JVM replica, tie to longest piece") {
+    import graft.functions.Unigram
+    val docs = Seq("aba ab aba cab", "dddd aba ab", "xyzw xyzw")
+      .toDF("text")
+    val out = Unigram.viterbiSegment(docs, "text")
+      .orderBy("word")
+      .as[(String, Long, Int, Long, String)].collect().toSeq
+
+    // plain-JVM replica of the model and the DP (same quantization,
+    // same (score, length)-lexicographic candidate max)
+    val freqs = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freqs; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      cnt(w.substring(i, i + l)) = cnt.getOrElse(w.substring(i, i + l), 0L) + f
+    val t = cnt.values.sum.toDouble
+    def s(p: String): Long =
+      math.floor(math.log(cnt(p) / t) * 1e6 + 0.5).toLong
+    def dp(w: String): (Int, Long, String) = {
+      val best = Array.fill(w.length + 1)(0L)
+      val ptr = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var top = (Long.MinValue, 0)
+        for (l <- 1 to math.min(4, i)) {
+          val c = (best(i - l) + s(w.substring(i - l, i)), l)
+          if (c._1 > top._1 || (c._1 == top._1 && c._2 > top._2)) top = c
+        }
+        best(i) = top._1; ptr(i) = top._2
+      }
+      val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = w.length
+      while (pos > 0) { ps.prepend(w.substring(pos - ptr(pos), pos)); pos -= ptr(pos) }
+      (ps.length, best(w.length), ps.mkString(" "))
+    }
+    assert(out.nonEmpty)
+    for ((word, freq, nPieces, score, segd) <- out) {
+      val (en, esc, eseg) = dp(word)
+      assert(freq == freqs(word), word)
+      assert((nPieces, score, segd) == ((en, esc, eseg)), s"word=$word")
+    }
+    // the high-frequency short types segment as single pieces
+    val m = out.map(r => r._1 -> r._5).toMap
+    assert(m("aba") == "aba" && m("ab") == "ab")
+  }
 }
