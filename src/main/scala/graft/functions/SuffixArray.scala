@@ -464,6 +464,22 @@ object SuffixArray {
       val newKeys = newG.groupBy(col("_g")).agg(min(col("_t")).as("_t"))
         .persist()
       pinned += newKeys
+      // ONE (rows, text bytes) measurement of the distinct delta drives
+      // every delta-derived placement below — the md5-key probe (keys
+      // are exactly 32 chars), the prefix-frame probes (seg payload is
+      // bounded by ~seedK x the text bytes: each token lands in at most
+      // seedK prefixes), and the round-1 path choice (estimated suffix
+      // rows ~ text bytes / 6 B per token). The former form re-measured
+      // each probe frame with its own agg job — at gate scale those
+      // serial driver jobs were the merge's bill, not the data.
+      val kRow = newKeys.agg(count(lit(1)).as("_n"), coalesce(
+          sum(length(col("_t")).cast("long")), lit(0L)).as("_b")).head()
+      val (nTexts, textBytes) = (kRow.getLong(0), kRow.getLong(1))
+      def estProbe(estBytes: Long)(df: DataFrame): DataFrame =
+        if (estBytes <= probeBudgetBytes) broadcast(df)
+        else df.hint("shuffle_hash")
+      val keysProbe = estProbe(nTexts * 80L) _
+      val segProbe = estProbe(textBytes * (seedK + 9L)) _
       // ONE corpus pass serves both md5 fast-path consumers: the old
       // anchor per duplicated delta text (dupOut) and the fresh-text
       // anti-join — the corpus is SCANNED and probed against the
@@ -475,7 +491,7 @@ object SuffixArray {
       // stays recomputable, and the standalone materialization job
       // disappears; the harness sweeps the registry per query.
       val oldDupDocs = Caches.operatorPersist(
-        oldG.join(probeSide(newKeys.select("_g")), Seq("_g"))
+        oldG.join(keysProbe(newKeys.select("_g")), Seq("_g"))
           .groupBy(col("_g")).agg(min(col("_doc")).as("_odoc")))
       // fresh = delta texts the old corpus has never seen
       val newFresh = newKeys
@@ -507,11 +523,6 @@ object SuffixArray {
         pinned += t
         t
       }
-      val oldBase = reps0.select(lit(0).as("_new"), col("_or"),
-        concat(lit("d:"), col("_doc").cast("string")).as("_src"),
-        col("_pos"), col("_slen"),
-        array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
-        lit(seedK.toLong).as("_cov"), col("_seg"))
       // fresh-text suffix rows (persist barrier before the Generate,
       // the cdc_chunks discipline)
       val freshTk = newFresh
@@ -524,10 +535,170 @@ object SuffixArray {
           concat(lit("g:"), col("_g")).as("_src"),
           col("_pos").cast("long").as("_pos"),
           (size(col("_tk")) - col("_pos") + 1).cast("long").as("_slen"),
-          array().cast("array<bigint>").as("_path"), lit(0L).as("_kr"),
+          array().cast("array<bigint>").as("_path"),
           lit(seedK.toLong).as("_cov"),
           concat_ws(" ", slice(col("_tk"), col("_pos"),
             lit(seedK))).as("_seg"))
+      // ---- ADAPTIVE ROUND 1 (round 14). Two forms, chosen by the
+      // index-to-delta ratio, sharing everything from the ranking on:
+      //
+      // UNION-RANK (index <= probeRatio x estimated delta suffix rows):
+      // the whole sidecar enters the round-1 ranking. Right when the
+      // index is small relative to the delta — one range exchange of
+      // old+new is within a constant of ranking the delta alone, and it
+      // needs the FEWEST driver jobs (at gate scale the merge is
+      // job-latency-bound, not data-bound — measured).
+      //
+      // PROBE (index >> delta — the production maintenance regime: a
+      // small crawl delta into a huge landed index): the index is never
+      // ranked OR exchanged, only SCANNED. The sidecar is already in
+      // landed-rank order, so round 1 needs exactly two things:
+      //   (a) the old rows whose seedK prefix collides with a delta
+      //       prefix — an EQUI-JOIN on _seg (index scanned once, probed
+      //       against the adaptively-broadcast delta prefixes);
+      //   (b) every delta prefix's insertion point among the landed
+      //       ranks (_nor). Dup groups read it off their own matched
+      //       run IN the ranking (equal-prefix old rows are CONSECUTIVE
+      //       dense ranks, so _nor = group max(_or) + 1 is a window);
+      //       fresh prefixes binary-search a fixed-size BOUNDARY TABLE
+      //       (the seg at every ceil(R/8192)th rank, collected once —
+      //       <= 8192 rows of bounded metadata, re-entered as ONE plan
+      //       literal; seg order == rank order) for their bucket, then
+      //       count strictly-smaller segs inside that single bucket
+      //       (bucket rows = R/8192, only affected buckets move —
+      //       selected by a broadcast semi-join).
+      // The probe round-1 ranking then covers AFFECTED rows only, keyed
+      // by _seg alone — order-consistent with the full index (the seg
+      // comparison IS the index's comparator).
+      val debugTiming = oldDf.sparkSession.conf
+        .getOption("spark.graft.debugTiming").contains("true")
+      var tPrep = System.nanoTime()
+      def prepMark(label: String): Unit = if (debugTiming) {
+        System.err.println(
+          f"[sa-incr] prep:$label ${(System.nanoTime() - tPrep) / 1e9}%.2f s")
+        tPrep = System.nanoTime()
+      }
+      // R = highest landed rank (dense, so also the rank count) — one
+      // sidecar scan, both paths (the insertion arithmetic needs it)
+      val rRow = reps0.agg(max(col("_or"))).head()
+      val rMax = if (rRow.isNullAt(0)) 0L else rRow.getLong(0)
+      prepMark("rmax")
+      val probeRatio = oldDf.sparkSession.conf
+        .getOption("spark.graft.saIncr.probeRatio").map(_.toLong)
+        .getOrElse(32L)
+      // absolute floor as well as a ratio: up to every index size this
+      // box can hold (8.4M ranks, the x30 vintage) the union sort is
+      // within noise of the probe seat or better — the merge is
+      // job-latency-bound, and the probe's extra serial driver jobs
+      // (scans, boundary collect, successor join) cost what the skipped
+      // sort saves (measured, FORCED A/B at x30 1.4%: union 16.5 s vs
+      // probe 19.8 s; at sf0.1 1.4%: union 8.3 s vs probe 15.7 s). The
+      // floor therefore defaults BEYOND the measurable range: the probe
+      // seat is the billion-rank maintenance shape — an index-wide
+      // range-sort per small delta is the one thing that regime cannot
+      // afford, while scans parallelize flat — and it stays conf-gated
+      // (and spec-pinned to the same rebuild oracle) until a cluster
+      // can measure its crossover.
+      val probeMinIndex = oldDf.sparkSession.conf
+        .getOption("spark.graft.saIncr.probeMinIndex").map(_.toLong)
+        .getOrElse(32000000L)
+      val estDeltaRows = math.max(1L, textBytes / 6L)
+      val useProbe = rMax > probeRatio * estDeltaRows &&
+        (rMax > probeMinIndex || probeRatio == 0L)
+      if (debugTiming) System.err.println(
+        s"[sa-incr] path=${if (useProbe) "probe" else "union"} " +
+          s"rMax=$rMax estDeltaRows=$estDeltaRows")
+      val newWithKr = newBase.select(col("_new"), col("_or"), col("_src"),
+        col("_pos"), col("_slen"), col("_path"), lit(0L).as("_kr"),
+        col("_cov"), col("_seg"))
+      var freshNor: DataFrame = null
+      var freshNorWarm: scala.concurrent.Future[Long] = null
+      val oldBase =
+        if (!useProbe)
+          reps0.select(lit(0).as("_new"), col("_or"),
+            concat(lit("d:"), col("_doc").cast("string")).as("_src"),
+            col("_pos"), col("_slen"),
+            array().cast("array<bigint>").as("_path"),
+            lit(0L).as("_kr"), lit(seedK.toLong).as("_cov"), col("_seg"))
+        else {
+          val newSegs = newBase.select("_seg").distinct().persist()
+          pinned += newSegs
+          val matchedOld = reps0.join(segProbe(newSegs), Seq("_seg"))
+            .persist()
+          pinned += matchedOld
+          val step = math.max(1L, (rMax + 8191L) / 8192L)
+          // boundary segs COLLECTED to the driver (<= 8192 rows —
+          // bounded metadata, the offsets/tailMin discipline) and
+          // re-entered as ONE array literal: the draft attached them via
+          // crossJoin(broadcast(one-row-array-frame)), which copies the
+          // whole ~400 KB array into EVERY probe row's UnsafeRow —
+          // gigabytes of pure copy at a few thousand fresh segs
+          // (measured: round 1 9-90 s). A plan literal is referenced,
+          // never per-row copied.
+          val bsSegs = reps0.filter(((col("_or") - 1L) % lit(step)) === 0L)
+            .select(col("_seg")).collect().map(_.getString(0)).sorted
+          val bsArr = typedLit(bsSegs.toSeq)
+          prepMark("boundaries")
+          // count of boundaries <= s via a log2-depth fold (14 halvings
+          // cover the <= 8192 boundaries); bucket = count - 1, or -1
+          // when s precedes rank 1 (its successor is then rank 1)
+          def bucketOf(s: Column, arr: Column): Column =
+            aggregate(sequence(lit(1), lit(14)),
+              struct(lit(0).as("lo"), size(arr).as("hi")),
+              (acc, _) => {
+                val lo = acc.getField("lo")
+                val hi = acc.getField("hi")
+                val mid = ((lo + hi + 1) / 2).cast("int")
+                when(lo >= hi, acc).otherwise(
+                  when(element_at(arr, mid) <= s,
+                    struct(mid.as("lo"), hi.as("hi")))
+                    .otherwise(struct(lo.as("lo"), (mid - 1).as("hi"))))
+              },
+              acc => (acc.getField("lo") - 1).cast("long"))
+          // fresh-prefix successor table, warmed on a SECOND DRIVER
+          // THREAD (the dupProbeF discipline): its chain — anti-join
+          // against the matched prefixes, row-local binary search,
+          // affected-bucket semi-join, bucket-local count — is
+          // independent of the round-1 ranking, so its index scans
+          // overlap the ranking's exchange instead of serializing in
+          // front of it. Dup groups don't need it at all: their _nor
+          // rides the ranking's own group window (max(_or) + 1). Both
+          // sides are persisted, so a racing fill at worst computes a
+          // block twice.
+          freshNor = {
+            val freshB = newSegs
+              .join(segProbe(matchedOld.select("_seg").distinct()),
+                Seq("_seg"), "left_anti")
+              .select(col("_seg"), bucketOf(col("_seg"), bsArr).as("_bk"))
+              .persist()
+            pinned += freshB
+            val oldBuck = reps0
+              .select(col("_seg").as("_oseg"),
+                expr(s"(_or - 1) div $step").as("_bk"))
+              .join(broadcast(freshB.select("_bk").distinct()
+                .filter(col("_bk") >= 0)), Seq("_bk"), "left_semi")
+            freshB.filter(col("_bk") >= 0)
+              .join(oldBuck, Seq("_bk"))
+              .groupBy(col("_seg"), col("_bk"))
+              .agg(sum(when(col("_oseg") < col("_seg"), 1L).otherwise(0L))
+                .as("_c"))
+              .select(col("_seg"),
+                (col("_bk") * step + col("_c") + 1L).as("_norF"))
+              .unionAll(freshB.filter(col("_bk") < 0)
+                .select(col("_seg"), lit(1L).as("_norF")))
+              .persist()
+          }
+          pinned += freshNor
+          freshNorWarm = scala.concurrent.Future(freshNor.count())(
+            scala.concurrent.ExecutionContext.global)
+          matchedOld
+            .select(lit(0).as("_new"), col("_or"),
+              concat(lit("d:"), col("_doc").cast("string")).as("_src"),
+              col("_pos"), col("_slen"),
+              array().cast("array<bigint>").as("_path"),
+              lit(0L).as("_kr"), lit(seedK.toLong).as("_cov"),
+              col("_seg"))
+        }
       // the loop ranks on SCALAR (prev-round rank, next segment) keys:
       // a round's dense rank completely encodes the row's group path —
       // two rows differing at ANY earlier element carry different ranks
@@ -545,22 +716,18 @@ object SuffixArray {
       // geometric path survives as the fallback for groups where one
       // long member would force a large over-fetch on the rest (shared
       // boilerplate prefixes), keeping per-round bytes bounded.
-      var pending = oldBase.unionAll(newBase)
-      val debugTiming = oldDf.sparkSession.conf
-        .getOption("spark.graft.debugTiming").contains("true")
+      var pending = oldBase.unionAll(newWithKr)
       var round = 0
       var done = false
-      // R = highest landed rank; read off round 1's per-partition stats
-      // (no extra pass over the index)
-      var rMax = 0L
-      // round-1 extra stats ride the ranking job's own per-pid collect
-      val oldStatAggs = Seq(
-        sum(when(col("_or").isNotNull, 1L).otherwise(0L)).as("_c"),
-        max(col("_or")).as("_mx"))
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
+        // union-path round 1 reads its per-pid old-row counts off the
+        // ranking job's own stats collect (the running-count _nor)
         val (ranked, nRows, parted, statRows) = rankedInlineRows(pending,
-          Seq("_kr", "_seg"), nParts, oldStatAggs)
+          Seq("_kr", "_seg"), nParts,
+          if (round == 0 && !useProbe)
+            Seq(sum(when(col("_or").isNotNull, 1L).otherwise(0L)).as("_c"))
+          else Nil)
         if (nRows == 0) { done = true; parted.unpersist(blocking = false) }
         else {
           round += 1
@@ -574,35 +741,38 @@ object SuffixArray {
             max(col("_new")).over(wg).as("_hasNew"),
             max(col("_slen")).over(wg).as("_maxLen"))
           val stepped =
-            if (round == 1) {
-              // ROUND 1 ONLY: the one pass that sees the whole index. Two
-              // extra rank-properties ride the same range frame for free:
-              //   rMax — the landed rank count (per-partition max to the
-              //          driver, nParts longs);
-              //   _nor — the next OLD rank strictly after my round-1
-              //          group in index order. Old reps' round-1 order is
-              //          their landed-rank order (seedK prefixes of
-              //          sorted suffixes are non-decreasing) and their
-              //          _or values are dense 1..R, so _nor = (#old rows
-              //          with round-1 rank <= mine, ties included) + 1 —
-              //          a partition-local RUNNING COUNT whose required
-              //          sort (_pid, _rank asc) is the group-stats
-              //          window's own ordering (one sort feeds both;
-              //          the round-13 draft's reverse-min formulation
-              //          forced a second, descending sort of the whole
-              //          index), stitched across partitions by nParts
-              //          driver longs (prefix sums).
-              // Pure-old groups (no new row) are then DROPPED: their
-              // relative order IS the landed rank, recovered at the end
-              // by the insertion-offset arithmetic — they never
-              // checkpoint and never enter the final ranking.
-              // pstats come off the ranking job's own per-pid stat rows
-              // (round 14: the separate groupBy pass over the pinned
-              // range frame is gone)
-              val pstats = statRows
-                .map(r => (r.getInt(0), r.getLong(2),
-                  if (r.isNullAt(3)) 0L else r.getLong(3)))
-              rMax = if (pstats.isEmpty) 0L else pstats.map(_._3).max
+            if (round == 1 && useProbe) {
+              // probe path: input is already affected-only, so what
+              // remains round-1-specific is attaching _nor — a dup
+              // group's matched old run IS its group, so _nor =
+              // max(_or) + 1 rides the group-stats window for free;
+              // fresh groups LEFT-join the concurrently-built successor
+              // table — after the windows, so the (pid, _rank)
+              // partitioning still feeds the stats exchange-free
+              val grpMax = max(col("_or")).over(wg)
+              ranked.select(Seq(col("_new"), col("_or"), col("_src"),
+                  col("_pos"), col("_slen"), col("_cov"), col("_seg"),
+                  concat(col("_path"), array(col("_rank"))).as("_path"),
+                  col("_rank").as("_kr"), grpMax.as("_gom"))
+                  ++ statCols: _*)
+                .join(segProbe(freshNor), Seq("_seg"), "left")
+                .withColumn("_nor",
+                  coalesce(col("_gom") + 1L, col("_norF")))
+                .drop("_seg", "_gom", "_norF")
+            } else if (round == 1) {
+              // union path: the one pass that sees the whole index.
+              // _nor — the next OLD rank strictly after my round-1
+              // group in index order — is a partition-local RUNNING
+              // COUNT of old rows (ties included; old reps' round-1
+              // order is their landed-rank order and _or is dense
+              // 1..R), whose required sort (_pid, _rank asc) is the
+              // group-stats window's own ordering, stitched across
+              // partitions by nParts driver longs off the ranking job's
+              // stats. Pure-old groups are then DROPPED: their relative
+              // order IS the landed rank, recovered at the end by the
+              // insertion-offset arithmetic — they never checkpoint and
+              // never enter the final ranking.
+              val pstats = statRows.map(r => (r.getInt(0), r.getLong(2)))
               val offs = (0 until nParts).map { p =>
                 pstats.filter(_._1 < p).map(_._2).sum
               }
@@ -641,7 +811,14 @@ object SuffixArray {
                   concat(col("_path"), array(col("_or"))))
                 .otherwise(col("_path")).as("_path"),
               col("_nor"))
-          if (tokTable == null)
+          // termination read first (off the landed checkpoint): a round
+          // with zero escalators skips the tokenized-source build and
+          // the escalation-fetch plan entirely (round 14 — the old
+          // order built tokTable unconditionally, paying its persist +
+          // probe + corpus-join fills even when the merge resolved at
+          // the seedK prefix)
+          done = landed.filter(col("_esc")).isEmpty
+          if (!done && tokTable == null)
             tokTable = buildTokTable(
               landed.filter(col("_esc")).select("_src").distinct())
           // FULL-NEED fetch with a bounded overshoot: the group's whole
@@ -663,20 +840,18 @@ object SuffixArray {
             when(fullNeed <= col("_cov") * fullNeedCap, fullNeed)
               .otherwise(col("_cov") * 3L),
             lit((Int.MaxValue / 2).toLong))
-          pending = landed.filter(col("_esc"))
-            .join(tokTable.hint("shuffle_hash"), Seq("_src"))
-            .select(col("_new"), col("_or"), col("_src"), col("_pos"),
-              col("_slen"),
-              least(col("_cov") + segLen, lit((Int.MaxValue / 2).toLong))
-                .as("_cov"),
-              col("_path"), col("_kr"), col("_nor"),
-              concat_ws(" ", slice(col("_tk"),
-                (col("_pos") + col("_cov")).cast("int"),
-                segLen.cast("int"))).as("_seg"))
+          if (!done)
+            pending = landed.filter(col("_esc"))
+              .join(tokTable.hint("shuffle_hash"), Seq("_src"))
+              .select(col("_new"), col("_or"), col("_src"), col("_pos"),
+                col("_slen"),
+                least(col("_cov") + segLen, lit((Int.MaxValue / 2).toLong))
+                  .as("_cov"),
+                col("_path"), col("_kr"), col("_nor"),
+                concat_ws(" ", slice(col("_tk"),
+                  (col("_pos") + col("_cov")).cast("int"),
+                  segLen.cast("int"))).as("_seg"))
           parted.unpersist(blocking = false)
-          // termination read off the landed checkpoint (no join, no
-          // extra empty round through the range exchange)
-          done = landed.filter(col("_esc")).isEmpty
           if (debugTiming) System.err.println(
             f"[sa-incr] round $round rows=$nRows " +
               f"${(System.nanoTime() - t0) / 1e9}%.2f s done=$done")
@@ -684,6 +859,11 @@ object SuffixArray {
       }
       require(done,
         s"suffixRanksIncremental: ties unresolved after $maxRounds rounds")
+      // the successor-table warmer has surely finished by now; joining
+      // it here keeps the `finally` sweep from racing a live job
+      if (freshNorWarm != null)
+        scala.concurrent.Await.result(freshNorWarm,
+          scala.concurrent.duration.Duration.Inf)
       var tMark = System.nanoTime()
       def mark(label: String): Unit = if (debugTiming) {
         System.err.println(

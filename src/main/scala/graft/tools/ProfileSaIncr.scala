@@ -76,24 +76,53 @@ object ProfileSaIncr {
         .as("h")).agg(bit_xor(col("h"))).head()
       ()
     }
-    (1 to 2).foreach { i =>
-      time(s"incremental merge 14pct run$i") {
-        hashOf(graft.functions.SuffixArray.suffixRanksIncrementalFrom(
-          reps, base, docs, delta, "doc_id", "text"))
-      }
+    // INTERLEAVED A/B passes (round 14): merge and rebuild alternate
+    // within one JVM so a load transient hits both sides — the fixed
+    // merge-block-then-rebuild-block order let drifting box load land
+    // on one side only (measured: the same rebuild 10.7 s in one run,
+    // 36.7 s in the next). Report per-pass times AND the min-of-passes
+    // pair, the bench harness's own min-of-medians discipline.
+    val passes = if (args.length >= 3) args(2).toInt else 3
+    val mT = Array.fill(passes)(0.0)
+    val rT = Array.fill(passes)(0.0)
+    val mTs = Array.fill(passes)(0.0)
+    val rTs = Array.fill(passes)(0.0)
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    time("incremental merge 1.4pct") {
-      hashOf(graft.functions.SuffixArray.suffixRanksIncrementalFrom(
-        reps, base, docs, deltaSmall, "doc_id", "text"))
+    (0 until passes).foreach { i =>
+      mT(i) = timed(hashOf(
+        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+          reps, base, docs, delta, "doc_id", "text")))
+      println(f"PROFILE incremental merge 14pct pass$i ${mT(i)}%.2f s")
+      rT(i) = timed(hashOf(graft.functions.SuffixArray.suffixRanks(
+        docs.unionAll(delta), "doc_id", "text")))
+      println(f"PROFILE full union rebuild 14pct pass$i ${rT(i)}%.2f s")
+      mTs(i) = timed(hashOf(
+        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+          reps, base, docs, deltaSmall, "doc_id", "text")))
+      println(f"PROFILE incremental merge 1.4pct pass$i ${mTs(i)}%.2f s")
+      // A/B both round-1 forms on the small delta (the adaptive
+      // switch's own choice is the default run above)
+      spark.conf.set("spark.graft.saIncr.probeRatio", "0")
+      val tp = timed(hashOf(
+        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+          reps, base, docs, deltaSmall, "doc_id", "text")))
+      println(f"PROFILE merge 1.4pct FORCED-probe pass$i $tp%.2f s")
+      spark.conf.set("spark.graft.saIncr.probeRatio",
+        Long.MaxValue.toString)
+      val tu = timed(hashOf(
+        graft.functions.SuffixArray.suffixRanksIncrementalFrom(
+          reps, base, docs, deltaSmall, "doc_id", "text")))
+      println(f"PROFILE merge 1.4pct FORCED-union pass$i $tu%.2f s")
+      spark.conf.unset("spark.graft.saIncr.probeRatio")
+      rTs(i) = timed(hashOf(graft.functions.SuffixArray.suffixRanks(
+        docs.unionAll(deltaSmall), "doc_id", "text")))
+      println(f"PROFILE full union rebuild 1.4pct pass$i ${rTs(i)}%.2f s")
     }
-    time("full union rebuild 14pct") {
-      hashOf(graft.functions.SuffixArray.suffixRanks(
-        docs.unionAll(delta), "doc_id", "text"))
-    }
-    time("full union rebuild 1.4pct") {
-      hashOf(graft.functions.SuffixArray.suffixRanks(
-        docs.unionAll(deltaSmall), "doc_id", "text"))
-    }
+    println(f"PROFILE BEST merge14=${mT.min}%.2f rebuild14=${rT.min}%.2f " +
+      f"ratio=${mT.min / rT.min}%.2f | merge1.4=${mTs.min}%.2f " +
+      f"rebuild1.4=${rTs.min}%.2f ratio=${mTs.min / rTs.min}%.2f")
     spark.stop()
   }
 }

@@ -976,6 +976,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("suffixRanksIncremental: PROBE round-1 == union round-1 == rebuild on the same fixtures") {
+    // the adaptive switch picks union-rank on these tiny fixtures
+    // (index ~ delta); force the probe seat so both round-1 forms stay
+    // pinned to the same rebuild oracle
+    import graft.functions.SuffixArray
+    val oldDocs = Seq(
+      (1L, "b a n a n a"),
+      (2L, "a n a b"),
+      (3L, "b a n a n a"),
+      (4L, "n a b a")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "b a n a n a"),
+      (11L, "b a n a n a q"),
+      (12L, "a n a b"),
+      (13L, "c c c"),
+      (14L, "b a n a n a q"),
+      (15L, "n a b"),
+      (16L, "A a n")).toDF("doc_id", "text")
+    val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
+    val want = SuffixArray.suffixRanks(oldDocs.unionAll(delta),
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    spark.conf.set("spark.graft.saIncr.probeRatio", "0")
+    try {
+      val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
+          "doc_id", "text", nParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(got == want)
+      // degenerate deltas through the probe seat too
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val gotEmpty = SuffixArray.suffixRanksIncremental(base, oldDocs,
+          empty, "doc_id", "text", nParts = 4).count()
+      assert(gotEmpty == base.count())
+    } finally spark.conf.unset("spark.graft.saIncr.probeRatio")
+  }
+
   test("suffixRanksIncremental: degenerate deltas — empty delta, all-dup delta") {
     import graft.functions.SuffixArray
     val oldDocs = Seq((1L, "x y z"), (2L, "y z x")).toDF("doc_id", "text")
