@@ -603,8 +603,13 @@ object SuffixArray {
         .getOption("spark.graft.saIncr.probeMinIndex").map(_.toLong)
         .getOrElse(32000000L)
       val estDeltaRows = math.max(1L, textBytes / 6L)
-      val useProbe = rMax > probeRatio * estDeltaRows &&
-        (rMax > probeMinIndex || probeRatio == 0L)
+      // ratio compared via DIVISION, never `probeRatio * estDeltaRows`:
+      // the multiply overflows Long when a forced-union run sets
+      // probeRatio = Long.MaxValue (wraps negative for estDeltaRows >= 2
+      // and would silently satisfy the clause on a large index)
+      val useProbe =
+        if (probeRatio == 0L) rMax > 0L // forced-probe escape hatch
+        else rMax / estDeltaRows > probeRatio && rMax > probeMinIndex
       if (debugTiming) System.err.println(
         s"[sa-incr] path=${if (useProbe) "probe" else "union"} " +
           s"rMax=$rMax estDeltaRows=$estDeltaRows")
@@ -635,8 +640,16 @@ object SuffixArray {
           // gigabytes of pure copy at a few thousand fresh segs
           // (measured: round 1 9-90 s). A plan literal is referenced,
           // never per-row copied.
+          // sorted by _or, NOT by the seg strings: the ranks were minted
+          // under Spark's binary UTF-8 comparison, while a driver-side
+          // .sorted would use Java's UTF-16 code-unit order — the two
+          // disagree for supplementary-plane chars (emoji) mixed with
+          // U+E000..U+FFFF, which would send fresh prefixes to wrong
+          // buckets exactly in the non-ASCII crawl regime the probe seat
+          // is built for. Rank order IS the engine's seg order, exact.
           val bsSegs = reps0.filter(((col("_or") - 1L) % lit(step)) === 0L)
-            .select(col("_seg")).collect().map(_.getString(0)).sorted
+            .select(col("_or"), col("_seg")).collect()
+            .sortBy(_.getLong(0)).map(_.getString(1))
           val bsArr = typedLit(bsSegs.toSeq)
           prepMark("boundaries")
           // count of boundaries <= s via a log2-depth fold (14 halvings

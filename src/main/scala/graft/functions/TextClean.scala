@@ -97,7 +97,7 @@ object TextClean {
     * the whole pass fuses into the scan. Word counting ignores empty
     * tokens (runs of spaces), so the census is whitespace-robust. */
   def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, minLineWords: Int = 3, minSentences: Int = 5,
+      textCol: String, minLineWords: Int = 5, minSentences: Int = 3,
       dropLineSubstrings: Seq[String] = Seq("javascript"),
       dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"))
       : org.apache.spark.sql.DataFrame = {

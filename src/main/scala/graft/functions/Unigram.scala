@@ -97,12 +97,18 @@ object Unigram {
 
     // persist barrier before the walk (the no-CSE interpreted-HOF
     // discipline): the walk fold reads ptr[] once per step; without the
-    // barrier a collapsed projection would re-run the whole DP per read
+    // barrier a collapsed projection would re-run the whole DP per read.
+    // The dp fold itself is projected ONCE into a struct column and its
+    // two fields read in a SECOND select — interpreted HOFs get no CSE,
+    // so reading dp.best and dp.ptr in one projection would run the
+    // whole O(len*maxPieceLen) fold twice per distinct word
     val solved = Caches.operatorPersist(
       wh.join(wordMap, "word")
+        .select(col("word"), col("freq"), dp.as("_dp"))
         .select(col("word"), col("freq"),
-          element_at(dp.getField("best"), n + 1).as("score_micronats"),
-          dp.getField("ptr").as("_ptr")))
+          element_at(col("_dp").getField("best"),
+            length(col("word")) + 1).as("score_micronats"),
+          col("_dp").getField("ptr").as("_ptr")))
 
     // backward walk: fold runs n times, each step either consumes one
     // piece (pos > 0) or is a no-op — n steps always suffice (every

@@ -4384,8 +4384,8 @@ object PipelineQueries {
       // C4's LINE-LEVEL cleaning pass (Raffel et al. 2020 §2.2 — the
       // transformer half; blocklist_filter is its badwords rule,
       // dedup_spans its span dedup): keep lines ending in terminal
-      // punctuation with >= 3 words and no blocked substring, then judge
-      // the page on the KEPT lines (>= 5 sentences) plus the lorem-ipsum
+      // punctuation with >= 5 words and no blocked substring, then judge
+      // the page on the KEPT lines (>= 3 sentences) plus the lorem-ipsum
       // / brace page rules. The fixture's documents are single-line
       // punctuation-free word soup, so the gate first RE-PAGES each text
       // deterministically (8-word lines, every 4th line unterminated)
@@ -4419,7 +4419,7 @@ object PipelineQueries {
              |        list_filter(l, x ->
              |          right(trim(x), 1) IN ('.', '!', '?', '"')
              |          AND len(list_filter(string_split(x, ' '),
-             |                y -> length(y) > 0)) >= 3
+             |                y -> length(y) > 0)) >= 5
              |          AND NOT contains(lower(x), 'vector')) AS kl
              |      FROM t),
              |c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
@@ -4436,7 +4436,7 @@ object PipelineQueries {
              |    text_clean, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
              |  has_lorem_ipsum, has_brace,
              |  (length(text_clean) - length(regexp_replace(
-             |     text_clean, '[.!?]', '', 'g')) >= 5
+             |     text_clean, '[.!?]', '', 'g')) >= 3
              |   AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep
              |FROM c ORDER BY doc_id""".stripMargin)),
 

@@ -109,13 +109,18 @@ object ProfileSaIncr {
         graft.functions.SuffixArray.suffixRanksIncrementalFrom(
           reps, base, docs, deltaSmall, "doc_id", "text")))
       println(f"PROFILE merge 1.4pct FORCED-probe pass$i $tp%.2f s")
+      // force union on BOTH gates (ratio via division can't overflow,
+      // and the absolute floor backstops it at any index size)
       spark.conf.set("spark.graft.saIncr.probeRatio",
+        Long.MaxValue.toString)
+      spark.conf.set("spark.graft.saIncr.probeMinIndex",
         Long.MaxValue.toString)
       val tu = timed(hashOf(
         graft.functions.SuffixArray.suffixRanksIncrementalFrom(
           reps, base, docs, deltaSmall, "doc_id", "text")))
       println(f"PROFILE merge 1.4pct FORCED-union pass$i $tu%.2f s")
       spark.conf.unset("spark.graft.saIncr.probeRatio")
+      spark.conf.unset("spark.graft.saIncr.probeMinIndex")
       rTs(i) = timed(hashOf(graft.functions.SuffixArray.suffixRanks(
         docs.unionAll(deltaSmall), "doc_id", "text")))
       println(f"PROFILE full union rebuild 1.4pct pass$i ${rTs(i)}%.2f s")

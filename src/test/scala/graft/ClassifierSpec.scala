@@ -507,33 +507,37 @@ class ClassifierSpec extends AnyFunSuite {
   test("c4Clean: line retention rules, sentence census, page verdicts") {
     import graft.functions.TextClean
     val docs = Seq(
-      // 6 kept lines (terminal punct, >=3 words, no 'javascript'),
-      // 1 dropped for punct, 1 dropped short, 1 dropped substring
-      (1L, Seq("one two three.", "four five six!", "seven eight nine?",
-        "ten eleven \"twelve.\"", "unterminated line here",
-        "too short.", "contains javascript code.",
-        "alpha beta gamma.", "delta epsilon zeta.",
-        "eta theta iota.").mkString("\n")),
+      // 7 kept lines (terminal punct, >=5 words — the paper's default —
+      // no 'javascript'), 1 dropped for punct, 1 dropped short (4 words
+      // < 5), 1 dropped substring
+      (1L, Seq("one two three four five.",
+        "six seven eight nine ten eleven!",
+        "does this line have five words?",
+        "ten eleven \"twelve thirteen fourteen.\"",
+        "unterminated line here with words",
+        "four words too short.", "contains javascript code right here.",
+        "alpha beta gamma delta epsilon.", "zeta eta theta iota kappa.",
+        "lambda mu nu xi omicron.").mkString("\n")),
       // page rules: enough sentences but lorem ipsum
-      (2L, Seq.fill(6)("lorem ipsum filler words.").mkString("\n")),
-      // page rules: brace
+      (2L, Seq.fill(6)("lorem ipsum filler words here.").mkString("\n")),
+      // page rules: brace ('{' counts as a word — 5 words, line kept)
       (3L, Seq.fill(6)("some code { inline words.").mkString("\n")),
-      // too few sentences after cleaning
-      (4L, "just one kept line.\nnope\nnah")).toDF("doc_id", "text")
+      // too few sentences after cleaning (1 < minSentences=3)
+      (4L, "just one kept line here.\nnope\nnah")).toDF("doc_id", "text")
     val out = TextClean.c4Clean(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
           r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
     val (nl1, nk1, clean1, ns1, lo1, br1, keep1) = out(1L)
-    assert(nl1 == 10 && nk1 == 7, "kept = terminal+3words+no-substring")
+    assert(nl1 == 10 && nk1 == 7, "kept = terminal+5words+no-substring")
     assert(!clean1.contains("unterminated") && !clean1.contains("short") &&
       !clean1.contains("javascript"))
     // sentences = [.!?] census over kept lines: 7 kept lines, one of
-    // which ('twelve.\"') carries its period before the closing quote
+    // which ('fourteen.\"') carries its period before the closing quote
     assert(ns1 == 7 && !lo1 && !br1 && keep1)
     assert(!out(2L)._7 && out(2L)._5, "lorem ipsum page dropped")
     assert(!out(3L)._7 && out(3L)._6, "brace page dropped")
     assert(out(4L)._2 == 1 && out(4L)._4 == 1 && !out(4L)._7,
-      "a 1-sentence page fails the >=5-sentence rule")
+      "a 1-sentence page fails the >=3-sentence rule")
   }
 }

@@ -1009,6 +1009,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val gotEmpty = SuffixArray.suffixRanksIncremental(base, oldDocs,
           empty, "doc_id", "text", nParts = 4).count()
       assert(gotEmpty == base.count())
+      // non-BMP pin: supplementary-plane U+1F600 (UTF-8 F0..) and
+      // U+E000 (UTF-8 EE..) sort DIFFERENTLY under Java's UTF-16
+      // code-unit order (surrogate 0xD83D < 0xE000) vs Spark's binary
+      // UTF-8 (F0 > EE) — the probe's boundary table must follow the
+      // engine's rank order or fresh prefixes land in wrong buckets.
+      // step=1 on this fixture, so EVERY old rank is a boundary.
+      val emo = "\uD83D\uDE00" // U+1F600 as a surrogate pair
+      val pua = "\uE000"         // private-use BMP, 3-byte UTF-8
+      val uniOld = Seq(
+        (1L, s"$pua a b"), (2L, s"$emo a b"), (3L, s"z $pua $emo"),
+        (4L, s"a $emo $pua b")).toDF("doc_id", "text")
+      val uniDelta = Seq(
+        (10L, s"$emo z"), (11L, s"$pua $emo q"), (12L, s"$emo a b"),
+        (13L, s"$pua$pua c")).toDF("doc_id", "text")
+      val uniBase = SuffixArray.suffixRanks(uniOld, "doc_id", "text",
+        nParts = 4)
+      val uniWant = SuffixArray.suffixRanks(uniOld.unionAll(uniDelta),
+          "doc_id", "text", nParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val uniGot = SuffixArray.suffixRanksIncremental(uniBase, uniOld,
+          uniDelta, "doc_id", "text", nParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      assert(uniGot == uniWant)
     } finally spark.conf.unset("spark.graft.saIncr.probeRatio")
   }
 
