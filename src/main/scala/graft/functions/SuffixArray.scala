@@ -410,17 +410,19 @@ object SuffixArray {
     // sidecar seedK validation (the sidecar carries it since round 13):
     // a cap mismatch between old `_seg` and new-row prefixes would put
     // equal suffixes in different round-1 groups — wrong output, no
-    // error — so fail loudly instead. head(1) reads one row, not the
-    // index; older sidecars without the column skip the check.
-    val reps0 =
-      if (mergeReps.columns.contains("_seedk")) {
-        mergeReps.select(col("_seedk")).head(1).foreach { r =>
-          require(r.getInt(0) == seedK,
-            s"sidecar was built with seedK=${r.getInt(0)}, caller passed " +
-              s"$seedK — rebuild the sidecar or pass its seedK")
-        }
-        mergeReps.drop("_seedk")
-      } else mergeReps
+    // error — so fail loudly instead. Since round 15 the check rides the
+    // rMax aggregate (ONE sidecar scan on a SECOND DRIVER THREAD,
+    // overlapping the delta measurement below, instead of a head(1) job
+    // + an agg job in series); older sidecars without the column skip it.
+    val hasSeedCol = mergeReps.columns.contains("_seedk")
+    val reps0 = if (hasSeedCol) mergeReps.drop("_seedk") else mergeReps
+    val sidecarStatsF = scala.concurrent.Future {
+      val aggs = max(col("_or")).as("_m") +:
+        (if (hasSeedCol)
+          Seq(min(col("_seedk")).as("_klo"), max(col("_seedk")).as("_khi"))
+        else Nil)
+      mergeReps.agg(aggs.head, aggs.tail: _*).head()
+    }(scala.concurrent.ExecutionContext.global)
     val pinned = ArrayBuffer.empty[DataFrame]
     // frozen rounds checkpoint once each and stay live to the final
     // ranking — AFFECTED rows only (round-1 groups containing a new
@@ -507,10 +509,19 @@ object SuffixArray {
       // delta-neighborhood-sized, so it takes the adaptive probe side:
       // broadcast keeps the corpus text scan exchange-free.
       var tokTable: DataFrame = null
-      def buildTokTable(escSrcs: DataFrame): DataFrame = {
+      def buildTokTable(escSrcs: DataFrame,
+          estBytes: Option[Long]): DataFrame = {
         val esc = escSrcs.persist()
         pinned += esc
-        val escProbe = probeSide(esc)
+        // probe-side placement from the checkpoint job's OBSERVED
+        // escalator byte sum (an upper bound on the distinct-src key
+        // bytes) — no standalone measurement job; the measured
+        // probeSide() form remains the fallback when the observation
+        // was missed
+        val escProbe = estBytes match {
+          case Some(b) => estProbe(b)(esc)
+          case None => probeSide(esc)
+        }
         val t = oldG.select(concat(lit("d:"), col("_doc").cast("string"))
             .as("_src"), col("_t"))
           .join(escProbe, Seq("_src"))
@@ -579,8 +590,15 @@ object SuffixArray {
         tPrep = System.nanoTime()
       }
       // R = highest landed rank (dense, so also the rank count) — one
-      // sidecar scan, both paths (the insertion arithmetic needs it)
-      val rRow = reps0.agg(max(col("_or"))).head()
+      // sidecar scan, both paths (the insertion arithmetic needs it);
+      // computed on the overlapped thread above, consumed here
+      val rRow = scala.concurrent.Await.result(sidecarStatsF,
+        scala.concurrent.duration.Duration.Inf)
+      if (hasSeedCol && !rRow.isNullAt(1)) {
+        require(rRow.getInt(1) == seedK && rRow.getInt(2) == seedK,
+          s"sidecar was built with seedK=${rRow.getInt(1)}, caller " +
+            s"passed $seedK — rebuild the sidecar or pass its seedK")
+      }
       val rMax = if (rRow.isNullAt(0)) 0L else rRow.getLong(0)
       prepMark("rmax")
       val probeRatio = oldDf.sparkSession.conf
@@ -811,9 +829,26 @@ object SuffixArray {
           // union (pure-old rows never land anywhere). A group that
           // full-need-fetched last round has _maxLen <= _cov and freezes
           // here: remaining ties are whole-suffix duplicates.
+          //
+          // TERMINATION RIDES THE CHECKPOINT JOB (round 15): an
+          // Observation on the checkpointed plan counts escalator rows
+          // (and sums their _src bytes — the tokTable probe-side
+          // estimate) during the materialization itself, replacing the
+          // standalone isEmpty job per round — whose done=true case was
+          // the expensive one (take(1)'s scale-up scans every partition
+          // to find nothing). The short poll + isEmpty fallback below
+          // covers the case where the checkpoint action does not report
+          // observed metrics (a Spark-internal contract this code never
+          // bets correctness on).
+          val obs = new org.apache.spark.sql.Observation()
           val landed = Checkpoints.eager(stepped
             .withColumn("_esc", col("_n") > 1 && col("_hasNew") === 1 &&
-              col("_maxLen") > col("_cov")))
+              col("_maxLen") > col("_cov"))
+            .observe(obs,
+              count(when(col("_esc"), 1L)).as("_ne"),
+              sum(when(col("_esc"),
+                length(col("_src")).cast("long") + 64L)
+                .otherwise(0L)).as("_nb")))
           // a subgroup that split PURE-OLD in a later round needs no
           // content: landed rank order is content order — appended as
           // the subgroup's final path element (these rows stay in the
@@ -824,16 +859,33 @@ object SuffixArray {
                   concat(col("_path"), array(col("_or"))))
                 .otherwise(col("_path")).as("_path"),
               col("_nor"))
-          // termination read first (off the landed checkpoint): a round
-          // with zero escalators skips the tokenized-source build and
-          // the escalation-fetch plan entirely (round 14 — the old
-          // order built tokTable unconditionally, paying its persist +
-          // probe + corpus-join fills even when the merge resolved at
-          // the seedK prefix)
-          done = landed.filter(col("_esc")).isEmpty
+          // termination read first: a round with zero escalators skips
+          // the tokenized-source build and the escalation-fetch plan
+          // entirely. The count comes from the checkpoint job's own
+          // observed metrics (see above); the poll-then-fallback keeps
+          // a missed observation from ever hanging or mis-terminating.
+          val escStats: Option[(Long, Long)] =
+            try {
+              val row = scala.concurrent.Await.result(obs.future,
+                scala.concurrent.duration.Duration(500,
+                  java.util.concurrent.TimeUnit.MILLISECONDS))
+              def asL(i: Int): Long =
+                if (row.isNullAt(i)) 0L else row.getLong(i)
+              Some((asL(row.fieldIndex("_ne")), asL(row.fieldIndex("_nb"))))
+            } catch {
+              case _: java.util.concurrent.TimeoutException => None
+            }
+          done = escStats match {
+            case Some((ne, _)) => ne == 0L
+            case None =>
+              if (debugTiming) System.err.println(
+                "[sa-incr] observation missed; isEmpty fallback")
+              landed.filter(col("_esc")).isEmpty
+          }
           if (!done && tokTable == null)
             tokTable = buildTokTable(
-              landed.filter(col("_esc")).select("_src").distinct())
+              landed.filter(col("_esc")).select("_src").distinct(),
+              escStats.map(_._2))
           // FULL-NEED fetch with a bounded overshoot: the group's whole
           // remaining need (_maxLen - _cov, group-uniform — _maxLen is a
           // group stat, _cov group-uniform) is grabbed when it is within
@@ -914,7 +966,7 @@ object SuffixArray {
               coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
                 .as(s"_k$i")): _*))
       }
-      val (localRanked, _, fparted, _) =
+      val (localRanked, nAffected, fparted, _) =
         rankedInlineRows(all, keyCols, nParts, persistSrc = false)
       // the output below is returned lazily — sever lineage so the
       // range frame and the per-round checkpoints can release now
@@ -931,8 +983,15 @@ object SuffixArray {
       // ---- class table: one row per affected CLASS (equal full paths =
       // rows tied forever = one dense-rank class). A class holds at most
       // one old rank (landed ranks are dense over distinct suffixes).
-      val ct = local.groupBy(col("_lr")).agg(min(col("_or")).as("_cor"),
-        min(col("_nor")).as("_nor2"), max(col("_new")).as("_hasN"))
+      // ONE exchange, not two (round 15): the range exchange runs FIRST
+      // and the group-by aggregates on it in place — RangePartitioning
+      // on the grouping key satisfies the aggregate's clustering
+      // requirement, so no hash exchange is inserted (the former
+      // groupBy-then-repartitionByRange form shuffled the class rows
+      // twice on the same key)
+      val ct = local.repartitionByRange(nParts, col("_lr"))
+        .groupBy(col("_lr")).agg(min(col("_or")).as("_cor"),
+          min(col("_nor")).as("_nor2"), max(col("_new")).as("_hasN"))
       // REGISTERED persist (round 14): cparted/jparted and the derived
       // newIdx/mapping/classRanks frames below all stay cached through
       // the caller's lazy evaluation of the returned output and release
@@ -941,8 +1000,7 @@ object SuffixArray {
       // every other frame materializes inside the output job itself
       // (the eager-checkpoint form paid one standalone job per frame).
       val cparted = Caches.operatorPersist(
-        ct.repartitionByRange(nParts, col("_lr"))
-          .withColumn("_pid", spark_partition_id()))
+        ct.withColumn("_pid", spark_partition_id()))
       // one per-partition collect serves BOTH cross-partition stitches:
       // suffix-min of _cor (the next-anchor lookup) and prefix-sum of
       // the new-only class counts (their 1..N numbering)
@@ -988,9 +1046,11 @@ object SuffixArray {
       // (old rank -> offset) column by a CHUNKED narrow generate: chunk
       // starts shuffle (tiny), each task expands <= 64k ranks, so one
       // giant gap never serializes into one task
-      val jump = newIdx.groupBy(col("_t")).agg(max(col("_i")).as("_ins"))
+      // range-exchange FIRST, aggregate in place (the ct discipline
+      // above) — one shuffle of the new-only class rows, not two
       val jparted = Caches.operatorPersist(
-        jump.repartitionByRange(nParts, col("_t"))
+        newIdx.repartitionByRange(nParts, col("_t"))
+          .groupBy(col("_t")).agg(max(col("_i")).as("_ins"))
           .withColumn("_pid", spark_partition_id()))
       val wLead = Window.partitionBy(col("_pid")).orderBy(col("_t"))
       val jump2 = jparted.withColumn("_tn",
@@ -1007,12 +1067,20 @@ object SuffixArray {
             least(col("_s") + lit(chunk - 1), col("_hi"))))
             .as("suffix_rank"),
           col("_ins")))
+      // the offset table is rMax rows of two longs — ADAPTIVELY
+      // broadcast (round 15): under the probe budget the output-sized
+      // union below joins it with NO exchange at all (the gate-scale
+      // artifact join was the output phase's one big shuffle); past the
+      // budget the shuffle_hash form stands, the 100-TB seat
+      val mappingProbe =
+        if (rMax * 64L <= probeBudgetBytes) broadcast(mapping)
+        else mapping.hint("shuffle_hash")
       // ---- final ranks per affected class: an ANCHORED class (>= one
       // old member; tying new rows share it) maps through its anchor's
       // offset; a new-only class is (t - 1) + i
       val anch = ct2.filter(col("_cor").isNotNull && col("_hasN") === 1)
         .select(col("_lr"), col("_cor").as("suffix_rank"))
-        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
+        .join(mappingProbe, Seq("suffix_rank"), "left")
         .select(col("_lr"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L))).as("_fr"))
       val classRanks = Caches.operatorPersist(anch.unionAll(
@@ -1035,13 +1103,16 @@ object SuffixArray {
       val shiftedOut = ranks
         .select(col(idCol), col("pos"), col("suffix_rank"))
         .unionAll(dupSel)
-        .join(mapping.hint("shuffle_hash"), Seq("suffix_rank"), "left")
+        .join(mappingProbe, Seq("suffix_rank"), "left")
         .select(col(idCol), col("pos"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
             .as("suffix_rank"))
       // fresh delta texts: affected new rows -> class rank -> member docs
+      // (classRanks is affected-class-sized — <= nAffected rows, known
+      // driver-side off the final ranking's own stats — so it takes the
+      // adaptive probe side like every delta-derived frame)
       val freshOut = local.filter(col("_new") === 1)
-        .join(classRanks.hint("shuffle_hash"), Seq("_lr"))
+        .join(estProbe(nAffected * 64L)(classRanks), Seq("_lr"))
         .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
           col("_fr"))
         .join(newMembers.hint("shuffle_hash"), Seq("_g"))
