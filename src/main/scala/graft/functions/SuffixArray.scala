@@ -750,12 +750,49 @@ object SuffixArray {
       var pending = oldBase.unionAll(newWithKr)
       var round = 0
       var done = false
+      // FUSED FINAL RANKING (round 15): from round 2 on, every frozen
+      // row rides the round's ranking as a PASSENGER — keyed by its
+      // padded rank path (+ `_fkey`, see the freeze below) exactly as
+      // the former standalone final ranking keyed it — so the round
+      // that ends with zero escalators has ALREADY ordered every
+      // affected row and IS the final ranking: the separate
+      // union-frozen-parts + rank + checkpoint phase (two more serial
+      // jobs over the same delta-sized rows) no longer exists. A round
+      // that does escalate simply discards its passengers' ranks (they
+      // stay in frozenParts) — the ride was one delta-neighborhood-
+      // sized re-exchange, bounded by the round count.
+      var fusedLocal: DataFrame = null
+      var nAffectedBound = 0L
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
+        // rounds >= 2 rank (padded path keys, passenger sort key last);
+        // round 1 ranks the scalar (_kr, _seg) pair as before
+        val p = round // active rows' current path length
+        val (rankInput, rankKeys) =
+          if (p == 0 || frozenParts.isEmpty)
+            (pending.withColumn("_psg", lit(0))
+              .withColumn("_sk", col("_seg")), Seq("_kr", "_seg"))
+          else {
+            val act = pending.select(col("_new"), col("_or"), col("_src"),
+              col("_pos"), col("_slen"), col("_cov"), col("_path"),
+              col("_kr"), col("_nor"), lit(0).as("_psg"),
+              col("_seg").as("_sk"))
+            val psg = frozenParts.map(_.select(col("_new"), col("_or"),
+              col("_src"), col("_pos"), lit(0L).as("_slen"),
+              lit(0L).as("_cov"), col("_path"), lit(0L).as("_kr"),
+              col("_nor"), lit(1).as("_psg"), col("_fkey").as("_sk")))
+              .reduce(_ unionAll _)
+            val both = act.unionAll(psg)
+            val keyed = both.select(both.columns.map(col) ++
+              (1 to p).map(i =>
+                coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
+                  .as(s"_rk$i")): _*)
+            (keyed, (1 to p).map(i => s"_rk$i") :+ "_sk")
+          }
         // union-path round 1 reads its per-pid old-row counts off the
         // ranking job's own stats collect (the running-count _nor)
-        val (ranked, nRows, parted, statRows) = rankedInlineRows(pending,
-          Seq("_kr", "_seg"), nParts,
+        val (ranked, nRows, parted, statRows) = rankedInlineRows(rankInput,
+          rankKeys, nParts,
           if (round == 0 && !useProbe)
             Seq(sum(when(col("_or").isNotNull, 1L).otherwise(0L)).as("_c"))
           else Nil)
@@ -783,6 +820,7 @@ object SuffixArray {
               val grpMax = max(col("_or")).over(wg)
               ranked.select(Seq(col("_new"), col("_or"), col("_src"),
                   col("_pos"), col("_slen"), col("_cov"), col("_seg"),
+                  col("_psg"), col("_sk"), col("_pid"),
                   concat(col("_path"), array(col("_rank"))).as("_path"),
                   col("_rank").as("_kr"), grpMax.as("_gom"))
                   ++ statCols: _*)
@@ -814,6 +852,7 @@ object SuffixArray {
                 .rangeBetween(Window.unboundedPreceding, 0)
               ranked.select(Seq(col("_new"), col("_or"), col("_src"),
                 col("_pos"), col("_slen"), col("_cov"),
+                col("_psg"), col("_sk"), col("_pid"),
                 concat(col("_path"), array(col("_rank"))).as("_path"),
                 col("_rank").as("_kr"),
                 (sum(when(col("_or").isNotNull, 1L).otherwise(0L))
@@ -822,6 +861,7 @@ object SuffixArray {
                 .filter(col("_hasNew") === 1)
             } else ranked.select(Seq(col("_new"), col("_or"), col("_src"),
               col("_pos"), col("_slen"), col("_cov"),
+              col("_psg"), col("_sk"), col("_pid"),
               concat(col("_path"), array(col("_rank"))).as("_path"),
               col("_rank").as("_kr"), col("_nor")) ++ statCols: _*)
           // ONE checkpoint per round, AFFECTED rows only — the held
@@ -841,24 +881,41 @@ object SuffixArray {
           // observed metrics (a Spark-internal contract this code never
           // bets correctness on).
           val obs = new org.apache.spark.sql.Observation()
+          // `_first` marks ONE row per terminal CLASS on the checkpoint
+          // itself: pure-old groups are per-_or singleton classes (every
+          // row first); any other group is one class whose first row is
+          // an OLD member when one exists (nulls-last), so the first
+          // row's _or IS the class anchor — the class table below is
+          // then a narrow FILTER over the checkpoint, with no groupBy
+          // exchange and no range repartition (round 15)
+          val wFirst = Window.partitionBy(col("_pid"), col("_kr"))
+            .orderBy(col("_or").asc_nulls_last)
           val landed = Checkpoints.eager(stepped
-            .withColumn("_esc", col("_n") > 1 && col("_hasNew") === 1 &&
+            .withColumn("_esc", col("_psg") === 0 &&
+              col("_n") > 1 && col("_hasNew") === 1 &&
               col("_maxLen") > col("_cov"))
+            .withColumn("_first", when(col("_hasNew") === 0, lit(1))
+              .otherwise(row_number().over(wFirst)))
             .observe(obs,
               count(when(col("_esc"), 1L)).as("_ne"),
               sum(when(col("_esc"),
                 length(col("_src")).cast("long") + 64L)
                 .otherwise(0L)).as("_nb")))
           // a subgroup that split PURE-OLD in a later round needs no
-          // content: landed rank order is content order — appended as
-          // the subgroup's final path element (these rows stay in the
-          // affected ranking as ANCHORS for their neighborhood)
-          frozenParts += landed.filter(!col("_esc"))
+          // content: landed rank order is content order — carried as
+          // the row's `_fkey` SORT KEY (19-digit zero-padded _or: string
+          // order == numeric order for non-negative longs), which the
+          // passenger ranking above compares AFTER the padded path, so
+          // split siblings order by landed rank with no content fetched.
+          // Every other frozen row's _fkey is '' (singletons, and
+          // whole-group ties that must stay one class). Passengers keep
+          // the _fkey they froze with and are never re-frozen.
+          frozenParts += landed.filter(!col("_esc") && col("_psg") === 0)
             .select(col("_new"), col("_or"), col("_src"), col("_pos"),
+              col("_path"), col("_nor"),
               when(col("_n") > 1 && col("_hasNew") === 0,
-                  concat(col("_path"), array(col("_or"))))
-                .otherwise(col("_path")).as("_path"),
-              col("_nor"))
+                  lpad(col("_or").cast("string"), 19, "0"))
+                .otherwise(lit("")).as("_fkey"))
           // termination read first: a round with zero escalators skips
           // the tokenized-source build and the escalation-fetch plan
           // entirely. The count comes from the checkpoint job's own
@@ -882,6 +939,7 @@ object SuffixArray {
                 "[sa-incr] observation missed; isEmpty fallback")
               landed.filter(col("_esc")).isEmpty
           }
+          if (done) { fusedLocal = landed; nAffectedBound = nRows }
           if (!done && tokTable == null)
             tokTable = buildTokTable(
               landed.filter(col("_esc")).select("_src").distinct(),
@@ -946,61 +1004,59 @@ object SuffixArray {
         .select(col("_doc"), col("_odoc"))
       val dupProbeF = scala.concurrent.Future(probeSide(dupPairs))(
         scala.concurrent.ExecutionContext.global)
-      // ---- final ranking over AFFECTED rows only (delta-sized): paths
-      // padded to fixed long columns (rows sharing a path prefix share
-      // its length — groups escalate or freeze as a whole — so
-      // zero-padding never decides a comparison). `_lr` is the globally
-      // dense LOCAL order of affected classes, consistent with index
-      // order because path[0] is the round-1 rank.
-      val maxPathLen = math.max(round, 1) + 1
-      val keyCols = (1 to maxPathLen).map(i => s"_k$i")
-      val empty = oldBase.filter(lit(false))
-        .select(Seq(col("_new"), col("_or"), col("_src"),
-          col("_pos"), lit(0L).as("_nor")) ++
-          keyCols.map(k => lit(0L).as(k)): _*)
-      val all = frozenParts.foldLeft(empty) { (acc, f) =>
-        acc.unionAll(f.select(
-          Seq(col("_new"), col("_or"), col("_src"), col("_pos"),
-            col("_nor")) ++
-            (1 to maxPathLen).map(i =>
-              coalesce(try_element_at(col("_path"), lit(i)), lit(0L))
-                .as(s"_k$i")): _*))
-      }
-      val (localRanked, nAffected, fparted, _) =
-        rankedInlineRows(all, keyCols, nParts, persistSrc = false)
-      // the output below is returned lazily — sever lineage so the
-      // range frame and the per-round checkpoints can release now
-      val local = Checkpoints.eager(localRanked
-        .select(col("_new"), col("_or"), col("_src"), col("_pos"),
-          col("_nor"), col("_rank").as("_lr")))
-      mark("final-rank+local")
-      fparted.unpersist(blocking = false)
-      frozenParts.foreach { f =>
+      // ---- the final local order comes straight off the terminal
+      // round's checkpoint (the fused passenger ranking above): `_lr` is
+      // the terminal round's rank — order-consistent with index order
+      // because every key path starts at the round-1 rank — and `_ls`
+      // splits the one class kind the rank alone cannot: PURE-OLD groups
+      // tied at their fetched coverage, whose members are distinct
+      // landed suffixes that order by _or (no content needed — landed
+      // rank order IS content order). Classes with any new member never
+      // share a rank with a split (group stats are group-uniform), so
+      // _ls = 0 for them and every downstream join on _lr alone stays
+      // exact. When NO round ever landed (an empty delta through the
+      // probe seat) there are no affected rows at all — an empty frame
+      // of the right shape feeds the class machinery, and every derived
+      // table is empty by construction.
+      val local =
+        if (fusedLocal != null)
+          fusedLocal.select(col("_new"), col("_or"), col("_src"),
+            col("_pos"), col("_nor"), col("_kr").as("_lr"),
+            when(col("_hasNew") === 0, coalesce(col("_or"), lit(0L)))
+              .otherwise(lit(0L)).as("_ls"),
+            col("_pid"), col("_first"), col("_hasNew").as("_hasN"))
+        else oldBase.filter(lit(false)).select(col("_new"), col("_or"),
+          col("_src"), col("_pos"), lit(0L).as("_nor"),
+          lit(0L).as("_lr"), lit(0L).as("_ls"),
+          lit(0).as("_pid"), lit(1).as("_first"), lit(0).as("_hasN"))
+      mark("fused-local")
+      // earlier rounds' frozen checkpoints were re-ranked INTO the
+      // terminal round's checkpoint (the passenger ride) — release all
+      // but the terminal one, which backs `local` and the output below
+      frozenParts.dropRight(1).foreach { f =>
         f.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
         }.foreach(_.unpersist(blocking = false))
       }
-      // ---- class table: one row per affected CLASS (equal full paths =
-      // rows tied forever = one dense-rank class). A class holds at most
-      // one old rank (landed ranks are dense over distinct suffixes).
-      // ONE exchange, not two (round 15): the range exchange runs FIRST
-      // and the group-by aggregates on it in place — RangePartitioning
-      // on the grouping key satisfies the aggregate's clustering
-      // requirement, so no hash exchange is inserted (the former
-      // groupBy-then-repartitionByRange form shuffled the class rows
-      // twice on the same key)
-      val ct = local.repartitionByRange(nParts, col("_lr"))
-        .groupBy(col("_lr")).agg(min(col("_or")).as("_cor"),
-          min(col("_nor")).as("_nor2"), max(col("_new")).as("_hasN"))
-      // REGISTERED persist (round 14): cparted/jparted and the derived
+      // ---- class table: one row per affected CLASS (equal terminal
+      // (_lr, _ls) = rows tied forever = one dense-rank class). A class
+      // holds at most one old rank (landed ranks are dense over distinct
+      // suffixes). ZERO exchanges (round 15): the `_first` flag minted
+      // on the checkpoint marks each class's representative row — whose
+      // _or IS the class anchor (nulls-last first) and whose _nor is
+      // group-uniform — so the class table is a narrow FILTER over the
+      // landed checkpoint, keeping the checkpoint''s own _pid for the
+      // per-pid stitch windows below (the former groupBy + range
+      // repartition pair shuffled the class rows twice).
+      // REGISTERED persist (round 14): this and the derived
       // newIdx/mapping/classRanks frames below all stay cached through
       // the caller's lazy evaluation of the returned output and release
       // at the harness's per-query registry sweep; the cstats/tailMin
-      // collects below are the only eager jobs left in this phase —
-      // every other frame materializes inside the output job itself
-      // (the eager-checkpoint form paid one standalone job per frame).
+      // collects below are the only eager jobs left in this phase.
       val cparted = Caches.operatorPersist(
-        ct.withColumn("_pid", spark_partition_id()))
+        local.filter(col("_first") === 1)
+          .select(col("_lr"), col("_ls"), col("_or").as("_cor"),
+            col("_nor").as("_nor2"), col("_hasN"), col("_pid")))
       // one per-partition collect serves BOTH cross-partition stitches:
       // suffix-min of _cor (the next-anchor lookup) and prefix-sum of
       // the new-only class counts (their 1..N numbering)
@@ -1112,7 +1168,7 @@ object SuffixArray {
       // driver-side off the final ranking's own stats — so it takes the
       // adaptive probe side like every delta-derived frame)
       val freshOut = local.filter(col("_new") === 1)
-        .join(estProbe(nAffected * 64L)(classRanks), Seq("_lr"))
+        .join(estProbe(nAffectedBound * 64L)(classRanks), Seq("_lr"))
         .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
           col("_fr"))
         .join(newMembers.hint("shuffle_hash"), Seq("_g"))

@@ -100,11 +100,18 @@ object ProfileSaGate {
     (0 until passes).foreach { p =>
       jobs.synchronized(jobs.clear())
       stages.synchronized(stages.clear())
-      graft.functions.Caches.sweepOperatorCaches()
+      // Bench's per-query cache hygiene: sweep the operator registry AND
+      // every RDD the pass pinned (checkpoint blocks included) so passes
+      // don't accumulate heap pressure
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       hashOf(graft.functions.SuffixArray.suffixRanksIncrementalFrom(
         reps, base, docs, delta, "doc_id", "text"))
       val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      graft.functions.Caches.sweepOperatorCaches()
       val snap = jobs.synchronized(jobs.toVector)
       val tot = snap.filter(_.completed > 0)
         .map(j => (j.completed - j.submitted) / 1e3).sum
@@ -117,14 +124,23 @@ object ProfileSaGate {
         f"taskrun=${ss.map(_.runMs).sum / 1e3}%.2f s " +
         f"deser=${ss.map(_.deserMs).sum / 1e3}%.2f s " +
         f"gc=${ss.map(_.gcMs).sum / 1e3}%.2f s")
-      if (p == passes - 1) ss.sortBy(s => -s.runMs)
-        .take(30).foreach { s =>
-          val w = if (s.completed > 0)
-            f"${(s.completed - s.submitted) / 1e3}%.3f" else "?"
-          println(f"  stage ${s.id}%4d wall=$w%8s tasks=${s.tasks}%3d " +
-            f"run=${s.runMs / 1e3}%.2f deser=${s.deserMs / 1e3}%.2f " +
-            f"gc=${s.gcMs / 1e3}%.2f | ${s.name}")
+      if (p == passes - 1) {
+        val base = snap.map(_.submitted).min
+        snap.foreach { j =>
+          val e = if (j.completed > 0)
+            f"${(j.completed - base) / 1e3}%7.2f" else "      ?"
+          println(f"  job ${j.id}%4d ${(j.submitted - base) / 1e3}%7.2f ->" +
+            f" $e s  ${j.desc}")
         }
+        ss.sortBy(s => -s.runMs)
+          .take(15).foreach { s =>
+            val w = if (s.completed > 0)
+              f"${(s.completed - s.submitted) / 1e3}%.3f" else "?"
+            println(f"  stage ${s.id}%4d wall=$w%8s tasks=${s.tasks}%3d " +
+              f"run=${s.runMs / 1e3}%.2f deser=${s.deserMs / 1e3}%.2f " +
+              f"gc=${s.gcMs / 1e3}%.2f | ${s.name}")
+          }
+      }
     }
     spark.stop()
   }
