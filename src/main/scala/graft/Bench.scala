@@ -170,7 +170,15 @@ object Bench {
     // round-14 second batch: C4's line-level cleaning pass (re-paged
     // fixture text, pure narrow map) and the unigram-LM Viterbi
     // segmenter (type-level DP folds over distinct words)
-    "quality_c4_rules", "tokenize_unigram_viterbi")
+    "quality_c4_rules", "tokenize_unigram_viterbi",
+    // round-15: the composed end-to-end C4 chain (line rules + page
+    // rules + badwords + keep-first three-span corpus dedup) and the
+    // unigram-LM hard-EM vocabulary learner. Its learned-vocab census
+    // gate (unigram_learn_segment) stays oracle-gated but OFF the bench
+    // path: it re-runs the whole learner plus one more decode, so its
+    // timing is the learner's x1.5 with no new scale path — pure sweep
+    // budget with no signal
+    "quality_c4_chain", "unigram_learn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,6 +96,13 @@ object TextClean {
     * expression over the line split, no explode, no join, no shuffle;
     * the whole pass fuses into the scan. Word counting ignores empty
     * tokens (runs of spaces), so the census is whitespace-robust. */
+  /** Flag-column name for a document-level drop substring (shared by
+    * [[c4Clean]] and [[c4Chain]], which reads the flags back). */
+  private[functions] def c4FlagName(s: String): String =
+    if (s == "{") "has_brace"
+    else "has_" + s.toLowerCase.map(c =>
+      if (c.isLetterOrDigit) c else '_')
+
   def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minLineWords: Int = 5, minSentences: Int = 3,
       dropLineSubstrings: Seq[String] = Seq("javascript"),
@@ -112,10 +119,7 @@ object TextClean {
         .reduceOption(_ || _).getOrElse(lit(false))
       term && words >= minLineWords && !blocked
     }
-    def flagName(s: String): String =
-      if (s == "{") "has_brace"
-      else "has_" + s.toLowerCase.map(c =>
-        if (c.isLetterOrDigit) c else '_')
+    def flagName(s: String): String = c4FlagName(s)
     val t = df.select(col(idCol), col(textCol).as("_t"),
       split(col(textCol), "\n").as("_l"))
     // the kept-line array is referenced twice (count + join); both reads
@@ -135,6 +139,110 @@ object TextClean {
       .withColumn("c4_keep",
         dropDocSubstrings.map(s => !col(flagName(s)))
           .foldLeft(col("n_sentences") >= minSentences)(_ && _))
+  }
+
+  /** The FULL C4 pipeline as one production chain (Raffel et al. 2020
+    * §2.2 end-to-end — the [[graft.functions.TextAnalysis.gopherChain]]
+    * pattern applied to C4): [[c4Clean]]'s line-level rewrite and page
+    * rules, then the badwords blocklist over the CLEANED text, then the
+    * three-span corpus dedup ("discard all but one of any three-sentence
+    * span occurring more than once in the data set"), with first-failure
+    * semantics — `first_failed` names the first rule that dropped the
+    * page (NULL when kept), so per-rule loss rates are one groupBy over
+    * this output. Precedence (documented, oracle-replayed):
+    * too_few_sentences → lorem_ipsum → brace → badwords.
+    *
+    * Span unit: a span is `spanLines` CONSECUTIVE KEPT LINES of the
+    * cleaned page. After [[c4Clean]] every kept line ends in terminal
+    * punctuation, so a line is the engine's sentence proxy — the paper's
+    * own impl dedupes "three-sentence spans" found by exactly this kind
+    * of heuristic splitting (a documented divergence: multi-sentence
+    * lines dedup as a unit). The census runs over KEPT pages only
+    * (dropped pages cannot claim a first occurrence); the FIRST
+    * occurrence corpus-wide — min (id, position), ids numeric — keeps
+    * its lines, every other occurrence's lines are removed, and the page
+    * is rebuilt (`final_text`, with `n_span_lines_removed` counted).
+    *
+    * Scale shape: the verdicts are one narrow persisted projection (the
+    * gopherChain discipline); the span dedup is the Lee et al. census
+    * shape — spans keyed by md5 (16-byte keys, never the 3-line text)
+    * through ONE hash-keyed aggregation, duplicated occurrences join
+    * back positionally, and coverage folds per document. Nothing is
+    * ever all-pairs; the census key-space is corpus-sized but every
+    * aggregate partial-aggregates map-side. */
+  def c4Chain(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blocklist: Seq[String],
+      minLineWords: Int = 5, minSentences: Int = 3,
+      dropLineSubstrings: Seq[String] = Seq("javascript"),
+      dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"),
+      spanLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(spanLines >= 1)
+    val loremFlag = c4FlagName(dropDocSubstrings.headOption.getOrElse(""))
+    val braceFlag = c4FlagName(
+      dropDocSubstrings.drop(1).headOption.getOrElse("{"))
+    // persisted: the verdict frame feeds the span census AND the final
+    // output join (without it the whole line-level pass runs twice)
+    val v = Caches.operatorPersist(
+      c4Clean(df, idCol, textCol, minLineWords, minSentences,
+        dropLineSubstrings, dropDocSubstrings)
+        .withColumn("n_blocklist_hits",
+          blocklistHits(col("text_clean"), blocklist))
+        .withColumn("first_failed",
+          when(col("n_sentences") < minSentences,
+              lit("too_few_sentences"))
+            .when(col(loremFlag), lit(dropDocSubstrings.headOption
+              .map(c4FlagName(_).stripPrefix("has_")).getOrElse("doc_rule")))
+            .when(col(braceFlag), lit("brace"))
+            .when(col("n_blocklist_hits") > 0, lit("badwords")))
+        .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+          col("n_sentences"), col("n_blocklist_hits"),
+          col("first_failed"), col("text_clean")))
+    val kept = v.filter(col("first_failed").isNull)
+    // span occurrences over kept pages: (id, pos, md5(span))
+    val keptLines = kept.select(col(idCol),
+      split(col("text_clean"), "\n").as("_kl"))
+    val spans = keptLines.filter(size(col("_kl")) >= spanLines)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), size(col("_kl")) - (spanLines - 1)),
+          i => md5(concat_ws("\n", slice(col("_kl"), i, lit(spanLines)))))
+        ).as(Seq("_p0", "_h")))
+      .select(col(idCol), (col("_p0") + 1).as("_i"), col("_h"))
+    // census: occurrence count + FIRST occurrence (lexicographic
+    // (id, pos) via a struct min — one hash-keyed exchange on the
+    // 16-byte span key, partial-aggregated map-side)
+    val census = spans.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol).as("_fd"), col("_i").as("_fi"))).as("_f"))
+      .filter(col("_n") >= 2)
+    // duplicated occurrences that are NOT the first keep nothing: their
+    // covered line indices fold per document
+    val removedLines = spans.join(census, Seq("_h"))
+      .filter(!(col(idCol) === col("_f._fd") && col("_i") === col("_f._fi")))
+      .select(col(idCol),
+        explode(sequence(col("_i"), col("_i") + (spanLines - 1))).as("_j"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_j")).as("_cov"))
+    val keptOut = kept
+      .join(removedLines, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("n_blocklist_hits"), col("first_failed"),
+        coalesce(size(col("_cov")), lit(0)).cast("int")
+          .as("n_span_lines_removed"),
+        when(col("_cov").isNull, col("text_clean"))
+          .otherwise(array_join(filter(
+            transform(split(col("text_clean"), "\n"),
+              (l, i0) => when(array_contains(col("_cov"), i0 + 1), lit(null)
+                .cast("string")).otherwise(l)),
+            _.isNotNull), "\n")).as("final_text"))
+    val failedOut = v.filter(col("first_failed").isNotNull)
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("n_blocklist_hits"), col("first_failed"),
+        lit(0).as("n_span_lines_removed"),
+        lit(null).cast("string").as("final_text"))
+    keptOut.unionAll(failedOut)
+      .withColumn("keep", col("first_failed").isNull)
   }
 
   /** Unicode NFC normalization (canonical composition) — the codepoint-

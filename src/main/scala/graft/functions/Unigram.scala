@@ -3,69 +3,87 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Unigram-LM subword segmentation (Kudo, ACL 2018 — the SentencePiece
-  * unigram model's Viterbi decode): segment every word into the
+/** Unigram-LM subword segmentation AND vocabulary learning (Kudo, ACL
+  * 2018 — the SentencePiece unigram model): segment every word into the
   * maximum-likelihood sequence of vocabulary pieces under a unigram piece
-  * LM. The BPE family ([[Bpe]]) covers the merge-learned tokenizer; this
-  * is the other production tokenizer family — segmentation as global
+  * LM, and LEARN the piece inventory by hard-EM rounds with pruning. The
+  * BPE family ([[Bpe]]) covers the merge-learned tokenizer; this is the
+  * other production tokenizer family — segmentation as global
   * optimization rather than greedy merge replay.
   *
-  * Model: the piece vocabulary is every character n-gram (n <= maxPieceLen)
-  * of the corpus' words, scored by its corpus occurrence count (each
-  * position counts, weighted by word frequency); p(piece) = cnt / total,
+  * Model: a piece vocabulary scored by counts; p(piece) = cnt / total,
   * quantized to micronats (floor(ln * 1e6 + 0.5) — the perplexity-family
-  * convention, engine-exact). Every n-gram of every word is in the vocab
-  * by construction, so the DP is always feasible and needs no UNK piece.
+  * convention, engine-exact). [[viterbiSegment]]'s seed model is every
+  * character n-gram (n <= maxPieceLen) of the corpus' words, scored by
+  * corpus occurrence count — the DP is always feasible and needs no UNK.
+  * [[learn]] then runs Kudo's loop in its deterministic HARD-EM form
+  * (documented variant: the E-step takes Viterbi-best counts instead of
+  * full lattice marginals — exactly reproducible, which is what lets the
+  * DuckDB oracle replay every round): each round re-segments the distinct
+  * words under the current model, re-counts pieces from the best
+  * segmentations (weighted by word frequency), and PRUNES pieces used
+  * fewer than `minCount` times — single characters are never pruned
+  * (coverage: the DP stays feasible) and floor at count 1.
   *
   * Decode per word: best(0) = 0,
   *   best(i) = max over l in 1..min(maxPieceLen, i) of
   *     best(i - l) + score(word[i-l+1 .. i])
-  * ties resolve to the LONGEST last piece (the candidate struct compares
-  * (score, l) lexicographically — deterministic in both engines).
+  * (absent pieces contribute no candidate — the score map simply lacks
+  * the key and the null candidate is skipped); ties resolve to the
+  * LONGEST last piece (the candidate struct compares (score, l)
+  * lexicographically — deterministic in both engines).
   *
   * Scale shape (the [[Bpe.learn]] discipline): ONE corpus-sized shuffle
-  * (the word histogram); the gram census, score join, and DP all run over
-  * DISTINCT WORDS — type-level, model-sized. The DP itself is a row-local
+  * (the word histogram); every round's gram census, score join, DP fold,
+  * and piece re-count run over DISTINCT WORDS — type-level, model-sized;
+  * the round count is a small constant. The DP itself is a row-local
   * `aggregate` fold over positions carrying (best[], ptr[]) — O(len *
   * maxPieceLen) per distinct word, no explode, no per-position shuffle.
-  * The reconstruction walks ptr[] backward in a second fold. At 100 TB the
-  * corpus is touched once; everything after is proportional to vocabulary.
+  * At 100 TB the corpus is touched once; everything after is
+  * proportional to vocabulary.
   *
   * The reference engine has no tokenizer stage (`datacrawler.py` forwards
   * rows as-is); this is part of the training-data extension surface.
   */
 object Unigram {
 
-  /** Per-distinct-word Viterbi segmentation table:
-    * (word, freq, n_pieces, score_micronats, segmented) — `segmented`
-    * joins pieces with ' ' (words never contain spaces). */
-  def viterbiSegment(df: DataFrame, textCol: String,
-      maxPieceLen: Int = 4): DataFrame = {
-    require(maxPieceLen >= 1)
-    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+  /** Every n-gram occurrence (n <= maxPieceLen) of `word` — flatten
+    * (transform x transform), occurrences not distinct. */
+  private def gramsOf(maxPieceLen: Int): Column = flatten(transform(
+    sequence(lit(1), length(col("word"))),
+    i => transform(
+      sequence(lit(1), least(lit(maxPieceLen),
+        length(col("word")) - i + 1)),
+      l => col("word").substr(i, l))))
 
-    // every n-gram occurrence of every distinct word, weighted by word
-    // frequency — flatten(transform x transform) then ONE explode; the
-    // census shuffle is gram-keyed and model-sized
-    val gramsOf = flatten(transform(
-      sequence(lit(1), length(col("word"))),
-      i => transform(
-        sequence(lit(1), least(lit(maxPieceLen),
-          length(col("word")) - i + 1)),
-        l => col("word").substr(i, l))))
-    val census = wh.select(explode(gramsOf).as("piece"), col("freq"))
+  /** Frequency-weighted gram census over a word histogram:
+    * (piece, cnt). The census shuffle is gram-keyed and model-sized. */
+  private def gramCensus(wh: DataFrame, maxPieceLen: Int): DataFrame =
+    wh.select(explode(gramsOf(maxPieceLen)).as("piece"), col("freq"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
-    val tot = census.agg(sum(col("cnt")).cast("double").as("_t"))
-    val scores = census.crossJoin(broadcast(tot))
+
+  /** Micronat scores from a (piece, cnt) vocabulary:
+    * s = floor(ln(cnt / total) * 1e6 + 0.5). */
+  private def scoresOf(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).cast("double").as("_t"))
+    vocab.crossJoin(broadcast(tot))
       .select(col("piece"),
         floor(log(col("cnt").cast("double") / col("_t")) * lit(1e6)
           + lit(0.5)).cast("long").as("s"))
+  }
 
+  /** Viterbi decode of every distinct word under the given piece scores:
+    * (word, freq, n_pieces, score_micronats, segmented). Pieces absent
+    * from `scores` yield null candidates and are skipped by the DP's
+    * array_max; the caller guarantees feasibility (single characters in
+    * vocabulary). */
+  private def segmentWith(wh: DataFrame, scores: DataFrame,
+      maxPieceLen: Int): DataFrame = {
     // per-word score map: distinct grams only (map keys must be unique);
     // piece-keyed shuffle join — the score table is model-sized but can
     // exceed broadcast budgets on a real corpus, so let AQE pick
     val wordMap = wh.select(col("word"),
-        explode(array_distinct(gramsOf)).as("piece"))
+        explode(array_distinct(gramsOf(maxPieceLen))).as("piece"))
       .join(scores, "piece")
       .groupBy("word")
       .agg(map_from_entries(collect_list(struct(col("piece"), col("s"))))
@@ -75,24 +93,30 @@ object Unigram {
     // the DP fold: acc carries best[] (1-indexed; best[1] = position 0)
     // and ptr[] (chosen last-piece length at each position). Candidates
     // compare (score, length) lexicographically — array_max picks the
-    // max score, ties to the longest piece
+    // max score, ties to the longest piece; null candidates (pruned
+    // pieces) are skipped by array_max in both engines
     val dp = aggregate(sequence(lit(1), n),
       struct(array(lit(0L)).as("best"),
         array().cast("array<int>").as("ptr")),
       (acc, i) => {
         val cands = transform(
           sequence(lit(1), least(lit(maxPieceLen), i)),
-          l => struct(
-            (element_at(acc.getField("best"), i - l + 1) +
-              element_at(col("m"), col("word").substr(i - l + 1, l)))
-              .as("sc"),
-            l.as("l")))
+          l => when(
+            element_at(col("m"), col("word").substr(i - l + 1, l))
+              .isNotNull &&
+              element_at(acc.getField("best"), i - l + 1).isNotNull,
+            struct(
+              (element_at(acc.getField("best"), i - l + 1) +
+                element_at(col("m"), col("word").substr(i - l + 1, l)))
+                .as("sc"),
+              l.as("l"))))
         val top = array_max(cands)
         struct(
           concat(acc.getField("best"),
             array(top.getField("sc"))).as("best"),
           concat(acc.getField("ptr"),
-            array(top.getField("l").cast("int"))).as("ptr"))
+            array(coalesce(top.getField("l"), lit(1)).cast("int")))
+            .as("ptr"))
       })
 
     // persist barrier before the walk (the no-CSE interpreted-HOF
@@ -130,5 +154,62 @@ object Unigram {
       size(pieces).cast("int").as("n_pieces"),
       col("score_micronats"),
       array_join(pieces, " ").as("segmented"))
+  }
+
+  /** Per-distinct-word Viterbi segmentation table under the SEED model
+    * (all corpus n-grams scored by occurrence count):
+    * (word, freq, n_pieces, score_micronats, segmented) — `segmented`
+    * joins pieces with ' ' (words never contain spaces). */
+  def viterbiSegment(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4): DataFrame = {
+    require(maxPieceLen >= 1)
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    segmentWith(wh, scoresOf(gramCensus(wh, maxPieceLen)), maxPieceLen)
+  }
+
+  /** LEARNED piece vocabulary after `rounds` hard-EM rounds (see object
+    * doc): (piece, cnt, score_micronats, piece_len), where cnt is the
+    * final round's Viterbi-best usage count (frequency-weighted over
+    * distinct words; single characters floored at 1) and the score is
+    * minted from the final counts. Deterministic: every round's decode
+    * ties break to the longest piece, and the prune rule is a pure
+    * count threshold. */
+  def learn(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      rounds: Int = 2, minCount: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && rounds >= 1 && minCount >= 1)
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    val seed = Caches.operatorPersist(gramCensus(wh, maxPieceLen))
+    // the full single-character inventory — never pruned (coverage)
+    val chars = seed.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+    var vocab = seed
+    (1 to rounds).foreach { _ =>
+      val seg = segmentWith(wh, scoresOf(vocab), maxPieceLen)
+      val used = seg.select(col("freq"),
+          explode(split(col("segmented"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      vocab = Caches.operatorPersist(
+        chars.join(used, Seq("piece"), "left")
+          .select(col("piece"),
+            greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
+          .unionAll(used.filter(length(col("piece")) > 1 &&
+            col("cnt") >= minCount)))
+    }
+    scoresOf(vocab).join(vocab, Seq("piece"))
+      .select(col("piece"), col("cnt"), col("s").as("score_micronats"),
+        length(col("piece")).cast("int").as("piece_len"))
+  }
+
+  /** Segmentation census under the LEARNED vocabulary ([[learn]] with the
+    * same parameters): (word, freq, n_pieces, score_micronats,
+    * segmented). */
+  def learnSegment(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      rounds: Int = 2, minCount: Int = 2): DataFrame = {
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    val learned = Caches.operatorPersist(
+      learn(df, textCol, maxPieceLen, rounds, minCount))
+    segmentWith(wh,
+      learned.select(col("piece"), col("score_micronats").as("s")),
+      maxPieceLen)
   }
 }

@@ -617,6 +617,126 @@ object PipelineQueries {
     * HUGEINT weight CTEs (w{i}/e{i} are each referenced twice per step;
     * inlined they would go exponential — the BPE/pagerank oracle
     * lesson). Final SELECT joins every w{i} for the trajectory average. */
+  /** Unrolled DuckDB replay of [[graft.functions.Unigram.learn]] (and,
+    * with `segment = true`, [[graft.functions.Unigram.learnSegment]]):
+    * the seed gram census, then `rounds` hard-EM rounds — each a full
+    * recursive-CTE Viterbi decode under the current scores (absent
+    * pieces yield NULL candidates, skipped by list_max exactly as
+    * Spark's array_max skips null structs), a frequency-weighted piece
+    * re-count from the best segmentations, and the prune rule
+    * (single chars floored at count 1, multi-char pieces kept at
+    * cnt >= minCount). Every cross-referenced CTE is MATERIALIZED (the
+    * BPE/pagerank inlining lesson). */
+  private def unigramLearnOracleSql(rounds: Int, minCount: Int,
+      segment: Boolean): String = {
+    def decodeBlock(r: Int): String =
+      s"""t$r AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$r),
+         |sc$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+         |      AS BIGINT) AS s
+         |  FROM v$r, t$r),
+         |wm$r AS MATERIALIZED (
+         |  SELECT word, map_from_entries(list({'k': piece, 'v': s})) AS m
+         |  FROM grams JOIN sc$r USING (piece) GROUP BY word),
+         |st$r AS (
+         |  SELECT word, m, 0 AS i, [CAST(0 AS BIGINT)] AS best,
+         |         CAST([] AS INT[]) AS ptr
+         |  FROM wm$r
+         |  UNION ALL
+         |  SELECT word, m, i + 1,
+         |         list_append(best, cand[1]),
+         |         list_append(ptr, CAST(coalesce(cand[2], 1) AS INT))
+         |  FROM (
+         |    SELECT *, list_max(list_transform(
+         |      generate_series(1, least(4, i + 1)),
+         |      l -> CASE WHEN m[substr(word, CAST(i + 2 - l AS INT),
+         |                    CAST(l AS INT))][1] IS NULL
+         |                  OR best[i + 2 - l] IS NULL THEN NULL
+         |           ELSE [best[i + 2 - l]
+         |                   + m[substr(word, CAST(i + 2 - l AS INT),
+         |                       CAST(l AS INT))][1],
+         |                 CAST(l AS BIGINT)] END)) AS cand
+         |    FROM st$r WHERE i < length(word))),
+         |fin$r AS MATERIALIZED (
+         |  SELECT word, best[length(word) + 1] AS score_micronats, ptr,
+         |         CAST(length(word) AS INT) AS n
+         |  FROM st$r WHERE i = length(word)),
+         |wk$r AS (
+         |  SELECT word, ptr, n AS pos, CAST([] AS VARCHAR[]) AS ps
+         |  FROM fin$r
+         |  UNION ALL
+         |  SELECT word, ptr, pos - ptr[pos] AS pos,
+         |         list_prepend(substr(word,
+         |           CAST(pos - ptr[pos] + 1 AS INT),
+         |           CAST(ptr[pos] AS INT)), ps) AS ps
+         |  FROM wk$r WHERE pos > 0)""".stripMargin
+    def pruneBlock(r: Int): String =
+      s"""c${r + 1} AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT wh.freq, unnest(k.ps) AS piece
+         |    FROM (SELECT word, ps FROM wk$r WHERE pos = 0) k
+         |    JOIN wh USING (word))
+         |  GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT ch.piece,
+         |    greatest(coalesce(c${r + 1}.cnt, 0), CAST(1 AS BIGINT))
+         |      AS cnt
+         |  FROM ch LEFT JOIN c${r + 1} USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM c${r + 1}
+         |  WHERE length(piece) > 1 AND cnt >= $minCount)""".stripMargin
+    val head =
+      s"""WITH RECURSIVE
+         |wh AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |    FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+         |         unnest(generate_series(1, 4)) AS t2(l)
+         |    WHERE i + l - 1 <= length(word))
+         |  GROUP BY piece),
+         |ch AS MATERIALIZED (SELECT piece FROM v0 WHERE length(piece) = 1),
+         |grams AS MATERIALIZED (
+         |  SELECT DISTINCT word,
+         |    substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |  FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+         |       unnest(generate_series(1, 4)) AS t2(l)
+         |  WHERE i + l - 1 <= length(word))""".stripMargin
+    val roundsSql = (0 until rounds)
+      .map(r => decodeBlock(r) + ",\n" + pruneBlock(r))
+    val finalScores =
+      s"""t$rounds AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$rounds),
+         |sc$rounds AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+         |      AS BIGINT) AS s
+         |  FROM v$rounds, t$rounds)""".stripMargin
+    if (!segment)
+      (Seq(head) ++ roundsSql ++ Seq(finalScores)).mkString(",\n") +
+        s"""
+           |SELECT v$rounds.piece, v$rounds.cnt,
+           |  sc$rounds.s AS score_micronats,
+           |  CAST(length(v$rounds.piece) AS INT) AS piece_len
+           |FROM v$rounds JOIN sc$rounds USING (piece)
+           |ORDER BY piece""".stripMargin
+    else
+      (Seq(head) ++ roundsSql ++ Seq(decodeBlock(rounds)))
+        .mkString(",\n") +
+        s"""
+           |SELECT w.word, h.freq, CAST(len(k.ps) AS INT) AS n_pieces,
+           |  w.score_micronats, array_to_string(k.ps, ' ') AS segmented
+           |FROM fin$rounds w JOIN wh h ON w.word = h.word
+           |JOIN (SELECT word, ps FROM wk$rounds WHERE pos = 0) k
+           |  ON w.word = k.word
+           |ORDER BY w.word""".stripMargin
+  }
+
   private def doremiTrajectoryOracleSql(steps: Int): String = {
     val head =
       s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
@@ -4380,6 +4500,31 @@ object PipelineQueries {
              |  ON w.word = k.word
              |ORDER BY w.word""".stripMargin)),
 
+    QueryDef("unigram_learn",
+      // unigram-LM vocabulary LEARNING (the other half of Kudo 2018):
+      // 2 hard-EM rounds over the seed gram census — each round
+      // re-segments the distinct words under the current model
+      // (Viterbi-best, ties to the longest piece), re-counts pieces
+      // frequency-weighted, and prunes multi-char pieces used < 2
+      // times (single chars floored at count 1 — coverage). Type-level
+      // like the KN family: one corpus shuffle, every round
+      // model-sized. Oracle unrolls both rounds as recursive-CTE
+      // decodes (the BPE unrolling pattern)
+      (s, dir) => graft.functions.Unigram.learn(
+          Tables.documents(s, dir), "text")
+        .orderBy("piece"),
+      Some(unigramLearnOracleSql(2, 2, segment = false))),
+
+    QueryDef("unigram_learn_segment",
+      // the learned-vocab segmentation census: every distinct word
+      // decoded under the vocabulary unigram_learn produced — the
+      // tokenizer a production pipeline actually ships. Oracle = the
+      // learning replay plus one more unrolled decode round
+      (s, dir) => graft.functions.Unigram.learnSegment(
+          Tables.documents(s, dir), "text")
+        .orderBy("word"),
+      Some(unigramLearnOracleSql(2, 2, segment = true))),
+
     QueryDef("quality_c4_rules",
       // C4's LINE-LEVEL cleaning pass (Raffel et al. 2020 §2.2 — the
       // transformer half; blocklist_filter is its badwords rule,
@@ -4439,6 +4584,116 @@ object PipelineQueries {
              |     text_clean, '[.!?]', '', 'g')) >= 3
              |   AND NOT has_lorem_ipsum AND NOT has_brace) AS c4_keep
              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("quality_c4_chain",
+      // the FULL C4 pipeline as one production chain (Raffel et al. 2020
+      // §2.2 end-to-end, the gopherChain pattern): line-level cleaning +
+      // page rules + badwords over the cleaned text + the three-span
+      // corpus dedup with keep-FIRST-occurrence semantics, first-failure
+      // census per page. Fixture: the quality_c4_rules re-paging (8-word
+      // lines, every 4th unterminated, 'vector' line rule) plus a 4-line
+      // shared boilerplate header on every doc_id%3==0 page, which mints
+      // real corpus-wide duplicated 3-line spans — the dedup must keep
+      // exactly the lowest (doc_id, pos) occurrence's lines and strip
+      // every other header. Oracle replays the paging, every census,
+      // rule precedence, the md5-keyed span census, and the rebuild
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nc = expr("(size(split(text, ' ')) + 7) div 8").cast("int")
+        val paged = array_join(transform(sequence(lit(0), nc - 1),
+          i => concat(array_join(slice(words, i * 8 + 1, lit(8)), " "),
+            when(i % 4 =!= 3, lit(".")).otherwise(lit("")))), "\n")
+        val header = Seq("one.", "two.", "three.", "four.")
+          .map(sfx => s"shared boilerplate header line $sfx")
+          .mkString("\n")
+        val text2 = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(header + "\n"), paged)).otherwise(paged)
+        graft.functions.TextClean.c4Chain(
+            Tables.documents(s, dir).withColumn("text", text2),
+            "doc_id", "text", blocklist = Seq("dup", "spill"),
+            dropLineSubstrings = Seq("vector"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |            CAST((len(string_split(text, ' ')) + 7) // 8
+             |              AS INT) AS nc FROM documents),
+             |pg AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN
+             |           'shared boilerplate header line one.' || chr(10) ||
+             |           'shared boilerplate header line two.' || chr(10) ||
+             |           'shared boilerplate header line three.' || chr(10) ||
+             |           'shared boilerplate header line four.' || chr(10)
+             |         ELSE '' END ||
+             |         array_to_string(list_transform(
+             |           generate_series(0, nc - 1),
+             |           i -> array_to_string(w[i*8+1 : i*8+8], ' ')
+             |                || CASE WHEN i % 4 <> 3 THEN '.'
+             |                   ELSE '' END), chr(10)) AS text
+             |       FROM w),
+             |t AS (SELECT doc_id, text,
+             |        string_split(text, chr(10)) AS l FROM pg),
+             |k AS (SELECT doc_id, text, l,
+             |        list_filter(l, x ->
+             |          right(trim(x), 1) IN ('.', '!', '?', '"')
+             |          AND len(list_filter(string_split(x, ' '),
+             |                y -> length(y) > 0)) >= 5
+             |          AND NOT contains(lower(x), 'vector')) AS kl
+             |      FROM t),
+             |c AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+             |        CAST(len(kl) AS BIGINT) AS n_lines_kept,
+             |        coalesce(array_to_string(kl, chr(10)), '')
+             |          AS text_clean,
+             |        contains(lower(text), 'lorem ipsum') AS lor,
+             |        contains(text, '{') AS brc
+             |      FROM k),
+             |v AS (SELECT doc_id, n_lines, n_lines_kept,
+             |        CAST(length(text_clean) - length(regexp_replace(
+             |          text_clean, '[.!?]', '', 'g')) AS BIGINT)
+             |          AS n_sentences,
+             |        CAST(len(list_filter(string_split(text_clean, ' '),
+             |          t -> t IN ('dup', 'spill'))) AS INT)
+             |          AS n_blocklist_hits,
+             |        text_clean, lor, brc FROM c),
+             |v2 AS (SELECT *,
+             |         CASE WHEN n_sentences < 3 THEN 'too_few_sentences'
+             |              WHEN lor THEN 'lorem_ipsum'
+             |              WHEN brc THEN 'brace'
+             |              WHEN n_blocklist_hits > 0 THEN 'badwords'
+             |         END AS first_failed
+             |       FROM v),
+             |kl2 AS (SELECT doc_id,
+             |          string_split(text_clean, chr(10)) AS kl
+             |        FROM v2 WHERE first_failed IS NULL),
+             |sp AS (SELECT doc_id, i, md5(array_to_string(
+             |          kl[CAST(i AS INT):CAST(i + 2 AS INT)], chr(10)))
+             |          AS h
+             |       FROM (SELECT doc_id, kl,
+             |               unnest(generate_series(1, len(kl) - 2)) AS i
+             |             FROM kl2 WHERE len(kl) >= 3)),
+             |cen AS (SELECT h, count(*) AS n,
+             |          min(doc_id * 1000000 + i) AS fk
+             |        FROM sp GROUP BY h HAVING count(*) >= 2),
+             |rem AS (SELECT DISTINCT doc_id, j FROM
+             |         (SELECT sp.doc_id,
+             |            unnest(generate_series(sp.i, sp.i + 2)) AS j
+             |          FROM sp JOIN cen USING (h)
+             |          WHERE sp.doc_id * 1000000 + sp.i <> cen.fk)),
+             |covs AS (SELECT doc_id, list(j) AS cov, count(*) AS nr
+             |         FROM rem GROUP BY doc_id)
+             |SELECT v2.doc_id, v2.n_lines, v2.n_lines_kept,
+             |  v2.n_sentences, v2.n_blocklist_hits, v2.first_failed,
+             |  CAST(CASE WHEN v2.first_failed IS NOT NULL THEN 0
+             |       ELSE coalesce(covs.nr, 0) END AS INT)
+             |    AS n_span_lines_removed,
+             |  CASE WHEN v2.first_failed IS NOT NULL THEN NULL
+             |       WHEN covs.doc_id IS NULL THEN v2.text_clean
+             |       ELSE coalesce(array_to_string(list_filter(
+             |              string_split(v2.text_clean, chr(10)),
+             |              (x, i) -> NOT list_contains(covs.cov, i)),
+             |              chr(10)), '') END AS final_text,
+             |  v2.first_failed IS NULL AS keep
+             |FROM v2 LEFT JOIN covs USING (doc_id)
+             |ORDER BY v2.doc_id""".stripMargin)),
 
     QueryDef("blocklist_filter",
       // C4's badwords filter (Raffel et al. 2020 §2.2): whole-token

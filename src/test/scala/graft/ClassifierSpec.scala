@@ -540,4 +540,51 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(4L)._2 == 1 && out(4L)._4 == 1 && !out(4L)._7,
       "a 1-sentence page fails the >=3-sentence rule")
   }
+
+  test("c4Chain: rule precedence, badwords on cleaned text, keep-first three-span dedup") {
+    import graft.functions.TextClean
+    val h = Seq("alpha beta gamma delta one.", "alpha beta gamma delta two.",
+      "alpha beta gamma delta three.", "alpha beta gamma delta four.")
+    val docs = Seq(
+      // doc 1 owns the first occurrence of every shared header span
+      (1L, (h ++ Seq("unique tail line for one.",
+        "second unique line for one.")).mkString("\n")),
+      // doc 2 repeats the header: its 4 header lines must be stripped
+      (2L, (h ++ Seq("unique tail line for two.",
+        "second unique line for two.")).mkString("\n")),
+      // header-free page: untouched by the span dedup
+      (3L, Seq("fully original page line one.",
+        "fully original page line two.",
+        "fully original page line three.").mkString("\n")),
+      // too few sentences after cleaning
+      (4L, "just one kept line here.\nnope"),
+      // badwords fires on the CLEANED text
+      (5L, Seq("this page mentions badword clearly today.",
+        "more perfectly ordinary words follow here.",
+        "and a third full sentence lands.").mkString("\n")),
+      // precedence: lorem_ipsum outranks badwords
+      (6L, Seq.fill(3)("lorem ipsum badword filler here.").mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextClean.c4Chain(docs, "doc_id", "text",
+        blocklist = Seq("badword"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(5)), r.getInt(6), Option(r.getString(7)),
+          r.getBoolean(8)))).toMap
+    // kept pages
+    assert(out(1L) == ((None, 0,
+      Some((h ++ Seq("unique tail line for one.",
+        "second unique line for one.")).mkString("\n")), true)),
+      out(1L).toString)
+    assert(out(2L) == ((None, 4,
+      Some(Seq("unique tail line for two.",
+        "second unique line for two.").mkString("\n")), true)),
+      out(2L).toString)
+    assert(out(3L)._2 == 0 && out(3L)._4 &&
+      out(3L)._3.get.startsWith("fully original"))
+    // failed pages: first-failure labels, no final text
+    assert(out(4L) == ((Some("too_few_sentences"), 0, None, false)))
+    assert(out(5L) == ((Some("badwords"), 0, None, false)))
+    assert(out(6L) == ((Some("lorem_ipsum"), 0, None, false)),
+      "lorem_ipsum outranks badwords in the documented precedence")
+  }
 }

@@ -1037,6 +1037,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.saIncr.probeRatio")
   }
 
+  test("suffixRanksIncremental: PROBE seat never exchanges index-sized rows (shuffle-record census)") {
+    // The probe path's defining property — the billion-rank claim rests
+    // on it: the landed index is SCANNED and probed against broadcast
+    // delta frames, never ranked or exchanged. Pin it behaviorally: a
+    // SparkListener sums shuffle-write records per stage across the
+    // whole forced-probe merge (consumed with the bench's no-sort hash
+    // action); no stage may shuffle even half the index's row count,
+    // while the forced-UNION contrast run must (its round 1 range-ranks
+    // the sidecar) — so the assertion fails loudly if the census were
+    // measuring nothing.
+    import graft.functions.SuffixArray
+    val oldDocs = (1L to 60L).map(d => (d,
+      (0 until 30).map(i => s"t${(d * 31 + i * 7) % 97}x$i")
+        .mkString(" "))).toDF("doc_id", "text")
+    val delta = Seq((1000L, "t11x0 t18x1 fresh tail")).toDF("doc_id", "text")
+    // both index artifacts LANDED, as in production: the sidecar's own
+    // derivation shuffles the index once at build time (offline); the
+    // merge under test must then only SCAN the files
+    val dir = s"target/tmp/probe-census-pid${ProcessHandle.current.pid}"
+    SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
+    SuffixArray.suffixMergeReps(base, oldDocs, "doc_id", "text")
+      .drop("_seedk")
+      .write.mode("overwrite").parquet(s"$dir/reps")
+    val reps = spark.read.parquet(s"$dir/reps")
+    val indexRows = base.count() // == suffix positions == rank rows upper bound
+    val maxShuffle = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) maxShuffle.getAndUpdate(
+          _ max m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.select(xxhash64(col("doc_id"), col("pos"), col("suffix_rank"))
+        .as("h")).agg(bit_xor(col("h"))).head()
+      ()
+    }
+    def censusOf(path: String): Long = {
+      spark.conf.set("spark.graft.saIncr.probeRatio",
+        if (path == "probe") "0" else Long.MaxValue.toString)
+      if (path != "probe")
+        spark.conf.set("spark.graft.saIncr.probeMinIndex",
+          Long.MaxValue.toString)
+      maxShuffle.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        consume(SuffixArray.suffixRanksIncrementalFrom(reps, base,
+          oldDocs, delta, "doc_id", "text", nParts = 4))
+        // listener events drain asynchronously after the action; the
+        // bus has no public drain hook, so poll briefly for quiescence
+        // (the census only grows — a late event can only help the
+        // union contrast and only hurt by making probe FAIL loudly)
+        var last = -1L
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(50)
+          val v = maxShuffle.get()
+          if (v == last) same += 1 else { same = 0; last = v }
+        }
+        maxShuffle.get()
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.unset("spark.graft.saIncr.probeRatio")
+        spark.conf.unset("spark.graft.saIncr.probeMinIndex")
+      }
+    }
+    val probeMax = censusOf("probe")
+    val unionMax = censusOf("union")
+    assert(unionMax >= indexRows,
+      s"census sanity: forced-union must shuffle the index " +
+        s"(union=$unionMax index=$indexRows)")
+    assert(probeMax < indexRows / 2,
+      s"probe seat exchanged index-sized rows: probe=$probeMax " +
+        s"index=$indexRows (union contrast=$unionMax)")
+  }
+
   test("suffixRanksIncremental: degenerate deltas — empty delta, all-dup delta") {
     import graft.functions.SuffixArray
     val oldDocs = Seq((1L, "x y z"), (2L, "y z x")).toDF("doc_id", "text")
