@@ -604,22 +604,24 @@ object SuffixArray {
       val probeRatio = oldDf.sparkSession.conf
         .getOption("spark.graft.saIncr.probeRatio").map(_.toLong)
         .getOrElse(32L)
-      // absolute floor as well as a ratio: up to every index size this
-      // box can hold (8.4M ranks, the x30 vintage) the union sort is
-      // within noise of the probe seat or better — the merge is
-      // job-latency-bound, and the probe's extra serial driver jobs
-      // (scans, boundary collect, successor join) cost what the skipped
-      // sort saves (measured, FORCED A/B at x30 1.4%: union 16.5 s vs
-      // probe 19.8 s; at sf0.1 1.4%: union 8.3 s vs probe 15.7 s). The
-      // floor therefore defaults BEYOND the measurable range: the probe
-      // seat is the billion-rank maintenance shape — an index-wide
-      // range-sort per small delta is the one thing that regime cannot
-      // afford, while scans parallelize flat — and it stays conf-gated
-      // (and spec-pinned to the same rebuild oracle) until a cluster
-      // can measure its crossover.
+      // absolute floor as well as a ratio. Round 15 MOVED the floor
+      // inside the measurable range: after the job-collapse work
+      // (observe-driven termination, fused final ranking, filter-based
+      // class table) the probe seat WINS the forced A/B at the x30
+      // vintage's 8.4M ranks — two independent runs, small delta:
+      // probe 15.8 / 21.0 s vs forced-union 20.9 / 38.7 s — while the
+      // sf0.1 gate's 260k-rank index still favors union (probe 19.7 vs
+      // union 14.5 s: at tiny indices the probe's extra serial driver
+      // jobs cost more than the skipped index sort). The 4M default
+      // sits between the two measured points on the union side; the
+      // billion-rank regime — where an index-wide range-sort per small
+      // delta is the one unaffordable thing — now extrapolates from a
+      // measured WIN, not prose, and the seat stays spec-pinned to the
+      // rebuild oracle plus the shuffle-record census
+      // (DedupSimilaritySpec) either way.
       val probeMinIndex = oldDf.sparkSession.conf
         .getOption("spark.graft.saIncr.probeMinIndex").map(_.toLong)
-        .getOrElse(32000000L)
+        .getOrElse(4000000L)
       val estDeltaRows = math.max(1L, textBytes / 6L)
       // ratio compared via DIVISION, never `probeRatio * estDeltaRows`:
       // the multiply overflows Long when a forced-union run sets
