@@ -732,14 +732,22 @@ object SuffixArray {
               lit(0L).as("_kr"), lit(seedK.toLong).as("_cov"),
               col("_seg"))
         }
-      // the loop ranks on SCALAR (prev-round rank, next segment) keys:
-      // a round's dense rank completely encodes the row's group path —
-      // two rows differing at ANY earlier element carry different ranks
-      // — so the hot exchanges never sort the array column; `_path`
-      // rides along as a passenger (one appended element per round) and
-      // is only compared ONCE, padded into long columns, at the final
-      // AFFECTED-only ranking (array orderings are interpreted — keying
-      // the per-round range exchange on them cost ~4x, measured).
+      // ROUND KEYS (rewritten for the round-15 fused passenger ranking):
+      // round 1 ranks on the SCALAR (prev rank, next segment) pair — a
+      // round's dense rank completely encodes the row's group path, so
+      // two rows differing at ANY earlier element carry different ranks.
+      // Rounds >= 2 rank on the row's rank PATH, padded element-by-
+      // element into scalar long columns (_rk1.._rkp — array orderings
+      // are interpreted, ~4x measured, so the exchange never keys on
+      // the array itself), with the passenger sort key `_sk` last: the
+      // active rows' next segment, or a frozen row's `_fkey`. Earlier
+      // rounds' FROZEN rows ride every later ranking as passengers
+      // keyed the same way, so the round that ends with zero escalators
+      // has already ordered every affected row and IS the final ranking
+      // — the former standalone padded-path final ranking no longer
+      // exists. The per-round key width therefore grows with the round
+      // count (p long columns at round p+1) — bounded by maxRounds, and
+      // in practice by the two-pass full-need fetch.
       // COVERAGE is per-ROW (`_cov`, group-uniform by induction: every
       // member of a group shares the same fetch history) since round 14:
       // a group whose full remaining need (_maxLen - _cov) fits within a
@@ -902,7 +910,15 @@ object SuffixArray {
               count(when(col("_esc"), 1L)).as("_ne"),
               sum(when(col("_esc"),
                 length(col("_src")).cast("long") + 64L)
-                .otherwise(0L)).as("_nb")))
+                .otherwise(0L)).as("_nb"),
+              // affected-row count off the SAME job (round-16 advice
+              // fix): on the union path's round 1 the ranking's nRows
+              // is the WHOLE index + delta, but the checkpoint below
+              // it is already affected-only (_hasNew filter), so this
+              // count is the honest nAffectedBound — the round-1 value
+              // previously over-forced shuffle_hash on the classRanks
+              // probe estimate for large indices
+              count(lit(1)).as("_na")))
           // a subgroup that split PURE-OLD in a later round needs no
           // content: landed rank order is content order — carried as
           // the row's `_fkey` SORT KEY (19-digit zero-padded _or: string
@@ -923,25 +939,32 @@ object SuffixArray {
           // entirely. The count comes from the checkpoint job's own
           // observed metrics (see above); the poll-then-fallback keeps
           // a missed observation from ever hanging or mis-terminating.
-          val escStats: Option[(Long, Long)] =
+          val escStats: Option[(Long, Long, Long)] =
             try {
               val row = scala.concurrent.Await.result(obs.future,
                 scala.concurrent.duration.Duration(500,
                   java.util.concurrent.TimeUnit.MILLISECONDS))
               def asL(i: Int): Long =
                 if (row.isNullAt(i)) 0L else row.getLong(i)
-              Some((asL(row.fieldIndex("_ne")), asL(row.fieldIndex("_nb"))))
+              Some((asL(row.fieldIndex("_ne")), asL(row.fieldIndex("_nb")),
+                asL(row.fieldIndex("_na"))))
             } catch {
               case _: java.util.concurrent.TimeoutException => None
             }
           done = escStats match {
-            case Some((ne, _)) => ne == 0L
+            case Some((ne, _, _)) => ne == 0L
             case None =>
               if (debugTiming) System.err.println(
                 "[sa-incr] observation missed; isEmpty fallback")
               landed.filter(col("_esc")).isEmpty
           }
-          if (done) { fusedLocal = landed; nAffectedBound = nRows }
+          // the observed checkpoint row count is affected-only on every
+          // path (the union path filtered _hasNew above); nRows is the
+          // safe-direction fallback when the observation was missed
+          if (done) {
+            fusedLocal = landed
+            nAffectedBound = escStats.map(_._3).getOrElse(nRows)
+          }
           if (!done && tokTable == null)
             tokTable = buildTokTable(
               landed.filter(col("_esc")).select("_src").distinct(),

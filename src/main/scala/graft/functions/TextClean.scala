@@ -160,8 +160,11 @@ object TextClean {
     * lines dedup as a unit). The census runs over KEPT pages only
     * (dropped pages cannot claim a first occurrence); the FIRST
     * occurrence corpus-wide — min (id, position), ids numeric — keeps
-    * its lines, every other occurrence's lines are removed, and the page
-    * is rebuilt (`final_text`, with `n_span_lines_removed` counted).
+    * its lines (its covered indices are protected from removal by
+    * OVERLAPPING occurrences of the same span in the same page, so a
+    * page of n identical lines retains its first `spanLines` lines),
+    * every other occurrence's lines are removed, and the page is
+    * rebuilt (`final_text`, with `n_span_lines_removed` counted).
     *
     * Scale shape: the verdicts are one narrow persisted projection (the
     * gopherChain discipline); the span dedup is the Lee et al. census
@@ -177,9 +180,16 @@ object TextClean {
       dropDocSubstrings: Seq[String] = Seq("lorem ipsum", "{"),
       spanLines: Int = 3): org.apache.spark.sql.DataFrame = {
     require(spanLines >= 1)
-    val loremFlag = c4FlagName(dropDocSubstrings.headOption.getOrElse(""))
-    val braceFlag = c4FlagName(
-      dropDocSubstrings.drop(1).headOption.getOrElse("{"))
+    // first_failed folds over ALL of dropDocSubstrings in order (round-16
+    // advice fix: the previous form hardwired exactly two rules — a 3rd+
+    // entry was silently ignored and a single-entry list referenced a
+    // flag column c4Clean never created). Labels come from c4FlagName
+    // minus the has_ prefix ("{" keeps its documented "brace" label), so
+    // the default two-rule chain is byte-identical to the old one.
+    val docRules = dropDocSubstrings.map { s =>
+      (c4FlagName(s), if (s == "{") "brace"
+        else c4FlagName(s).stripPrefix("has_"))
+    }
     // persisted: the verdict frame feeds the span census AND the final
     // output join (without it the whole line-level pass runs twice)
     val v = Caches.operatorPersist(
@@ -188,11 +198,11 @@ object TextClean {
         .withColumn("n_blocklist_hits",
           blocklistHits(col("text_clean"), blocklist))
         .withColumn("first_failed",
-          when(col("n_sentences") < minSentences,
-              lit("too_few_sentences"))
-            .when(col(loremFlag), lit(dropDocSubstrings.headOption
-              .map(c4FlagName(_).stripPrefix("has_")).getOrElse("doc_rule")))
-            .when(col(braceFlag), lit("brace"))
+          docRules.foldLeft(
+              when(col("n_sentences") < minSentences,
+                lit("too_few_sentences"))) {
+              case (acc, (flag, label)) => acc.when(col(flag), lit(label))
+            }
             .when(col("n_blocklist_hits") > 0, lit("badwords")))
         .select(col(idCol), col("n_lines"), col("n_lines_kept"),
           col("n_sentences"), col("n_blocklist_hits"),
@@ -216,11 +226,18 @@ object TextClean {
         min(struct(col(idCol).as("_fd"), col("_i").as("_fi"))).as("_f"))
       .filter(col("_n") >= 2)
     // duplicated occurrences that are NOT the first keep nothing: their
-    // covered line indices fold per document
+    // covered line indices fold per document. The FIRST occurrence's own
+    // covered indices are PROTECTED from removal by overlapping
+    // occurrences of the same span (round-16 advice fix: a page of n
+    // identical kept lines now retains its first spanLines lines, not
+    // just line 1 — "the first occurrence keeps its lines" made true)
     val removedLines = spans.join(census, Seq("_h"))
       .filter(!(col(idCol) === col("_f._fd") && col("_i") === col("_f._fi")))
-      .select(col(idCol),
+      .select(col(idCol), col("_f"),
         explode(sequence(col("_i"), col("_i") + (spanLines - 1))).as("_j"))
+      .filter(!(col(idCol) === col("_f._fd") &&
+        col("_j").between(col("_f._fi"), col("_f._fi") + (spanLines - 1))))
+      .select(col(idCol), col("_j"))
       .distinct()
       .groupBy(col(idCol))
       .agg(collect_set(col("_j")).as("_cov"))

@@ -4673,11 +4673,19 @@ object PipelineQueries {
              |cen AS (SELECT h, count(*) AS n,
              |          min(doc_id * 1000000 + i) AS fk
              |        FROM sp GROUP BY h HAVING count(*) >= 2),
-             |rem AS (SELECT DISTINCT doc_id, j FROM
-             |         (SELECT sp.doc_id,
-             |            unnest(generate_series(sp.i, sp.i + 2)) AS j
-             |          FROM sp JOIN cen USING (h)
-             |          WHERE sp.doc_id * 1000000 + sp.i <> cen.fk)),
+             |-- MATERIALIZED: an outer filter on an unnest-derived
+             |-- column hits a DuckDB internal binder assertion unless
+             |-- the unnest level is materialized first
+             |remx AS MATERIALIZED (SELECT sp.doc_id, cen.fk,
+             |          unnest(generate_series(sp.i, sp.i + 2)) AS j
+             |        FROM sp JOIN cen USING (h)
+             |        WHERE sp.doc_id * 1000000 + sp.i <> cen.fk),
+             |-- the first occurrence's own lines are protected from
+             |-- overlapping same-span occurrences
+             |rem AS (SELECT DISTINCT doc_id, j FROM remx
+             |        WHERE NOT (doc_id = fk // 1000000
+             |          AND j BETWEEN fk % 1000000
+             |                    AND fk % 1000000 + 2)),
              |covs AS (SELECT doc_id, list(j) AS cov, count(*) AS nr
              |         FROM rem GROUP BY doc_id)
              |SELECT v2.doc_id, v2.n_lines, v2.n_lines_kept,

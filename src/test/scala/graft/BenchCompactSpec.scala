@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-facing compact bench line (round-16, r15 verdict #1).
+  *
+  * BENCH_r14 and BENCH_r15 were both `parsed: null` because the line the
+  * driver's bounded (2000-char) stdout tail must end with grew past the
+  * buffer — r15's "compact" fallback interpolated the full env block,
+  * which under the retry/trim protocols carries sweep-sized maps. The
+  * fix makes `Bench.compactLine` take only fixed-arity scalars; this
+  * spec asserts the WORST-CASE rendering stays far enough under the
+  * driver's buffer that no plausible growth re-breaks the parse, and
+  * that the line is complete, self-contained JSON.
+  */
+class BenchCompactSpec extends AnyFunSuite {
+
+  private def worstCase(path: String): String =
+    Bench.compactLine(
+      total = 999999.999, totalNormalized = 999999.999,
+      nQueries = 99999, nFailed = 99999, nSkipped = 99999,
+      loadavgStart = 9999.999, loadavgEnd = 9999.999,
+      sentinelFirst = 9999.999, sentinelLast = 9999.999,
+      contended = true, queriesFile = path,
+      sfDir = "/root/testdata/sf0.0000000001-some-very-long-dir-name",
+      runs = 999)
+
+  test("compact line worst case stays under 1200 chars (driver tail is 2000)") {
+    val line = worstCase("/very/long/" + ("x" * 300) + "/bench_results.json")
+    assert(line.length < 1200, s"compact line grew to ${line.length} chars")
+  }
+
+  test("compact line is complete self-contained JSON with the driver's fields") {
+    val line = worstCase("bench_results.json")
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // brace/quote balance — a truncated line fails this immediately
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+    for (f <- Seq("\"metric\":\"total\"", "\"value\":", "\"queries\":{\"_all\":",
+        "\"n_queries\":", "\"queries_file\":", "\"contended\":",
+        "\"total_normalized\":", "\"sentinel_first\":", "\"sentinel_last\":",
+        "\"loadavg_start\":", "\"sf\":", "\"runs_per_query\":", "\"stat\":\"median\""))
+      assert(line.contains(f), s"missing $f in: $line")
+    // no sweep-sized structures may ever ride this line
+    for (banned <- Seq("first_pass", "cal_second", "heavy_min2", "heavy_first",
+        "tail_sweep", "tail_fresh", "sentinel_series", "skipped\":["))
+      assert(!line.contains(banned), s"sweep-sized field $banned on compact line")
+  }
+
+  test("overlong queries_file path is capped, not interpolated whole") {
+    val line = worstCase("/a/" + ("y" * 5000) + "/out.json")
+    assert(line.length < 1200)
+    assert(line.contains("\"queries_file\":\"..."))
+  }
+}

@@ -587,4 +587,53 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(6L) == ((Some("lorem_ipsum"), 0, None, false)),
       "lorem_ipsum outranks badwords in the documented precedence")
   }
+
+  test("c4Chain: first occurrence's lines survive overlapping same-span dups") {
+    import graft.functions.TextClean
+    // a page of 6 identical kept lines: spans (1,2,3)..(4,5,6) all share
+    // one hash; the first occurrence is (doc 1, pos 1) and its covered
+    // lines 1-3 are protected — the page retains exactly 3 lines, not 1
+    val line = "alpha beta gamma delta repeated."
+    val docs = Seq(
+      (1L, Seq.fill(6)(line).mkString("\n")),
+      // a later page of the same line: ALL its lines removed (every
+      // occurrence is non-first and none is protected there)
+      (2L, (Seq.fill(4)(line) ++ Seq("unique closing line for two.",
+        "second unique closing line two.",
+        "third unique closing line two.")).mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = TextClean.c4Chain(docs, "doc_id", "text", blocklist = Nil)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(6), Option(r.getString(7))))).toMap
+    assert(out(1L) == ((3, Some(Seq.fill(3)(line).mkString("\n")))),
+      out(1L).toString)
+    assert(out(2L) == ((4, Some(Seq("unique closing line for two.",
+      "second unique closing line two.",
+      "third unique closing line two.").mkString("\n")))),
+      out(2L).toString)
+  }
+
+  test("c4Chain: first_failed folds over ALL dropDocSubstrings (1 and 3 rules)") {
+    import graft.functions.TextClean
+    val docs = Seq(
+      (1L, Seq("clean page line number one.", "clean page line number two.",
+        "clean page line number three.").mkString("\n")),
+      (2L, Seq("this page has placeholder text.", "more full lines follow here.",
+        "and a third sentence lands.").mkString("\n")),
+      (3L, Seq("this page says cookie policy.", "more full lines follow here.",
+        "and a third sentence lands.").mkString("\n")))
+      .toDF("doc_id", "text")
+    // 3-rule list: the 3rd rule must label, not silently pass
+    val out3 = TextClean.c4Chain(docs, "doc_id", "text", blocklist = Nil,
+        dropDocSubstrings = Seq("placeholder", "{", "cookie policy"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+    assert(out3(1L).isEmpty && out3(2L) == Some("placeholder") &&
+      out3(3L) == Some("cookie_policy"), out3.toString)
+    // 1-rule list: no phantom brace-flag reference
+    val out1 = TextClean.c4Chain(docs, "doc_id", "text", blocklist = Nil,
+        dropDocSubstrings = Seq("cookie policy"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+    assert(out1(1L).isEmpty && out1(2L).isEmpty &&
+      out1(3L) == Some("cookie_policy"), out1.toString)
+  }
 }
