@@ -371,6 +371,154 @@ object SuffixArray {
       textCol, seedK).drop("_seedk"), ranks, oldDf, newDf, idCol, textCol,
       nParts, seedK, maxRounds)
 
+  /** Driver-side refinement of the affected neighborhood (the
+    * delta-local seat of [[suffixRanksIncremental]] — engaged only when
+    * round 1's own observation measured the neighborhood driver-sized).
+    *
+    * Inputs: the round-1 landed checkpoint's affected rows
+    * (_new, _or, _src, _pos, _kr, _nor, _esc) and the escalator
+    * sources' full texts as UTF-8 bytes. Semantics are EXACTLY the
+    * distributed rounds' — proven equal by the same full-rebuild
+    * oracles that pin those:
+    *   - groups = equal round-1 rank (_kr); escalated groups order
+    *     members by the remaining suffix, compared as UTF-8 bytes of
+    *     the space-joined token stream from `pos` (Spark's UTF8String
+    *     binary order, NOT java.lang.String UTF-16 order — the same
+    *     divergence the probe seat's boundary table documents);
+    *     equal-byte runs are one CLASS. Non-escalated groups froze as
+    *     full ties: one class, no content needed.
+    *   - an anchored class (holds an old rep — at most one: landed
+    *     ranks are dense over distinct suffixes) final-ranks at
+    *     _or + ins(_or); a new-only class numbered i (1..N in global
+    *     affected order) at (t - 1) + i where t is the next anchor
+    *     after it in its group, else the group's _nor — and
+    *     ins(r) = max i over insertion points t <= r, the same step
+    *     function the distributed jump table encodes.
+    *
+    * Returns (fresh-row ranks (g, pos, rank), jump rows (t, ins, tn))
+    * — both driver-sized by the engagement budget; the corpus-sized
+    * rank shift still runs distributed off the jump table. */
+  private def resolveDeltaLocal(aRows: Array[org.apache.spark.sql.Row],
+      texts: Map[String, Array[Byte]], rMax: Long)
+      : (Seq[(String, Long, Long)], Seq[(Long, Long, Long)]) = {
+    // token start offsets per source, derived once: text IS the
+    // space-joined token stream (split/join are lossless), so token k
+    // (1-based) starts after the (k-1)th 0x20 byte — multi-byte UTF-8
+    // never contains 0x20 in a continuation byte
+    val offsets = new java.util.HashMap[String, Array[Int]]()
+    def offsetsOf(src: String): Array[Int] = {
+      var o = offsets.get(src)
+      if (o == null) {
+        val b = texts(src)
+        val buf = ArrayBuffer(0)
+        var i = 0
+        while (i < b.length) {
+          if (b(i) == 0x20) buf += i + 1
+          i += 1
+        }
+        o = buf.toArray
+        offsets.put(src, o)
+      }
+      o
+    }
+    // member rows carry their suffix's (bytes, start offset) RESOLVED
+    // ONCE — comparisons then go through the JDK's vectorized
+    // Arrays.compareUnsigned intrinsic (unsigned lexicographic with
+    // shorter-prefix-first, exactly UTF8String order); the per-byte
+    // Scala loop this replaces cost ~2 s at the 37k-row gate shape
+    // (groups share long common prefixes, so comparisons walk deep)
+    final case class R(isNew: Boolean, or: Long, src: String, pos: Long,
+      b: Array[Byte], off: Int)
+    def cmpR(x: R, y: R): Int =
+      java.util.Arrays.compareUnsigned(x.b, x.off, x.b.length,
+        y.b, y.off, y.b.length)
+    val emptyBytes = Array.emptyByteArray
+    // groups keyed by round-1 rank, ascending = index order; suffix
+    // bytes resolved only for ESCALATED groups (frozen groups never
+    // compare content — some of their sources were never collected)
+    val groups = aRows.map { r =>
+      val esc = r.getBoolean(6)
+      val src = r.getString(2)
+      val (b, off) =
+        if (esc) {
+          val bb = texts(src)
+          (bb, offsetsOf(src)(r.getLong(3).toInt - 1))
+        } else (emptyBytes, 0)
+      (r.getLong(4), r.getLong(5), // _kr, _nor
+        R(r.getInt(0) == 1, if (r.isNullAt(1)) -1L else r.getLong(1),
+          src, r.getLong(3), b, off),
+        esc)
+    }.groupBy(_._1).toArray.sortBy(_._1)
+    var i = 0L // new-only class counter, global affected order
+    val jumpAt = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    val newOnly = ArrayBuffer.empty[(String, Long, Long)] // g, pos, fr
+    val anchPend = ArrayBuffer.empty[(String, Long, Long)] // g, pos, _or
+    for ((_, grp) <- groups) {
+      val esc = grp.head._4
+      val nor = grp.head._2
+      val members = grp.map(_._3)
+      val classes: Array[Array[R]] =
+        if (!esc) Array(members) // froze as a full tie: one class
+        else {
+          val s = members.sortWith(cmpR(_, _) < 0)
+          val out = ArrayBuffer.empty[Array[R]]
+          var lo = 0
+          var e = 1
+          while (e <= s.length) {
+            if (e == s.length || cmpR(s(lo), s(e)) != 0) {
+              out += s.slice(lo, e)
+              lo = e
+            }
+            e += 1
+          }
+          out.toArray
+        }
+      val anchors = classes.map(_.find(_.or >= 0L).map(_.or))
+      // next anchor STRICTLY after each class in group order, else _nor
+      // (an anchor outside the group always ranks >= _nor)
+      val nexts = new Array[Long](classes.length)
+      var nx = nor
+      var ci = classes.length - 1
+      while (ci >= 0) {
+        nexts(ci) = nx
+        anchors(ci).foreach(a => nx = a)
+        ci -= 1
+      }
+      ci = 0
+      while (ci < classes.length) {
+        anchors(ci) match {
+          case Some(a) =>
+            classes(ci).foreach(m =>
+              if (m.isNew) anchPend += ((m.src.substring(2), m.pos, a)))
+          case None =>
+            i += 1
+            val t = nexts(ci)
+            jumpAt.put(t, i) // i strictly increases: overwrite == max
+            val fr = t - 1L + i
+            classes(ci).foreach(m =>
+              newOnly += ((m.src.substring(2), m.pos, fr)))
+        }
+        ci += 1
+      }
+    }
+    def ins(r: Long): Long = {
+      val e = jumpAt.floorEntry(r)
+      if (e == null) 0L else e.getValue
+    }
+    val anchOut = anchPend.map { case (g, p, a) => (g, p, a + ins(a)) }
+    // indexed, not Seq: positional next-t lookup over ~#classes entries
+    // (a linear Seq here was O(n^2) — ~2 s at the 37k-row gate shape)
+    val ts = {
+      import scala.jdk.CollectionConverters._
+      jumpAt.entrySet().asScala.iterator.map(e =>
+        (e.getKey.longValue, e.getValue.longValue)).toArray
+    }
+    val jumps = ts.iterator.zipWithIndex.map { case ((t, mi), k) =>
+      (t, mi, if (k + 1 < ts.length) ts(k + 1)._1 else rMax + 1L)
+    }.toSeq
+    ((newOnly ++ anchOut).toSeq, jumps)
+  }
+
   /** The MERGE SIDECAR of a landed suffix array: one row per rank with
     * its representative (doc, pos), suffix token length, and seedK-token
     * joined prefix — everything round 1 of [[suffixRanksIncremental]]
@@ -773,6 +921,35 @@ object SuffixArray {
       // sized re-exchange, bounded by the round count.
       var fusedLocal: DataFrame = null
       var nAffectedBound = 0L
+      // DELTA-LOCAL SEAT (round 16, the r13 <=5 s bar): at gate scale
+      // the merge's bill is ~66 stages of ~0.1-0.15 s FIXED cost over a
+      // 2-round merge whose data fits one partition — the data is
+      // delta-neighborhood-sized from round 2 on, but every refinement
+      // round, class-table window, and cross-partition stitch still
+      // pays distributed plan+schedule latency. When round 1's OWN
+      // observation shows the affected neighborhood is driver-sized
+      // (row count under `spark.graft.saIncr.localMaxRows`, escalator
+      // text bytes under `...localMaxBytes`, both measured not guessed),
+      // the remaining refinement runs ON THE DRIVER over the collected
+      // neighborhood: suffixes compare as UTF-8 bytes of the
+      // space-joined token stream (exactly the engine's comparator —
+      // java.lang.String order is UTF-16 and diverges on
+      // supplementary-plane text, see the boundary-table note above),
+      // classes and insertion offsets fold in one pass, and only two
+      // driver-sized frames re-enter the plan (the jump table and the
+      // fresh-row ranks). The distributed rounds >= 2 remain the 100-TB
+      // seat past the budget and stay oracle-pinned by the localMaxRows
+      // =0 spec variants. 0 disables the seat entirely.
+      val localMaxRows = oldDf.sparkSession.conf
+        .getOption("spark.graft.saIncr.localMaxRows").map(_.toLong)
+        .getOrElse(1L << 20)
+      val localMaxBytes = oldDf.sparkSession.conf
+        .getOption("spark.graft.saIncr.localMaxBytes").map(_.toLong)
+        .getOrElse(64L << 20)
+      // (fresh-row final ranks (g, pos, rank), jump table (t, ins, tn))
+      var localResolved
+          : Option[(Seq[(String, Long, Long)], Seq[(Long, Long, Long)])] =
+        None
       while (!done && round < maxRounds) {
         val t0 = System.nanoTime()
         // rounds >= 2 rank (padded path keys, passenger sort key last);
@@ -965,6 +1142,62 @@ object SuffixArray {
             fusedLocal = landed
             nAffectedBound = escStats.map(_._3).getOrElse(nRows)
           }
+          // delta-local attempt: both gates come from MEASUREMENTS (the
+          // observed affected-row count; one agg over the already-tiny
+          // joined text frame), and a budget miss falls through to the
+          // distributed rounds untouched
+          if (!done && localMaxRows > 0 &&
+              escStats.exists(_._3 <= localMaxRows)) {
+            var tSeat = System.nanoTime()
+            def seatMark(label: String): Unit = if (debugTiming) {
+              System.err.println(f"[sa-incr] seat:$label " +
+                f"${(System.nanoTime() - tSeat) / 1e9}%.2f s")
+              tSeat = System.nanoTime()
+            }
+            // text fetch + byte-budget agg on a SECOND DRIVER THREAD,
+            // overlapping the affected-row collect (the sidecar-stats
+            // overlap discipline): the corpus is scanned ONCE, probed
+            // against the broadcast escalator-src keys (delta-sized,
+            // read straight off the landed checkpoint), and persisted
+            // so the budget agg and the collect share the scan
+            val tfF = scala.concurrent.Future {
+              val escSrcDf = landed.filter(col("_esc"))
+                .select("_src").distinct()
+              val t = oldG.select(concat(lit("d:"),
+                  col("_doc").cast("string")).as("_src"), col("_t"))
+                .unionAll(newFresh.select(concat(lit("g:"), col("_g"))
+                  .as("_src"), col("_t")))
+                .join(broadcast(escSrcDf), Seq("_src")).persist()
+              val b = t.agg(coalesce(sum(length(col("_t"))
+                .cast("long")), lit(0L))).head().getLong(0)
+              (t, b)
+            }(scala.concurrent.ExecutionContext.global)
+            val aRows = landed.select(col("_new"), col("_or"),
+              col("_src"), col("_pos"), col("_kr"), col("_nor"),
+              col("_esc")).collect()
+            seatMark("collect-rows")
+            val (tf, tBytes) = scala.concurrent.Await.result(tfF,
+              scala.concurrent.duration.Duration.Inf)
+            seatMark("text-budget")
+            if (tBytes <= localMaxBytes) {
+              val texts = tf.collect().iterator.map(r => r.getString(0) ->
+                r.getString(1).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)).toMap
+              tf.unpersist(blocking = false)
+              seatMark("collect-texts")
+              localResolved = Some(resolveDeltaLocal(aRows, texts, rMax))
+              seatMark("resolve")
+              done = true
+              if (debugTiming) System.err.println(
+                s"[sa-incr] delta-local seat: rows=${aRows.length} " +
+                  s"textBytes=$tBytes")
+            } else {
+              tf.unpersist(blocking = false)
+              if (debugTiming) System.err.println(
+                s"[sa-incr] delta-local seat declined: textBytes=" +
+                  s"$tBytes > $localMaxBytes")
+            }
+          }
           if (!done && tokTable == null)
             tokTable = buildTokTable(
               landed.filter(col("_esc")).select("_src").distinct(),
@@ -1043,6 +1276,44 @@ object SuffixArray {
       // probe seat) there are no affected rows at all — an empty frame
       // of the right shape feeds the class machinery, and every derived
       // table is empty by construction.
+      // earlier rounds' frozen checkpoints were re-ranked INTO the
+      // terminal round's checkpoint (the passenger ride) — release all
+      // but the terminal one, which backs `local` and the output below
+      frozenParts.dropRight(1).foreach { f =>
+        f.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
+      }
+      // ---- insertion-offset expansion, shared by both seats:
+      // ins(r) = #new-only classes ordered strictly before old class r
+      // = max i at insertion point t <= r — a step function with one
+      // jump per distinct t, expanded to a full (old rank -> offset)
+      // column by a CHUNKED narrow generate: chunk starts shuffle
+      // (tiny), each task expands <= 64k ranks, so one giant gap never
+      // serializes into one task
+      val chunk = 65536L
+      def expandMapping(jump2: DataFrame): DataFrame = jump2
+        .filter(col("_t") <= rMax)
+        .select(col("_ins"), least(col("_tn") - 1, lit(rMax)).as("_hi"),
+          explode(sequence(col("_t"), least(col("_tn") - 1, lit(rMax)),
+            lit(chunk))).as("_s"))
+        .repartition(nParts)
+        .select(explode(sequence(col("_s"),
+            least(col("_s") + lit(chunk - 1), col("_hi"))))
+            .as("suffix_rank"),
+          col("_ins"))
+      // the offset table is rMax rows of two longs — ADAPTIVELY
+      // broadcast (round 15): under the probe budget the output-sized
+      // union below joins it with NO exchange at all (the gate-scale
+      // artifact join was the output phase's one big shuffle); past the
+      // budget the shuffle_hash form stands, the 100-TB seat
+      def mappingProbeOf(m: DataFrame): DataFrame =
+        if (rMax * 64L <= probeBudgetBytes) broadcast(m)
+        else m.hint("shuffle_hash")
+      // ---- the distributed class machinery (the 100-TB seat; also the
+      // empty-affected case) — a def so the delta-local path never
+      // plans any of it
+      def distributedClassPhase(): (DataFrame, DataFrame) = {
       val local =
         if (fusedLocal != null)
           fusedLocal.select(col("_new"), col("_or"), col("_src"),
@@ -1055,14 +1326,6 @@ object SuffixArray {
           lit(0L).as("_lr"), lit(0L).as("_ls"),
           lit(0).as("_pid"), lit(1).as("_first"), lit(0).as("_hasN"))
       mark("fused-local")
-      // earlier rounds' frozen checkpoints were re-ranked INTO the
-      // terminal round's checkpoint (the passenger ride) — release all
-      // but the terminal one, which backs `local` and the output below
-      frozenParts.dropRight(1).foreach { f =>
-        f.queryExecution.analyzed.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
-      }
       // ---- class table: one row per affected CLASS (equal terminal
       // (_lr, _ls) = rows tied forever = one dense-rank class). A class
       // holds at most one old rank (landed ranks are dense over distinct
@@ -1138,34 +1401,55 @@ object SuffixArray {
         coalesce(lead(col("_t"), 1).over(wLead),
           tailMinExpr(jparted, "_t", nParts, rMax + 1)))
       mark("tailmin")
-      val chunk = 65536L
-      val mapping = Caches.operatorPersist(jump2.filter(col("_t") <= rMax)
-        .select(col("_ins"), least(col("_tn") - 1, lit(rMax)).as("_hi"),
-          explode(sequence(col("_t"), least(col("_tn") - 1, lit(rMax)),
-            lit(chunk))).as("_s"))
-        .repartition(nParts)
-        .select(explode(sequence(col("_s"),
-            least(col("_s") + lit(chunk - 1), col("_hi"))))
-            .as("suffix_rank"),
-          col("_ins")))
-      // the offset table is rMax rows of two longs — ADAPTIVELY
-      // broadcast (round 15): under the probe budget the output-sized
-      // union below joins it with NO exchange at all (the gate-scale
-      // artifact join was the output phase's one big shuffle); past the
-      // budget the shuffle_hash form stands, the 100-TB seat
-      val mappingProbe =
-        if (rMax * 64L <= probeBudgetBytes) broadcast(mapping)
-        else mapping.hint("shuffle_hash")
+      // persisted: consumed by both the anchored-class join below and
+      // the corpus-sized shift in the shared output phase
+      val mapping = Caches.operatorPersist(expandMapping(jump2))
+      val mappingProbe0 = mappingProbeOf(mapping)
       // ---- final ranks per affected class: an ANCHORED class (>= one
       // old member; tying new rows share it) maps through its anchor's
       // offset; a new-only class is (t - 1) + i
       val anch = ct2.filter(col("_cor").isNotNull && col("_hasN") === 1)
         .select(col("_lr"), col("_cor").as("suffix_rank"))
-        .join(mappingProbe, Seq("suffix_rank"), "left")
+        .join(mappingProbe0, Seq("suffix_rank"), "left")
         .select(col("_lr"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L))).as("_fr"))
       val classRanks = Caches.operatorPersist(anch.unionAll(
         newIdx.select(col("_lr"), (col("_t") - 1 + col("_i")).as("_fr"))))
+      // fresh delta texts: affected new rows -> class rank -> member docs
+      // (classRanks is affected-class-sized — <= nAffected rows, known
+      // driver-side off the final ranking's own stats — so it takes the
+      // adaptive probe side like every delta-derived frame)
+      val freshOutD = local.filter(col("_new") === 1)
+        .join(estProbe(nAffectedBound * 64L)(classRanks), Seq("_lr"))
+        .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
+          col("_fr"))
+        .join(newMembers.hint("shuffle_hash"), Seq("_g"))
+        .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
+          col("_fr").as("suffix_rank"))
+      (mappingProbe0, freshOutD)
+      } // end distributedClassPhase
+      val (mappingProbe, freshOut) = localResolved match {
+        case Some((freshRanks, jumps)) =>
+          // DELTA-LOCAL OUTPUT FRAMES: the driver already resolved the
+          // affected classes — only two driver-sized tables re-enter
+          // the plan. The jump table expands through the same chunked
+          // generate as the distributed seat; the fresh-row ranks
+          // broadcast against the delta's member docs (never the
+          // corpus). The whole class-machinery phase (class-table
+          // windows, cstats/tailMin collects, classRanks joins) does
+          // not exist on this path.
+          val ss = oldDf.sparkSession
+          import ss.implicits._
+          val jumpDf = jumps.toDF("_t", "_ins", "_tn")
+          val frDf = broadcast(freshRanks.toDF("_g", "_pos", "_fr"))
+          val fo = newMembers.join(frDf, Seq("_g"))
+            .select(col("_doc").as(idCol),
+              col("_pos").cast("int").as("pos"),
+              col("_fr").as("suffix_rank"))
+          mark("delta-local-frames")
+          (mappingProbeOf(expandMapping(jumpDf)), fo)
+        case None => distributedClassPhase()
+      }
       // ---- outputs. Old docs AND the delta's dup-of-old copies shift
       // through the insertion-offset table in ONE join (round 14 — the
       // split oldOut/dupOut forms paid two corpus-sized exchanges by
@@ -1188,17 +1472,6 @@ object SuffixArray {
         .select(col(idCol), col("pos"),
           (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
             .as("suffix_rank"))
-      // fresh delta texts: affected new rows -> class rank -> member docs
-      // (classRanks is affected-class-sized — <= nAffected rows, known
-      // driver-side off the final ranking's own stats — so it takes the
-      // adaptive probe side like every delta-derived frame)
-      val freshOut = local.filter(col("_new") === 1)
-        .join(estProbe(nAffectedBound * 64L)(classRanks), Seq("_lr"))
-        .select(substring(col("_src"), 3, 32).as("_g"), col("_pos"),
-          col("_fr"))
-        .join(newMembers.hint("shuffle_hash"), Seq("_g"))
-        .select(col("_doc").as(idCol), col("_pos").cast("int").as("pos"),
-          col("_fr").as("suffix_rank"))
       shiftedOut.unionAll(freshOut)
     } finally {
       pinned.foreach(_.unpersist(blocking = false))

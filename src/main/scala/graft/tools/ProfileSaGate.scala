@@ -24,6 +24,13 @@ object ProfileSaGate {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.debugTiming", "true")
+    // extra args beyond [sfDir] [passes] are session confs "k=v" —
+    // e.g. spark.graft.saIncr.localMaxRows=0 for seat A/Bs
+    args.drop(2).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"PROFILE conf $k=$v")
+    }
 
     final case class J(id: Int, submitted: Long, var completed: Long,
       desc: String)

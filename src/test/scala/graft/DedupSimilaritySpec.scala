@@ -967,13 +967,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (16L, "A a n")).toDF("doc_id", "text") // 'A' < 'a': suffixes
       // inserting BEFORE every old rank (the t=1 / offset-at-origin seat)
     val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
-    val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
-        "doc_id", "text", nParts = 4)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val want = SuffixArray.suffixRanks(oldDocs.unionAll(delta),
         "doc_id", "text", nParts = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    assert(got == want)
+    // three seats against ONE rebuild oracle (round 16): the default
+    // (delta-local — this fixture is driver-sized, so the seat engages),
+    // the forced-DISTRIBUTED rounds (localMaxRows=0 — the 100-TB seat
+    // must not rot behind small-fixture tests), and the byte-budget
+    // DECLINE path (localMaxBytes=0: the seat measures, declines, and
+    // falls through to the distributed rounds mid-loop)
+    for ((conf, v) <- Seq("spark.graft.saIncr.localMaxRows" -> "0",
+        "spark.graft.saIncr.localMaxBytes" -> "0", "" -> "")) {
+      if (conf.nonEmpty) spark.conf.set(conf, v)
+      try {
+        val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
+            "doc_id", "text", nParts = 4)
+          .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+          .toMap
+        assert(got == want, s"seat variant [$conf=$v]")
+      } finally if (conf.nonEmpty) spark.conf.unset(conf)
+    }
   }
 
   test("suffixRanksIncremental: PROBE round-1 == union round-1 == rebuild on the same fixtures") {
@@ -1029,11 +1042,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
           "doc_id", "text", nParts = 4)
         .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
         .toMap
-      val uniGot = SuffixArray.suffixRanksIncremental(uniBase, uniOld,
-          uniDelta, "doc_id", "text", nParts = 4)
-        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
-        .toMap
-      assert(uniGot == uniWant)
+      // the non-BMP pin runs through BOTH terminal seats: the default
+      // delta-local (its driver comparator must use UTF-8 byte order,
+      // not java.lang.String UTF-16 order — exactly this fixture's
+      // divergence) and the forced-distributed rounds
+      for (localRows <- Seq(None, Some("0"))) {
+        localRows.foreach(v =>
+          spark.conf.set("spark.graft.saIncr.localMaxRows", v))
+        try {
+          val uniGot = SuffixArray.suffixRanksIncremental(uniBase, uniOld,
+              uniDelta, "doc_id", "text", nParts = 4)
+            .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+            .toMap
+          assert(uniGot == uniWant, s"localMaxRows=$localRows")
+        } finally if (localRows.isDefined)
+          spark.conf.unset("spark.graft.saIncr.localMaxRows")
+      }
     } finally spark.conf.unset("spark.graft.saIncr.probeRatio")
   }
 
