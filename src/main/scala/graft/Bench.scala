@@ -178,7 +178,12 @@ object Bench {
     // path: it re-runs the whole learner plus one more decode, so its
     // timing is the learner's x1.5 with no new scale path — pure sweep
     // budget with no signal
-    "quality_c4_chain", "unigram_learn")
+    "quality_c4_chain", "unigram_learn",
+    // round-16: the soft-EM (lattice-marginal) unigram learner — a new
+    // scale path (forward/backward quantized log-sum-exp folds per
+    // distinct word; occurrence microcounts), unlike unigram_learn_
+    // segment which re-times the hard learner and stays off the bench
+    "unigram_learn_soft")
 
   /** COMPACT FALLBACK LINE (round-16, the r15 parsed:null fix — the
     * THIRD round the driver bench signal was the judge's top item).
@@ -773,13 +778,18 @@ object Bench {
       if (skippedBuf.isEmpty) ""
       else skippedBuf.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
+    // one pair per name (first-seen = the sweep's): a query trimmed in
+    // BOTH the sweep and a retry pass would otherwise emit duplicate
+    // JSON keys (observed in the round-16 A/B artifacts) — the retry
+    // pass's own evidence already lands in first_pass
+    val heavyPairs1 = heavyPairs.distinctBy(_._1)
     val heavyJson =
       if (heavyTrimmed.isEmpty) ""
       else heavyTrimmed.distinct.map("\"" + _ + "\"")
         .mkString(""","heavy_min2":[""", ",", "]") +
-        heavyPairs.map { case (k, t1, _) => "\"" + k + "\":" + fmt(t1) }
+        heavyPairs1.map { case (k, t1, _) => "\"" + k + "\":" + fmt(t1) }
           .mkString(""","heavy_first":{""", ",", "}") +
-        heavyPairs.map { case (k, _, t2) => "\"" + k + "\":" + fmt(t2) }
+        heavyPairs1.map { case (k, _, t2) => "\"" + k + "\":" + fmt(t2) }
           .mkString(""","heavy_second":{""", ",", "}")
     val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}$seriesJson,"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson$tailJson$skippedJson$heavyJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""

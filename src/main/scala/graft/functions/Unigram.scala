@@ -72,6 +72,19 @@ object Unigram {
           + lit(0.5)).cast("long").as("s"))
   }
 
+  /** Per-word score map (word -> map(piece -> micronat score)): distinct
+    * grams only (map keys must be unique); piece-keyed shuffle join —
+    * the score table is model-sized but can exceed broadcast budgets on
+    * a real corpus, so let AQE pick. */
+  private def wordScoreMap(wh: DataFrame, scores: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    wh.select(col("word"),
+        explode(array_distinct(gramsOf(maxPieceLen))).as("piece"))
+      .join(scores, "piece")
+      .groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("s"))))
+        .as("m"))
+
   /** Viterbi decode of every distinct word under the given piece scores:
     * (word, freq, n_pieces, score_micronats, segmented). Pieces absent
     * from `scores` yield null candidates and are skipped by the DP's
@@ -79,15 +92,7 @@ object Unigram {
     * vocabulary). */
   private def segmentWith(wh: DataFrame, scores: DataFrame,
       maxPieceLen: Int): DataFrame = {
-    // per-word score map: distinct grams only (map keys must be unique);
-    // piece-keyed shuffle join — the score table is model-sized but can
-    // exceed broadcast budgets on a real corpus, so let AQE pick
-    val wordMap = wh.select(col("word"),
-        explode(array_distinct(gramsOf(maxPieceLen))).as("piece"))
-      .join(scores, "piece")
-      .groupBy("word")
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("s"))))
-        .as("m"))
+    val wordMap = wordScoreMap(wh, scores, maxPieceLen)
 
     val n = length(col("word"))
     // the DP fold: acc carries best[] (1-indexed; best[1] = position 0)
@@ -197,6 +202,132 @@ object Unigram {
     }
     scoresOf(vocab).join(vocab, Seq("piece"))
       .select(col("piece"), col("cnt"), col("s").as("score_micronats"),
+        length(col("piece")).cast("int").as("piece_len"))
+  }
+
+  /** SOFT-EM expected piece counts of one E-step (the lattice-marginal
+    * half of Kudo 2018 §3.2 that [[learn]]'s documented hard-EM variant
+    * replaces with Viterbi-best counts): forward/backward log-sums over
+    * the segmentation lattice, expected count of each piece occurrence
+    * = exp(alpha(start) + s + beta(end) - Z).
+    *
+    * Cross-engine exactness discipline: every alpha/beta value is
+    * QUANTIZED to integer micronats at each DP step
+    * (floor(logsumexp * 1e6 + 0.5) — the perplexity-family convention),
+    * and each occurrence's expected count is quantized to integer
+    * MICROCOUNTS (floor(e * 1e6 + 0.5)) BEFORE aggregation — so every
+    * sum in the pipeline is an exact integer sum (order-free across
+    * engines; a raw double sum would be partition-order-sensitive).
+    * The logsumexp accumulates candidates in ascending piece-length
+    * order in both engines (a sequential fold here, list order in the
+    * DuckDB oracle).
+    *
+    * Returns (piece, cnt) with cnt in MICROCOUNTS (1e6 = one expected
+    * occurrence), frequency-weighted over distinct words. */
+  private def softCounts(wh: DataFrame, scores: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val wordMap = wordScoreMap(wh, scores, maxPieceLen)
+    val n = length(col("word"))
+    // quantized log-sum-exp of the non-null candidates (integer
+    // micronats in, integer micronats out); candidates are never all
+    // null (single characters are always in vocabulary)
+    def lse(cands: Column): Column = {
+      val cs = filter(cands, c => c.isNotNull)
+      val mx = array_max(cs)
+      val se = aggregate(cs, lit(0.0),
+        (a, c) => a + exp((c - mx).cast("double") / lit(1e6)))
+      floor(mx + log(se) * lit(1e6) + lit(0.5)).cast("long")
+    }
+    // forward: a(1) = 0 (log 1 over the empty prefix); a(i+1) sums the
+    // lattice paths ending at position i
+    val fwd = aggregate(sequence(lit(1), n), array(lit(0L)),
+      (acc, i) => {
+        val cands = transform(
+          sequence(lit(1), least(lit(maxPieceLen), i)),
+          l => when(
+            element_at(col("m"), col("word").substr(i - l + 1, l))
+              .isNotNull,
+            element_at(acc, i - l + 1) +
+              element_at(col("m"), col("word").substr(i - l + 1, l))))
+        concat(acc, array(lse(cands)))
+      })
+    // backward, built right-to-left: b(k) holds beta(n + 2 - k), so
+    // beta(i) = b(n + 2 - i); step j fills position i = n - j + 1 from
+    // the already-computed suffix values b(j + 1 - l)
+    val bwd = aggregate(sequence(lit(1), n), array(lit(0L)),
+      (acc, j) => {
+        val i = n - j + 1
+        val cands = transform(
+          sequence(lit(1), least(lit(maxPieceLen), j)),
+          l => when(
+            element_at(col("m"), col("word").substr(i, l)).isNotNull,
+            element_at(col("m"), col("word").substr(i, l)) +
+              element_at(acc, j + 1 - l)))
+        concat(acc, array(lse(cands)))
+      })
+    // persist barrier between the two folds and their MANY readers (the
+    // no-CSE interpreted-HOF discipline — segmentWith's note): the
+    // occurrence expansion below reads _fwd/_bwd once per (i, l)
+    val lattice = Caches.operatorPersist(
+      wh.join(wordMap, "word")
+        .select(col("word"), col("freq"), col("m"),
+          fwd.as("_fwd"), bwd.as("_bwd")))
+    // expected microcounts per in-vocabulary occurrence (start i, len l):
+    // floor(exp((a(i) + s + beta(i + l) - Z) / 1e6) * 1e6 + 0.5)
+    val occ = flatten(transform(sequence(lit(1), n), i =>
+      transform(sequence(lit(1), least(lit(maxPieceLen), n - i + 1)),
+        l => {
+          val s = element_at(col("m"), col("word").substr(i, l))
+          when(s.isNotNull,
+            struct(col("word").substr(i, l).as("piece"),
+              floor(exp(
+                (element_at(col("_fwd"), i) + s +
+                  element_at(col("_bwd"), n + 2 - (i + l)) -
+                  element_at(col("_fwd"), n + 1)).cast("double") /
+                  lit(1e6)) * lit(1e6) + lit(0.5)).cast("long")
+                .as("eq")))
+        })))
+    lattice
+      .select(col("freq"), explode(filter(occ, o => o.isNotNull)).as("o"))
+      .groupBy(col("o.piece").as("piece"))
+      .agg(sum(col("o.eq") * col("freq")).as("cnt"))
+  }
+
+  /** LEARNED piece vocabulary by SOFT-EM rounds — Kudo 2018's actual
+    * training loop (lattice-marginal E-step via [[softCounts]]), the
+    * [[learn]] twin behind the same seed/prune scaffolding:
+    * (piece, cnt_micro, score_micronats, piece_len), where cnt_micro is
+    * the final round's expected usage in MICROCOUNTS (1e6 = one
+    * expected occurrence; single characters floored at one occurrence)
+    * and the score is minted from the final expected counts. The prune
+    * rule is the same count threshold, applied to expected counts
+    * (multi-char pieces under `minCount` expected occurrences drop).
+    * Same scale shape as [[learn]]: one corpus-sized shuffle, every
+    * round type-level over distinct words. */
+  def learnSoft(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      rounds: Int = 2, minCount: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1 && rounds >= 1 && minCount >= 1)
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    val seed = Caches.operatorPersist(gramCensus(wh, maxPieceLen))
+    val chars = seed.filter(length(col("piece")) === 1)
+      .select(col("piece"))
+    // round 1 scores from the integer seed census (shared with [[learn]]);
+    // later rounds from microcount vocabularies — scoresOf is a ratio,
+    // so the 1e6 scaling cancels
+    var vocab = seed
+    (1 to rounds).foreach { _ =>
+      val cnts = softCounts(wh, scoresOf(vocab), maxPieceLen)
+      vocab = Caches.operatorPersist(
+        chars.join(cnts, Seq("piece"), "left")
+          .select(col("piece"),
+            greatest(coalesce(col("cnt"), lit(0L)), lit(1000000L))
+              .as("cnt"))
+          .unionAll(cnts.filter(length(col("piece")) > 1 &&
+            col("cnt") >= minCount * 1000000L)))
+    }
+    scoresOf(vocab).join(vocab, Seq("piece"))
+      .select(col("piece"), col("cnt").as("cnt_micro"),
+        col("s").as("score_micronats"),
         length(col("piece")).cast("int").as("piece_len"))
   }
 

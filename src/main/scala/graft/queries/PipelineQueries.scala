@@ -737,6 +737,134 @@ object PipelineQueries {
            |ORDER BY w.word""".stripMargin
   }
 
+  /** Oracle for [[graft.functions.Unigram.learnSoft]] — the SOFT-EM
+    * (lattice-marginal) rounds. Replays, per round: the micronat score
+    * mint, the forward and backward quantized log-sum-exp DPs as
+    * recursive CTEs (candidates accumulate in ascending piece-length
+    * order — list order here, the fold order engine-side), the
+    * per-occurrence expected MICROCOUNT quantization, and the integer
+    * microcount prune. Every cross-engine float surface is a single
+    * floor(f(x) * 1e6 + 0.5); every sum is an exact integer sum. */
+  private def unigramLearnSoftOracleSql(rounds: Int,
+      minCount: Int): String = {
+    val floorC = minCount.toLong * 1000000L
+    def lseStep(cte: String, idx: String, stateList: String,
+        candsSql: String, bound: String): String =
+      s"""  SELECT word, m, $idx + 1,
+         |    list_append($stateList, CAST(floor(CAST(mx AS DOUBLE)
+         |      + ln(list_aggregate(list_transform(cs,
+         |          c -> exp(CAST(c - mx AS DOUBLE) / 1e6)), 'sum')) * 1e6
+         |      + 0.5) AS BIGINT))
+         |  FROM (SELECT word, m, $idx, $stateList, cs, list_max(cs) AS mx
+         |        FROM (SELECT *, $candsSql AS cs
+         |              FROM $cte WHERE $idx < $bound))""".stripMargin
+    def softBlock(r: Int): String = {
+      val fwdCands =
+        s"""list_filter(list_transform(
+           |        generate_series(1, least(4, i + 1)),
+           |        l -> CASE WHEN m[substr(word, CAST(i + 2 - l AS INT),
+           |                      CAST(l AS INT))][1] IS NULL THEN NULL
+           |             ELSE a[i + 2 - l]
+           |                  + m[substr(word, CAST(i + 2 - l AS INT),
+           |                      CAST(l AS INT))][1] END),
+           |        x -> x IS NOT NULL)""".stripMargin
+      val bwdCands =
+        s"""list_filter(list_transform(
+           |        generate_series(1, least(4, j + 1)),
+           |        l -> CASE WHEN m[substr(word,
+           |                      CAST(length(word) - j AS INT),
+           |                      CAST(l AS INT))][1] IS NULL THEN NULL
+           |             ELSE m[substr(word,
+           |                      CAST(length(word) - j AS INT),
+           |                      CAST(l AS INT))][1]
+           |                  + b[j + 2 - l] END),
+           |        x -> x IS NOT NULL)""".stripMargin
+      s"""t$r AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$r),
+         |sc$r AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+         |      AS BIGINT) AS s
+         |  FROM v$r, t$r),
+         |wm$r AS MATERIALIZED (
+         |  SELECT word, map_from_entries(list({'k': piece, 'v': s})) AS m
+         |  FROM grams JOIN sc$r USING (piece) GROUP BY word),
+         |fw$r AS (
+         |  SELECT word, m, 0 AS i, [CAST(0 AS BIGINT)] AS a FROM wm$r
+         |  UNION ALL
+         |${lseStep(s"fw$r", "i", "a", fwdCands, "length(word)")}),
+         |bw$r AS (
+         |  SELECT word, m, 0 AS j, [CAST(0 AS BIGINT)] AS b FROM wm$r
+         |  UNION ALL
+         |${lseStep(s"bw$r", "j", "b", bwdCands, "length(word)")}),
+         |ffin$r AS MATERIALIZED (
+         |  SELECT word, m, a FROM fw$r WHERE i = length(word)),
+         |bfin$r AS MATERIALIZED (
+         |  SELECT word, b FROM bw$r WHERE j = length(word)),
+         |eo$r AS MATERIALIZED (
+         |  SELECT word, piece,
+         |    CAST(floor(exp(CAST(a[CAST(i AS INT)] + s
+         |        + b[CAST(length(word) + 2 - i - l AS INT)]
+         |        - a[CAST(length(word) + 1 AS INT)] AS DOUBLE) / 1e6)
+         |      * 1e6 + 0.5) AS BIGINT) AS eq
+         |  FROM (
+         |    SELECT f.word, f.a, bb.b, i, l,
+         |      substr(f.word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |      f.m[substr(f.word, CAST(i AS INT), CAST(l AS INT))][1] AS s
+         |    FROM ffin$r f JOIN bfin$r bb USING (word),
+         |         unnest(generate_series(1, length(f.word))) AS t1(i),
+         |         unnest(generate_series(1, 4)) AS t2(l)
+         |    WHERE i + l - 1 <= length(f.word))
+         |  WHERE s IS NOT NULL),
+         |c${r + 1} AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(eq * freq) AS BIGINT) AS cnt
+         |  FROM eo$r JOIN wh USING (word) GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT ch.piece,
+         |    greatest(coalesce(c.cnt, 0), CAST(1000000 AS BIGINT)) AS cnt
+         |  FROM ch LEFT JOIN c${r + 1} c USING (piece)
+         |  UNION ALL
+         |  SELECT piece, cnt FROM c${r + 1}
+         |  WHERE length(piece) > 1 AND cnt >= $floorC)""".stripMargin
+    }
+    val head =
+      s"""WITH RECURSIVE
+         |wh AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |    FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+         |         unnest(generate_series(1, 4)) AS t2(l)
+         |    WHERE i + l - 1 <= length(word))
+         |  GROUP BY piece),
+         |ch AS MATERIALIZED (SELECT piece FROM v0 WHERE length(piece) = 1),
+         |grams AS MATERIALIZED (
+         |  SELECT DISTINCT word,
+         |    substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |  FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+         |       unnest(generate_series(1, 4)) AS t2(l)
+         |  WHERE i + l - 1 <= length(word))""".stripMargin
+    val finalScores =
+      s"""t$rounds AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$rounds),
+         |sc$rounds AS MATERIALIZED (
+         |  SELECT piece,
+         |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+         |      AS BIGINT) AS s
+         |  FROM v$rounds, t$rounds)""".stripMargin
+    (Seq(head) ++ (0 until rounds).map(softBlock) ++ Seq(finalScores))
+      .mkString(",\n") +
+      s"""
+         |SELECT v$rounds.piece, v$rounds.cnt AS cnt_micro,
+         |  sc$rounds.s AS score_micronats,
+         |  CAST(length(v$rounds.piece) AS INT) AS piece_len
+         |FROM v$rounds JOIN sc$rounds USING (piece)
+         |ORDER BY piece""".stripMargin
+  }
+
   private def doremiTrajectoryOracleSql(steps: Int): String = {
     val head =
       s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
@@ -4514,6 +4642,20 @@ object PipelineQueries {
           Tables.documents(s, dir), "text")
         .orderBy("piece"),
       Some(unigramLearnOracleSql(2, 2, segment = false))),
+
+    QueryDef("unigram_learn_soft",
+      // SOFT-EM vocabulary learning — Kudo 2018's actual training loop
+      // (the lattice-marginal E-step; unigram_learn keeps the
+      // documented hard-EM variant): forward/backward quantized
+      // log-sum-exp DPs per distinct word, expected piece counts
+      // quantized to integer MICROCOUNTS before any aggregation (every
+      // sum exact and order-free), same seed census and prune
+      // scaffolding. Oracle replays both rounds' lattices as recursive
+      // CTEs with the identical per-step quantization
+      (s, dir) => graft.functions.Unigram.learnSoft(
+          Tables.documents(s, dir), "text")
+        .orderBy("piece"),
+      Some(unigramLearnSoftOracleSql(2, 2))),
 
     QueryDef("unigram_learn_segment",
       // the learned-vocab segmentation census: every distinct word

@@ -190,4 +190,85 @@ class BpeSpec extends AnyFunSuite {
     val m = out.map(r => r._1 -> r._5).toMap
     assert(m("aba") == "aba" && m("ab") == "ab")
   }
+
+  test("unigram learnSoft: soft-EM lattice marginals == a plain-JVM replica") {
+    import graft.functions.Unigram
+    val docs = Seq("aba ab aba cab", "dddd aba ab", "xyzw xyzw ab")
+      .toDF("text")
+    val rounds = 2
+    val minCount = 2
+    val got = Unigram.learnSoft(docs, "text", maxPieceLen = 4,
+        rounds = rounds, minCount = minCount)
+      .orderBy("piece")
+      .as[(String, Long, Long, Int)].collect().toSeq
+
+    // plain-JVM replica: same per-step micronat quantization of the
+    // forward/backward log-sum-exp (candidates in ascending piece-length
+    // order), same per-occurrence MICROCOUNT quantization, same prune
+    val freqs = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freqs; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      seed(w.substring(i, i + l)) =
+        seed.getOrElse(w.substring(i, i + l), 0L) + f
+    val chars = seed.keySet.filter(_.length == 1).toSet
+    def scoresOf(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.values.sum.toDouble
+      v.map { case (p, c) =>
+        p -> math.floor(math.log(c / t) * 1e6 + 0.5).toLong }
+    }
+    def lse(cs: Seq[Long]): Long = {
+      val mx = cs.max
+      val se = cs.foldLeft(0.0)((a, c) => a + math.exp((c - mx) / 1e6))
+      math.floor(mx + math.log(se) * 1e6 + 0.5).toLong
+    }
+    def softRound(v: Map[String, Long]): Map[String, Long] = {
+      val s = scoresOf(v)
+      val exp = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- freqs) {
+        val n = w.length
+        val a = Array.fill(n + 1)(0L)
+        for (i <- 1 to n) {
+          val cs = (1 to math.min(4, i)).flatMap { l =>
+            s.get(w.substring(i - l, i)).map(a(i - l) + _) }
+          a(i) = lse(cs)
+        }
+        val b = Array.fill(n + 2)(0L)
+        for (i <- n to 1 by -1) {
+          val cs = (1 to math.min(4, n - i + 1)).flatMap { l =>
+            s.get(w.substring(i - 1, i - 1 + l)).map(_ + b(i + l)) }
+          b(i) = lse(cs)
+        }
+        for (i <- 1 to n; l <- 1 to math.min(4, n - i + 1);
+             sc <- s.get(w.substring(i - 1, i - 1 + l))) {
+          val e = math.exp((a(i - 1) + sc + b(i + l) - a(n)) / 1e6)
+          val eq = math.floor(e * 1e6 + 0.5).toLong
+          val p = w.substring(i - 1, i - 1 + l)
+          exp(p) = exp.getOrElse(p, 0L) + eq * f
+        }
+      }
+      chars.map(c => c -> math.max(exp.getOrElse(c, 0L), 1000000L)).toMap ++
+        exp.filter { case (p, c) =>
+          p.length > 1 && c >= minCount * 1000000L }
+    }
+    var v: Map[String, Long] = seed.toMap
+    (1 to rounds).foreach(_ => v = softRound(v))
+    val sFin = scoresOf(v)
+    val want = v.toSeq.sortBy(_._1).map { case (p, c) =>
+      (p, c, sFin(p), p.length) }
+    assert(got == want, s"got=${got.take(8)} want=${want.take(8)}")
+
+    // divergence census vs the hard-EM twin: same scaffolding, so the
+    // single-character floor holds in both; the piece inventories may
+    // legitimately differ (marginals keep pieces Viterbi starves)
+    val hard = Unigram.learn(docs, "text", maxPieceLen = 4,
+        rounds = rounds, minCount = minCount)
+      .select("piece").as[String].collect().toSet
+    val soft = got.map(_._1).toSet
+    assert(chars.subsetOf(soft) && chars.subsetOf(hard))
+    info(s"vocab sizes: soft=${soft.size} hard=${hard.size} " +
+      s"soft-only=${(soft -- hard).size} hard-only=${(hard -- soft).size}")
+  }
 }
