@@ -183,7 +183,14 @@ object Bench {
     // scale path (forward/backward quantized log-sum-exp folds per
     // distinct word; occurrence microcounts), unlike unigram_learn_
     // segment which re-times the hard learner and stays off the bench
-    "unigram_learn_soft")
+    "unigram_learn_soft",
+    // round-17: subword-regularization FFBS sampling — a new scale
+    // path (temperature-scaled forward lattice + seeded integer-weight
+    // backward walk per distinct word). Its soft-decode sibling
+    // (unigram_segment_soft) stays oracle-gated but OFF the bench: it
+    // re-runs the whole soft learner plus one decode — the
+    // unigram_learn_segment rationale
+    "unigram_sample_segments")
 
   /** COMPACT FALLBACK LINE (round-16, the r15 parsed:null fix — the
     * THIRD round the driver bench signal was the judge's top item).
@@ -207,11 +214,22 @@ object Bench {
       queriesFile: String, sfDir: String, runs: Int): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // the two interpolated strings are externally controlled paths —
+    // JSON-escape them (round-17 advice fix: a quote or backslash in
+    // the path previously yielded invalid JSON on this line, the exact
+    // failure class the compact line exists to prevent)
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 =>
+        String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    }
     // a pathological SPARK_GRAFT_BENCH_OUT path is the one externally
     // controlled length — cap it (the full path is still in stderr/env)
-    val qf =
+    val qf = esc(
       if (queriesFile.length <= 200) queriesFile
-      else "..." + queriesFile.takeRight(197)
+      else "..." + queriesFile.takeRight(197))
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":{"_all":${fmt(total)}},"n_queries":$nQueries,""" +
       s""""n_failed":$nFailed,"n_skipped":$nSkipped,""" +
@@ -219,7 +237,7 @@ object Bench {
       s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},""" +
       s""""sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},""" +
       s""""contended":$contended,"total_normalized":${fmt(totalNormalized)},""" +
-      s""""sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
+      s""""sf":"${esc(sfDir)}","runs_per_query":$runs,"stat":"median"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -262,6 +280,35 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // PRE-LAUNCH QUIET-WINDOW WAIT (round 17, r16 verdict #2): the
+    // driver invokes graft.Bench directly — without the close_sweep.py
+    // wrapper — so BENCH_r16 launched into a loadavg-4.4 box and the
+    // retry protocol had to heal 125 s first-pass spikes after the
+    // fact. Cheaper to not start: wait (bounded) for 1-min loadavg to
+    // fall under the same threshold close_sweep.py uses before taking
+    // loadavgStart or running warmup. Wall cost on a quiet box is zero
+    // (first read passes); on a loaded box the wait is capped.
+    //   SPARK_GRAFT_BENCH_WAIT_QUIET   max seconds to wait (default
+    //                                  600; 0 disables the wait)
+    //   SPARK_GRAFT_BENCH_QUIET_LOADAVG  threshold (default 1.5)
+    val quietWaitMax =
+      sys.env.get("SPARK_GRAFT_BENCH_WAIT_QUIET").map(_.toInt)
+        .getOrElse(600)
+    val quietLoadavg =
+      sys.env.get("SPARK_GRAFT_BENCH_QUIET_LOADAVG").map(_.toDouble)
+        .getOrElse(1.5)
+    var quietWaited = 0
+    while (quietWaitMax > 0 && quietWaited < quietWaitMax && {
+        val la = loadavgRead(); la > quietLoadavg && la >= 0 }) {
+      System.err.println(f"[bench] loadavg ${loadavgRead()}%.2f > " +
+        f"$quietLoadavg%.1f; waiting for a quiet window " +
+        s"($quietWaited/${quietWaitMax}s)")
+      Thread.sleep(15000)
+      quietWaited += 15
+    }
+    if (quietWaited > 0) System.err.println(
+      f"[bench] quiet-window wait: ${quietWaited}s " +
+        f"(loadavg now ${loadavgRead()}%.2f)")
     val loadavgStart = loadavgRead()
 
     // JVM/codegen warmup outside the timed region: touch each table family
@@ -791,7 +838,7 @@ object Bench {
           .mkString(""","heavy_first":{""", ",", "}") +
         heavyPairs1.map { case (k, _, t2) => "\"" + k + "\":" + fmt(t2) }
           .mkString(""","heavy_second":{""", ",", "}")
-    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}$seriesJson,"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson$tailJson$skippedJson$heavyJson"""
+    val env = s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},"quiet_wait_sec":$quietWaited,"sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)}$seriesJson,"contended":$contended,"total_normalized":${fmt(totalNormalized)}$sentinelFailed$retryJson$tailJson$skippedJson$heavyJson"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,$env,"sf":"$sfDir","runs_per_query":$runs,"stat":"median"}"""
     val full = resultsFinal.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,7 +23,7 @@ object SparkEntry {
     * (SURVEY.md / COVERAGE.md / SCALING.md). CatalogSpec asserts
     * `queries.size == CatalogCount`, so a new QueryDef without a doc bump
     * (or vice versa) fails the build instead of drifting silently. */
-  val CatalogCount: Int = 335
+  val CatalogCount: Int = 337
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

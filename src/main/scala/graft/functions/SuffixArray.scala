@@ -1145,8 +1145,16 @@ object SuffixArray {
           // delta-local attempt: both gates come from MEASUREMENTS (the
           // observed affected-row count; one agg over the already-tiny
           // joined text frame), and a budget miss falls through to the
-          // distributed rounds untouched
-          if (!done && localMaxRows > 0 &&
+          // distributed rounds untouched. ROUND 1 ONLY (round-17 advice
+          // fix): resolveDeltaLocal's next-anchor search assumes groups
+          // are round-1 groups (_kr = round-1 rank, _nor = next old
+          // rank after the round-1 group) — after a round-2+ split,
+          // anchored sibling subgroups of the same round-1 group can
+          // rank between a new-only class and _nor, which only the
+          // distributed seat's global wNa window sees. A round-1
+          // decline (bytes over budget, or a missed observation) is
+          // therefore a FINAL decline: rounds >= 2 are distributed.
+          if (!done && round == 1 && localMaxRows > 0 &&
               escStats.exists(_._3 <= localMaxRows)) {
             var tSeat = System.nanoTime()
             def seatMark(label: String): Unit = if (debugTiming) {
@@ -1168,7 +1176,11 @@ object SuffixArray {
                 .unionAll(newFresh.select(concat(lit("g:"), col("_g"))
                   .as("_src"), col("_t")))
                 .join(broadcast(escSrcDf), Seq("_src")).persist()
-              val b = t.agg(coalesce(sum(length(col("_t"))
+              // octet_length, not length (round-17 advice fix): the
+              // seat materializes these texts as UTF-8 BYTES on the
+              // driver, so the budget must measure bytes — char length
+              // under-counts multi-byte text by up to 4x
+              val b = t.agg(coalesce(sum(octet_length(col("_t"))
                 .cast("long")), lit(0L))).head().getLong(0)
               (t, b)
             }(scala.concurrent.ExecutionContext.global)

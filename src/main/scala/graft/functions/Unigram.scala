@@ -224,23 +224,24 @@ object Unigram {
     *
     * Returns (piece, cnt) with cnt in MICROCOUNTS (1e6 = one expected
     * occurrence), frequency-weighted over distinct words. */
-  private def softCounts(wh: DataFrame, scores: DataFrame,
-      maxPieceLen: Int): DataFrame = {
-    val wordMap = wordScoreMap(wh, scores, maxPieceLen)
-    val n = length(col("word"))
-    // quantized log-sum-exp of the non-null candidates (integer
-    // micronats in, integer micronats out); candidates are never all
-    // null (single characters are always in vocabulary)
-    def lse(cands: Column): Column = {
-      val cs = filter(cands, c => c.isNotNull)
-      val mx = array_max(cs)
-      val se = aggregate(cs, lit(0.0),
-        (a, c) => a + exp((c - mx).cast("double") / lit(1e6)))
-      floor(mx + log(se) * lit(1e6) + lit(0.5)).cast("long")
-    }
-    // forward: a(1) = 0 (log 1 over the empty prefix); a(i+1) sums the
-    // lattice paths ending at position i
-    val fwd = aggregate(sequence(lit(1), n), array(lit(0L)),
+  /** Quantized log-sum-exp of the non-null candidates (integer
+    * micronats in, integer micronats out); candidates are never all
+    * null (single characters are always in vocabulary). */
+  private def lse(cands: Column): Column = {
+    val cs = filter(cands, c => c.isNotNull)
+    val mx = array_max(cs)
+    val se = aggregate(cs, lit(0.0),
+      (a, c) => a + exp((c - mx).cast("double") / lit(1e6)))
+    floor(mx + log(se) * lit(1e6) + lit(0.5)).cast("long")
+  }
+
+  /** Forward lattice fold over the columns `word` and `m` (the per-word
+    * piece-score map): a(1) = 0 (log 1 over the empty prefix); a(i+1)
+    * log-sums the lattice paths ending at position i. Shared by the
+    * soft E-step ([[softCounts]]) and the FFBS sampler
+    * ([[sampleSegments]] — there the map is temperature-scaled). */
+  private def forwardLattice(maxPieceLen: Int): Column =
+    aggregate(sequence(lit(1), length(col("word"))), array(lit(0L)),
       (acc, i) => {
         val cands = transform(
           sequence(lit(1), least(lit(maxPieceLen), i)),
@@ -251,6 +252,12 @@ object Unigram {
               element_at(col("m"), col("word").substr(i - l + 1, l))))
         concat(acc, array(lse(cands)))
       })
+
+  private def softCounts(wh: DataFrame, scores: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val wordMap = wordScoreMap(wh, scores, maxPieceLen)
+    val n = length(col("word"))
+    val fwd = forwardLattice(maxPieceLen)
     // backward, built right-to-left: b(k) holds beta(n + 2 - k), so
     // beta(i) = b(n + 2 - i); step j fills position i = n - j + 1 from
     // the already-computed suffix values b(j + 1 - l)
@@ -342,5 +349,129 @@ object Unigram {
     segmentWith(wh,
       learned.select(col("piece"), col("score_micronats").as("s")),
       maxPieceLen)
+  }
+
+  /** Segmentation census under the SOFT-learned vocabulary
+    * ([[learnSoft]] with the same parameters) — the tokenizer Kudo's
+    * actual loop ships (soft-EM training, Viterbi decode), completing
+    * for the soft twin what [[learnSegment]] does for the hard one:
+    * (word, freq, n_pieces, score_micronats, segmented). Same scale
+    * shape: one corpus shuffle inside learnSoft, the decode type-level
+    * over distinct words. */
+  def segmentSoft(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      rounds: Int = 2, minCount: Int = 2): DataFrame = {
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    val learned = Caches.operatorPersist(
+      learnSoft(df, textCol, maxPieceLen, rounds, minCount))
+    segmentWith(wh,
+      learned.select(col("piece"), col("score_micronats").as("s")),
+      maxPieceLen)
+  }
+
+  /** Subword-regularization SAMPLING (Kudo 2018 §4): draw `nSamples`
+    * segmentations per distinct word from p(seg)^alpha by
+    * forward-filtering backward-sampling over the segmentation lattice
+    * under the SEED model (all corpus n-grams scored by occurrence
+    * count — the [[viterbiSegment]] model), the training-time
+    * augmentation that exposes a model to alternative tokenizations.
+    *
+    * Temperature: alpha in ppm (1e6 = 1.0 = the true posterior;
+    * smaller = flatter, more diverse samples). Scores are scaled ONCE
+    * (s_a = floor(s * alphaPpm / 1e6 + 0.5), exact in double — |s *
+    * alphaPpm| << 2^53), then the forward lattice runs the same
+    * quantized log-sum-exp fold as the soft E-step.
+    *
+    * Determinism (the seeded-Laplace discipline, [[Stats
+    * .dpNoisyCounts]]): each backward draw converts the 32-bit md5
+    * slice of (seed, word, sample, step) into an integer threshold over
+    * integer MICROPROB weights w_l = floor(exp((a(pos-l+1) + s_a -
+    * a(pos+1)) / 1e6) * 1e6 + 0.5) — every comparison is
+    * integer-vs-integer, so the DuckDB oracle replays the walk
+    * bit-exactly. The max-weight candidate always survives quantization
+    * (w >= 1e6/k for k candidates), so the weight sum is never zero.
+    *
+    * Scale shape: one corpus-sized shuffle (the word histogram); the
+    * lattice and the n-step walk are row-local folds over DISTINCT
+    * words — O(len * maxPieceLen) per word per sample, no explode
+    * before the final per-sample unpack, no per-position shuffle.
+    *
+    * Returns (word, freq, sample_id, n_pieces, segmented),
+    * `nSamples` rows per distinct word. */
+  def sampleSegments(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, nSamples: Int = 2, alphaPpm: Long = 500000L,
+      seed: String = "r17ss"): DataFrame = {
+    require(maxPieceLen >= 1 && nSamples >= 1 && alphaPpm > 0)
+    val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
+    val scores = scoresOf(gramCensus(wh, maxPieceLen))
+    val wordMap = wordScoreMap(wh, scores, maxPieceLen)
+    val scaled = transform_values(col("m"), (_, v) =>
+      floor((v * lit(alphaPpm)).cast("double") / lit(1e6) + lit(0.5))
+        .cast("long"))
+    val n = length(col("word"))
+    // persist barrier between the lattice fold and the walk's many
+    // reads (the no-CSE interpreted-HOF discipline — segmentWith's
+    // note); the SCALED map is what both the lattice and the walk see
+    val lattice = Caches.operatorPersist(
+      wh.join(wordMap, "word")
+        .select(col("word"), col("freq"), scaled.as("m"))
+        .select(col("word"), col("freq"), col("m"),
+          forwardLattice(maxPieceLen).as("_fwd")))
+    // one backward walk per sample id: fold runs n times; each step
+    // with pos > 0 draws one piece (seeded hash threshold over the
+    // integer candidate weights), pos == 0 steps are no-ops — the
+    // consuming steps are always the fold's prefix, so the oracle's
+    // step counter (its recursion depth) matches the fold index
+    def walk(k: Column): Column =
+      aggregate(sequence(lit(1), n),
+        struct(n.cast("long").as("pos"),
+          array().cast("array<string>").as("ps")),
+        (acc, step) => {
+          val pos = acc.getField("pos")
+          val wArr = transform(sequence(lit(1), lit(maxPieceLen)), l => {
+            val piece = col("word").substr((pos - l + 1).cast("int"),
+              l.cast("int"))
+            when(l.cast("long") <= pos &&
+                element_at(col("m"), piece).isNotNull,
+              floor(exp((element_at(col("_fwd"),
+                  (pos - l + 1).cast("int")) +
+                element_at(col("m"), piece) -
+                element_at(col("_fwd"), (pos + 1).cast("int")))
+                  .cast("double") / lit(1e6)) * lit(1e6) + lit(0.5))
+                .cast("long"))
+          })
+          val wSum = aggregate(wArr, lit(0L),
+            (a, w) => a + coalesce(w, lit(0L)))
+          val h = pmod(conv(substring(md5(concat_ws("|", lit("sseg"),
+            lit(seed), col("word"), k.cast("string"),
+            step.cast("string"))), 25, 8), 16, 10).cast("long"), wSum)
+          // first l (ascending — shorter pieces first, the lse fold's
+          // candidate order) whose cumulative weight exceeds the draw
+          val pick = aggregate(sequence(lit(1), lit(maxPieceLen)),
+            struct(lit(0L).as("cum"), lit(0L).as("l")),
+            (a, l) => {
+              val w = element_at(wArr, l.cast("int"))
+              when(a.getField("l") > 0 || w.isNull, a)
+                .otherwise(when(h < a.getField("cum") + w,
+                  struct(a.getField("cum").as("cum"),
+                    l.cast("long").as("l")))
+                  .otherwise(struct((a.getField("cum") + w).as("cum"),
+                    lit(0L).as("l"))))
+            })
+          val pl = pick.getField("l")
+          when(pos > 0,
+            struct((pos - pl).as("pos"),
+              concat(array(col("word").substr((pos - pl + 1).cast("int"),
+                pl.cast("int"))), acc.getField("ps")).as("ps")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("ps"))
+    val samples = transform(sequence(lit(1), lit(nSamples)),
+      k => walk(k))
+    lattice.select(col("word"), col("freq"),
+        posexplode(samples).as(Seq("_k", "_ps")))
+      .select(col("word"), col("freq"),
+        (col("_k") + 1).cast("int").as("sample_id"),
+        size(col("_ps")).cast("int").as("n_pieces"),
+        array_join(col("_ps"), " ").as("segmented"))
   }
 }

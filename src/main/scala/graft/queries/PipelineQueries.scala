@@ -627,10 +627,13 @@ object PipelineQueries {
     * (single chars floored at count 1, multi-char pieces kept at
     * cnt >= minCount). Every cross-referenced CTE is MATERIALIZED (the
     * BPE/pagerank inlining lesson). */
-  private def unigramLearnOracleSql(rounds: Int, minCount: Int,
-      segment: Boolean): String = {
-    def decodeBlock(r: Int): String =
-      s"""t$r AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$r),
+  /** The hard-Viterbi decode block over a vocabulary CTE v$r — shared
+    * by the hard learner's oracle (every round + the segment census)
+    * and the soft learner's segment census (decode under the
+    * soft-learned vocabulary is plain Viterbi, the engine's
+    * [[graft.functions.Unigram.segmentSoft]]). */
+  private def unigramDecodeBlock(r: Int): String =
+    s"""t$r AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$r),
          |sc$r AS MATERIALIZED (
          |  SELECT piece,
          |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
@@ -671,6 +674,10 @@ object PipelineQueries {
          |           CAST(pos - ptr[pos] + 1 AS INT),
          |           CAST(ptr[pos] AS INT)), ps) AS ps
          |  FROM wk$r WHERE pos > 0)""".stripMargin
+
+  private def unigramLearnOracleSql(rounds: Int, minCount: Int,
+      segment: Boolean): String = {
+    def decodeBlock(r: Int): String = unigramDecodeBlock(r)
     def pruneBlock(r: Int): String =
       s"""c${r + 1} AS MATERIALIZED (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -746,7 +753,7 @@ object PipelineQueries {
     * microcount prune. Every cross-engine float surface is a single
     * floor(f(x) * 1e6 + 0.5); every sum is an exact integer sum. */
   private def unigramLearnSoftOracleSql(rounds: Int,
-      minCount: Int): String = {
+      minCount: Int, segment: Boolean = false): String = {
     val floorC = minCount.toLong * 1000000L
     def lseStep(cte: String, idx: String, stateList: String,
         candsSql: String, bound: String): String =
@@ -855,15 +862,133 @@ object PipelineQueries {
          |    CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
          |      AS BIGINT) AS s
          |  FROM v$rounds, t$rounds)""".stripMargin
-    (Seq(head) ++ (0 until rounds).map(softBlock) ++ Seq(finalScores))
-      .mkString(",\n") +
-      s"""
-         |SELECT v$rounds.piece, v$rounds.cnt AS cnt_micro,
-         |  sc$rounds.s AS score_micronats,
-         |  CAST(length(v$rounds.piece) AS INT) AS piece_len
-         |FROM v$rounds JOIN sc$rounds USING (piece)
-         |ORDER BY piece""".stripMargin
+    if (!segment)
+      (Seq(head) ++ (0 until rounds).map(softBlock) ++ Seq(finalScores))
+        .mkString(",\n") +
+        s"""
+           |SELECT v$rounds.piece, v$rounds.cnt AS cnt_micro,
+           |  sc$rounds.s AS score_micronats,
+           |  CAST(length(v$rounds.piece) AS INT) AS piece_len
+           |FROM v$rounds JOIN sc$rounds USING (piece)
+           |ORDER BY piece""".stripMargin
+    else
+      // segment census under the soft-learned vocabulary: the soft
+      // rounds land v$rounds, then the decode is plain hard Viterbi
+      // over its minted scores — the shared decode block
+      (Seq(head) ++ (0 until rounds).map(softBlock) ++
+        Seq(unigramDecodeBlock(rounds))).mkString(",\n") +
+        s"""
+           |SELECT w.word, h.freq, CAST(len(k.ps) AS INT) AS n_pieces,
+           |  w.score_micronats, array_to_string(k.ps, ' ') AS segmented
+           |FROM fin$rounds w JOIN wh h ON w.word = h.word
+           |JOIN (SELECT word, ps FROM wk$rounds WHERE pos = 0) k
+           |  ON w.word = k.word
+           |ORDER BY w.word""".stripMargin
   }
+
+  /** DuckDB replay of [[graft.functions.Unigram.sampleSegments]] —
+    * forward-filtering backward-sampling at temperature alpha under the
+    * seed census model. The forward lattice is the soft oracle's
+    * quantized log-sum-exp recursion over TEMPERATURE-SCALED scores;
+    * the backward walk is a recursive CTE drawing each piece from the
+    * integer MICROPROB weights with the md5-slice threshold — every
+    * comparison integer-vs-integer, so the sampled segmentations match
+    * the engine's bit-exactly. Candidate order is ascending piece
+    * length in both engines (list order here, the fold order there). */
+  private def unigramSampleOracleSql(nSamples: Int, alphaPpm: Long,
+      seed: String): String =
+    s"""WITH RECURSIVE
+       |wh AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |      substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+       |    FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+       |         unnest(generate_series(1, 4)) AS t2(l)
+       |    WHERE i + l - 1 <= length(word))
+       |  GROUP BY piece),
+       |grams AS MATERIALIZED (
+       |  SELECT DISTINCT word,
+       |    substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+       |  FROM wh, unnest(generate_series(1, length(word))) AS t1(i),
+       |       unnest(generate_series(1, 4)) AS t2(l)
+       |  WHERE i + l - 1 <= length(word)),
+       |t0 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v0),
+       |ssc AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(CAST(
+       |      CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1e6 + 0.5)
+       |        AS BIGINT) * $alphaPpm AS DOUBLE) / 1e6 + 0.5)
+       |      AS BIGINT) AS s
+       |  FROM v0, t0),
+       |wm AS MATERIALIZED (
+       |  SELECT word, map_from_entries(list({'k': piece, 'v': s})) AS m
+       |  FROM grams JOIN ssc USING (piece) GROUP BY word),
+       |fw AS (
+       |  SELECT word, m, 0 AS i, [CAST(0 AS BIGINT)] AS a FROM wm
+       |  UNION ALL
+       |  SELECT word, m, i + 1,
+       |    list_append(a, CAST(floor(CAST(mx AS DOUBLE)
+       |      + ln(list_aggregate(list_transform(cs,
+       |          c -> exp(CAST(c - mx AS DOUBLE) / 1e6)), 'sum')) * 1e6
+       |      + 0.5) AS BIGINT))
+       |  FROM (SELECT word, m, i, a, cs, list_max(cs) AS mx
+       |        FROM (SELECT *, list_filter(list_transform(
+       |              generate_series(1, least(4, i + 1)),
+       |              l -> CASE WHEN m[substr(word,
+       |                        CAST(i + 2 - l AS INT),
+       |                        CAST(l AS INT))][1] IS NULL THEN NULL
+       |                   ELSE a[i + 2 - l]
+       |                        + m[substr(word, CAST(i + 2 - l AS INT),
+       |                            CAST(l AS INT))][1] END),
+       |              x -> x IS NOT NULL) AS cs
+       |              FROM fw WHERE i < length(word)))),
+       |ffin AS MATERIALIZED (
+       |  SELECT word, m, a FROM fw WHERE i = length(word)),
+       |wk AS (
+       |  SELECT word, k, 0 AS step, CAST(length(word) AS BIGINT) AS pos,
+       |         CAST([] AS VARCHAR[]) AS ps, m, a
+       |  FROM ffin, unnest(generate_series(1, $nSamples)) AS tk(k)
+       |  UNION ALL
+       |  SELECT word, k, step + 1, pos - pl AS pos,
+       |         list_prepend(substr(word, CAST(pos - pl + 1 AS INT),
+       |           CAST(pl AS INT)), ps) AS ps, m, a
+       |  FROM (
+       |    SELECT *, CAST(list_min(list_filter(list_transform(
+       |        generate_series(1, 4),
+       |        l -> CASE WHEN wa[l] IS NOT NULL
+       |                   AND hm < list_aggregate(list_transform(
+       |                     generate_series(1, l),
+       |                     j -> coalesce(wa[j], CAST(0 AS BIGINT))),
+       |                     'sum') THEN l END),
+       |        x -> x IS NOT NULL)) AS BIGINT) AS pl
+       |    FROM (
+       |      SELECT *, hv % list_aggregate(list_transform(wa,
+       |          w -> coalesce(w, CAST(0 AS BIGINT))), 'sum') AS hm
+       |      FROM (
+       |        SELECT word, k, step, pos, ps, m, a,
+       |          list_transform(generate_series(1, 4), l ->
+       |            CASE WHEN l <= pos AND m[substr(word,
+       |                   CAST(pos - l + 1 AS INT),
+       |                   CAST(l AS INT))][1] IS NOT NULL
+       |            THEN CAST(floor(exp(CAST(a[CAST(pos - l + 1 AS INT)]
+       |                 + m[substr(word, CAST(pos - l + 1 AS INT),
+       |                     CAST(l AS INT))][1]
+       |                 - a[CAST(pos + 1 AS INT)] AS DOUBLE) / 1e6)
+       |                 * 1e6 + 0.5) AS BIGINT) END) AS wa,
+       |          ${md5SliceSql(
+               s"'sseg|$seed|' || word || '|' || CAST(k AS VARCHAR)" +
+                 " || '|' || CAST(step + 1 AS VARCHAR)")} AS hv
+       |        FROM wk WHERE pos > 0))))
+       |SELECT s.word, h.freq, CAST(s.k AS INT) AS sample_id,
+       |  CAST(len(s.ps) AS INT) AS n_pieces,
+       |  array_to_string(s.ps, ' ') AS segmented
+       |FROM (SELECT word, k, ps FROM wk WHERE pos = 0) s
+       |JOIN wh h USING (word)
+       |ORDER BY word, sample_id""".stripMargin
 
   private def doremiTrajectoryOracleSql(steps: Int): String = {
     val head =
@@ -4666,6 +4791,32 @@ object PipelineQueries {
           Tables.documents(s, dir), "text")
         .orderBy("word"),
       Some(unigramLearnOracleSql(2, 2, segment = true))),
+
+    QueryDef("unigram_segment_soft",
+      // decode under the SOFT-learned vocabulary — the tokenizer
+      // Kudo's actual loop ships (soft-EM training + Viterbi decode),
+      // completing for the soft twin what unigram_learn_segment does
+      // for the hard one. Oracle = the soft-learning replay plus one
+      // unrolled hard-decode round over its minted scores
+      (s, dir) => graft.functions.Unigram.segmentSoft(
+          Tables.documents(s, dir), "text")
+        .orderBy("word"),
+      Some(unigramLearnSoftOracleSql(2, 2, segment = true))),
+
+    QueryDef("unigram_sample_segments",
+      // subword-regularization sampling (Kudo 2018 §4): 2 seeded FFBS
+      // draws per distinct word from p(seg)^0.5 under the seed census
+      // model — forward quantized-lse lattice over temperature-scaled
+      // scores, backward walk drawing each piece from integer microprob
+      // weights with an md5-slice threshold (the seeded-Laplace
+      // discipline: deterministic, and the oracle replays every draw
+      // bit-exactly). Type-level: lattice + walk are row-local folds
+      // over distinct words
+      (s, dir) => graft.functions.Unigram.sampleSegments(
+          Tables.documents(s, dir), "text",
+          nSamples = 2, alphaPpm = 500000L, seed = "r17ss")
+        .orderBy("word", "sample_id"),
+      Some(unigramSampleOracleSql(2, 500000L, "r17ss"))),
 
     QueryDef("quality_c4_rules",
       // C4's LINE-LEVEL cleaning pass (Raffel et al. 2020 §2.2 — the

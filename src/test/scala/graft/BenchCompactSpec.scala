@@ -52,4 +52,37 @@ class BenchCompactSpec extends AnyFunSuite {
     assert(line.length < 1200)
     assert(line.contains("\"queries_file\":\"..."))
   }
+
+  test("paths with quotes/backslashes/control chars are JSON-escaped (r16 advice)") {
+    val line = Bench.compactLine(
+      total = 1.0, totalNormalized = 1.0, nQueries = 1, nFailed = 0,
+      nSkipped = 0, loadavgStart = 0.1, loadavgEnd = 0.1,
+      sentinelFirst = 0.2, sentinelLast = 0.2, contended = false,
+      queriesFile = "/tmp/we\"ird\\dir\n/bench.json",
+      sfDir = "/root/test\"data/sf0.01", runs = 2)
+    // still balanced JSON: the raw quote would break both checks
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // the interpolated strings carry escaped forms, never raw specials
+    assert(line.contains("we\\\"ird\\\\dir\\u000a"), line)
+    assert(line.contains("test\\\"data"), line)
+    // parse with the same class of parser the driver uses: unescape and
+    // verify no unescaped quote terminates a string early — done by a
+    // strict structural walk over the rendered line
+    var i = 0; var inStr = false; var depth = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case '\n' | '\r' => fail("raw newline on the compact line")
+        case _ => ()
+      }
+      i += 1
+    }
+    assert(!inStr && depth == 0, s"structurally invalid JSON: $line")
+  }
 }

@@ -271,4 +271,145 @@ class BpeSpec extends AnyFunSuite {
     info(s"vocab sizes: soft=${soft.size} hard=${hard.size} " +
       s"soft-only=${(soft -- hard).size} hard-only=${(hard -- soft).size}")
   }
+
+  test("unigram segmentSoft: decode under the soft vocab == plain-JVM Viterbi over that vocab") {
+    import graft.functions.Unigram
+    val docs = Seq("aba ab aba cab", "dddd aba ab", "xyzw xyzw ab")
+      .toDF("text")
+    // the soft-learning itself is pinned by the replica test above; this
+    // test pins the DECODE under the vocabulary it produces — the
+    // engine's own learnSoft output is the model
+    val scores = Unigram.learnSoft(docs, "text")
+      .select("piece", "score_micronats")
+      .as[(String, Long)].collect().toMap
+    val got = Unigram.segmentSoft(docs, "text")
+      .orderBy("word")
+      .as[(String, Long, Int, Long, String)].collect().toSeq
+    val freqs = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // plain-JVM Viterbi with a PARTIAL vocabulary (pruned multi-char
+    // pieces contribute no candidate), ties to the longest last piece
+    def dp(w: String): (Int, Long, String) = {
+      val best = Array.fill(w.length + 1)(Option.empty[Long])
+      best(0) = Some(0L)
+      val ptr = Array.fill(w.length + 1)(1)
+      for (i <- 1 to w.length) {
+        var top: (Long, Int) = null
+        for (l <- 1 to math.min(4, i);
+             sc <- scores.get(w.substring(i - l, i));
+             b <- best(i - l)) {
+          val c = (b + sc, l)
+          if (top == null || c._1 > top._1 ||
+              (c._1 == top._1 && c._2 > top._2)) top = c
+        }
+        if (top != null) { best(i) = Some(top._1); ptr(i) = top._2 }
+      }
+      val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = w.length
+      while (pos > 0) {
+        ps.prepend(w.substring(pos - ptr(pos), pos)); pos -= ptr(pos)
+      }
+      (ps.length, best(w.length).get, ps.mkString(" "))
+    }
+    assert(got.nonEmpty && got.map(_._1).toSet == freqs.keySet)
+    for ((word, freq, nPieces, score, segd) <- got) {
+      assert(freq == freqs(word), word)
+      assert((nPieces, score, segd) == dp(word), s"word=$word")
+      // every emitted piece is in the soft vocabulary
+      assert(segd.split(" ").forall(scores.contains), word)
+    }
+  }
+
+  test("unigram sampleSegments: seeded FFBS == a full plain-JVM replica; deterministic") {
+    import graft.functions.Unigram
+    val docs = Seq("aba ab aba cab", "dddd aba ab", "xyzw xyzw ab")
+      .toDF("text")
+    val nSamples = 3
+    val alphaPpm = 500000L
+    val seedStr = "specseed"
+    def run() = Unigram.sampleSegments(docs, "text", maxPieceLen = 4,
+        nSamples = nSamples, alphaPpm = alphaPpm, seed = seedStr)
+      .orderBy("word", "sample_id")
+      .as[(String, Long, Int, Int, String)].collect().toSeq
+    val got = run()
+    assert(got == run(), "seeded sampling must be deterministic")
+
+    // plain-JVM replica: seed census scores, temperature scaling, the
+    // quantized-lse forward lattice, and the backward walk with the
+    // exact md5-slice draws the engine makes
+    val freqs = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freqs; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      cnt(w.substring(i, i + l)) = cnt.getOrElse(w.substring(i, i + l), 0L) + f
+    val t = cnt.values.sum.toDouble
+    val sa: Map[String, Long] = cnt.toMap.map { case (p, c) =>
+      val s = math.floor(math.log(c / t) * 1e6 + 0.5).toLong
+      p -> math.floor(s * alphaPpm / 1e6 + 0.5).toLong
+    }
+    def lse(cs: Seq[Long]): Long = {
+      val mx = cs.max
+      val se = cs.foldLeft(0.0)((a, c) => a + math.exp((c - mx) / 1e6))
+      math.floor(mx + math.log(se) * 1e6 + 0.5).toLong
+    }
+    def fwd(w: String): Array[Long] = {
+      val a = Array.fill(w.length + 1)(0L)
+      for (i <- 1 to w.length)
+        a(i) = lse((1 to math.min(4, i)).flatMap(l =>
+          sa.get(w.substring(i - l, i)).map(a(i - l) + _)))
+      a
+    }
+    def md5u32(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16)
+    }
+    def walkRep(w: String, k: Int): Seq[String] = {
+      val a = fwd(w)
+      var pos = w.length
+      var step = 0
+      val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) {
+        step += 1
+        val ws: Seq[Option[Long]] = (1 to 4).map { l =>
+          if (l <= pos) sa.get(w.substring(pos - l, pos)).map { sc =>
+            math.floor(math.exp((a(pos - l) + sc - a(pos)) / 1e6) * 1e6
+              + 0.5).toLong
+          } else None
+        }
+        val total = ws.flatten.sum
+        assert(total > 0, s"zero weight sum at $w pos=$pos")
+        val h = md5u32(s"sseg|$seedStr|$w|$k|$step") % total
+        var cum = 0L; var pick = 0; var l = 1
+        while (pick == 0 && l <= 4) {
+          ws(l - 1).foreach { wt =>
+            if (h < cum + wt) pick = l else cum += wt
+          }
+          l += 1
+        }
+        ps.prepend(w.substring(pos - pick, pos))
+        pos -= pick
+      }
+      ps.toSeq
+    }
+    assert(got.map(_._1).toSet == freqs.keySet)
+    assert(got.groupBy(_._1).forall(_._2.map(_._3) == (1 to nSamples)))
+    for ((word, freq, sid, nPieces, segd) <- got) {
+      assert(freq == freqs(word), word)
+      // concatenation identity: samples are segmentations of the word
+      assert(segd.replace(" ", "") == word, s"$word#$sid")
+      val rep = walkRep(word, sid)
+      assert(nPieces == rep.length && segd == rep.mkString(" "),
+        s"$word#$sid: got '$segd' want '${rep.mkString(" ")}'")
+    }
+    // the draws actually vary: at alpha = 0.5 this fixture's ambiguous
+    // words produce more than one distinct segmentation across samples
+    assert(got.groupBy(_._1).values
+      .exists(_.map(_._5).distinct.size > 1),
+      "all samples identical — the sampler degenerated to Viterbi")
+  }
 }

@@ -989,6 +989,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("suffixRanksIncremental: a round-1 byte-budget decline is FINAL — no round >= 2 seat engagement (r16 advice, high)") {
+    // resolveDeltaLocal assumes ROUND-1 groups (_kr = round-1 rank, _nor
+    // = next old rank after the round-1 group). After a round-2+ split,
+    // anchored sibling subgroups of the same round-1 group can rank
+    // between a new-only class and _nor — only the distributed seat's
+    // global window sees them — so an engagement at round >= 2 would be
+    // silently wrong. The fix guards the attempt with round == 1; this
+    // fixture makes the guard observable: a 200-token repeated prefix
+    // forces a >= 3-round merge (full need 193 > 16x the seedK-8
+    // coverage, so round 2 takes the geometric fetch and still
+    // escalates), and localMaxBytes=10 declines round 1 on bytes while
+    // round 2's shrunken escalator set would fit a naive re-attempt.
+    import graft.functions.SuffixArray
+    val prefix = Seq.fill(200)("a").mkString(" ")
+    val oldDocs = Seq(
+      (1L, s"$prefix x"),
+      (2L, s"$prefix y"),
+      (3L, "b c d")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, s"$prefix z"),
+      (11L, "b c q")).toDF("doc_id", "text")
+    val base = SuffixArray.suffixRanks(oldDocs, "doc_id", "text", nParts = 4)
+    val want = SuffixArray.suffixRanks(oldDocs.unionAll(delta),
+        "doc_id", "text", nParts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    spark.conf.set("spark.graft.saIncr.localMaxBytes", "10")
+    spark.conf.set("spark.graft.debugTiming", "true")
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val got = SuffixArray.suffixRanksIncremental(base, oldDocs, delta,
+          "doc_id", "text", nParts = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want)
+    } finally {
+      System.setErr(oldErr)
+      spark.conf.unset("spark.graft.saIncr.localMaxBytes")
+      spark.conf.unset("spark.graft.debugTiming")
+    }
+    val err = errBuf.toString("UTF-8")
+    // the attempt ran exactly once (round 1) and declined on bytes
+    val declines = "delta-local seat declined".r.findAllIn(err).size
+    assert(declines == 1, s"expected one round-1 decline, saw $declines")
+    // and the seat never engaged afterwards
+    assert(!err.contains("delta-local seat: rows="),
+      "seat engaged after a round-1 decline — the round guard is gone")
+  }
+
   test("suffixRanksIncremental: PROBE round-1 == union round-1 == rebuild on the same fixtures") {
     // the adaptive switch picks union-rank on these tiny fixtures
     // (index ~ delta); force the probe seat so both round-1 forms stay
