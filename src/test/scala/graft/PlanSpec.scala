@@ -391,14 +391,12 @@ class PlanSpec extends AnyFunSuite {
     "mixture_doremi_weights",
     // Moore-Lewis: ONE shared apply pass carrying BOTH models' one-row
     // smoothing-totals crossJoins
-    "moore_lewis_select",
-    // soft-EM unigram learning: the final score mint crossJoins the
-    // ONE-ROW vocab total (scoresOf) — the same single-row-totals seat
-    // as the pretrained-LM scorers. unigram_learn carries the identical
-    // join but hides behind learnSegment's whole-plan persist of the
-    // same frame; learnSoft has no such consumer, so it stays
-    // allowlisted by design
-    "unigram_learn_soft")
+    "moore_lewis_select")
+    // (round 17) unigram_learn_soft LEFT the allowlist: its scoresOf
+    // crossJoin of the ONE-ROW vocab total is still in the code, but —
+    // like unigram_learn behind learnSegment — it now hides behind
+    // unigram_segment_soft's whole-plan persist of the same learnSoft
+    // frame, so the optimized plan this spec reads is clean.
 
   test("no unconditioned join outside the documented bounded set") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
