@@ -140,12 +140,27 @@ object Classifier {
     val withFs = Caches.operatorPersist(df.select(col(idCol).as("_d"),
       label.cast("boolean").as("_y"),
       featuresExpr(split(col(textCol), " ")).as("_fs")))
-    val docs = Caches.operatorPersist(withFs.select("_d", "_y"))
+    // docs and feat persist PRE-PARTITIONED on the doc id (round 17,
+    // guide §2.4 — two operations keyed the same way share one
+    // exchange): every per-iteration shuffle below is keyed by _d (the
+    // margin groupBy, the docs-margins join, the feat-resid gradient
+    // join), so paying one exchange per side at persist time removes
+    // three exchanges PER ITERATION from the loop — the iteration plans
+    // reuse the cached hashpartitioning(_d) outright. Same win at any
+    // scale: the loop's shuffled bytes drop from iters x (docs + feat)
+    // to one (docs + feat).
+    // explicit width (the session's shuffle parallelism): an AQE-coalesced
+    // keyless width could differ between the two caches and silently
+    // reinsert the join exchanges this exists to remove
+    val nP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val docs = Caches.operatorPersist(
+      withFs.select("_d", "_y").repartition(nP, col("_d")))
     val feat = Caches.operatorPersist(withFs
       .select(col("_d"), col("_y"), explode(col("_fs")).as("_f"))
       .select(col("_d"), col("_y"), bucket(col("_f"), dim).as("_b"))
       .groupBy(col("_d"), col("_y"), col("_b"))
-      .agg(count(lit(1)).as("_cnt")))
+      .agg(count(lit(1)).as("_cnt"))
+      .repartition(nP, col("_d")))
     val nDocs = docs.count()
     require(nDocs > 0, "train: empty corpus")
     import spark.implicits._
@@ -161,11 +176,17 @@ object Classifier {
                 coalesce(col("_fs"), lit(0L)))).cast("double") / lit(1e6)))
             + lit(0.5)).cast("long")
             - when(col("_y"), 1000000L).otherwise(0L)).as("_r")))
+      // bucket gradients AND the bias gradient in ONE collect (round
+      // 17): the bias rides the same job as a bucket-(-1) row instead
+      // of a second driver action — both branches read the persisted
+      // residual, so the former two jobs per iteration become one
       val grads = feat
         .join(resid.hint("shuffle_hash"), Seq("_d"))
         .groupBy(col("_b")).agg(sum(col("_r") * col("_cnt")).as("_g"))
+        .unionAll(resid.agg(sum(col("_r")).as("_g"))
+          .select(lit(-1).as("_b"), col("_g")))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val biasGrad = resid.agg(sum(col("_r"))).head().getLong(0)
+      val biasGrad = grads(-1)
       resid.unpersist(blocking = false)
       def delta(g: Long): Long = {
         val mag = (BigInt(g).abs * lrNum) / (BigInt(lrDen) * nDocs)

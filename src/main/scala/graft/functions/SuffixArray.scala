@@ -1440,27 +1440,52 @@ object SuffixArray {
           col("_fr").as("suffix_rank"))
       (mappingProbe0, freshOutD)
       } // end distributedClassPhase
-      val (mappingProbe, freshOut) = localResolved match {
+      val (shiftFn, freshOut): (DataFrame => DataFrame, DataFrame) =
+        localResolved match {
         case Some((freshRanks, jumps)) =>
           // DELTA-LOCAL OUTPUT FRAMES: the driver already resolved the
-          // affected classes — only two driver-sized tables re-enter
-          // the plan. The jump table expands through the same chunked
-          // generate as the distributed seat; the fresh-row ranks
-          // broadcast against the delta's member docs (never the
-          // corpus). The whole class-machinery phase (class-table
-          // windows, cstats/tailMin collects, classRanks joins) does
-          // not exist on this path.
+          // affected classes — only ONE driver-sized table re-enters
+          // the plan (the fresh-row ranks, broadcast against the
+          // delta's member docs, never the corpus). The jump table does
+          // NOT re-enter as a frame at all (round 17, r16 verdict #3):
+          // it is driver-sized by the seat's own engagement budget
+          // (<= one jump per new-only class <= localMaxRows), so the
+          // corpus-sized output shift applies it as a LITERAL
+          // binary-search step expression ([[graft.plans.StepLookup]] —
+          // bit-equal to the left join + coalesce(_ins, 0) by the step
+          // tiling: floorEntry over the same TreeMap boundaries)
+          // instead of expanding one row PER OLD RANK and joining: at
+          // the 10x vintage that expansion was index-sized (2.9M rows,
+          // past the 128 MB probe budget) and the shift paid a
+          // shuffle_hash exchange of the whole output artifact. The
+          // whole class-machinery phase (class-table windows,
+          // cstats/tailMin collects, classRanks joins) does not exist
+          // on this path.
           val ss = oldDf.sparkSession
           import ss.implicits._
-          val jumpDf = jumps.toDF("_t", "_ins", "_tn")
           val frDf = broadcast(freshRanks.toDF("_g", "_pos", "_fr"))
           val fo = newMembers.join(frDf, Seq("_g"))
             .select(col("_doc").as(idCol),
               col("_pos").cast("int").as("pos"),
               col("_fr").as("suffix_rank"))
+          // t > rMax jumps shift no existing rank (expandMapping's own
+          // `_t <= rMax` filter); ts ascends by TreeMap iteration order
+          val live = jumps.filter(_._1 <= rMax)
+          val ts = live.map(_._1).toArray
+          val ins = live.map(_._2).toArray
           mark("delta-local-frames")
-          (mappingProbeOf(expandMapping(jumpDf)), fo)
-        case None => distributedClassPhase()
+          val f = (df: DataFrame) => df.select(col(idCol), col("pos"),
+            (col("suffix_rank") + graft.plans.StepLookup(
+              col("suffix_rank"), ts, ins)).as("suffix_rank"))
+          (f, fo)
+        case None =>
+          val (mappingProbe, fo) = distributedClassPhase()
+          val f = (df: DataFrame) => df
+            .join(mappingProbe, Seq("suffix_rank"), "left")
+            .select(col(idCol), col("pos"),
+              (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
+                .as("suffix_rank"))
+          (f, fo)
       }
       // ---- outputs. Old docs AND the delta's dup-of-old copies shift
       // through the insertion-offset table in ONE join (round 14 — the
@@ -1477,13 +1502,9 @@ object SuffixArray {
       val dupSel = ranks.withColumnRenamed(idCol, "_odoc")
         .join(dupProbe, Seq("_odoc"))
         .select(col("_doc").as(idCol), col("pos"), col("suffix_rank"))
-      val shiftedOut = ranks
+      val shiftedOut = shiftFn(ranks
         .select(col(idCol), col("pos"), col("suffix_rank"))
-        .unionAll(dupSel)
-        .join(mappingProbe, Seq("suffix_rank"), "left")
-        .select(col(idCol), col("pos"),
-          (col("suffix_rank") + coalesce(col("_ins"), lit(0L)))
-            .as("suffix_rank"))
+        .unionAll(dupSel))
       shiftedOut.unionAll(freshOut)
     } finally {
       pinned.foreach(_.unpersist(blocking = false))

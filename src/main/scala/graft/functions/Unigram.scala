@@ -87,78 +87,34 @@ object Unigram {
 
   /** Viterbi decode of every distinct word under the given piece scores:
     * (word, freq, n_pieces, score_micronats, segmented). Pieces absent
-    * from `scores` yield null candidates and are skipped by the DP's
-    * array_max; the caller guarantees feasibility (single characters in
-    * vocabulary). */
+    * from `scores` yield no candidates; the caller guarantees
+    * feasibility (single characters in vocabulary).
+    *
+    * The DP fold and backward walk run as ONE codegen'd kernel
+    * ([[graft.plans.ViterbiSegment]], round 17 — guide §1.2 step 2):
+    * the former HOF `aggregate` folds were interpreted
+    * (CodegenFallback), every `element_at` on the score map was a
+    * LINEAR scan, and the fold's `concat(acc, array(…))` rebuilt the
+    * accumulator per position (O(len²) copies per word) — plus a
+    * persist barrier between the DP and the walk because interpreted
+    * HOFs get no CSE. The kernel does the same arithmetic
+    * (long candidate sums, (score, length) lexicographic max —
+    * longest last piece on ties, coalesce(l, 1) pointers) in a JVM
+    * loop with a hashed map: no barrier, no per-step allocation, and
+    * the three struct-field reads below are subexpression-eliminated
+    * under whole-stage codegen. Parity: the unchanged oracle gates
+    * (tokenize_unigram_viterbi / unigram_learn / _segment /
+    * segment_soft) and BpeSpec's plain-JVM replica. */
   private def segmentWith(wh: DataFrame, scores: DataFrame,
       maxPieceLen: Int): DataFrame = {
     val wordMap = wordScoreMap(wh, scores, maxPieceLen)
-
-    val n = length(col("word"))
-    // the DP fold: acc carries best[] (1-indexed; best[1] = position 0)
-    // and ptr[] (chosen last-piece length at each position). Candidates
-    // compare (score, length) lexicographically — array_max picks the
-    // max score, ties to the longest piece; null candidates (pruned
-    // pieces) are skipped by array_max in both engines
-    val dp = aggregate(sequence(lit(1), n),
-      struct(array(lit(0L)).as("best"),
-        array().cast("array<int>").as("ptr")),
-      (acc, i) => {
-        val cands = transform(
-          sequence(lit(1), least(lit(maxPieceLen), i)),
-          l => when(
-            element_at(col("m"), col("word").substr(i - l + 1, l))
-              .isNotNull &&
-              element_at(acc.getField("best"), i - l + 1).isNotNull,
-            struct(
-              (element_at(acc.getField("best"), i - l + 1) +
-                element_at(col("m"), col("word").substr(i - l + 1, l)))
-                .as("sc"),
-              l.as("l"))))
-        val top = array_max(cands)
-        struct(
-          concat(acc.getField("best"),
-            array(top.getField("sc"))).as("best"),
-          concat(acc.getField("ptr"),
-            array(coalesce(top.getField("l"), lit(1)).cast("int")))
-            .as("ptr"))
-      })
-
-    // persist barrier before the walk (the no-CSE interpreted-HOF
-    // discipline): the walk fold reads ptr[] once per step; without the
-    // barrier a collapsed projection would re-run the whole DP per read.
-    // The dp fold itself is projected ONCE into a struct column and its
-    // two fields read in a SECOND select — interpreted HOFs get no CSE,
-    // so reading dp.best and dp.ptr in one projection would run the
-    // whole O(len*maxPieceLen) fold twice per distinct word
-    val solved = Caches.operatorPersist(
-      wh.join(wordMap, "word")
-        .select(col("word"), col("freq"), dp.as("_dp"))
-        .select(col("word"), col("freq"),
-          element_at(col("_dp").getField("best"),
-            length(col("word")) + 1).as("score_micronats"),
-          col("_dp").getField("ptr").as("_ptr")))
-
-    // backward walk: fold runs n times, each step either consumes one
-    // piece (pos > 0) or is a no-op — n steps always suffice (every
-    // piece is >= 1 char)
-    val pos0 = length(col("word"))
-    val pieces = aggregate(sequence(lit(1), pos0),
-      struct(pos0.as("pos"), array().cast("array<string>").as("ps")),
-      (acc, _) => {
-        val p = acc.getField("pos")
-        val l = element_at(col("_ptr"), p)
-        when(p > 0,
-          struct((p - l).as("pos"),
-            concat(array(col("word").substr(p - l + 1, l)),
-              acc.getField("ps")).as("ps")))
-          .otherwise(acc)
-      },
-      acc => acc.getField("ps"))
-    solved.select(col("word"), col("freq"),
-      size(pieces).cast("int").as("n_pieces"),
-      col("score_micronats"),
-      array_join(pieces, " ").as("segmented"))
+    val vs = graft.plans.ViterbiSegment(col("word"), col("m"), maxPieceLen)
+    wh.join(wordMap, "word")
+      .select(col("word"), col("freq"), vs.as("_vs"))
+      .select(col("word"), col("freq"),
+        size(col("_vs").getField("ps")).cast("int").as("n_pieces"),
+        col("_vs").getField("score").as("score_micronats"),
+        array_join(col("_vs").getField("ps"), " ").as("segmented"))
   }
 
   /** Per-distinct-word Viterbi segmentation table under the SEED model
@@ -224,78 +180,25 @@ object Unigram {
     *
     * Returns (piece, cnt) with cnt in MICROCOUNTS (1e6 = one expected
     * occurrence), frequency-weighted over distinct words. */
-  /** Quantized log-sum-exp of the non-null candidates (integer
-    * micronats in, integer micronats out); candidates are never all
-    * null (single characters are always in vocabulary). */
-  private def lse(cands: Column): Column = {
-    val cs = filter(cands, c => c.isNotNull)
-    val mx = array_max(cs)
-    val se = aggregate(cs, lit(0.0),
-      (a, c) => a + exp((c - mx).cast("double") / lit(1e6)))
-    floor(mx + log(se) * lit(1e6) + lit(0.5)).cast("long")
-  }
-
-  /** Forward lattice fold over the columns `word` and `m` (the per-word
-    * piece-score map): a(1) = 0 (log 1 over the empty prefix); a(i+1)
-    * log-sums the lattice paths ending at position i. Shared by the
-    * soft E-step ([[softCounts]]) and the FFBS sampler
-    * ([[sampleSegments]] — there the map is temperature-scaled). */
-  private def forwardLattice(maxPieceLen: Int): Column =
-    aggregate(sequence(lit(1), length(col("word"))), array(lit(0L)),
-      (acc, i) => {
-        val cands = transform(
-          sequence(lit(1), least(lit(maxPieceLen), i)),
-          l => when(
-            element_at(col("m"), col("word").substr(i - l + 1, l))
-              .isNotNull,
-            element_at(acc, i - l + 1) +
-              element_at(col("m"), col("word").substr(i - l + 1, l))))
-        concat(acc, array(lse(cands)))
-      })
-
+  /** The forward/backward lattice folds and the per-(start, len)
+    * occurrence expansion run as ONE codegen'd kernel
+    * ([[graft.plans.LatticeOcc]], round 17 — the segmentWith note): the
+    * quantized log-sum-exp accumulates candidates in ascending
+    * piece-length order exactly as before (mx = max, se = Σ exp((c −
+    * mx)/1e6), floor(mx + ln(se)·1e6 + 0.5)), expected microcounts are
+    * floor(exp((α(i) + s + β(i+l) − Z)/1e6)·1e6 + 0.5) per occurrence,
+    * and infeasible-position nulls propagate identically. The former
+    * persist barrier between the folds and the expansion is gone with
+    * the interpreted HOFs that needed it. Parity: the unchanged
+    * unigram_learn_soft / unigram_segment_soft oracles and BpeSpec's
+    * plain-JVM soft-EM replica. */
   private def softCounts(wh: DataFrame, scores: DataFrame,
       maxPieceLen: Int): DataFrame = {
     val wordMap = wordScoreMap(wh, scores, maxPieceLen)
-    val n = length(col("word"))
-    val fwd = forwardLattice(maxPieceLen)
-    // backward, built right-to-left: b(k) holds beta(n + 2 - k), so
-    // beta(i) = b(n + 2 - i); step j fills position i = n - j + 1 from
-    // the already-computed suffix values b(j + 1 - l)
-    val bwd = aggregate(sequence(lit(1), n), array(lit(0L)),
-      (acc, j) => {
-        val i = n - j + 1
-        val cands = transform(
-          sequence(lit(1), least(lit(maxPieceLen), j)),
-          l => when(
-            element_at(col("m"), col("word").substr(i, l)).isNotNull,
-            element_at(col("m"), col("word").substr(i, l)) +
-              element_at(acc, j + 1 - l)))
-        concat(acc, array(lse(cands)))
-      })
-    // persist barrier between the two folds and their MANY readers (the
-    // no-CSE interpreted-HOF discipline — segmentWith's note): the
-    // occurrence expansion below reads _fwd/_bwd once per (i, l)
-    val lattice = Caches.operatorPersist(
-      wh.join(wordMap, "word")
-        .select(col("word"), col("freq"), col("m"),
-          fwd.as("_fwd"), bwd.as("_bwd")))
-    // expected microcounts per in-vocabulary occurrence (start i, len l):
-    // floor(exp((a(i) + s + beta(i + l) - Z) / 1e6) * 1e6 + 0.5)
-    val occ = flatten(transform(sequence(lit(1), n), i =>
-      transform(sequence(lit(1), least(lit(maxPieceLen), n - i + 1)),
-        l => {
-          val s = element_at(col("m"), col("word").substr(i, l))
-          when(s.isNotNull,
-            struct(col("word").substr(i, l).as("piece"),
-              floor(exp(
-                (element_at(col("_fwd"), i) + s +
-                  element_at(col("_bwd"), n + 2 - (i + l)) -
-                  element_at(col("_fwd"), n + 1)).cast("double") /
-                  lit(1e6)) * lit(1e6) + lit(0.5)).cast("long")
-                .as("eq")))
-        })))
-    lattice
-      .select(col("freq"), explode(filter(occ, o => o.isNotNull)).as("o"))
+    wh.join(wordMap, "word")
+      .select(col("freq"),
+        explode(graft.plans.LatticeOcc(col("word"), col("m"),
+          maxPieceLen)).as("o"))
       .groupBy(col("o.piece").as("piece"))
       .agg(sum(col("o.eq") * col("freq")).as("cnt"))
   }
@@ -404,71 +307,22 @@ object Unigram {
     val wh = Caches.operatorPersist(Bpe.wordHistogram(df, textCol))
     val scores = scoresOf(gramCensus(wh, maxPieceLen))
     val wordMap = wordScoreMap(wh, scores, maxPieceLen)
-    val scaled = transform_values(col("m"), (_, v) =>
-      floor((v * lit(alphaPpm)).cast("double") / lit(1e6) + lit(0.5))
-        .cast("long"))
-    val n = length(col("word"))
-    // persist barrier between the lattice fold and the walk's many
-    // reads (the no-CSE interpreted-HOF discipline — segmentWith's
-    // note); the SCALED map is what both the lattice and the walk see
-    val lattice = Caches.operatorPersist(
-      wh.join(wordMap, "word")
-        .select(col("word"), col("freq"), scaled.as("m"))
-        .select(col("word"), col("freq"), col("m"),
-          forwardLattice(maxPieceLen).as("_fwd")))
-    // one backward walk per sample id: fold runs n times; each step
-    // with pos > 0 draws one piece (seeded hash threshold over the
-    // integer candidate weights), pos == 0 steps are no-ops — the
-    // consuming steps are always the fold's prefix, so the oracle's
-    // step counter (its recursion depth) matches the fold index
-    def walk(k: Column): Column =
-      aggregate(sequence(lit(1), n),
-        struct(n.cast("long").as("pos"),
-          array().cast("array<string>").as("ps")),
-        (acc, step) => {
-          val pos = acc.getField("pos")
-          val wArr = transform(sequence(lit(1), lit(maxPieceLen)), l => {
-            val piece = col("word").substr((pos - l + 1).cast("int"),
-              l.cast("int"))
-            when(l.cast("long") <= pos &&
-                element_at(col("m"), piece).isNotNull,
-              floor(exp((element_at(col("_fwd"),
-                  (pos - l + 1).cast("int")) +
-                element_at(col("m"), piece) -
-                element_at(col("_fwd"), (pos + 1).cast("int")))
-                  .cast("double") / lit(1e6)) * lit(1e6) + lit(0.5))
-                .cast("long"))
-          })
-          val wSum = aggregate(wArr, lit(0L),
-            (a, w) => a + coalesce(w, lit(0L)))
-          val h = pmod(conv(substring(md5(concat_ws("|", lit("sseg"),
-            lit(seed), col("word"), k.cast("string"),
-            step.cast("string"))), 25, 8), 16, 10).cast("long"), wSum)
-          // first l (ascending — shorter pieces first, the lse fold's
-          // candidate order) whose cumulative weight exceeds the draw
-          val pick = aggregate(sequence(lit(1), lit(maxPieceLen)),
-            struct(lit(0L).as("cum"), lit(0L).as("l")),
-            (a, l) => {
-              val w = element_at(wArr, l.cast("int"))
-              when(a.getField("l") > 0 || w.isNull, a)
-                .otherwise(when(h < a.getField("cum") + w,
-                  struct(a.getField("cum").as("cum"),
-                    l.cast("long").as("l")))
-                  .otherwise(struct((a.getField("cum") + w).as("cum"),
-                    lit(0L).as("l"))))
-            })
-          val pl = pick.getField("l")
-          when(pos > 0,
-            struct((pos - pl).as("pos"),
-              concat(array(col("word").substr((pos - pl + 1).cast("int"),
-                pl.cast("int"))), acc.getField("ps")).as("ps")))
-            .otherwise(acc)
-        },
-        acc => acc.getField("ps"))
-    val samples = transform(sequence(lit(1), lit(nSamples)),
-      k => walk(k))
-    lattice.select(col("word"), col("freq"),
-        posexplode(samples).as(Seq("_k", "_ps")))
+    // temperature scaling, the forward lattice, and the nSamples seeded
+    // backward walks run as ONE codegen'd kernel
+    // ([[graft.plans.LatticeSample]], round 17 — the segmentWith note):
+    // the draw replicates the HOF form exactly (s_a = floor((s ·
+    // alphaPpm)/1e6 + 0.5) with the long multiply first, integer
+    // microprob weights in ascending piece-length order, h =
+    // last-4-md5-bytes("sseg|seed|word|k|step") mod Σw, first l whose
+    // cumulative weight exceeds the draw). The former persist barrier
+    // between the lattice and the walks is gone with the interpreted
+    // HOFs that needed it. Parity: the unchanged unigram_sample_segments
+    // oracle (a bit-exact DuckDB FFBS replay) and BpeSpec's plain-JVM
+    // FFBS replica.
+    wh.join(wordMap, "word")
+      .select(col("word"), col("freq"),
+        posexplode(graft.plans.LatticeSample(col("word"), col("m"),
+          maxPieceLen, nSamples, alphaPpm, seed)).as(Seq("_k", "_ps")))
       .select(col("word"), col("freq"),
         (col("_k") + 1).cast("int").as("sample_id"),
         size(col("_ps")).cast("int").as("n_pieces"),

@@ -391,7 +391,13 @@ class PlanSpec extends AnyFunSuite {
     "mixture_doremi_weights",
     // Moore-Lewis: ONE shared apply pass carrying BOTH models' one-row
     // smoothing-totals crossJoins
-    "moore_lewis_select")
+    "moore_lewis_select",
+    // (round 17) the Viterbi/FFBS kernels removed segmentWith's and
+    // sampleSegments' operator persists (the interpreted-HOF barriers
+    // the codegen'd kernels no longer need), so scoresOf's ONE-ROW
+    // vocab-total crossJoin — always in the code — is no longer hidden
+    // behind an InMemoryRelation in these two plans
+    "tokenize_unigram_viterbi", "unigram_sample_segments")
     // (round 17) unigram_learn_soft LEFT the allowlist: its scoresOf
     // crossJoin of the ONE-ROW vocab total is still in the code, but —
     // like unigram_learn behind learnSegment — it now hides behind
