@@ -201,8 +201,14 @@ object SuffixArray {
     val pinned = ArrayBuffer.empty[DataFrame]
     val ckpt = new RollingCheckpoint
     try {
-      val g = df.select(col(idCol).as("_doc"), md5(col(textCol)).as("_g"),
-        col(textCol).as("_t"))
+      // group key is unhex(md5) BINARY(16), not the 32-char hex STRING
+      // (round 18, guide §2.3 — shuffle fewer bytes): the key rides TWO
+      // exchanges per doubling round (the per-doc window hash and the
+      // range exchange) plus the members expansion; binary halves its
+      // footprint with identical equality semantics (only grouping/join
+      // equality is ever used on _g).
+      val g = df.select(col(idCol).as("_doc"),
+        unhex(md5(col(textCol))).as("_g"), col(textCol).as("_t"))
       val members = g.select("_doc", "_g").persist()
       pinned += members
       // min() is exact (all texts under a key are equal) and partial-
@@ -237,9 +243,41 @@ object SuffixArray {
       val suff = prefs
         .select(col("_g"), posexplode(col("_prefs")).as(Seq("_p0", "_pref")))
         .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_pref"))
+      // DEPTH-BOUND TERMINATION (round 18): after a round with shift k the
+      // ranks are dense ranks of depth-2k prefixes; once that depth covers
+      // the longest representative text, every "prefix" IS the whole
+      // suffix, so the ranks are final — the loop's count-based fixed
+      // point would spend one more FULL round (two n-row exchanges + a
+      // collect) only to observe nd == nDistinct. The bound is one narrow
+      // aggregate over the (persisted, distinct-text-sized) prefix frame;
+      // the same job reads the TOTAL position count for the width sizing
+      // below, and materializes the prefs cache the round-0 sampler would
+      // otherwise pay for.
+      val statRow = prefs.agg(max(size(col("_prefs"))),
+        sum(size(col("_prefs")).cast("long"))).head()
+      val maxLen = if (statRow.isNullAt(0)) 0L else statRow.getInt(0).toLong
+      val totalPos = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
+      // SCALE-ADAPTIVE RANGE WIDTH (round 18, guide §2.2 + the brief's
+      // "derive from input size, not a local constant"): nParts = 32 made
+      // every range exchange a fixed 32 reduce tasks even for a few
+      // hundred thousand rows — per-task fixed costs (codegen, sched,
+      // deser) dominated the doubling rounds at bench scale. Target ~1M
+      // positions (~50 MB of (bin16, long, long, long) rows) per range
+      // partition, capped at the caller's nParts; a 100 TB corpus saturates
+      // the cap (pass a bigger nParts there), a small one stops paying
+      // 32x task overhead per round. AQE cannot coalesce an explicit
+      // repartitionByRange width, hence the explicit derivation.
+      val nPartsEff = math.max(1,
+        math.min(nParts.toLong, (totalPos + 65535L) / 65536L)).toInt
       // round 0: dense ranks assigned in place on the range exchange
       val (ranked0, nPref, parted0) = denseRanksInline(suff,
-        Seq("_pref"), nParts)
+        Seq("_pref"), nPartsEff)
+      // Per-round eager checkpoint kept deliberately (round 18 measured
+      // the alternative): building each round on the previous round's
+      // CACHED range frame instead of a checkpoint leaves the full nested
+      // plan in every task binary — task deserialization went 2.2 s ->
+      // 22.7 s per pass at sf0.1 and the suite entry ~3x'd. The ~60 ms
+      // checkpoint job per round is what keeps task closures flat.
       var ranks = ckpt(ranked0.select(col("_g"), col("_pos"), col("_rank")))
       // round 0's checkpoint severed lineage: the range frame and the
       // prefix-array frame are fully consumed — release now instead of
@@ -250,7 +288,7 @@ object SuffixArray {
       var k = seedK.toLong
       var round = 0
       var fixed = false
-      while (!fixed && round < maxRounds) {
+      while (!fixed && round < maxRounds && k < maxLen) {
         round += 1
         // rank of the suffix k positions later (0 = past end): positions
         // are CONTIGUOUS 1..len per doc (posexplode of every token), so
@@ -259,26 +297,40 @@ object SuffixArray {
         // (_g, _pos) equi-self-join's two. Per-doc window, partition-
         // local sort, group size = the doc's token count (bounded; one
         // rep per distinct text by the clique collapse above).
+        //
+        // PERSISTED before the range exchange (round 18, guide §1.2 —
+        // don't compute the same pass twice): the range partitioner
+        // SAMPLES its child before exchanging it, so an unpersisted
+        // `shifted` would evaluate this whole window+lead chain twice per
+        // round — the same double-evaluation rankedInlineRows already
+        // guards against in the merge loop. Released as soon as the
+        // round's range frame lands (both its consumers ran by then).
         val wDoc = Window.partitionBy("_g").orderBy("_pos")
         val shifted = ranks.select(col("_g"), col("_pos"),
           col("_rank").as("_r1"),
           coalesce(lead(col("_rank"),
               k.min(Int.MaxValue.toLong).toInt).over(wDoc),
-            lit(0L)).as("_r2"))
+            lit(0L)).as("_r2")).persist()
         val (ranked, nd, parted) = denseRanksInline(shifted,
-          Seq("_r1", "_r2"), nParts)
+          Seq("_r1", "_r2"), nPartsEff)
         // fixed point: the (r1, r2) partition equals the previous one, and
         // both numberings are dense in the same order — so the refined
         // ranks would reproduce the EXACT same values; skip the round
         fixed = nd == nDistinct
+        if (df.sparkSession.conf.getOption("spark.graft.debugTiming")
+            .contains("true"))
+          System.err.println(s"[sa-build] round $round k=$k nd=$nd " +
+            s"prev=$nDistinct fixed=$fixed maxLen=$maxLen")
         if (!fixed) {
           ranks = ckpt(ranked.select(col("_g"), col("_pos"), col("_rank")))
           nDistinct = nd
         }
         // this round's checkpoint landed (or the frame was never consumed,
-        // on the fixed round) — release its range-partitioned frame
-        // immediately; memory stays one checkpoint + one range frame, not
-        // O(rounds x rows)
+        // on the fixed round) — release its range-partitioned frame and
+        // the shifted cache (both consumers of each ran inside
+        // denseRanksInline / the checkpoint job); memory stays one
+        // checkpoint + one range frame + one shifted cache, rolling
+        shifted.unpersist(blocking = false)
         parted.unpersist(blocking = false)
         k *= 2
       }

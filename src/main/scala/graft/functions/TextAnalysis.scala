@@ -520,8 +520,9 @@ object TextAnalysis {
     * shuffle-hash joins; only the one-row total broadcasts. */
   def perplexityKneserNeyApplyModel(model: KnBigramModel, apply: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // no outer persist: knScoreTransitions registers its own (its types
+    // pass + join-back are the frame's two consumers since round 18)
     val transA = bigramTransitions(apply, textCol, Some(idCol))
-      .transform(Caches.operatorPersist)
     val scored = knScoreTransitions(model, transA)
     val agg0 = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("_nt"),
@@ -608,8 +609,13 @@ object TextAnalysis {
     val pre3 = cont.groupBy(col("w3")).agg(count(lit(1)).as("pre3"))
     val nbp = cont.agg(count(lit(1)).as("nbp"))
     val dec = "decimal(38,0)"
-    val scored = trans
-      .join(tcnt.hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+    // TYPE-LEVEL SCORING (round 18 — the knScoreTransitions treatment):
+    // the continuation joins and the decimal/log ladder run on the TYPE
+    // table (tcnt is already the distinct-trigram frame), not the
+    // occurrence stream, which formerly re-exchanged per join key; the
+    // stream re-attaches with one inner join-back (same-corpus training
+    // ⇒ every occurrence's type exists; split() tokens are never null).
+    val scoredTypes = tcnt
       .join(ctx2.hint("shuffle_hash"), Seq("w1", "w2"))
       .join(cont.hint("shuffle_hash"), Seq("w2", "w3"))
       .join(mid.hint("shuffle_hash"), Seq("w2"))
@@ -627,6 +633,9 @@ object TextAnalysis {
       .withColumn("m",
         floor(log(col("_num").cast("double") / col("_den").cast("double"))
           * 1e6 + 0.5).cast("long"))
+    val scored = trans.join(scoredTypes
+      .select(col("w1"), col("w2"), col("w3"), col("m"))
+      .hint("shuffle_hash"), Seq("w1", "w2", "w3"))
     val agg0 = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("_nt"), sum(col("m")).as("_lp"))
     // agg0 is PER-DOCUMENT — corpus-sized, the left join stays partitioned
@@ -750,7 +759,13 @@ object TextAnalysis {
     val transA = trigramTransitions(apply, textCol, Some(idCol))
       .transform(Caches.operatorPersist)
     val dec = "decimal(38,0)"
-    val scored = transA
+    // TYPE-LEVEL SCORING (round 18 — the knScoreTransitions treatment at
+    // order 3): the former form re-exchanged the corpus-sized APPLY
+    // stream FIVE times (once per model-table key) and ran the
+    // decimal/log ladder per TOKEN. Distinct (w1,w2,w3) types take the
+    // model joins and the arithmetic; one inner join-back re-attaches
+    // (w1/w2/w3 are split() tokens — never null — so no row can drop).
+    val scored = transA.select(col("w1"), col("w2"), col("w3")).distinct()
       .join(model.trigrams.hint("shuffle_hash"), Seq("w1", "w2", "w3"), "left")
       .join(model.ctx2.hint("shuffle_hash"), Seq("w1", "w2"), "left")
       .join(model.cont.hint("shuffle_hash"), Seq("w2", "w3"), "left")
@@ -784,7 +799,10 @@ object TextAnalysis {
         .otherwise(
           floor(log(col("_p1n").cast("double") /
             col("_nbv").cast("double")) * 1e6 + 0.5).cast("long")))
-    val agg0 = scored.groupBy(col(idCol))
+    val agg0 = transA
+      .join(scored.select(col("w1"), col("w2"), col("w3"), col("_tc"),
+        col("m")).hint("shuffle_hash"), Seq("w1", "w2", "w3"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("_nt"),
         sum(when(col("_tc") === 0, 1).otherwise(0)).as("_nu"),
         sum(col("m")).as("_lp"))
@@ -900,8 +918,24 @@ object TextAnalysis {
     * per-doc fold. Model sides are vocabulary-sized LEFT shuffle-hash
     * joins; only the one-row total broadcasts. */
   private def knScoreTransitions(model: KnBigramModel,
-      trans: DataFrame): DataFrame =
-    trans
+      trans: DataFrame): DataFrame = {
+    // TYPE-LEVEL SCORING (round 18, guide §2.3/§2.4 + §1.2 — the
+    // mooreLewisSelect pattern, applied to the shared scorer): the former
+    // form chained the three model joins directly on the TRANSITIONS
+    // stream, which re-exchanged the corpus-sized stream THREE times (by
+    // (prev,cur), then by prev, then by cur) and evaluated the
+    // decimal/log scoring expression once per TOKEN. Scoring the DISTINCT
+    // (prev,cur) types instead pays one map-side-combined distinct
+    // exchange (type-sized bytes) plus the model-side vocabulary joins,
+    // evaluates the expensive arithmetic once per TYPE (Zipf: types <<
+    // tokens), and re-attaches with ONE stream exchange. The join-back is
+    // INNER on (prev,cur): every transition's type exists by
+    // construction, and prev/cur are never null (they are split() tokens
+    // at valid positions), so no row can drop. `trans` feeds two
+    // consumers (types + join-back) — registered persist, or the
+    // transitions explode would run twice (the round-7 lesson).
+    val t = Caches.operatorPersist(trans)
+    val scoredTypes = t.select(col("prev"), col("cur")).distinct()
       .join(model.bigrams.hint("shuffle_hash"), Seq("prev", "cur"), "left")
       .join(model.ctx.hint("shuffle_hash"), Seq("prev"), "left")
       .join(model.pre.hint("shuffle_hash"), Seq("cur"), "left")
@@ -912,6 +946,8 @@ object TextAnalysis {
       .withColumn("_pre", coalesce(col("pre"), lit(0L)))
       .withColumn("m", knLogprobMicros(col("_bc"), col("_cc"),
         col("_fol"), col("_pre"), col("nb"), col("vc")))
+    t.join(scoredTypes.hint("shuffle_hash"), Seq("prev", "cur"))
+  }
 
   /** Min-K% probability membership score (Shi et al. 2023, "Detecting
     * Pretraining Data from Large Language Models") — the contamination
@@ -986,11 +1022,20 @@ object TextAnalysis {
     * (corpus mean, normalizer). */
   def doremiDomainWeights(model: KnBigramModel, corpus: DataFrame,
       domainCol: String, textCol: String): DataFrame = {
+    // AGGREGATE BEFORE THE SCORER (round 18, guide §2.3 — aggregate before
+    // you shuffle): the per-domain NLL sum only needs each (domain, prev,
+    // cur) TYPE's multiplicity, so the corpus transitions collapse to
+    // counted types in ONE map-side-combined exchange before any scoring
+    // join touches them; sum(-m) over transitions == sum(-m * count) over
+    // counted types, exactly (long arithmetic, |m| <= ~30e6 micronats x
+    // corpus counts fits far inside Long).
     val trans = bigramTransitions(corpus, textCol, Some(domainCol))
+      .groupBy(col(domainCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_tc"))
     val scored = knScoreTransitions(model, trans)
     val byDom = scored.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("n_transitions"),
-        sum(lit(0L) - col("m")).as("_nll"))
+      .agg(sum(col("_tc")).as("n_transitions"),
+        sum(col("_tc") * (lit(0L) - col("m"))).as("_nll"))
       .transform(Caches.operatorPersist)
     val tot = byDom.agg(sum(col("_nll")).as("_tn"),
       sum(col("n_transitions")).as("_tc"))
@@ -1038,11 +1083,15 @@ object TextAnalysis {
     require(steps >= 1, "steps >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // counted-type pre-aggregation before the scorer — see
+    // [[doremiDomainWeights]] (identical arithmetic, exact)
     val trans = bigramTransitions(corpus, textCol, Some(domainCol))
+      .groupBy(col(domainCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("_tc"))
     val scored = knScoreTransitions(model, trans)
     val byDom = scored.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("n_transitions"),
-        sum(lit(0L) - col("m")).as("_nll"))
+      .agg(sum(col("_tc")).as("n_transitions"),
+        sum(col("_tc") * (lit(0L) - col("m"))).as("_nll"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
@@ -1647,7 +1696,16 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    def gramRows = df.select(col(idCol).as("_id"), explode(grams).as("gram"))
+    // ONE explode for both consumers (round 18, guide §1.2 / the round-7
+    // double-consumer lesson): the census AND the candidate-dictionary
+    // rebuild below each read the exploded gram rows — unpersisted, the
+    // corpus-wide n-gram Generate (an interpreted transform/slice HOF
+    // chain, the most expensive map in this operator) ran TWICE per call
+    // (measured: the two passes were ~4.7 s of the 5.9 s wall at sf0.1).
+    // Registered persist: materializes inside the census job, swept by
+    // the harness per query.
+    val gramRows = Caches.operatorPersist(
+      df.select(col(idCol).as("_id"), explode(grams).as("gram")))
     def stringPlan =
       gramRows
         .groupBy("gram", "_id").agg(count(lit(1)).as("_c"))
