@@ -211,7 +211,9 @@ object Bench {
   def compactLine(total: Double, totalNormalized: Double, nQueries: Int,
       nFailed: Int, nSkipped: Int, loadavgStart: Double, loadavgEnd: Double,
       sentinelFirst: Double, sentinelLast: Double, contended: Boolean,
-      queriesFile: String, sfDir: String, runs: Int): String = {
+      queriesFile: String, sfDir: String, runs: Int,
+      perQuery: Seq[(String, Double)] = Nil,
+      maxLen: Int = 1800): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // the two interpolated strings are externally controlled paths —
@@ -230,14 +232,35 @@ object Bench {
     val qf = esc(
       if (queriesFile.length <= 200) queriesFile
       else "..." + queriesFile.takeRight(197))
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":{"_all":${fmt(total)}},"n_queries":$nQueries,""" +
-      s""""n_failed":$nFailed,"n_skipped":$nSkipped,""" +
-      s""""queries_file":"$qf",""" +
-      s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},""" +
-      s""""sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},""" +
-      s""""contended":$contended,"total_normalized":${fmt(totalNormalized)},""" +
-      s""""sf":"${esc(sfDir)}","runs_per_query":$runs,"stat":"median"}"""
+    // PER-QUERY SIGNAL UNDER A HARD LENGTH BUDGET (round-18, r17 verdict
+    // #2): the driver's per-query PERF/scaling tables were degenerate
+    // (n_common = 1) because this line carried only {"_all": total}. The
+    // verdict asked for the full map, but the driver's stdout tail is a
+    // measured 2000 chars (BENCH_r14..r17 all carry exactly len-2000
+    // tails; the full 220-entry map is ~6.5 KB — emitting it here would
+    // truncate the line's HEAD and reproduce the r14/r15 parsed:null).
+    // Compromise, bounded by construction: pack entries HEAVIEST-FIRST
+    // (they carry the regression/scaling signal; sub-second entries are
+    // noise at this SF) until the line reaches `maxLen` (1800 — leaving
+    // headroom for sbt's trailing "[success] ..." line inside the 2000).
+    // "_all" stays first for driver compatibility; the full map still
+    // lands in `queries_file` and the long stdout line above.
+    def render(qsBody: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":{"_all":${fmt(total)}$qsBody},"n_queries":$nQueries,""" +
+        s""""n_failed":$nFailed,"n_skipped":$nSkipped,""" +
+        s""""queries_file":"$qf",""" +
+        s""""loadavg_start":${fmt(loadavgStart)},"loadavg_end":${fmt(loadavgEnd)},""" +
+        s""""sentinel_first":${fmt(sentinelFirst)},"sentinel_last":${fmt(sentinelLast)},""" +
+        s""""contended":$contended,"total_normalized":${fmt(totalNormalized)},""" +
+        s""""sf":"${esc(sfDir)}","runs_per_query":$runs,"stat":"median"}"""
+    var budget = maxLen - render("").length
+    val sb = new StringBuilder
+    perQuery.sortBy { case (n, t) => (-t, n) }.foreach { case (n, t) =>
+      val entry = ",\"" + esc(n) + "\":" + fmt(t)
+      if (entry.length <= budget) { sb.append(entry); budget -= entry.length }
+    }
+    render(sb.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -867,7 +890,8 @@ object Bench {
     if (line.length > 3500)
       println(compactLine(total, totalNormalized, resultsFinal.size,
         failedQueries.size, skippedBuf.size, loadavgStart, loadavgEnd,
-        sentinelFirst, sentinelLast, contended, out, sfDir, runs))
+        sentinelFirst, sentinelLast, contended, out, sfDir, runs,
+        perQuery = resultsFinal))
     spark.stop()
   }
 }

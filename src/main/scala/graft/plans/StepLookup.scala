@@ -58,6 +58,21 @@ case class StepLookup(child: Expression, ts: Array[Long], vals: Array[Long])
 
   override protected def withNewChildInternal(newChild: Expression): StepLookup =
     copy(child = newChild)
+
+  // Array fields compare by reference under the case-class default, so
+  // Catalyst canonicalization / semantic equality (cache sameResult, CSE)
+  // would treat structurally identical instances as different (round-17
+  // advice). Element-wise equality restores plan/cache reuse.
+  override def equals(other: Any): Boolean = other match {
+    case s: StepLookup => child == s.child &&
+      java.util.Arrays.equals(ts, s.ts) && java.util.Arrays.equals(vals, s.vals)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Int.box(java.util.Arrays.hashCode(ts)),
+      Int.box(java.util.Arrays.hashCode(vals)))
 }
 
 object StepLookup {

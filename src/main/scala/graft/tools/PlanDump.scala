@@ -15,6 +15,19 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // arity / query-name guard (round-17 advice): fail with usage, not a
+    // raw MatchError / NoSuchElementException
+    if (args.length < 4) {
+      System.err.println(
+        "usage: PlanDump <sfDir> <outDir> <tag> <query> [query...]")
+      sys.exit(2)
+    }
+    val unknown = args.drop(3).filterNot(Catalog.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")} (see Catalog.queries)")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

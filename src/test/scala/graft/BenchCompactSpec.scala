@@ -30,6 +30,35 @@ class BenchCompactSpec extends AnyFunSuite {
     assert(line.length < 1200, s"compact line grew to ${line.length} chars")
   }
 
+  // round-18 (r17 verdict #2): per-query entries ride the compact line,
+  // heaviest first, under a hard length budget — the driver's tail is a
+  // measured 2000 chars (every BENCH_r*.json tail is exactly len 2000),
+  // so the full 220-entry map (~6.5 KB) can never ride here; the budget
+  // must hold for ANY sweep size.
+  test("per-query packing never exceeds the 1800 budget and keeps _all first") {
+    val sweep = (1 to 500).map(i => (f"query_with_a_long_name_$i%03d", i * 0.37))
+    val line = Bench.compactLine(
+      total = 999999.999, totalNormalized = 999999.999,
+      nQueries = 500, nFailed = 0, nSkipped = 0,
+      loadavgStart = 9999.999, loadavgEnd = 9999.999,
+      sentinelFirst = 9999.999, sentinelLast = 9999.999,
+      contended = true, queriesFile = "/very/long/" + ("x" * 300) + "/b.json",
+      sfDir = "/root/testdata/sf0.0000000001-some-very-long-dir-name",
+      runs = 999, perQuery = sweep)
+    assert(line.length <= 1800, s"compact line grew to ${line.length} chars")
+    assert(line.contains("\"queries\":{\"_all\":999999.999,"))
+    // heaviest entries packed first: the top sweep entry must be present
+    assert(line.contains("\"query_with_a_long_name_500\":185.000"))
+    // still complete, balanced JSON
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '"') % 2 == 0)
+  }
+
+  test("empty per-query list renders the legacy _all-only map") {
+    val line = worstCase("bench_results.json")
+    assert(line.contains("\"queries\":{\"_all\":999999.999},"))
+  }
+
   test("compact line is complete self-contained JSON with the driver's fields") {
     val line = worstCase("bench_results.json")
     assert(line.startsWith("{") && line.endsWith("}"))
