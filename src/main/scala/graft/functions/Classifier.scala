@@ -136,31 +136,38 @@ object Classifier {
     require(dim > 0 && iters >= 1 && lrNum > 0 && lrDen > 0,
       "dim, iters, lr must be positive")
     val spark = df.sparkSession
-    // persist barrier before the Generate (the cdc_chunks discipline)
-    val withFs = Caches.operatorPersist(df.select(col(idCol).as("_d"),
-      label.cast("boolean").as("_y"),
-      featuresExpr(split(col(textCol), " ")).as("_fs")))
-    // docs and feat persist PRE-PARTITIONED on the doc id (round 17,
-    // guide §2.4 — two operations keyed the same way share one
-    // exchange): every per-iteration shuffle below is keyed by _d (the
-    // margin groupBy, the docs-margins join, the feat-resid gradient
-    // join), so paying one exchange per side at persist time removes
-    // three exchanges PER ITERATION from the loop — the iteration plans
-    // reuse the cached hashpartitioning(_d) outright. Same win at any
-    // scale: the loop's shuffled bytes drop from iters x (docs + feat)
-    // to one (docs + feat).
+    // ONE exchange, BEFORE the featurize (round 18, guide §2.4 — share
+    // one exchange across same-keyed operations — refining round 17's
+    // post-featurize repartitions). The raw (doc, label, text) rows are
+    // hash(_d)-partitioned FIRST, so (a) the expensive unigram+bigram
+    // Generate runs at full shuffle width instead of on the scan's
+    // splits (the sf testdata is a single parquet row group — the
+    // featurize serialized on ONE task, measured 2.0 s of the train
+    // wall), and (b) every derived frame inherits hash(_d): docs is a
+    // narrow projection, and feat's groupBy(_d,_y,_b) is satisfied by
+    // the _d-partitioning (subset rule) so it aggregates IN PLACE and
+    // keeps the partitioning. Round 17's shape paid three exchanges for
+    // the same layout (docs repartition + feat's groupBy exchange + feat
+    // repartition) and featurized on the scan. The loop below is
+    // unchanged: margin groupBy, docs-margins join and feat-resid
+    // gradient join all reuse the one cached hashpartitioning(_d).
     // explicit width (the session's shuffle parallelism): an AQE-coalesced
     // keyless width could differ between the two caches and silently
     // reinsert the join exchanges this exists to remove
     val nP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val docs = Caches.operatorPersist(
-      withFs.select("_d", "_y").repartition(nP, col("_d")))
+    // persist barrier before the Generate (the cdc_chunks discipline)
+    val withFs = Caches.operatorPersist(df
+      .select(col(idCol).as("_d"), label.cast("boolean").as("_y"),
+        col(textCol).as("_t"))
+      .repartition(nP, col("_d"))
+      .select(col("_d"), col("_y"),
+        featuresExpr(split(col("_t"), " ")).as("_fs")))
+    val docs = Caches.operatorPersist(withFs.select("_d", "_y"))
     val feat = Caches.operatorPersist(withFs
       .select(col("_d"), col("_y"), explode(col("_fs")).as("_f"))
       .select(col("_d"), col("_y"), bucket(col("_f"), dim).as("_b"))
       .groupBy(col("_d"), col("_y"), col("_b"))
-      .agg(count(lit(1)).as("_cnt"))
-      .repartition(nP, col("_d")))
+      .agg(count(lit(1)).as("_cnt")))
     val nDocs = docs.count()
     require(nDocs > 0, "train: empty corpus")
     import spark.implicits._
