@@ -229,34 +229,55 @@ object SuffixArray {
       // (bounded ~seedK x corpus bytes for one round) instead of one.
       //
       // Two persist barriers around the Generate (the cdc_chunks lesson,
-      // SCALING.md round-10): materializing (_g, _prefs) keeps projection
-      // collapse from inlining split() into the slice lambda (no CSE in
-      // interpreted HOFs — O(n^2) re-splits) and keeps
+      // SCALING.md round-10): materializing (_g, _tk) / (_g, _prefs)
+      // keeps projection collapse from inlining split() into the slice
+      // lambda (no CSE in interpreted HOFs — O(n^2) re-splits) and keeps
       // InferFiltersFromGenerate's size() filter a cheap attribute check.
-      val prefs = reps
-        .select(col("_g"), split(col("_t"), " ").as("_tk"))
-        .select(col("_g"),
-          transform(sequence(lit(1), size(col("_tk"))),
-            p => concat_ws(" ", slice(col("_tk"), p, lit(seedK)))).as("_prefs"))
-        .persist()
-      pinned += prefs
-      val suff = prefs
-        .select(col("_g"), posexplode(col("_prefs")).as(Seq("_p0", "_pref")))
-        .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_pref"))
+      val repsTk = reps
+        .select(col("_g"), split(col("_t"), " ").as("_tk")).persist()
+      pinned += repsTk
       // DEPTH-BOUND TERMINATION (round 18): after a round with shift k the
       // ranks are dense ranks of depth-2k prefixes; once that depth covers
       // the longest representative text, every "prefix" IS the whole
       // suffix, so the ranks are final — the loop's count-based fixed
       // point would spend one more FULL round (two n-row exchanges + a
       // collect) only to observe nd == nDistinct. The bound is one narrow
-      // aggregate over the (persisted, distinct-text-sized) prefix frame;
+      // aggregate over the (persisted, distinct-text-sized) token frame;
       // the same job reads the TOTAL position count for the width sizing
-      // below, and materializes the prefs cache the round-0 sampler would
-      // otherwise pay for.
-      val statRow = prefs.agg(max(size(col("_prefs"))),
-        sum(size(col("_prefs")).cast("long"))).head()
+      // below, and materializes the cache the prefix build reads.
+      val statRow = repsTk.agg(max(size(col("_tk"))),
+        sum(size(col("_tk")).cast("long"))).head()
       val maxLen = if (statRow.isNullAt(0)) 0L else statRow.getInt(0).toLong
       val totalPos = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
+      // FULL-SUFFIX SEED FOR SHORT-TEXT CORPORA (round 18, guide §1.2
+      // first-principles + §2.2): with seed depth s, round 0 ships
+      // ~min(s, len-pos) tokens per position and the loop then runs
+      // ceil(log2(maxLen/s)) rounds of TWO ~40 B/row exchanges plus
+      // their fixed costs (range-sampler job, counts collect, checkpoint
+      // job, AQE stages — measured 51 serial jobs and ~10 jobs/round at
+      // sf0.1, where the suite pair suffix_ranks/_incremental is the #1
+      // cost). Seeding with s = maxLen makes every round-0 key the WHOLE
+      // suffix — dense ranks are FINAL and the loop never runs. Byte
+      // napkin (avgLen ~ maxLen/2, ~6 B/token): full seed ships
+      // ~3*maxLen B/position once; doubling ships ~80 B/position per
+      // round — the crossover sits near maxLen ~ 128, so the full seed
+      // engages exactly for short-text corpora (sentences, titles,
+      // capped-token fixtures) where it is byte-neutral AND removes
+      // every global barrier; long-document corpora keep the doubling
+      // loop, whose per-round bytes stay bounded regardless of maxLen.
+      // Correctness is the existing sub-seedK argument: equal full-
+      // suffix keys are genuinely equal suffixes and tie forever.
+      val seedEff = if (maxLen > 0 && maxLen <= 128) maxLen.toInt
+        else seedK
+      val prefs = repsTk
+        .select(col("_g"),
+          transform(sequence(lit(1), size(col("_tk"))),
+            p => concat_ws(" ", slice(col("_tk"), p, lit(seedEff)))).as("_prefs"))
+        .persist()
+      pinned += prefs
+      val suff = prefs
+        .select(col("_g"), posexplode(col("_prefs")).as(Seq("_p0", "_pref")))
+        .select(col("_g"), (col("_p0") + 1).as("_pos"), col("_pref"))
       // SCALE-ADAPTIVE RANGE WIDTH (round 18, guide §2.2 + the brief's
       // "derive from input size, not a local constant"): nParts = 32 made
       // every range exchange a fixed 32 reduce tasks even for a few
@@ -279,13 +300,14 @@ object SuffixArray {
       // 22.7 s per pass at sf0.1 and the suite entry ~3x'd. The ~60 ms
       // checkpoint job per round is what keeps task closures flat.
       var ranks = ckpt(ranked0.select(col("_g"), col("_pos"), col("_rank")))
-      // round 0's checkpoint severed lineage: the range frame and the
-      // prefix-array frame are fully consumed — release now instead of
-      // at loop end (rolling, not cumulative, footprint)
+      // round 0's checkpoint severed lineage: the range frame, the
+      // prefix-array frame and the token frame are fully consumed —
+      // release now instead of at loop end (rolling footprint)
       parted0.unpersist(blocking = false)
       prefs.unpersist(blocking = false)
+      repsTk.unpersist(blocking = false)
       var nDistinct = nPref
-      var k = seedK.toLong
+      var k = seedEff.toLong
       var round = 0
       var fixed = false
       while (!fixed && round < maxRounds && k < maxLen) {

@@ -1455,14 +1455,20 @@ object TextAnalysis {
       langCol: String): DataFrame = {
     val ppl = perplexity(df, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("logprob_micronats"))
-    // persisted: consumed twice (tercile-cutoff pass + bucket assignment);
-    // without it the whole LM train + exploded-token score join runs twice.
-    // Per-doc metadata rows only (id, lang, two longs) — spill-safe.
+    // EAGER localCheckpoint, not persist (round 18 — the SA-builder
+    // "flat task closures" lesson applied here after ProfileQuery showed
+    // task DESERIALIZATION dominating compute 15.8 s vs 6.8 s at sf0.1):
+    // consumed twice (tercile-cutoff pass + bucket assignment), and a
+    // plain persist ships the ENTIRE upstream plan — the in-query LM
+    // train, the exploded-token score join — inside every downstream
+    // task binary; the checkpoint truncates lineage so the percentile
+    // and bucket stages deserialize a flat scan. Per-doc metadata rows
+    // only (id, lang, two longs) — spill-safe, recompute never needed.
     val scored = df.select(col(idCol), col(langCol))
       .join(ppl.hint("shuffle_hash"), Seq(idCol))
       .withColumn("surprisal_micronats",
         expr(s"(-logprob_micronats) div n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val (f1, f2) = (1.0 / 3, 2.0 / 3)
     val cuts = Stats.groupedExactPercentiles(scored, langCol,
       "surprisal_micronats", Seq(f1, f2))
