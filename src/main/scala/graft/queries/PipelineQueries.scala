@@ -233,13 +233,37 @@ object PipelineQueries {
     * while the derived gates consume this shared build. */
   private val suffixRanksDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Landed-artifact layout (guide §6 — control output partitioning for
+    * anything you write): the SA builder's scale-adaptive range width
+    * legitimately finishes at a handful of partitions on small corpora,
+    * but a tiny parquet file is ONE row group and a row group is
+    * unsplittable — so the landed file count becomes a hard cap on every
+    * consumer's scan parallelism (measured round 18: the 4-file landing
+    * held suffix_dup_spans' LCP stages to 4 tasks, ~12 s of task time
+    * each). Land rank-keyed artifacts range-clustered on the rank at
+    * ~1 M rows per file, floored at the session's core count: the size
+    * term dominates at scale (file sizing by volume), the cores floor
+    * only lifts artifacts too small to matter, and rank-range clustering
+    * keeps min/max stats tight for rank-bounded readers. The extra
+    * count + range exchange run at LANDING time (warmup), not on any
+    * timed gate. */
+  private def landRankClustered(df: org.apache.spark.sql.DataFrame,
+      rankCol: String, path: String): Unit = {
+    val n = df.count()
+    val width = math.max(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      (n + (1L << 20) - 1) / (1L << 20)).toInt
+    df.repartitionByRange(width, col(rankCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
   private[graft] def suffixRanksPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
     suffixRanksDirs.computeIfAbsent(dir, _ => {
       val path = scratchPath("suffix-ranks", dir)
-      graft.functions.SuffixArray.suffixRanks(
-          Tables.documents(s, dir), "doc_id", "text")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      landRankClustered(graft.functions.SuffixArray.suffixRanks(
+          Tables.documents(s, dir), "doc_id", "text"), "suffix_rank", path)
       path
     })
   private[graft] def suffixRanksFrame(s: org.apache.spark.sql.SparkSession,
@@ -327,9 +351,13 @@ object PipelineQueries {
       dir: String): String =
     suffixMergeRepsDirs.computeIfAbsent(dir, _ => {
       val path = scratchPath("suffix-merge-reps", dir)
-      graft.functions.SuffixArray.suffixMergeReps(suffixRanksFrame(s, dir),
-          Tables.documents(s, dir), "doc_id", "text")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      // same landing layout as the SA itself ([[landRankClustered]]):
+      // AQE coalesces the sidecar's small build shuffles to a handful of
+      // partitions, and the incremental gate's round-1 sidecar scans
+      // would inherit that as their parallelism cap
+      landRankClustered(graft.functions.SuffixArray.suffixMergeReps(
+          suffixRanksFrame(s, dir), Tables.documents(s, dir),
+          "doc_id", "text"), "_or", path)
       path
     })
 
